@@ -1,0 +1,118 @@
+"""Host-side dictionary value tables for String/Categorical/Enum columns.
+
+TPU-native string strategy (BASELINE.json north star): device arrays only ever
+hold dense int32 *codes*; the variable-length UTF-8 payload lives on the host in
+an immutable ``StringTable``. All device-side string ops (compare, group, join,
+sort) operate on codes; host-side ops (contains, slice, ...) run vectorized over
+the (small) dictionary and map back through codes.
+
+This replaces the reference's BinaryViewArray / global categorical registry
+(polars-arrow/src/array/binview, polars-dtype/src/categorical/) with the
+dictionary-only design the north star mandates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class StringTable:
+    """Immutable array of unique UTF-8 values; identity-hashed for pytree aux data.
+
+    ``sorted_order``: if True, codes are ordinal — code order == lexicographic
+    order, so device-side sort/comparison on codes matches string semantics.
+    """
+
+    __slots__ = ("values", "sorted_order", "_lookup")
+
+    def __init__(self, values: np.ndarray, *, sorted_order: bool = False) -> None:
+        vals = np.asarray(values, dtype=object)
+        self.values = vals
+        self.sorted_order = sorted_order
+        self._lookup: dict | None = None
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    def __repr__(self) -> str:
+        return f"StringTable(n={len(self.values)}, sorted={self.sorted_order})"
+
+    # identity-based hashing: tables are immutable, so identity equality is
+    # sound for jit cache keys (a rebuilt-but-equal table only costs a recompile)
+    def __hash__(self) -> int:
+        return id(self)
+
+    def __eq__(self, other: object) -> bool:
+        return self is other
+
+    def lookup(self) -> dict:
+        if self._lookup is None:
+            self._lookup = {v: i for i, v in enumerate(self.values.tolist())}
+        return self._lookup
+
+    def find(self, value: str) -> int:
+        """Code for ``value``, or -1 if absent."""
+        return self.lookup().get(value, -1)
+
+    def take(self, codes: np.ndarray) -> np.ndarray:
+        """Decode codes -> object array of strings (codes < 0 -> None)."""
+        codes = np.asarray(codes)
+        out = np.empty(codes.shape, dtype=object)
+        valid = codes >= 0
+        out[valid] = self.values[codes[valid]]
+        out[~valid] = None
+        return out
+
+
+_EMPTY = StringTable(np.asarray([], dtype=object), sorted_order=True)
+
+
+def empty_table() -> StringTable:
+    return _EMPTY
+
+
+def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray | None, StringTable]:
+    """Dictionary-encode an object/str array.
+
+    Returns (codes[int32], validity[bool] or None, table). The table is sorted
+    (ordinal codes) so code comparisons match lexicographic string order.
+    None/NaN entries become code 0 with validity False.
+    """
+    arr = np.asarray(values, dtype=object)
+    validity = np.array([v is not None and v == v for v in arr], dtype=bool)
+    has_null = not validity.all()
+    filled = np.where(validity, arr, "")
+    as_str = filled.astype(str)
+    uniques, codes = np.unique(as_str, return_inverse=True)
+    codes = codes.astype(np.int32).reshape(arr.shape)
+    if has_null:
+        codes = np.where(validity, codes, np.int32(0))
+    table = StringTable(uniques.astype(object), sorted_order=True)
+    return codes, (validity if has_null else None), table
+
+
+def unify(
+    left: StringTable, right: StringTable
+) -> tuple[StringTable, np.ndarray, np.ndarray]:
+    """Merge two tables; returns (merged, left_remap, right_remap).
+
+    remap arrays map old codes -> new codes. The merged table is sorted, so the
+    result keeps ordinal ordering.
+    """
+    if left is right:
+        n = len(left)
+        ident = np.arange(n, dtype=np.int32)
+        return left, ident, ident
+    lv = left.values.astype(str)
+    rv = right.values.astype(str)
+    merged, inv = np.unique(np.concatenate([lv, rv]), return_inverse=True)
+    inv = inv.astype(np.int32)
+    out = StringTable(merged.astype(object), sorted_order=True)
+    return out, inv[: len(lv)], inv[len(lv):]
+
+
+def remap_codes(codes: np.ndarray, remap: np.ndarray) -> np.ndarray:
+    """Apply an old->new code mapping (host-side numpy)."""
+    if len(remap) == 0:
+        return codes
+    return remap[np.asarray(codes)].astype(np.int32)
