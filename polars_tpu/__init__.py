@@ -1,0 +1,195 @@
+"""polars_tpu: a TPU-native DataFrame query engine with the capabilities of
+Polars (reference: pola-rs/polars, see SURVEY.md).
+
+Public API parity target: py-polars/src/polars/__init__.py. Compute path:
+expressions trace to XLA programs over padded device columns; hot kernels in
+Pallas; multi-chip execution via jax.sharding (polars_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import jax as _jax
+
+# Polars semantics default to 64-bit ints/floats; TPU executes them via XLA's
+# wide-type emulation (hot paths downcast explicitly where safe).
+_jax.config.update("jax_enable_x64", True)
+
+from polars_tpu import datatypes
+from polars_tpu import selectors
+from polars_tpu.config import Config
+from polars_tpu.core.frame import DataFrame
+from polars_tpu.core.schema import Schema
+from polars_tpu.core.series import Series
+from polars_tpu.datatypes import (
+    Array,
+    Binary,
+    Boolean,
+    Categorical,
+    DataType,
+    Date,
+    Datetime,
+    Decimal,
+    Duration,
+    Enum,
+    Field,
+    Float32,
+    Float64,
+    Int8,
+    Int16,
+    Int32,
+    Int64,
+    Int128,
+    List,
+    Null,
+    Object,
+    String,
+    Struct,
+    Time,
+    UInt8,
+    UInt16,
+    UInt32,
+    UInt64,
+    Unknown,
+    Utf8,
+)
+from polars_tpu.errors import (
+    ColumnNotFoundError,
+    ComputeError,
+    DuplicateError,
+    InvalidOperationError,
+    NoDataError,
+    OutOfBoundsError,
+    PolarsError,
+    SchemaError,
+    SchemaFieldNotFoundError,
+    ShapeError,
+    SQLInterfaceError,
+    SQLSyntaxError,
+)
+from polars_tpu.expr.expr import Expr
+from polars_tpu.functions import (
+    all,
+    all_horizontal,
+    any,
+    any_horizontal,
+    approx_n_unique,
+    arange,
+    arg_sort_by,
+    arg_where,
+    coalesce,
+    col,
+    concat,
+    concat_list,
+    concat_str,
+    corr,
+    count,
+    cov,
+    cum_sum,
+    date,
+    date_range,
+    datetime,
+    datetime_range,
+    duration,
+    element,
+    exclude,
+    first,
+    fold,
+    format,
+    head,
+    implode,
+    int_range,
+    int_ranges,
+    last,
+    len,
+    lit,
+    max,
+    max_horizontal,
+    mean,
+    mean_horizontal,
+    median,
+    min,
+    min_horizontal,
+    n_unique,
+    nth,
+    ones,
+    quantile,
+    reduce,
+    repeat,
+    select,
+    std,
+    struct,
+    sum,
+    sum_horizontal,
+    tail,
+    var,
+    when,
+    zeros,
+)
+from polars_tpu.io import (
+    read_csv,
+    read_ipc,
+    read_ndjson,
+    read_parquet,
+    read_parquet_schema,
+    scan_csv,
+    scan_ipc,
+    scan_ndjson,
+    scan_parquet,
+)
+from polars_tpu.io.ndjson import read_json
+from polars_tpu.lazyframe import LazyFrame
+from polars_tpu.sql import SQLContext
+
+__version__ = "0.1.0"
+
+
+def from_pandas(df, **kwargs):
+    return DataFrame(df, **kwargs)
+
+
+def from_arrow(data, **kwargs):
+    import pyarrow as pa
+
+    if isinstance(data, (pa.Table, pa.RecordBatch)):
+        return DataFrame(data, **kwargs)
+    if isinstance(data, (pa.Array, pa.ChunkedArray)):
+        from polars_tpu.io._arrow import arrow_array_to_column
+
+        return Series._from_column(arrow_array_to_column("", data))
+    raise TypeError(f"cannot create from {type(data).__name__}")
+
+
+def from_numpy(data, schema=None, **kwargs):
+    return DataFrame(data, schema=schema, **kwargs)
+
+
+def from_dict(data, schema=None, **kwargs):
+    return DataFrame(data, schema=schema, **kwargs)
+
+
+def from_dicts(data, schema=None, **kwargs):
+    return DataFrame(list(data), schema=schema, **kwargs)
+
+
+def from_records(data, schema=None, **kwargs):
+    return DataFrame(data, schema=schema, orient="row", **kwargs)
+
+
+def sql(query: str, *, eager: bool = False):
+    """Run SQL against frames found in the caller's globals (reference:
+    py-polars functions/sql.py)."""
+    import inspect
+
+    frame = inspect.currentframe().f_back
+    ctx = SQLContext()
+    seen = {}
+    for scope in (frame.f_globals, frame.f_locals):
+        for name, v in scope.items():
+            if isinstance(v, (DataFrame, LazyFrame)) and name not in seen:
+                seen[name] = v
+                ctx.register(name, v)
+    out = ctx.execute(query)
+    return out.collect() if eager else out
+
+
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -1,0 +1,848 @@
+"""Eager DataFrame.
+
+Reference: polars-core/src/frame/dataframe.rs:84 (``height + Vec<Column>``) and
+the py-polars user API (py-polars/src/polars/dataframe/frame.py). Eager query
+operations delegate to the lazy engine (``self.lazy()...collect()``) exactly as
+py-polars does for filter/sort/join/group_by — one engine, two entry points.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping, Sequence
+from typing import TYPE_CHECKING, Any
+
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.column import Column, full_column
+from polars_tpu.core.schema import Schema
+from polars_tpu.errors import (
+    ColumnNotFoundError,
+    DuplicateError,
+    ShapeError,
+)
+
+if TYPE_CHECKING:
+    from polars_tpu.core.series import Series
+    from polars_tpu.lazyframe import LazyFrame
+
+
+class DataFrame:
+    """A height-aligned collection of typed device columns."""
+
+    __slots__ = ("_columns", "_height")
+
+    def __init__(
+        self,
+        data: Any = None,
+        schema: Any = None,
+        *,
+        schema_overrides: Mapping[str, Any] | None = None,
+        strict: bool = True,
+        orient: str | None = None,
+    ) -> None:
+        self._columns: list[Column] = []
+        self._height = 0
+        if data is None:
+            if schema is not None:
+                for name, dtype in _schema_items(schema):
+                    self._columns.append(Column.from_values(name, [], dtype))
+            return
+        cols = _build_columns(data, schema, schema_overrides, strict, orient)
+        heights = {len(c) for c in cols}
+        if len(heights) > 1:
+            # broadcast unit-length columns
+            max_h = max(heights)
+            if heights <= {1, max_h}:
+                cols = [
+                    c
+                    if len(c) == max_h
+                    else full_column(c.name, c.to_pylist()[0] if len(c) else None, max_h, c.dtype)
+                    for c in cols
+                ]
+            else:
+                raise ShapeError(f"could not create DataFrame: columns have differing lengths {sorted(heights)}")
+        names = [c.name for c in cols]
+        if len(set(names)) != len(names):
+            seen = set()
+            dup = next(n for n in names if n in seen or seen.add(n))
+            raise DuplicateError(f"column {dup!r} appears more than once")
+        self._columns = cols
+        self._height = len(cols[0]) if cols else 0
+
+    # -- internal ---------------------------------------------------------------
+
+    @classmethod
+    def _from_columns(cls, columns: list[Column], height: int | None = None) -> DataFrame:
+        df = cls.__new__(cls)
+        df._columns = columns
+        df._height = height if height is not None else (len(columns[0]) if columns else 0)
+        return df
+
+    def _get(self, name: str) -> Column:
+        for c in self._columns:
+            if c.name == name:
+                return c
+        raise ColumnNotFoundError(f"{name!r} not found; available: {self.columns}")
+
+    # -- properties ---------------------------------------------------------------
+
+    @property
+    def height(self) -> int:
+        return self._height
+
+    @property
+    def width(self) -> int:
+        return len(self._columns)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self._height, len(self._columns))
+
+    @property
+    def columns(self) -> list[str]:
+        return [c.name for c in self._columns]
+
+    @property
+    def dtypes(self) -> list[dt.DataType]:
+        return [c.dtype for c in self._columns]
+
+    @property
+    def schema(self) -> Schema:
+        return Schema([(c.name, c.dtype) for c in self._columns])
+
+    def __len__(self) -> int:
+        return self._height
+
+    def is_empty(self) -> bool:
+        return self._height == 0
+
+    # -- column access -----------------------------------------------------------
+
+    def get_column(self, name: str) -> Series:
+        from polars_tpu.core.series import Series
+
+        return Series._from_column(self._get(name))
+
+    def __getitem__(self, key: Any) -> Any:
+        from polars_tpu.core.series import Series
+
+        if isinstance(key, str):
+            return self.get_column(key)
+        if isinstance(key, int):
+            return self.slice(key if key >= 0 else self._height + key, 1)
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self._height)
+            if step == 1:
+                return self.slice(start, stop - start)
+            return self.gather(np.arange(start, stop, step))
+        if isinstance(key, (list, np.ndarray)):
+            key_l = list(key) if not isinstance(key, np.ndarray) else key.tolist()
+            if key_l and all(isinstance(k, str) for k in key_l):
+                return self.select(key_l)
+            return self.gather(np.asarray(key, dtype=np.int64))
+        if isinstance(key, Series):
+            if key.dtype == dt.Boolean:
+                return self.filter(key)
+            return self.gather(key.to_numpy())
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, cols = key
+            out = self[cols] if not isinstance(cols, (int, np.integer)) else Series._from_column(self._columns[int(cols)])
+            if isinstance(out, Series):
+                return out[rows]
+            return out[rows]
+        raise TypeError(f"cannot index DataFrame with {key!r}")
+
+    def to_series(self, index: int = 0) -> Series:
+        from polars_tpu.core.series import Series
+
+        return Series._from_column(self._columns[index])
+
+    def get_columns(self) -> list[Series]:
+        from polars_tpu.core.series import Series
+
+        return [Series._from_column(c) for c in self._columns]
+
+    def get_column_index(self, name: str) -> int:
+        return self.schema.index_of(name)
+
+    # -- lazy bridge ----------------------------------------------------------------
+
+    def lazy(self) -> LazyFrame:
+        from polars_tpu.lazyframe import LazyFrame
+
+        return LazyFrame._from_df(self)
+
+    # -- query ops (delegate to the one engine) ----------------------------------------
+
+    def select(self, *exprs: Any, **named_exprs: Any) -> DataFrame:
+        return self.lazy().select(*exprs, **named_exprs).collect()
+
+    def with_columns(self, *exprs: Any, **named_exprs: Any) -> DataFrame:
+        return self.lazy().with_columns(*exprs, **named_exprs).collect()
+
+    def filter(self, *predicates: Any, **constraints: Any) -> DataFrame:
+        return self.lazy().filter(*predicates, **constraints).collect()
+
+    def sort(
+        self,
+        by: Any,
+        *more_by: Any,
+        descending: bool | Sequence[bool] = False,
+        nulls_last: bool | Sequence[bool] = False,
+        maintain_order: bool = False,
+        multithreaded: bool = True,
+    ) -> DataFrame:
+        return (
+            self.lazy()
+            .sort(
+                by,
+                *more_by,
+                descending=descending,
+                nulls_last=nulls_last,
+                maintain_order=maintain_order,
+            )
+            .collect()
+        )
+
+    def group_by(self, *by: Any, maintain_order: bool = False, **named_by: Any):
+        from polars_tpu.groupby import GroupBy
+
+        return GroupBy(self, by, named_by, maintain_order=maintain_order)
+
+    def join(
+        self,
+        other: DataFrame,
+        on: Any = None,
+        how: str = "inner",
+        *,
+        left_on: Any = None,
+        right_on: Any = None,
+        suffix: str = "_right",
+        validate: str = "m:m",
+        nulls_equal: bool = False,
+        coalesce: bool | None = None,
+        maintain_order: str | None = None,
+    ) -> DataFrame:
+        return (
+            self.lazy()
+            .join(
+                other.lazy(),
+                on=on,
+                how=how,
+                left_on=left_on,
+                right_on=right_on,
+                suffix=suffix,
+                validate=validate,
+                nulls_equal=nulls_equal,
+                coalesce=coalesce,
+                maintain_order=maintain_order,
+            )
+            .collect()
+        )
+
+    def unique(
+        self,
+        subset: Any = None,
+        *,
+        keep: str = "any",
+        maintain_order: bool = False,
+    ) -> DataFrame:
+        return self.lazy().unique(subset, keep=keep, maintain_order=maintain_order).collect()
+
+    def drop_nulls(self, subset: Any = None) -> DataFrame:
+        return self.lazy().drop_nulls(subset).collect()
+
+    def fill_null(self, value: Any = None, strategy: str | None = None, limit: int | None = None, *, matches_supertype: bool = True) -> DataFrame:
+        return self.lazy().fill_null(value, strategy, limit).collect()
+
+    def fill_nan(self, value: Any) -> DataFrame:
+        return self.lazy().fill_nan(value).collect()
+
+    def cast(self, dtypes: Any, *, strict: bool = True) -> DataFrame:
+        return self.lazy().cast(dtypes, strict=strict).collect()
+
+    def explode(self, columns: Any, *more_columns: Any) -> DataFrame:
+        return self.lazy().explode(columns, *more_columns).collect()
+
+    def unpivot(
+        self,
+        on: Any = None,
+        *,
+        index: Any = None,
+        variable_name: str = "variable",
+        value_name: str = "value",
+    ) -> DataFrame:
+        return (
+            self.lazy()
+            .unpivot(on, index=index, variable_name=variable_name, value_name=value_name)
+            .collect()
+        )
+
+    def top_k(self, k: int, *, by: Any, reverse: Any = False) -> DataFrame:
+        return self.lazy().top_k(k, by=by, reverse=reverse).collect()
+
+    def bottom_k(self, k: int, *, by: Any, reverse: Any = False) -> DataFrame:
+        return self.lazy().bottom_k(k, by=by, reverse=reverse).collect()
+
+    def with_row_index(self, name: str = "index", offset: int = 0) -> DataFrame:
+        return self.lazy().with_row_index(name, offset).collect()
+
+    def with_row_count(self, name: str = "row_nr", offset: int = 0) -> DataFrame:
+        return self.with_row_index(name, offset)
+
+    def join_where(self, other: DataFrame, *predicates: Any, suffix: str = "_right") -> DataFrame:
+        return self.lazy().join_where(other.lazy(), *predicates, suffix=suffix).collect()
+
+    # -- direct (cheap) ops ------------------------------------------------------------
+
+    def slice(self, offset: int, length: int | None = None) -> DataFrame:
+        if offset < 0:
+            offset = max(0, self._height + offset)
+        if length is None:
+            length = self._height - offset
+        length = max(0, min(length, self._height - offset))
+        cols = [c.with_buffer(c.buffer.slice(offset, length), sorted_flag=c.sorted_flag) for c in self._columns]
+        return DataFrame._from_columns(cols, length)
+
+    def head(self, n: int = 5) -> DataFrame:
+        if n < 0:
+            n = max(0, self._height + n)
+        return self.slice(0, n)
+
+    def tail(self, n: int = 5) -> DataFrame:
+        if n < 0:
+            n = max(0, self._height + n)
+        return self.slice(max(0, self._height - n), n)
+
+    def limit(self, n: int = 5) -> DataFrame:
+        return self.head(n)
+
+    def first(self) -> DataFrame:
+        return self.head(1)
+
+    def last(self) -> DataFrame:
+        return self.tail(1)
+
+    def reverse(self) -> DataFrame:
+        return self.gather(np.arange(self._height - 1, -1, -1))
+
+    def gather(self, indices: Any) -> DataFrame:
+        from polars_tpu.engine.gather import gather_column
+
+        idx = np.asarray(indices)
+        cols = [gather_column(c, idx) for c in self._columns]
+        return DataFrame._from_columns(cols, len(idx))
+
+    def gather_every(self, n: int, offset: int = 0) -> DataFrame:
+        return self.gather(np.arange(offset, self._height, n))
+
+    def drop(self, *columns: Any, strict: bool = True) -> DataFrame:
+        names = set(_flatten_names(columns))
+        if strict:
+            missing = names - set(self.columns)
+            if missing:
+                raise ColumnNotFoundError(f"{sorted(missing)} not found")
+        cols = [c for c in self._columns if c.name not in names]
+        return DataFrame._from_columns(cols, self._height)
+
+    def rename(self, mapping: Mapping[str, str], *, strict: bool = True) -> DataFrame:
+        if strict:
+            missing = set(mapping) - set(self.columns)
+            if missing:
+                raise ColumnNotFoundError(f"{sorted(missing)} not found")
+        cols = [c.rename(mapping.get(c.name, c.name)) for c in self._columns]
+        names = [c.name for c in cols]
+        if len(set(names)) != len(names):
+            raise DuplicateError("rename would create duplicate column names")
+        return DataFrame._from_columns(cols, self._height)
+
+    def clone(self) -> DataFrame:
+        return DataFrame._from_columns(list(self._columns), self._height)
+
+    def clear(self, n: int = 0) -> DataFrame:
+        out = DataFrame(schema=self.schema)
+        if n > 0:
+            out = DataFrame(
+                {name: [None] * n for name in self.columns},
+                schema=self.schema,
+            )
+        return out
+
+    def rechunk(self) -> DataFrame:
+        return self
+
+    def shrink_to_fit(self) -> DataFrame:
+        return self
+
+    def hstack(self, columns: Any, *, in_place: bool = False) -> DataFrame:
+        from polars_tpu.core.series import Series
+
+        if isinstance(columns, DataFrame):
+            new_cols = columns._columns
+        else:
+            new_cols = [c._column if isinstance(c, Series) else c for c in columns]
+        for c in new_cols:
+            if len(c) != self._height and self._height > 0:
+                raise ShapeError("hstack column height mismatch")
+        cols = self._columns + list(new_cols)
+        if in_place:
+            self._columns = cols
+            return self
+        return DataFrame._from_columns(cols, self._height if self._columns else (len(new_cols[0]) if new_cols else 0))
+
+    def vstack(self, other: DataFrame, *, in_place: bool = False) -> DataFrame:
+        from polars_tpu.functions.eager import concat
+
+        out = concat([self, other], how="vertical")
+        if in_place:
+            self._columns = out._columns
+            self._height = out._height
+            return self
+        return out
+
+    def extend(self, other: DataFrame) -> DataFrame:
+        return self.vstack(other, in_place=True)
+
+    def insert_column(self, index: int, column: Series) -> DataFrame:
+        cols = list(self._columns)
+        cols.insert(index, column._column)
+        return DataFrame._from_columns(cols, self._height)
+
+    def replace_column(self, index: int, column: Series) -> DataFrame:
+        cols = list(self._columns)
+        cols[index] = column._column
+        return DataFrame._from_columns(cols, self._height)
+
+    def drop_in_place(self, name: str) -> Series:
+        from polars_tpu.core.series import Series
+
+        col = self._get(name)
+        self._columns = [c for c in self._columns if c.name != name]
+        return Series._from_column(col)
+
+    def partition_by(
+        self, by: Any, *more_by: Any, maintain_order: bool = True, include_key: bool = True, as_dict: bool = False
+    ):
+        names = _flatten_names((by, *more_by))
+        uniq = self.select(names).unique(maintain_order=maintain_order)
+        frames = []
+        keys = []
+        import polars_tpu as pl
+
+        for row in uniq.iter_rows():
+            pred = None
+            for n, v in zip(names, row):
+                p = pl.col(n).eq_missing(pl.lit(v, dtype=self.schema[n]))
+                pred = p if pred is None else (pred & p)
+            sub = self.filter(pred)
+            if not include_key:
+                sub = sub.drop(*names)
+            frames.append(sub)
+            keys.append(tuple(row))
+        if as_dict:
+            return dict(zip(keys, frames))
+        return frames
+
+    # -- frame-level reductions -----------------------------------------------------------
+
+    def _agg_all(self, method: str, **kwargs: Any) -> DataFrame:
+        import polars_tpu as pl
+
+        exprs = []
+        for c in self._columns:
+            e = pl.col(c.name)
+            try:
+                exprs.append(getattr(e, method)(**kwargs))
+            except Exception:
+                exprs.append(pl.lit(None).alias(c.name))
+        return self.select(exprs)
+
+    def sum(self) -> DataFrame:
+        return self._agg_all("sum")
+
+    def mean(self) -> DataFrame:
+        return self._agg_all("mean")
+
+    def min(self) -> DataFrame:
+        return self._agg_all("min")
+
+    def max(self) -> DataFrame:
+        return self._agg_all("max")
+
+    def median(self) -> DataFrame:
+        return self._agg_all("median")
+
+    def std(self, ddof: int = 1) -> DataFrame:
+        return self._agg_all("std", ddof=ddof)
+
+    def var(self, ddof: int = 1) -> DataFrame:
+        return self._agg_all("var", ddof=ddof)
+
+    def quantile(self, quantile: float, interpolation: str = "nearest") -> DataFrame:
+        return self._agg_all("quantile", quantile=quantile, interpolation=interpolation)
+
+    def count(self) -> DataFrame:
+        return self._agg_all("count")
+
+    def null_count(self) -> DataFrame:
+        cols = [
+            Column.from_values(c.name, [c.null_count()], dt.UInt32())
+            for c in self._columns
+        ]
+        return DataFrame._from_columns(cols, 1)
+
+    def n_unique(self, subset: Any = None) -> int:
+        target = self if subset is None else self.select(subset)
+        return target.unique().height
+
+    def item(self, row: int | None = None, column: int | str | None = None) -> Any:
+        if row is None and column is None:
+            if self.shape != (1, 1):
+                raise ValueError(f"can only call .item() on a 1x1 frame, got {self.shape}")
+            return self._columns[0].to_pylist()[0]
+        col = self._columns[column] if isinstance(column, int) else self._get(column)
+        return col.to_pylist()[row]
+
+    # -- output conversion --------------------------------------------------------------------
+
+    def to_dict(self, *, as_series: bool = True) -> dict:
+        if as_series:
+            from polars_tpu.core.series import Series
+
+            return {c.name: Series._from_column(c) for c in self._columns}
+        return {c.name: c.to_pylist() for c in self._columns}
+
+    def to_dicts(self) -> list[dict]:
+        lists = [(c.name, c.to_pylist()) for c in self._columns]
+        return [
+            {name: vals[i] for name, vals in lists} for i in range(self._height)
+        ]
+
+    def rows(self, *, named: bool = False) -> list:
+        if named:
+            return self.to_dicts()
+        lists = [c.to_pylist() for c in self._columns]
+        return [tuple(vals[i] for vals in lists) for i in range(self._height)]
+
+    def iter_rows(self, *, named: bool = False):
+        return iter(self.rows(named=named))
+
+    def row(self, index: int | None = None, *, by_predicate: Any = None, named: bool = False):
+        if by_predicate is not None:
+            sub = self.filter(by_predicate)
+            if sub.height != 1:
+                from polars_tpu.errors import NoDataError
+
+                if sub.height == 0:
+                    raise NoDataError("no rows matched predicate")
+                raise ValueError("predicate matched multiple rows")
+            return sub.row(0, named=named)
+        rows = self.slice(index, 1).rows(named=named)
+        return rows[0]
+
+    def to_numpy(self, *, structured: bool = False) -> np.ndarray:
+        arrs = [c.to_numpy() for c in self._columns]
+        if structured:
+            dtypes = [(c.name, a.dtype if a.dtype != object else object) for c, a in zip(self._columns, arrs)]
+            out = np.empty(self._height, dtype=dtypes)
+            for c, a in zip(self._columns, arrs):
+                out[c.name] = a
+            return out
+        if not arrs:
+            return np.empty((0, 0))
+        return np.column_stack(arrs) if len(arrs) > 1 else arrs[0].reshape(-1, 1)
+
+    def to_pandas(self) -> Any:
+        import pandas as pd
+
+        return pd.DataFrame({c.name: c.to_numpy() for c in self._columns})
+
+    def to_arrow(self) -> Any:
+        import pyarrow as pa
+
+        arrays = {}
+        for c in self._columns:
+            vals, validity = c.buffer.to_numpy()
+            if c.table is not None:
+                arr = pa.array(c.table.take(np.where(validity, vals, -1) if validity is not None else vals))
+            else:
+                arr = pa.array(c.to_numpy(), from_pandas=True)
+            arrays[c.name] = arr
+        return pa.table(arrays)
+
+    def to_struct(self, name: str = "") -> Series:
+        from polars_tpu.core.series import Series
+
+        raise NotImplementedError("Struct series are not yet supported")
+
+    # -- IO ------------------------------------------------------------------------------------
+
+    def write_parquet(self, file: Any, **kwargs: Any) -> None:
+        from polars_tpu.io.parquet import write_parquet
+
+        write_parquet(self, file, **kwargs)
+
+    def write_csv(self, file: Any = None, **kwargs: Any):
+        from polars_tpu.io.csv import write_csv
+
+        return write_csv(self, file, **kwargs)
+
+    def write_ipc(self, file: Any, **kwargs: Any) -> None:
+        from polars_tpu.io.ipc import write_ipc
+
+        write_ipc(self, file, **kwargs)
+
+    def write_ndjson(self, file: Any = None, **kwargs: Any):
+        from polars_tpu.io.ndjson import write_ndjson
+
+        return write_ndjson(self, file, **kwargs)
+
+    def write_json(self, file: Any = None, **kwargs: Any):
+        from polars_tpu.io.ndjson import write_json
+
+        return write_json(self, file, **kwargs)
+
+    # -- comparison ------------------------------------------------------------------------------
+
+    def equals(self, other: DataFrame, *, null_equal: bool = True) -> bool:
+        if self.shape != other.shape or self.columns != other.columns:
+            return False
+        if self.dtypes != other.dtypes:
+            return False
+        for a, b in zip(self._columns, other._columns):
+            la, lb = a.to_pylist(), b.to_pylist()
+            for x, y in zip(la, lb):
+                if x is None or y is None:
+                    if not (null_equal and x is None and y is None):
+                        return False
+                elif isinstance(x, float) and isinstance(y, float):
+                    if x != y and not (x != x and y != y):
+                        return False
+                elif x != y:
+                    return False
+        return True
+
+    # -- sampling / misc -----------------------------------------------------------------------------
+
+    def sample(
+        self,
+        n: int | None = None,
+        *,
+        fraction: float | None = None,
+        with_replacement: bool = False,
+        shuffle: bool = False,
+        seed: int | None = None,
+    ) -> DataFrame:
+        rng = np.random.default_rng(seed)
+        if n is None:
+            n = self._height if fraction is None else int(self._height * fraction)
+        if with_replacement:
+            idx = rng.integers(0, self._height, size=n)
+        else:
+            idx = rng.choice(self._height, size=min(n, self._height), replace=False)
+            if not shuffle:
+                idx = np.sort(idx)
+        return self.gather(idx)
+
+    def estimated_size(self, unit: str = "b") -> float:
+        total = 0
+        for c in self._columns:
+            total += c.buffer.values.nbytes
+            if c.buffer.validity is not None:
+                total += c.buffer.validity.nbytes
+        factor = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3, "tb": 1024**4}[unit]
+        return total / factor
+
+    def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)) -> DataFrame:
+        import polars_tpu as pl
+
+        stats = ["count", "null_count", "mean", "std", "min", "max"]
+        rows: list[list] = []
+        num_cols = [c for c in self._columns]
+        rows.append(["count"] + [float(self._height - c.null_count()) for c in num_cols])
+        rows.append(["null_count"] + [float(c.null_count()) for c in num_cols])
+        for stat in ("mean", "std", "min", "max"):
+            vals = []
+            for c in num_cols:
+                if c.dtype.is_numeric() or (stat in ("min", "max")):
+                    try:
+                        v = getattr(self.get_column(c.name), stat)()
+                        vals.append(v if not hasattr(v, "item") else v)
+                    except Exception:
+                        vals.append(None)
+                else:
+                    vals.append(None)
+            rows.append([stat] + vals)
+        data = {"statistic": [r[0] for r in rows]}
+        for i, c in enumerate(num_cols):
+            data[c.name] = [r[i + 1] for r in rows]
+        return DataFrame(data, strict=False)
+
+    def glimpse(self) -> str:
+        lines = [f"Rows: {self._height}", f"Columns: {self.width}"]
+        for c in self._columns:
+            vals = self.get_column(c.name).head(5).to_list()
+            lines.append(f"$ {c.name:<15} <{c.dtype!r}> {vals}")
+        out = "\n".join(lines)
+        print(out)
+        return out
+
+    # -- repr ----------------------------------------------------------------------------------------
+
+    def __repr__(self) -> str:
+        from polars_tpu.utils.fmt import format_table
+
+        return format_table(self)
+
+    def __str__(self) -> str:
+        return self.__repr__()
+
+    def __eq__(self, other: object) -> Any:
+        if isinstance(other, DataFrame):
+            return self.equals(other)
+        return NotImplemented
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.columns
+
+    def __iter__(self):
+        return iter(self.get_columns())
+
+
+def _schema_items(schema: Any) -> list[tuple[str, Any]]:
+    if schema is None:
+        return []
+    if isinstance(schema, (Schema, Mapping)):
+        return list(schema.items())
+    out = []
+    for entry in schema:
+        if isinstance(entry, str):
+            out.append((entry, None))
+        else:
+            out.append((entry[0], entry[1]))
+    return out
+
+
+def _flatten_names(items: Any) -> list[str]:
+    out: list[str] = []
+    if isinstance(items, str):
+        return [items]
+    for it in items:
+        if isinstance(it, str):
+            out.append(it)
+        elif hasattr(it, "meta_output_name"):
+            out.append(it.meta_output_name())
+        elif isinstance(it, Iterable):
+            out.extend(_flatten_names(it))
+        else:
+            out.append(str(it))
+    return out
+
+
+def _build_columns(
+    data: Any,
+    schema: Any,
+    schema_overrides: Mapping[str, Any] | None,
+    strict: bool,
+    orient: str | None,
+) -> list[Column]:
+    from polars_tpu.core.series import Series
+
+    overrides = dict(schema_overrides or {})
+    items = _schema_items(schema)
+    schema_names = [n for n, _ in items]
+    schema_dtypes = {n: d for n, d in items if d is not None}
+    schema_dtypes.update(overrides)
+
+    def dtype_for(name: str):
+        d = schema_dtypes.get(name)
+        return dt.parse_into_dtype(d) if d is not None else None
+
+    # pandas
+    if type(data).__name__ == "DataFrame" and type(data).__module__.startswith("pandas"):
+        data = {str(k): data[k].to_numpy() for k in data.columns}
+
+    # pyarrow
+    if type(data).__name__ in ("Table", "RecordBatch") and type(data).__module__.startswith("pyarrow"):
+        from polars_tpu.io._arrow import arrow_to_columns
+
+        return arrow_to_columns(data, schema_dtypes)
+
+    if isinstance(data, Mapping):
+        cols = []
+        for name, values in data.items():
+            if isinstance(values, Series):
+                c = values._column.rename(str(name))
+                d = dtype_for(str(name))
+                if d is not None and d != c.dtype:
+                    from polars_tpu.ops.cast import cast_column
+
+                    c = cast_column(c, d, strict=strict)
+                cols.append(c)
+            else:
+                cols.append(Column.from_values(str(name), values, dtype_for(str(name)), strict=strict))
+        return cols
+
+    if isinstance(data, np.ndarray):
+        if data.ndim == 1:
+            name = schema_names[0] if schema_names else "column_0"
+            return [Column.from_values(name, data, dtype_for(name), strict=strict)]
+        if data.ndim == 2:
+            if orient == "row":
+                data = data.T
+            names = schema_names or [f"column_{i}" for i in range(data.shape[1])]
+            return [
+                Column.from_values(names[i], data[:, i], dtype_for(names[i]), strict=strict)
+                for i in range(data.shape[1])
+            ]
+        raise ShapeError("numpy input must be 1-D or 2-D")
+
+    if isinstance(data, Sequence) and not isinstance(data, str):
+        data = list(data)
+        if not data:
+            return [Column.from_values(n, [], dtype_for(n)) for n in schema_names]
+        first = data[0]
+        if isinstance(first, Series):
+            cols = []
+            for i, s in enumerate(data):
+                name = schema_names[i] if i < len(schema_names) else (s.name or f"column_{i}")
+                c = s._column.rename(name)
+                d = dtype_for(name)
+                if d is not None and d != c.dtype:
+                    from polars_tpu.ops.cast import cast_column
+
+                    c = cast_column(c, d, strict=strict)
+                cols.append(c)
+            return cols
+        if isinstance(first, Column):
+            return list(data)
+        if isinstance(first, dict):
+            names = schema_names or list(dict.fromkeys(k for row in data for k in row))
+            return [
+                Column.from_values(
+                    n, [row.get(n) for row in data], dtype_for(n), strict=strict
+                )
+                for n in names
+            ]
+        if isinstance(first, (list, tuple)) and orient != "col":
+            # rows orientation (default for list of tuples/lists)
+            ncols = len(first)
+            names = schema_names or [f"column_{i}" for i in range(ncols)]
+            return [
+                Column.from_values(
+                    names[i], [row[i] for row in data], dtype_for(names[i]), strict=strict
+                )
+                for i in range(ncols)
+            ]
+        if isinstance(first, (list, tuple)) and orient == "col":
+            names = schema_names or [f"column_{i}" for i in range(len(data))]
+            return [
+                Column.from_values(names[i], list(col), dtype_for(names[i]), strict=strict)
+                for i, col in enumerate(data)
+            ]
+        # flat sequence -> single column
+        name = schema_names[0] if schema_names else "column_0"
+        return [Column.from_values(name, data, dtype_for(name), strict=strict)]
+
+    raise TypeError(f"cannot create DataFrame from {type(data).__name__}")

@@ -1,0 +1,442 @@
+"""Series: a single named column with an eager method surface.
+
+Reference: polars-core/src/series/mod.rs:150 + py-polars series/series.py.
+Nearly every operation delegates to the expression engine over a one-column
+frame — the same single-engine strategy py-polars uses — so Series, DataFrame
+and LazyFrame semantics can never drift apart.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.column import Column
+from polars_tpu.core.frame import DataFrame
+
+
+class Series:
+    __slots__ = ("_column",)
+
+    def __init__(
+        self,
+        name: Any = "",
+        values: Any = None,
+        dtype: Any = None,
+        *,
+        strict: bool = True,
+    ) -> None:
+        if name is not None and not isinstance(name, str) and values is None:
+            values, name = name, ""
+        if values is None:
+            values = []
+        self._column = Column.from_values(
+            name, values, dt.parse_into_dtype(dtype) if dtype is not None else None, strict=strict
+        )
+
+    @classmethod
+    def _from_column(cls, column: Column) -> Series:
+        s = cls.__new__(cls)
+        s._column = column
+        return s
+
+    # -- basic properties ------------------------------------------------------
+
+    @property
+    def name(self) -> str:
+        return self._column.name
+
+    @property
+    def dtype(self) -> dt.DataType:
+        return self._column.dtype
+
+    @property
+    def shape(self) -> tuple[int]:
+        return (len(self._column),)
+
+    def __len__(self) -> int:
+        return len(self._column)
+
+    def len(self) -> int:
+        return len(self._column)
+
+    def alias(self, name: str) -> Series:
+        return Series._from_column(self._column.rename(name))
+
+    def rename(self, name: str) -> Series:
+        return self.alias(name)
+
+    def null_count(self) -> int:
+        return self._column.null_count()
+
+    @property
+    def flags(self) -> dict:
+        from polars_tpu.core import column as colmod
+
+        return {
+            "SORTED_ASC": self._column.sorted_flag == colmod.SORTED_ASC,
+            "SORTED_DESC": self._column.sorted_flag == colmod.SORTED_DESC,
+        }
+
+    # -- expression delegation -------------------------------------------------
+
+    def _frame(self) -> DataFrame:
+        col = self._column if self._column.name else self._column.rename("")
+        return DataFrame._from_columns([col], len(self._column))
+
+    def _expr(self):
+        import polars_tpu as pl
+
+        return pl.col(self._column.name if self._column.name else "")
+
+    def _select(self, expr) -> Series:
+        out = self._frame().select(expr)
+        return Series._from_column(out._columns[0].rename(self.name))
+
+    def _scalar(self, expr) -> Any:
+        out = self._frame().select(expr)
+        return out.item(0, 0)
+
+    def _apply_expr(self, method: str, *args: Any, **kwargs: Any) -> Series:
+        return self._select(getattr(self._expr(), method)(*args, **kwargs))
+
+    def _apply_scalar(self, method: str, *args: Any, **kwargs: Any) -> Any:
+        return self._scalar(getattr(self._expr(), method)(*args, **kwargs))
+
+    @staticmethod
+    def _coerce_other(other: Any):
+        import polars_tpu as pl
+
+        if isinstance(other, Series):
+            return pl.lit(other)
+        return pl.lit(other)
+
+    def _binary(self, method: str, other: Any, *, swap: bool = False) -> Series:
+        import polars_tpu as pl
+
+        rhs = self._coerce_other(other)
+        lhs = self._expr()
+        if swap:
+            lhs, rhs = rhs, lhs
+        return self._select(getattr(lhs, method)(rhs))
+
+    # -- operators ------------------------------------------------------------------
+
+    def __add__(self, other: Any) -> Series:
+        return self._binary("__add__", other)
+
+    def __radd__(self, other: Any) -> Series:
+        return self._binary("__add__", other, swap=True)
+
+    def __sub__(self, other: Any) -> Series:
+        return self._binary("__sub__", other)
+
+    def __rsub__(self, other: Any) -> Series:
+        return self._binary("__sub__", other, swap=True)
+
+    def __mul__(self, other: Any) -> Series:
+        return self._binary("__mul__", other)
+
+    def __rmul__(self, other: Any) -> Series:
+        return self._binary("__mul__", other, swap=True)
+
+    def __truediv__(self, other: Any) -> Series:
+        return self._binary("__truediv__", other)
+
+    def __rtruediv__(self, other: Any) -> Series:
+        return self._binary("__truediv__", other, swap=True)
+
+    def __floordiv__(self, other: Any) -> Series:
+        return self._binary("__floordiv__", other)
+
+    def __rfloordiv__(self, other: Any) -> Series:
+        return self._binary("__floordiv__", other, swap=True)
+
+    def __mod__(self, other: Any) -> Series:
+        return self._binary("__mod__", other)
+
+    def __rmod__(self, other: Any) -> Series:
+        return self._binary("__mod__", other, swap=True)
+
+    def __pow__(self, other: Any) -> Series:
+        return self._binary("__pow__", other)
+
+    def __neg__(self) -> Series:
+        return self._select(-self._expr())
+
+    def __abs__(self) -> Series:
+        return self.abs()
+
+    def __invert__(self) -> Series:
+        return self._select(~self._expr())
+
+    def __eq__(self, other: Any) -> Series:  # type: ignore[override]
+        return self._binary("__eq__", other)
+
+    def __ne__(self, other: Any) -> Series:  # type: ignore[override]
+        return self._binary("__ne__", other)
+
+    def __lt__(self, other: Any) -> Series:
+        return self._binary("__lt__", other)
+
+    def __le__(self, other: Any) -> Series:
+        return self._binary("__le__", other)
+
+    def __gt__(self, other: Any) -> Series:
+        return self._binary("__gt__", other)
+
+    def __ge__(self, other: Any) -> Series:
+        return self._binary("__ge__", other)
+
+    def __and__(self, other: Any) -> Series:
+        return self._binary("__and__", other)
+
+    def __or__(self, other: Any) -> Series:
+        return self._binary("__or__", other)
+
+    def __xor__(self, other: Any) -> Series:
+        return self._binary("__xor__", other)
+
+    # -- indexing --------------------------------------------------------------------
+
+    def __getitem__(self, key: Any) -> Any:
+        if isinstance(key, int):
+            if key < 0:
+                key += len(self)
+            return self._column.to_pylist()[key]
+        if isinstance(key, slice):
+            start, stop, step = key.indices(len(self))
+            if step == 1:
+                return self.slice(start, stop - start)
+            return self.gather(np.arange(start, stop, step))
+        if isinstance(key, (list, np.ndarray, Series)):
+            if isinstance(key, Series):
+                key = key.to_numpy()
+            key = np.asarray(key)
+            if key.dtype == bool:
+                return self.filter(Series("", key))
+            return self.gather(key)
+        raise TypeError(f"cannot index Series with {key!r}")
+
+    def __iter__(self):
+        return iter(self.to_list())
+
+    def __contains__(self, item: Any) -> bool:
+        return item in set(self.to_list())
+
+    # -- conversion --------------------------------------------------------------------
+
+    def to_list(self) -> list:
+        return self._column.to_pylist()
+
+    def to_numpy(self, **kwargs: Any) -> np.ndarray:
+        return self._column.to_numpy()
+
+    def to_jax(self):
+        """Device array of the physical values (no padding)."""
+        return self._column.buffer.values[: len(self)]
+
+    def to_pandas(self) -> Any:
+        import pandas as pd
+
+        return pd.Series(self.to_numpy(), name=self.name)
+
+    def to_frame(self, name: str | None = None) -> DataFrame:
+        col = self._column if name is None else self._column.rename(name)
+        return DataFrame._from_columns([col], len(col))
+
+    def to_arrow(self) -> Any:
+        return self.to_frame(self.name or "").to_arrow().column(0)
+
+    def item(self, index: int | None = None) -> Any:
+        if index is None:
+            if len(self) != 1:
+                raise ValueError(f"can only call .item() on Series of length 1, got {len(self)}")
+            index = 0
+        return self[index]
+
+    # -- eager ops on the frame path ------------------------------------------------------
+
+    def slice(self, offset: int, length: int | None = None) -> Series:
+        return Series._from_column(
+            self._column.with_buffer(
+                self._column.buffer.slice(
+                    offset if offset >= 0 else max(0, len(self) + offset),
+                    length if length is not None else len(self),
+                ),
+                sorted_flag=self._column.sorted_flag,
+            )
+        )
+
+    def head(self, n: int = 10) -> Series:
+        return self.slice(0, n if n >= 0 else max(0, len(self) + n))
+
+    def tail(self, n: int = 10) -> Series:
+        n = n if n >= 0 else max(0, len(self) + n)
+        return self.slice(max(0, len(self) - n), n)
+
+    def limit(self, n: int = 10) -> Series:
+        return self.head(n)
+
+    def gather(self, indices: Any) -> Series:
+        from polars_tpu.engine.gather import gather_column
+
+        if isinstance(indices, Series):
+            indices = indices.to_numpy()
+        return Series._from_column(gather_column(self._column, np.asarray(indices)))
+
+    def gather_every(self, n: int, offset: int = 0) -> Series:
+        return self.gather(np.arange(offset, len(self), n))
+
+    def filter(self, predicate: Any) -> Series:
+        import polars_tpu as pl
+
+        if isinstance(predicate, Series):
+            mask_col = predicate._column.rename("__mask__")
+            df = DataFrame._from_columns([self._frame()._columns[0], mask_col], len(self))
+            out = df.filter(pl.col("__mask__")).drop("__mask__")
+            return Series._from_column(out._columns[0].rename(self.name))
+        return Series._from_column(
+            self._frame().filter(predicate)._columns[0].rename(self.name)
+        )
+
+    def append(self, other: Series) -> Series:
+        from polars_tpu.functions.eager import concat_series
+
+        out = concat_series([self, other])
+        self._column = out._column
+        return self
+
+    def extend(self, other: Series) -> Series:
+        return self.append(other)
+
+    def clone(self) -> Series:
+        return Series._from_column(self._column)
+
+    # -- repr -------------------------------------------------------------------------------
+
+    def __repr__(self) -> str:
+        from polars_tpu.utils.fmt import format_series
+
+        return format_series(self)
+
+    def equals(self, other: Series, *, check_names: bool = False, null_equal: bool = True) -> bool:
+        if len(self) != len(other) or (check_names and self.name != other.name):
+            return False
+        if self.dtype != other.dtype:
+            return False
+        for x, y in zip(self.to_list(), other.to_list()):
+            if x is None or y is None:
+                if not (null_equal and x is None and y is None):
+                    return False
+            elif isinstance(x, float) and isinstance(y, float):
+                if x != y and not (x != x and y != y):
+                    return False
+            elif x != y:
+                return False
+        return True
+
+
+# ---------------------------------------------------------------------------
+# Delegated expression methods — each routes through the one engine.
+# ---------------------------------------------------------------------------
+
+_ELEMENTWISE = [
+    "abs", "round", "floor", "ceil", "sqrt", "cbrt", "exp", "log", "log10", "log1p",
+    "sin", "cos", "tan", "arcsin", "arccos", "arctan", "sinh", "cosh", "tanh",
+    "sign", "clip", "is_null", "is_not_null", "is_nan", "is_not_nan",
+    "is_finite", "is_infinite", "fill_null", "fill_nan", "cast", "not_",
+    "is_in", "is_between", "shift", "diff", "pct_change", "cum_sum", "cum_prod",
+    "cum_min", "cum_max", "cum_count", "interpolate", "forward_fill", "backward_fill",
+    "rank", "reverse", "arg_sort",
+]
+
+_SCALARS = [
+    "sum", "mean", "min", "max", "median", "std", "var", "first", "last",
+    "n_unique", "count", "product", "skew", "kurtosis", "arg_min", "arg_max",
+    "any", "all", "implode", "quantile", "entropy",
+]
+
+
+def _make_elementwise(name: str) -> Callable:
+    def method(self: Series, *args: Any, **kwargs: Any) -> Series:
+        return self._apply_expr(name, *args, **kwargs)
+
+    method.__name__ = name
+    return method
+
+
+def _make_scalar(name: str) -> Callable:
+    def method(self: Series, *args: Any, **kwargs: Any) -> Any:
+        return self._apply_scalar(name, *args, **kwargs)
+
+    method.__name__ = name
+    return method
+
+
+for _n in _ELEMENTWISE:
+    if not hasattr(Series, _n):
+        setattr(Series, _n, _make_elementwise(_n))
+for _n in _SCALARS:
+    if not hasattr(Series, _n):
+        setattr(Series, _n, _make_scalar(_n))
+
+
+def _series_unique(self: Series, *, maintain_order: bool = False) -> Series:
+    return Series._from_column(
+        self._frame().unique(maintain_order=maintain_order)._columns[0].rename(self.name)
+    )
+
+
+def _series_sort(self: Series, *, descending: bool = False, nulls_last: bool = False) -> Series:
+    return Series._from_column(
+        self._frame()
+        .sort(self.name or "", descending=descending, nulls_last=nulls_last)
+        ._columns[0]
+        .rename(self.name)
+    )
+
+
+def _series_value_counts(self: Series, *, sort: bool = False, name: str = "count") -> DataFrame:
+    import polars_tpu as pl
+
+    colname = self.name or ""
+    out = (
+        self._frame()
+        .group_by(colname)
+        .agg(pl.len().alias(name).cast(dt.UInt32()))
+    )
+    if sort:
+        out = out.sort(name, descending=True)
+    return out
+
+
+def _series_drop_nulls(self: Series) -> Series:
+    return Series._from_column(
+        self._frame().drop_nulls()._columns[0].rename(self.name)
+    )
+
+
+Series.unique = _series_unique
+Series.sort = _series_sort
+Series.value_counts = _series_value_counts
+Series.drop_nulls = _series_drop_nulls
+
+
+# namespaces (str/dt/list/...) are attached lazily to mirror py-polars
+def _ns_property(ns_name: str, ns_cls_path: tuple[str, str]):
+    def getter(self: Series):
+        mod_name, cls_name = ns_cls_path
+        import importlib
+
+        mod = importlib.import_module(mod_name)
+        return getattr(mod, cls_name)(self)
+
+    return property(getter)
+
+
+Series.str = _ns_property("str", ("polars_tpu.core.series_ns", "SeriesStringNamespace"))
+Series.dt = _ns_property("dt", ("polars_tpu.core.series_ns", "SeriesDateTimeNamespace"))
+Series.cat = _ns_property("cat", ("polars_tpu.core.series_ns", "SeriesCatNamespace"))

@@ -1,0 +1,41 @@
+"""Series namespaces (str/dt/cat) delegating to the expression engine."""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+class _SeriesNamespace:
+    _expr_ns: str = ""
+
+    def __init__(self, series) -> None:
+        self._s = series
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def method(*args: Any, **kwargs: Any):
+            e = self._s._expr()
+            ns = getattr(e, self._expr_ns)
+            out_expr = getattr(ns, name)(*args, **kwargs)
+            return self._s._select(out_expr)
+
+        return method
+
+
+class SeriesStringNamespace(_SeriesNamespace):
+    _expr_ns = "str"
+
+
+class SeriesDateTimeNamespace(_SeriesNamespace):
+    _expr_ns = "dt"
+
+
+class SeriesCatNamespace(_SeriesNamespace):
+    _expr_ns = "cat"
+
+    def get_categories(self):
+        from polars_tpu.core.series import Series
+
+        return Series("", [str(v) for v in self._s._column.table.values])

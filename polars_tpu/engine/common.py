@@ -1,0 +1,89 @@
+"""Evaluation value/context types shared by the expression compiler.
+
+The ``Val.domain`` tag is the AggState analogue (polars-expr/src/expressions/
+mod.rs:65-156): it tracks whether a value is per-row, per-group, or a
+broadcastable scalar as expressions are traced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from polars_tpu import datatypes as dt
+from polars_tpu.utils.strtable import StringTable
+
+ROW = "row"
+GROUP = "group"
+SCALAR = "scalar"
+
+
+@dataclass
+class Val:
+    values: jax.Array
+    validity: jax.Array | None  # bool, same shape, None = all valid
+    dtype: dt.DataType
+    table: StringTable | None = None
+    domain: str = ROW
+
+    def with_(self, **kw: Any) -> Val:
+        return replace(self, **kw)
+
+    def valid_or_true(self) -> jax.Array:
+        if self.validity is None:
+            return jnp.ones(self.values.shape, bool)
+        return self.validity
+
+
+@dataclass
+class GroupCtx:
+    """Group assignment for one group-by (or window) evaluation."""
+
+    gids: jax.Array  # (padded_rows,) int32 — group id per row (garbage where ~rowmask)
+    num_groups: jax.Array  # traced int32 scalar
+    capacity: int  # static upper bound on group count
+    group_valid: jax.Array  # (capacity,) bool — slot < num_groups
+    sort_perm: jax.Array | None = None  # rows sorted by (key, order) — for order-aware aggs
+
+
+@dataclass
+class EvalCtx:
+    cols: dict[str, Val]
+    rowmask: jax.Array  # (padded,) bool — logical+filter mask
+    length: Any  # traced int32 scalar (valid row count upper... logical length)
+    padded: int
+    schema: Any  # Schema of input
+    literals: dict[Any, jax.Array]  # ELiteral node -> traced scalar
+    groups: GroupCtx | None = None
+
+    def out_mask(self) -> jax.Array:
+        """Validity domain mask for the produced frame."""
+        if self.groups is not None:
+            return self.groups.group_valid
+        return self.rowmask
+
+
+def combine_validity(*vals: jax.Array | None) -> jax.Array | None:
+    out = None
+    for v in vals:
+        if v is None:
+            continue
+        out = v if out is None else (out & v)
+    return out
+
+
+def broadcast_pair(a: Val, b: Val) -> tuple[Val, Val, str]:
+    """Reconcile domains for an elementwise binary op."""
+    if a.domain == b.domain:
+        return a, b, a.domain
+    if SCALAR in (a.domain, b.domain):
+        dom = a.domain if b.domain == SCALAR else b.domain
+        return a, b, dom
+    from polars_tpu.errors import ShapeError
+
+    raise ShapeError(
+        f"cannot combine {a.domain}-domain and {b.domain}-domain expressions"
+    )

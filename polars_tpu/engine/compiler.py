@@ -1,0 +1,687 @@
+"""Expression tracer: AST node -> traced JAX computation.
+
+The TPU replacement for ``create_physical_expr`` + ``PhysicalExpr::evaluate``
+(polars-expr/src/{planner.rs,expressions/mod.rs:695}): instead of building a
+physical-expression object tree interpreted per batch, expressions trace
+directly into the enclosing XLA program; AggState tracking becomes the
+``Val.domain`` tag; aggregation in group context lowers to the segmented
+reductions in engine/groupby.py (GroupedReduction analogue).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.engine import groupby as G
+from polars_tpu.engine.cast import cast_val
+from polars_tpu.engine.common import (
+    GROUP,
+    ROW,
+    SCALAR,
+    EvalCtx,
+    GroupCtx,
+    Val,
+    broadcast_pair,
+    combine_validity,
+)
+from polars_tpu.engine.registry import get_spec
+from polars_tpu.engine.strings import unify_vals
+from polars_tpu.errors import InvalidOperationError, ShapeError
+from polars_tpu.kernels.rowencode import total_order_key
+from polars_tpu.plan import exprs as E
+from polars_tpu.plan.schema_resolve import binary_dtype, supertype
+from polars_tpu.utils import strtable
+
+_ARITH = {"+", "-", "*", "/", "//", "%", "**"}
+_CMP = {"==", "!=", "<", "<=", ">", ">=", "eq_missing", "ne_missing"}
+
+
+def eval_expr(node: E.ENode, ctx: EvalCtx) -> Val:
+    if isinstance(node, E.EColumn):
+        try:
+            return ctx.cols[node.name]
+        except KeyError:
+            from polars_tpu.errors import ColumnNotFoundError
+
+            raise ColumnNotFoundError(
+                f"{node.name!r} not found; available: {list(ctx.cols)}"
+            ) from None
+    if isinstance(node, E.ELiteral):
+        return _eval_literal(node, ctx)
+    if isinstance(node, E.ESeriesLit):
+        col = node.column
+        values = col.buffer.values
+        if len(col) == 1:
+            return Val(values[:1], None if col.buffer.validity is None else col.buffer.validity[:1], col.dtype, col.table, SCALAR)
+        if values.shape[0] != ctx.padded:
+            from polars_tpu.core.buffer import pad_to
+
+            values = pad_to(values, ctx.padded)
+            validity = None if col.buffer.validity is None else pad_to(col.buffer.validity, ctx.padded)
+        else:
+            validity = col.buffer.validity
+        return Val(values, validity, col.dtype, col.table, ROW)
+    if isinstance(node, (E.EAlias, E.EKeepName, E.ERenameFn)):
+        return eval_expr(node.input, ctx)
+    if isinstance(node, E.ECast):
+        v = eval_expr(node.input, ctx)
+        return cast_val(v, dt.parse_into_dtype(node.dtype), strict=node.strict)
+    if isinstance(node, E.EBinary):
+        return _eval_binary(node, ctx)
+    if isinstance(node, E.ETernary):
+        return _eval_ternary(node, ctx)
+    if isinstance(node, E.EAgg):
+        return _eval_agg(node, ctx)
+    if isinstance(node, E.ELen):
+        if ctx.groups is not None:
+            counts = G.seg_count(ctx.rowmask, ctx.groups.gids, ctx.groups.capacity)
+            return Val(counts.astype(jnp.uint32), None, dt.UInt32(), None, GROUP)
+        return Val(
+            jnp.asarray(ctx.length, jnp.uint32).reshape(1), None, dt.UInt32(), None, SCALAR
+        )
+    if isinstance(node, E.EFunction):
+        spec = get_spec(node.name)
+        args = [eval_expr(i, ctx) for i in node.inputs]
+        return spec.impl(ctx, args, dict(node.options))
+    if isinstance(node, E.EWindow):
+        return _eval_window(node, ctx)
+    if isinstance(node, E.ESort):
+        return _eval_sort(node, ctx)
+    if isinstance(node, E.ESortBy):
+        return _eval_sort_by(node, ctx)
+    if isinstance(node, E.EFilter):
+        raise InvalidOperationError(
+            "filter() inside expressions is only supported in aggregation context"
+        )
+    if isinstance(node, E.EGather):
+        v = eval_expr(node.input, ctx)
+        idx = eval_expr(node.indices, ctx)
+        gathered = v.values[jnp.clip(idx.values.astype(jnp.int64), 0, v.values.shape[0] - 1)]
+        gval = None if v.validity is None else v.validity[jnp.clip(idx.values.astype(jnp.int64), 0, v.values.shape[0] - 1)]
+        dom = SCALAR if idx.domain == SCALAR else idx.domain
+        return Val(gathered, combine_validity(gval, idx.validity), v.dtype, v.table, dom)
+    if isinstance(node, E.ESlice):
+        raise InvalidOperationError("expression-level slice is handled by the executor")
+    if isinstance(node, E.EAnonymous):
+        raise InvalidOperationError("UDFs are host ops (hoisted by the executor)")
+    raise InvalidOperationError(f"cannot evaluate {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# literals
+# ---------------------------------------------------------------------------
+
+
+def _eval_literal(node: E.ELiteral, ctx: EvalCtx) -> Val:
+    value = node.value
+    dtype = dt.parse_into_dtype(node.dtype) if node.dtype is not None else None
+    if value is None:
+        d = dtype if dtype is not None else dt.Null()
+        table = strtable.empty_table() if type(d).__name__ in ("String", "Categorical", "Enum", "Binary") else None
+        np_d = jnp.int32 if table is not None else (
+            jnp.dtype(dt.dtype_to_numpy(d)) if not isinstance(d, dt.Null) else jnp.int32
+        )
+        return Val(jnp.zeros((1,), np_d), jnp.zeros((1,), bool), d, table, SCALAR)
+    if isinstance(value, str) and (dtype is None or isinstance(dtype, (dt.String, dt.Categorical, dt.Enum))):
+        table = strtable.StringTable(np.asarray([value], object), sorted_order=True)
+        return Val(jnp.zeros((1,), jnp.int32), None, dtype or dt.String(), table, SCALAR)
+    if isinstance(value, str) and dtype is not None and dtype.is_temporal():
+        # ISO datetime literal -> epoch int (static at trace time)
+        iv = _parse_temporal_literal(value, dtype)
+        np_d = jnp.dtype(dt.dtype_to_numpy(dtype))
+        return Val(jnp.asarray([iv], np_d), None, dtype, None, SCALAR)
+    # numeric/bool/temporal-int literal: traced scalar when pre-collected
+    if node in ctx.literals:
+        arr = ctx.literals[node]
+        d = dtype if dtype is not None else _lit_dtype(value)
+        return Val(arr.reshape(1), None, d, None, SCALAR)
+    d = dtype if dtype is not None else _lit_dtype(value)
+    np_d = jnp.dtype(dt.dtype_to_numpy(d))
+    return Val(jnp.asarray([value], np_d), None, d, None, SCALAR)
+
+
+def _lit_dtype(value) -> dt.DataType:
+    if isinstance(value, bool):
+        return dt.Boolean()
+    if isinstance(value, int):
+        return dt.Int32() if -(2**31) <= value < 2**31 else dt.Int64()
+    if isinstance(value, float):
+        return dt.Float64()
+    raise InvalidOperationError(f"unsupported literal {value!r}")
+
+
+def _parse_temporal_literal(value: str, dtype: dt.DataType):
+    if isinstance(dtype, dt.Date):
+        return int(np.datetime64(value, "D").astype(np.int64))
+    if isinstance(dtype, dt.Datetime):
+        return int(np.datetime64(value, dtype.time_unit).astype(np.int64))
+    raise InvalidOperationError(f"cannot parse temporal literal for {dtype!r}")
+
+
+def literal_host_value(node: E.ELiteral):
+    """Host value + numpy dtype for a traceable literal (executor side)."""
+    value = node.value
+    dtype = dt.parse_into_dtype(node.dtype) if node.dtype is not None else None
+    if value is None or isinstance(value, str):
+        return None
+    d = dtype if dtype is not None else _lit_dtype(value)
+    return np.asarray(value, dt.dtype_to_numpy(d))
+
+
+def collect_literals(nodes) -> list[E.ELiteral]:
+    """Deterministic list of traceable literal nodes in a set of exprs."""
+    seen: dict[E.ELiteral, None] = {}
+    for n in nodes:
+        for sub in E.walk(n):
+            if isinstance(sub, E.ELiteral) and literal_host_value(sub) is not None:
+                seen.setdefault(sub)
+    return list(seen)
+
+
+# ---------------------------------------------------------------------------
+# binary ops
+# ---------------------------------------------------------------------------
+
+
+def _eval_binary(node: E.EBinary, ctx: EvalCtx) -> Val:
+    op = node.op
+    a = eval_expr(node.left, ctx)
+    b = eval_expr(node.right, ctx)
+    a, b, dom = broadcast_pair(a, b)
+
+    if op in ("&", "|") and isinstance(a.dtype, dt.Boolean) and isinstance(b.dtype, dt.Boolean):
+        return _kleene(op, a, b, dom)
+
+    if op in _CMP:
+        return _eval_compare(op, a, b, dom)
+
+    # strings only support comparison
+    if a.table is not None or b.table is not None:
+        raise InvalidOperationError(f"operator {op!r} not supported for strings")
+
+    out_dt = binary_dtype(op, a.dtype, b.dtype)
+    a2, b2, values, validity = _arith(op, a, b, out_dt)
+    return Val(values, validity, out_dt, None, dom)
+
+
+def _arith(op: str, a: Val, b: Val, out_dt: dt.DataType):
+    an, bn = type(a.dtype).__name__, type(b.dtype).__name__
+    on = type(out_dt).__name__
+    validity = combine_validity(a.validity, b.validity)
+
+    # temporal arithmetic keeps integer epochs; unify time units via cast rules
+    if on == "Duration" and op in ("-", "+") and an in ("Date", "Datetime", "Duration", "Time") :
+        av, bv = _temporal_pair(a, b, out_dt)
+        values = av - bv if op == "-" else av + bv
+        return a, b, values, validity
+    if an in ("Date", "Datetime") and bn == "Duration" or bn in ("Date", "Datetime") and an == "Duration":
+        av, bv = _temporal_pair(a, b, out_dt)
+        values = av + bv if op == "+" else av - bv
+        return a, b, values, validity
+    if on == "Duration" and op in ("*", "/") :
+        av = a.values.astype(jnp.int64)
+        bv = b.values
+        if op == "*":
+            values = (av * bv).astype(jnp.int64) if bn != "Duration" else av * bv
+        else:
+            values = jnp.floor_divide(av, jnp.maximum(bv, 1)).astype(jnp.int64)
+            validity = combine_validity(validity, b.values != 0)
+        return a, b, values, validity
+
+    st = supertype(a.dtype, b.dtype) if not out_dt.is_float() or a.dtype.is_float() or b.dtype.is_float() else out_dt
+    if op == "/":
+        st = out_dt  # float division
+    ac = cast_val(a, st, strict=False) if a.dtype != st else a
+    bc = cast_val(b, st, strict=False) if b.dtype != st else b
+    av, bv = ac.values, bc.values
+
+    if op == "+":
+        values = av + bv
+    elif op == "-":
+        values = av - bv
+    elif op == "*":
+        values = av * bv
+    elif op == "/":
+        values = av / bv
+    elif op == "//":
+        if st.is_float():
+            values = jnp.floor(av / bv)
+            validity = validity
+        else:
+            values = jnp.floor_divide(av, jnp.where(bv == 0, jnp.ones((), bv.dtype), bv))
+            validity = combine_validity(validity, bv != 0)
+    elif op == "%":
+        if st.is_float():
+            values = jnp.mod(av, bv)
+        else:
+            values = jnp.mod(av, jnp.where(bv == 0, jnp.ones((), bv.dtype), bv))
+            validity = combine_validity(validity, bv != 0)
+    elif op == "**":
+        if out_dt.is_integer():
+            values = jnp.power(av, bv)
+        else:
+            values = jnp.power(av.astype(jnp.dtype(dt.dtype_to_numpy(out_dt))), bv)
+    elif op == "^":
+        values = av ^ bv
+    elif op == "&":
+        values = av & bv
+    elif op == "|":
+        values = av | bv
+    else:
+        raise InvalidOperationError(f"unknown operator {op!r}")
+    if values.dtype != jnp.dtype(dt.dtype_to_numpy(out_dt)) and out_dt.is_numeric():
+        values = values.astype(jnp.dtype(dt.dtype_to_numpy(out_dt)))
+    return ac, bc, values, validity
+
+
+def _temporal_pair(a: Val, b: Val, out_dt: dt.DataType):
+    """Align two temporal vals on a common integer timescale."""
+    target_unit = getattr(out_dt, "time_unit", "us")
+
+    def to_unit(v: Val):
+        n = type(v.dtype).__name__
+        x = v.values.astype(jnp.int64)
+        if n == "Date":
+            factor = {"ms": 86_400_000, "us": 86_400_000_000, "ns": 86_400_000_000_000}[target_unit]
+            return x * factor
+        if n in ("Datetime", "Duration"):
+            src = v.dtype.time_unit
+            f = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+            if src == target_unit:
+                return x
+            if f[target_unit] > f[src]:
+                return x * (f[target_unit] // f[src])
+            return jnp.floor_divide(x, f[src] // f[target_unit])
+        if n == "Time":
+            f = {"ms": 1_000_000, "us": 1_000, "ns": 1}[target_unit]
+            return jnp.floor_divide(x, f)
+        return x
+
+    return to_unit(a), to_unit(b)
+
+
+def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
+    if (a.table is not None) != (b.table is not None):
+        # string vs non-string: cast the non-string? polars errors; so do we
+        raise InvalidOperationError(
+            f"cannot compare {a.dtype!r} with {b.dtype!r}"
+        )
+    if a.table is not None:
+        a, b = unify_vals(a, b)
+        av, bv = a.values, b.values
+    else:
+        st = supertype(a.dtype, b.dtype)
+        ac = cast_val(a, st, strict=False) if a.dtype != st else a
+        bc = cast_val(b, st, strict=False) if b.dtype != st else b
+        av, bv = ac.values, bc.values
+
+    base = op.replace("_missing", "") if op in ("eq_missing", "ne_missing") else op
+    if base == "==":
+        values = av == bv
+    elif base == "!=":
+        values = av != bv
+    elif base == "<":
+        values = av < bv
+    elif base == "<=":
+        values = av <= bv
+    elif base == ">":
+        values = av > bv
+    else:
+        values = av >= bv
+
+    va = a.valid_or_true() if a.validity is not None else None
+    vb = b.valid_or_true() if b.validity is not None else None
+    if op in ("eq_missing", "ne_missing"):
+        an = jnp.zeros(av.shape, bool) if va is None else ~va
+        bn_ = jnp.zeros(bv.shape, bool) if vb is None else ~vb
+        both_null = an & bn_
+        either_null = an | bn_
+        if op == "eq_missing":
+            values = jnp.where(either_null, both_null, values)
+        else:
+            values = jnp.where(either_null, ~both_null, values)
+        return Val(values, None, dt.Boolean(), None, dom)
+    validity = combine_validity(va, vb)
+    return Val(values, validity, dt.Boolean(), None, dom)
+
+
+def _kleene(op: str, a: Val, b: Val, dom: str) -> Val:
+    """SQL three-valued logic for boolean &/| (reference:
+    polars-compute/src/boolean.rs Kleene kernels)."""
+    av = a.values.astype(bool)
+    bv = b.values.astype(bool)
+    an = None if a.validity is None else ~a.validity
+    bn = None if b.validity is None else ~b.validity
+    if op == "&":
+        values = av & bv
+        if an is None and bn is None:
+            validity = None
+        else:
+            a_false = av == False  # noqa: E712
+            b_false = bv == False  # noqa: E712
+            an_ = jnp.zeros(av.shape, bool) if an is None else an
+            bn_ = jnp.zeros(bv.shape, bool) if bn is None else bn
+            known_false = (~an_ & a_false) | (~bn_ & b_false)
+            validity = known_false | (~an_ & ~bn_)
+            values = jnp.where(an_ | bn_, False, values)
+    else:
+        values = av | bv
+        if an is None and bn is None:
+            validity = None
+        else:
+            an_ = jnp.zeros(av.shape, bool) if an is None else an
+            bn_ = jnp.zeros(bv.shape, bool) if bn is None else bn
+            known_true = (~an_ & av) | (~bn_ & bv)
+            validity = known_true | (~an_ & ~bn_)
+            values = jnp.where(known_true, True, values)
+    return Val(values, validity, dt.Boolean(), None, dom)
+
+
+# ---------------------------------------------------------------------------
+# ternary
+# ---------------------------------------------------------------------------
+
+
+def _eval_ternary(node: E.ETernary, ctx: EvalCtx) -> Val:
+    p = eval_expr(node.predicate, ctx)
+    t = eval_expr(node.truthy, ctx)
+    f = eval_expr(node.falsy, ctx)
+    t, f = _unify_branches(t, f)
+    # reconcile domains
+    doms = {p.domain, t.domain, f.domain} - {SCALAR}
+    dom = doms.pop() if doms else SCALAR
+    if len(doms) > 0:
+        raise ShapeError("mixed domains in when/then/otherwise")
+    pv = p.values.astype(bool)
+    values = jnp.where(pv, t.values, f.values)
+    tv = t.validity
+    fv = f.validity
+    if tv is None and fv is None:
+        validity = None
+    else:
+        tv_ = jnp.ones(t.values.shape, bool) if tv is None else tv
+        fv_ = jnp.ones(f.values.shape, bool) if fv is None else fv
+        validity = jnp.where(pv, tv_, fv_)
+    if p.validity is not None:
+        base = jnp.ones(values.shape, bool) if validity is None else validity
+        validity = base & p.validity
+    return Val(values, validity, t.dtype, t.table, dom)
+
+
+def _unify_branches(t: Val, f: Val) -> tuple[Val, Val]:
+    if t.table is not None or f.table is not None:
+        if t.table is not None and f.table is not None:
+            t2, f2 = unify_vals(t, f)
+            return t2, f2
+        # one side is a null literal
+        if isinstance(t.dtype, dt.Null):
+            return t.with_(dtype=f.dtype, table=f.table), f
+        if isinstance(f.dtype, dt.Null):
+            return t, f.with_(dtype=t.dtype, table=t.table)
+        raise InvalidOperationError("when/then branches mix string and non-string")
+    st = supertype(t.dtype, f.dtype)
+    t2 = cast_val(t, st, strict=False) if t.dtype != st else t
+    f2 = cast_val(f, st, strict=False) if f.dtype != st else f
+    return t2, f2
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+def _group_of(ctx: EvalCtx) -> tuple[jax.Array, jax.Array, int]:
+    """(gids, contrib rowmask, capacity) — scalar aggs use a single group."""
+    if ctx.groups is not None:
+        return ctx.groups.gids, ctx.rowmask, ctx.groups.capacity
+    return jnp.zeros((ctx.padded,), jnp.int32), ctx.rowmask, 1
+
+
+def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
+    kind = node.kind
+    input_node = node.input
+    extra_mask = None
+    if isinstance(input_node, E.EFilter):
+        cond = eval_expr(input_node.by, ctx)
+        extra_mask = cond.values.astype(bool)
+        if cond.validity is not None:
+            extra_mask = extra_mask & cond.validity
+        input_node = input_node.input
+
+    gids, rowmask, cap = _group_of(ctx)
+    if extra_mask is not None:
+        rowmask = rowmask & extra_mask
+    dom = GROUP if ctx.groups is not None else SCALAR
+    out_valid_all = None if ctx.groups is not None else None
+
+    if kind == "len":
+        counts = G.seg_count(rowmask, gids, cap)
+        return Val(counts.astype(jnp.uint32), None, dt.UInt32(), None, dom)
+
+    v = eval_expr(input_node, ctx)
+    if v.domain == GROUP:
+        raise InvalidOperationError("nested aggregations are not supported")
+    if v.domain == SCALAR:
+        # broadcast scalar to rows (e.g. lit(1).sum() over groups)
+        v = v.with_(
+            values=jnp.broadcast_to(v.values, (ctx.padded,)),
+            validity=None if v.validity is None else jnp.broadcast_to(v.validity, (ctx.padded,)),
+            domain=ROW,
+        )
+    data_mask = rowmask if v.validity is None else (rowmask & v.validity)
+
+    if kind == "count":
+        counts = G.seg_count(data_mask, gids, cap)
+        return Val(counts.astype(jnp.uint32), None, dt.UInt32(), None, dom)
+    if kind == "null_count":
+        nulls = rowmask & (~v.validity if v.validity is not None else jnp.zeros((ctx.padded,), bool))
+        counts = G.seg_count(nulls, gids, cap)
+        return Val(counts.astype(jnp.uint32), None, dt.UInt32(), None, dom)
+    if kind == "sum":
+        out_dt = _agg_out_dtype(node, v.dtype)
+        acc = v.values
+        if isinstance(v.dtype, dt.Boolean):
+            acc = acc.astype(jnp.uint32)
+        elif out_dt != v.dtype:
+            acc = acc.astype(jnp.dtype(dt.dtype_to_numpy(out_dt)))
+        s = G.seg_sum(acc, data_mask, gids, cap)
+        # polars: sum of all-null/empty = 0 (not null)
+        return Val(s, None, out_dt, None, dom)
+    if kind == "product":
+        out_dt = _agg_out_dtype(node, v.dtype)
+        acc = v.values.astype(jnp.dtype(dt.dtype_to_numpy(out_dt)))
+        one = jnp.ones((), acc.dtype)
+        x = jnp.where(data_mask, acc, one)
+        logsum = jnp.ones((cap,), acc.dtype)
+        # product via scatter-multiply is unsupported; use exp-log for floats,
+        # fori for ints is wasteful -> use segment trick: prod = exp(seg_sum(log|x|)) * sign
+        if out_dt.is_float():
+            absx = jnp.abs(x)
+            logs = jnp.where(data_mask, jnp.log(jnp.maximum(absx, 1e-300)), 0.0)
+            s = jnp.exp(G.seg_sum(logs, data_mask, gids, cap))
+            negs = G.seg_count(data_mask & (x < 0), gids, cap)
+            zeros = G.seg_count(data_mask & (x == 0), gids, cap)
+            sign = jnp.where(negs % 2 == 1, -1.0, 1.0)
+            p = jnp.where(zeros > 0, 0.0, s * sign)
+            return Val(p, None, out_dt, None, dom)
+        # integer product: iterative doubling over sorted segments is overkill;
+        # fall back to float path then round (exact for small products)
+        fx = x.astype(jnp.float64)
+        logs = jnp.where(data_mask, jnp.log(jnp.maximum(jnp.abs(fx), 1e-300)), 0.0)
+        s = jnp.exp(G.seg_sum(logs, data_mask, gids, cap))
+        negs = G.seg_count(data_mask & (fx < 0), gids, cap)
+        zeros = G.seg_count(data_mask & (fx == 0), gids, cap)
+        sign = jnp.where(negs % 2 == 1, -1.0, 1.0)
+        p = jnp.where(zeros > 0, 0.0, jnp.round(s) * sign)
+        return Val(p.astype(jnp.int64), None, dt.Int64(), None, dom)
+    if kind in ("min", "max"):
+        fn = G.seg_min if kind == "min" else G.seg_max
+        has = G.seg_count(data_mask, gids, cap) > 0
+        out = fn(v.values, data_mask, gids, cap)
+        return Val(out, has, v.dtype, v.table, dom)
+    if kind == "mean":
+        if v.dtype.is_temporal():
+            m, has = G.seg_mean(v.values.astype(jnp.float64), data_mask, gids, cap)
+            out_dt = _agg_out_dtype(node, v.dtype)
+            return Val(m.astype(jnp.int64), has, out_dt, None, dom)
+        m, has = G.seg_mean(v.values, data_mask, gids, cap)
+        out_dt = _agg_out_dtype(node, v.dtype)
+        return Val(m.astype(jnp.dtype(dt.dtype_to_numpy(out_dt))), has, out_dt, None, dom)
+    if kind in ("var", "std"):
+        ddof = node.opt("ddof", 1)
+        var, ok = G.seg_var(v.values, data_mask, gids, cap, ddof)
+        out = jnp.sqrt(var) if kind == "std" else var
+        out_dt = _agg_out_dtype(node, v.dtype)
+        return Val(out.astype(jnp.dtype(dt.dtype_to_numpy(out_dt))), ok, out_dt, None, dom)
+    if kind in ("first", "last"):
+        # polars first/last include nulls: pick by row position among in-group rows
+        fn = G.seg_first_idx if kind == "first" else G.seg_last_idx
+        idx, has = fn(rowmask, gids, cap)
+        out = v.values[idx]
+        validity = has if v.validity is None else (has & v.validity[idx])
+        return Val(out, validity, v.dtype, v.table, dom)
+    if kind in ("arg_min", "arg_max"):
+        key = total_order_key(v.values, v.dtype)
+        if kind == "arg_max":
+            key = jnp.bitwise_not(key) if key.dtype != jnp.bool_ else ~key
+        n = ctx.padded
+        iota = jax.lax.broadcasted_iota(jnp.int64, (n, 1), 0).squeeze(-1)
+        big = jnp.int64(2**62)
+        packed = jnp.where(data_mask, key.astype(jnp.int64) * jnp.int64(n) + iota, big) if False else None
+        # pack (key, idx) -> minimize: sort-free via two scatters
+        kmin = G.seg_min(key, data_mask, gids, cap)
+        is_best = data_mask & (key == kmin[gids])
+        idx, has = G.seg_first_idx(is_best, gids, cap)
+        return Val(idx.astype(jnp.uint32), has, dt.UInt32(), None, dom)
+    if kind in ("any", "all"):
+        bv = v.values.astype(bool)
+        fn = G.seg_any if kind == "any" else G.seg_all
+        out = fn(bv, data_mask, gids, cap)
+        return Val(out, None, dt.Boolean(), None, dom)
+    if kind == "n_unique":
+        out = G.seg_nunique(v.values, v.validity, rowmask, gids, cap, v.dtype)
+        return Val(out.astype(jnp.uint32), None, dt.UInt32(), None, dom)
+    if kind in ("median", "quantile"):
+        q = 0.5 if kind == "median" else float(node.opt("quantile", 0.5))
+        interp = "linear" if kind == "median" else node.opt("interpolation", "nearest")
+        out, has = G.seg_quantile(v.values, data_mask, gids, cap, q, interp)
+        out_dt = _agg_out_dtype(node, v.dtype)
+        if v.dtype.is_temporal():
+            return Val(out.astype(jnp.int64), has, out_dt, None, dom)
+        return Val(out.astype(jnp.dtype(dt.dtype_to_numpy(out_dt))), has, out_dt, None, dom)
+    if kind == "mode":
+        raise InvalidOperationError("mode is not yet supported in group context")
+    if kind in ("corr", "cov"):
+        raise InvalidOperationError("corr/cov pending pack_pair support")
+    if kind in ("skew", "kurtosis"):
+        acc = v.values.astype(jnp.float64)
+        mean, has = G.seg_mean(acc, data_mask, gids, cap)
+        c = G.seg_count(data_mask, gids, cap).astype(jnp.float64)
+        d = acc - mean[gids]
+        m2 = G.seg_sum(jnp.where(data_mask, d * d, 0.0), data_mask, gids, cap) / jnp.maximum(c, 1)
+        m3 = G.seg_sum(jnp.where(data_mask, d**3, 0.0), data_mask, gids, cap) / jnp.maximum(c, 1)
+        m4 = G.seg_sum(jnp.where(data_mask, d**4, 0.0), data_mask, gids, cap) / jnp.maximum(c, 1)
+        if kind == "skew":
+            out = m3 / jnp.maximum(m2, 1e-300) ** 1.5
+            if not node.opt("bias", True):
+                out = out * jnp.sqrt(c * (c - 1)) / jnp.maximum(c - 2, 1)
+            return Val(out, has, dt.Float64(), None, dom)
+        g2 = m4 / jnp.maximum(m2 * m2, 1e-300)
+        if node.opt("fisher", True):
+            g2 = g2 - 3.0
+        return Val(g2, has, dt.Float64(), None, dom)
+    raise InvalidOperationError(f"aggregation {kind!r} not implemented")
+
+
+def _agg_out_dtype(node: E.EAgg, in_dt: dt.DataType) -> dt.DataType:
+    from polars_tpu.core.schema import Schema
+    from polars_tpu.plan.schema_resolve import agg_dtype
+
+    fake = Schema([("__x", in_dt)])
+    fake_node = E.EAgg(E.EColumn("__x"), node.kind, node.options)
+    return agg_dtype(fake_node, fake)
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+
+def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
+    if ctx.groups is not None:
+        raise InvalidOperationError("over() inside group_by aggregation is not supported")
+    keys = [eval_expr(k, ctx) for k in node.partition_by]
+    gctx = G.sorted_group_ctx(keys, ctx.rowmask)
+    inner = EvalCtx(
+        cols=ctx.cols,
+        rowmask=ctx.rowmask,
+        length=ctx.length,
+        padded=ctx.padded,
+        schema=ctx.schema,
+        literals=ctx.literals,
+        groups=gctx,
+    )
+    res = eval_expr(node.function, inner)
+    if res.domain == GROUP:
+        values = res.values[gctx.gids]
+        validity = None if res.validity is None else res.validity[gctx.gids]
+        return Val(values, validity, res.dtype, res.table, ROW)
+    if res.domain == ROW:
+        # order-aware ops already produced per-row results
+        return res
+    # scalar: broadcast
+    return res.with_(domain=ROW)
+
+
+# ---------------------------------------------------------------------------
+# expression-level sorts
+# ---------------------------------------------------------------------------
+
+
+def _eval_sort(node: E.ESort, ctx: EvalCtx) -> Val:
+    v = eval_expr(node.input, ctx)
+    if v.domain != ROW:
+        raise InvalidOperationError("sort() requires a row-domain expression")
+    if ctx.groups is not None:
+        raise InvalidOperationError("expression sort in group context not supported")
+    key = _sort_key_words(v, node.descending, node.nulls_last, ctx.rowmask)
+    ops = key + [v.values] + ([] if v.validity is None else [v.validity])
+    sorted_ops = jax.lax.sort(ops, num_keys=len(key), is_stable=True)
+    values = sorted_ops[len(key)]
+    validity = sorted_ops[len(key) + 1] if v.validity is not None else None
+    return Val(values, validity, v.dtype, v.table, ROW)
+
+
+def _eval_sort_by(node: E.ESortBy, ctx: EvalCtx) -> Val:
+    v = eval_expr(node.input, ctx)
+    if ctx.groups is not None:
+        raise InvalidOperationError("sort_by in group context not supported yet")
+    keys = [eval_expr(b, ctx) for b in node.by]
+    ops: list[jax.Array] = []
+    for k, desc, nl in zip(keys, node.descending, node.nulls_last):
+        ops.extend(_sort_key_words(k, desc, nl, ctx.rowmask))
+    nk = len(ops)
+    ops = ops + [v.values] + ([] if v.validity is None else [v.validity])
+    sorted_ops = jax.lax.sort(ops, num_keys=nk, is_stable=True)
+    values = sorted_ops[nk]
+    validity = sorted_ops[nk + 1] if v.validity is not None else None
+    return Val(values, validity, v.dtype, v.table, ROW)
+
+
+def _sort_key_words(
+    v: Val, descending: bool, nulls_last: bool, rowmask: jax.Array
+) -> list[jax.Array]:
+    """(null_rank, order_key) words for one sort key; out-of-bounds rows always
+    sort last (rank 3)."""
+    key = total_order_key(v.values, v.dtype)
+    if descending:
+        key = ~key if key.dtype != jnp.bool_ else ~key
+    if v.validity is None:
+        null_rank = jnp.ones(key.shape, jnp.int8)
+    else:
+        null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
+    null_rank = jnp.where(rowmask, null_rank, jnp.int8(3))
+    return [null_rank, key]

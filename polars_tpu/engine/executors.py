@@ -1,0 +1,664 @@
+"""Plan execution: fused trace segments between barriers.
+
+The TPU replacement for both reference engines (polars-mem-engine pull
+executors + polars-stream's morsel pipeline): every maximal chain of
+map/filter/group/sort/distinct nodes compiles to ONE XLA program over padded
+arrays — filters are row-mask updates (zero materialization), group-by outputs
+stay capacity-padded with a traced group count, and the only host
+synchronisation points are join sizing, host string/UDF ops, and final
+materialization. Compiled programs are cached globally keyed on plan structure
++ input signatures (the jit analogue of the reference's per-node physical plan
+cache), so repeated eager calls do not re-trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.config import config, verbose
+from polars_tpu.core.buffer import Buffer, pad_to, padded_size, row_mask
+from polars_tpu.core.column import Column
+from polars_tpu.core.frame import DataFrame
+from polars_tpu.core.schema import Schema
+from polars_tpu.engine import groupby as G
+from polars_tpu.engine.common import GROUP, ROW, SCALAR, EvalCtx, Val
+from polars_tpu.engine.compiler import collect_literals, eval_expr, literal_host_value
+from polars_tpu.engine.sort import apply_perm, sort_perm
+from polars_tpu.errors import ComputeError, InvalidOperationError, ShapeError
+from polars_tpu.plan import exprs as E
+from polars_tpu.plan import logical as L
+from polars_tpu.plan.schema_resolve import expand_exprs, node_schema
+
+# ---------------------------------------------------------------------------
+# traced table
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TTable:
+    cols: dict[str, Val]  # all ROW domain, padded arrays of equal length
+    rowmask: jax.Array
+    padded: int
+
+    def length(self) -> jax.Array:
+        return jnp.sum(self.rowmask.astype(jnp.int32))
+
+    def schema(self) -> Schema:
+        return Schema([(n, v.dtype) for n, v in self.cols.items()])
+
+
+# ---------------------------------------------------------------------------
+# barriers / fusability
+# ---------------------------------------------------------------------------
+
+_FUSABLE = (
+    L.LFilter, L.LSelect, L.LWithColumns, L.LSlice, L.LDistinct, L.LSort,
+    L.LGroupBy, L.LRename, L.LDrop, L.LWithRowIndex, L.LUnion, L.LHConcat,
+)
+
+HOST_FNS = {"concat_str", "dt.to_string", "cat.get_categories"}
+
+
+def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
+    from polars_tpu.plan.schema_resolve import expr_dtype
+
+    for n in E.walk(node):
+        if isinstance(n, E.EAnonymous):
+            return True
+        if isinstance(n, E.EFunction) and n.name in HOST_FNS:
+            return True
+        if isinstance(n, E.ECast):
+            target = dt.parse_into_dtype(n.dtype)
+            if type(target).__name__ in ("String",):
+                try:
+                    src = expr_dtype(n.input, schema)
+                except Exception:
+                    return True
+                if type(src).__name__ not in ("String", "Categorical", "Enum", "Binary"):
+                    return True
+    return False
+
+
+def _is_fusable(node: L.LNode) -> bool:
+    if not isinstance(node, _FUSABLE):
+        return False
+    try:
+        in_schemas = [node_schema(i) for i in node.inputs()]
+    except Exception:
+        return False
+    schema = in_schemas[0] if in_schemas else Schema()
+    for e in node.exprs():
+        if e is None:
+            continue
+        try:
+            for ex in expand_exprs((e,), schema):
+                if _expr_needs_host(ex, schema):
+                    return False
+                for sub in E.walk(ex):
+                    if isinstance(sub, E.ESlice):
+                        return False
+                    if isinstance(sub, E.EFunction) and sub.name in (
+                        "int_range", "repeat_value", "date_range", "datetime_range",
+                        "arg_where", "gather_every", "unique", "unique_counts",
+                    ):
+                        return False
+        except Exception:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# segment tracing
+# ---------------------------------------------------------------------------
+
+
+class _TraceCtx:
+    """State while tracing one segment."""
+
+    def __init__(self, leaf_tables: dict[int, TTable], literals: dict[E.ELiteral, jax.Array]):
+        self.leaf_tables = leaf_tables  # id(node) -> TTable
+        self.literals = literals
+
+
+def _eval_ctx(tt: TTable, literals: dict) -> EvalCtx:
+    return EvalCtx(
+        cols=dict(tt.cols),
+        rowmask=tt.rowmask,
+        length=tt.length(),
+        padded=tt.padded,
+        schema=tt.schema(),
+        literals=literals,
+        groups=None,
+    )
+
+
+def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
+    if id(node) in tc.leaf_tables:
+        return tc.leaf_tables[id(node)]
+
+    if isinstance(node, L.LFilter):
+        tt = trace_node(node.input, tc)
+        schema = tt.schema()
+        preds = expand_exprs((node.predicate,), schema)
+        ctx = _eval_ctx(tt, tc.literals)
+        mask = tt.rowmask
+        for p in preds:
+            v = eval_expr(p, ctx)
+            if not isinstance(v.dtype, dt.Boolean):
+                raise ComputeError(f"filter predicate must be Boolean, got {v.dtype!r}")
+            pv = v.values.astype(bool)
+            if v.validity is not None:
+                pv = pv & v.validity
+            if v.domain == SCALAR:
+                pv = jnp.broadcast_to(pv, (tt.padded,))
+            mask = mask & pv
+        return TTable(tt.cols, mask, tt.padded)
+
+    if isinstance(node, L.LSelect):
+        tt = trace_node(node.input, tc)
+        return _trace_select(tt, node.expressions, tc, keep_input=False)
+
+    if isinstance(node, L.LWithColumns):
+        tt = trace_node(node.input, tc)
+        return _trace_select(tt, node.expressions, tc, keep_input=True)
+
+    if isinstance(node, L.LRename):
+        tt = trace_node(node.input, tc)
+        mapping = dict(node.mapping)
+        cols = {mapping.get(n, n): v for n, v in tt.cols.items()}
+        return TTable(cols, tt.rowmask, tt.padded)
+
+    if isinstance(node, L.LDrop):
+        tt = trace_node(node.input, tc)
+        drop = set(node.columns)
+        cols = {n: v for n, v in tt.cols.items() if n not in drop}
+        return TTable(cols, tt.rowmask, tt.padded)
+
+    if isinstance(node, L.LWithRowIndex):
+        tt = trace_node(node.input, tc)
+        rank = jnp.cumsum(tt.rowmask.astype(jnp.int64)) - 1
+        vals = (rank + node.offset).astype(jnp.uint32)
+        cols = {node.name: Val(vals, None, dt.UInt32(), None, ROW)}
+        cols.update(tt.cols)
+        return TTable(cols, tt.rowmask, tt.padded)
+
+    if isinstance(node, L.LSlice):
+        tt = trace_node(node.input, tc)
+        rank = jnp.cumsum(tt.rowmask.astype(jnp.int64))  # 1-based among valid
+        total = rank[-1]
+        offset = node.offset
+        if offset < 0:
+            start = jnp.maximum(total + offset, 0)
+        else:
+            start = jnp.minimum(jnp.int64(offset), total)
+        if node.length is None:
+            stop = total
+        else:
+            stop = jnp.minimum(start + node.length, total)
+        mask = tt.rowmask & (rank > start) & (rank <= stop)
+        return TTable(tt.cols, mask, tt.padded)
+
+    if isinstance(node, L.LDistinct):
+        tt = trace_node(node.input, tc)
+        subset = node.subset if node.subset is not None else tuple(tt.cols)
+        keys = [tt.cols[c] for c in subset]
+        flags = _distinct_rowmask(keys, tt.rowmask, node.keep)
+        return TTable(tt.cols, tt.rowmask & flags, tt.padded)
+
+    if isinstance(node, L.LSort):
+        tt = trace_node(node.input, tc)
+        schema = tt.schema()
+        by = expand_exprs(node.by, schema)
+        ctx = _eval_ctx(tt, tc.literals)
+        key_vals = [eval_expr(b, ctx) for b in by]
+        desc = list(node.descending)
+        nl = list(node.nulls_last)
+        while len(desc) < len(key_vals):
+            desc.append(desc[-1] if desc else False)
+        while len(nl) < len(key_vals):
+            nl.append(nl[-1] if nl else False)
+        perm = sort_perm(key_vals, desc, nl, tt.rowmask, stable=True)
+        cols = {n: apply_perm(v, perm) for n, v in tt.cols.items()}
+        n_valid = tt.length()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tt.padded, 1), 0).squeeze(-1)
+        mask = iota < n_valid
+        if node.limit is not None:
+            mask = mask & (iota < node.limit)
+        return TTable(cols, mask, tt.padded)
+
+    if isinstance(node, L.LGroupBy):
+        tt = trace_node(node.input, tc)
+        return _trace_groupby(tt, node, tc)
+
+    if isinstance(node, L.LUnion):
+        tts = [trace_node(i, tc) for i in node.inputs_]
+        names = list(tts[0].cols)
+        out_schema = node_schema(node)
+        cols: dict[str, Val] = {}
+        for n in names:
+            vals = []
+            valids = []
+            any_valid = any(t.cols[n].validity is not None for t in tts)
+            target = out_schema[n]
+            for t in tts:
+                v = t.cols[n]
+                if v.dtype != target:
+                    from polars_tpu.engine.cast import cast_val
+
+                    v = cast_val(v, target, strict=False)
+                vals.append(v.values)
+                if any_valid:
+                    valids.append(
+                        v.validity if v.validity is not None else jnp.ones((t.padded,), bool)
+                    )
+            table = None
+            if tts[0].cols[n].table is not None:
+                # unify string tables across inputs
+                from polars_tpu.engine.strings import unify_vals
+
+                base = tts[0].cols[n]
+                unified = [base]
+                for t in tts[1:]:
+                    b2, o2 = unify_vals(unified[0], t.cols[n])
+                    unified = [b2.with_(values=u.values if i > 0 else b2.values) for i, u in enumerate(unified)]
+                    # simpler: redo pairwise for all
+                # robust pairwise re-unify
+                cur = tts[0].cols[n]
+                others = []
+                for t in tts[1:]:
+                    cur, o = unify_vals(cur, t.cols[n])
+                    others = [unify_vals(cur, x)[1] for x in others]
+                    others.append(o)
+                vals = [cur.values] + [o.values for o in others]
+                table = cur.table
+            values = jnp.concatenate(vals)
+            validity = jnp.concatenate(valids) if any_valid else None
+            cols[n] = Val(values, validity, target, table, ROW)
+        rowmask = jnp.concatenate([t.rowmask for t in tts])
+        return TTable(cols, rowmask, sum(t.padded for t in tts))
+
+    if isinstance(node, L.LHConcat):
+        tts = [trace_node(i, tc) for i in node.inputs_]
+        padded = max(t.padded for t in tts)
+        cols: dict[str, Val] = {}
+        mask = None
+        for t in tts:
+            for n, v in t.cols.items():
+                vv = v
+                if t.padded != padded:
+                    vv = v.with_(
+                        values=pad_to(v.values, padded),
+                        validity=None if v.validity is None else pad_to(v.validity, padded),
+                    )
+                cols[n] = vv
+            m = t.rowmask if t.padded == padded else pad_to(t.rowmask, padded)
+            mask = m if mask is None else (mask | m)
+        return TTable(cols, mask, padded)
+
+    raise InvalidOperationError(f"cannot trace {type(node).__name__}")
+
+
+def _distinct_rowmask(keys: list[Val], rowmask: jax.Array, keep: str) -> jax.Array:
+    """Distinct-keeper flags over multi-key rows without reordering."""
+    from polars_tpu.kernels.rowencode import total_order_key
+
+    n = rowmask.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    words: list[jax.Array] = [(~rowmask).astype(jnp.int8)]
+    for k in keys:
+        invalid = (
+            jnp.zeros((n,), jnp.int8) if k.validity is None else (~k.validity).astype(jnp.int8)
+        )
+        words.append(invalid)
+        words.append(total_order_key(k.values, k.dtype))
+    nk = len(words)
+    sorted_ops = jax.lax.sort([*words, iota], num_keys=nk, is_stable=True)
+    perm = sorted_ops[-1]
+    s_oob = sorted_ops[0]
+    first = iota == 0
+    diff = jnp.zeros((n,), bool)
+    for w in sorted_ops[1:-1]:
+        diff = diff | (w != jnp.roll(w, 1))
+    same_prev = (~first) & ~diff & (s_oob == 0) & (jnp.roll(s_oob, 1) == 0)
+    same_next = jnp.roll(same_prev, -1)
+    same_next = same_next & (iota != n - 1)
+    if keep in ("any", "first"):
+        flag = ~same_prev
+    elif keep == "last":
+        flag = ~same_next
+    else:  # none
+        flag = ~(same_prev | same_next)
+    return jnp.zeros((n,), bool).at[perm].set(flag)
+
+
+def _trace_select(
+    tt: TTable, expressions: tuple[E.ENode, ...], tc: _TraceCtx, *, keep_input: bool
+) -> TTable:
+    schema = tt.schema()
+    exprs = expand_exprs(expressions, schema)
+    ctx = _eval_ctx(tt, tc.literals)
+    results: list[tuple[str, Val]] = []
+    for e in exprs:
+        name = E.output_name(e) or "literal"
+        v = eval_expr(e, ctx)
+        if v.domain == GROUP:
+            raise ShapeError("group-domain expression outside aggregation")
+        results.append((name, v))
+
+    if keep_input:
+        cols = dict(tt.cols)
+        for name, v in results:
+            if v.domain == SCALAR:
+                v = _broadcast_scalar(v, tt.padded)
+            cols[name] = v
+        return TTable(cols, tt.rowmask, tt.padded)
+
+    if results and all(v.domain == SCALAR for _, v in results):
+        # pure-aggregate select -> one-row table
+        size = padded_size(1)
+        cols = {}
+        for name, v in results:
+            values = pad_to(jnp.broadcast_to(v.values, (1,)), size)
+            validity = (
+                None
+                if v.validity is None
+                else pad_to(jnp.broadcast_to(v.validity, (1,)), size)
+            )
+            cols[name] = Val(values, validity, v.dtype, v.table, ROW)
+        mask = row_mask(size, 1)
+        return TTable(cols, mask, size)
+
+    cols = {}
+    for name, v in results:
+        if v.domain == SCALAR:
+            v = _broadcast_scalar(v, tt.padded)
+        cols[name] = v
+    return TTable(cols, tt.rowmask, tt.padded)
+
+
+def _broadcast_scalar(v: Val, padded: int) -> Val:
+    return Val(
+        jnp.broadcast_to(v.values, (padded,)),
+        None if v.validity is None else jnp.broadcast_to(v.validity, (padded,)),
+        v.dtype,
+        v.table,
+        ROW,
+    )
+
+
+def _trace_groupby(tt: TTable, node: L.LGroupBy, tc: _TraceCtx) -> TTable:
+    schema = tt.schema()
+    keys = expand_exprs(node.keys, schema)
+    aggs = expand_exprs(node.aggs, schema)
+    ctx = _eval_ctx(tt, tc.literals)
+    key_vals = [(E.output_name(k) or "literal", eval_expr(k, ctx)) for k in keys]
+    for _, kv in key_vals:
+        if kv.domain == SCALAR:
+            raise ShapeError("scalar group keys not supported")
+
+    # dense (perfect-hash) path for dictionary-coded/bool keys
+    sizes = []
+    dense_ok = True
+    for _, kv in key_vals:
+        if kv.table is not None:
+            sizes.append(max(len(kv.table), 1))
+        elif isinstance(kv.dtype, dt.Boolean):
+            sizes.append(2)
+        else:
+            dense_ok = False
+            break
+    cap_limit = config().hot_table_size * 16
+    if dense_ok and key_vals:
+        prod = 1
+        for s in sizes:
+            prod *= s + 1
+        dense_ok = prod <= cap_limit
+    if dense_ok and key_vals:
+        kvs = [kv for _, kv in key_vals]
+        bool_as_int = [
+            kv.with_(values=kv.values.astype(jnp.int32)) if isinstance(kv.dtype, dt.Boolean) else kv
+            for kv in kvs
+        ]
+        gctx = G.dense_group_ctx(bool_as_int, tt.rowmask, sizes)
+    else:
+        gctx = G.sorted_group_ctx([kv for _, kv in key_vals], tt.rowmask)
+
+    if node.maintain_order:
+        gctx = G.reorder_by_first_occurrence(gctx, tt.rowmask)
+
+    # representative row per group for key materialization
+    rep_idx, rep_has = G.seg_first_idx(tt.rowmask, gctx.gids, gctx.capacity)
+
+    out_cols: dict[str, Val] = {}
+    for name, kv in key_vals:
+        values = kv.values[rep_idx]
+        validity = None if kv.validity is None else (kv.validity[rep_idx])
+        if validity is not None:
+            validity = validity & rep_has
+        out_cols[name] = Val(values, validity, kv.dtype, kv.table, ROW)
+
+    gctx_ctx = EvalCtx(
+        cols=dict(tt.cols),
+        rowmask=tt.rowmask,
+        length=tt.length(),
+        padded=tt.padded,
+        schema=schema,
+        literals=tc.literals,
+        groups=gctx,
+    )
+    for a in aggs:
+        name = E.output_name(a) or "literal"
+        v = eval_expr(a, gctx_ctx)
+        if v.domain == ROW:
+            raise InvalidOperationError(
+                f"expression for {name!r} does not aggregate; wrap it in an "
+                "aggregation (implode of bare columns is not yet supported)"
+            )
+        if v.domain == SCALAR:
+            v = Val(
+                jnp.broadcast_to(v.values, (gctx.capacity,)),
+                None if v.validity is None else jnp.broadcast_to(v.validity, (gctx.capacity,)),
+                v.dtype,
+                v.table,
+                GROUP,
+            )
+        out_cols[name] = Val(v.values, v.validity, v.dtype, v.table, ROW)
+
+    return TTable(out_cols, gctx.group_valid, gctx.capacity)
+
+
+# ---------------------------------------------------------------------------
+# cache keys
+# ---------------------------------------------------------------------------
+
+
+def _expr_key(node: E.ENode) -> tuple:
+    if isinstance(node, E.ELiteral):
+        # literal values are baked into the trace as constants, so they are
+        # part of the cache key (positional traced-literal passing would be
+        # fragile across structurally-equal plans with different value counts)
+        return ("litc", node.value, repr(node.dtype))
+    if isinstance(node, E.ESeriesLit):
+        col = node.column
+        return (
+            "slit",
+            repr(col.dtype),
+            col.buffer.padded,
+            col.buffer.length,
+            col.buffer.validity is not None,
+            id(col.table) if col.table is not None else 0,
+        )
+    if isinstance(node, E.EAnonymous):
+        return ("anon", node.ident)
+    base: tuple = (type(node).__name__,)
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, E.ENode):
+            base += (_expr_key(v),)
+        elif isinstance(v, tuple) and v and isinstance(v[0], E.ENode):
+            base += (tuple(_expr_key(x) for x in v),)
+        elif isinstance(v, tuple):
+            base += (v,)
+        else:
+            base += (repr(v),)
+    return base
+
+
+def _table_sig(df: DataFrame) -> tuple:
+    parts = []
+    for c in df._columns:
+        parts.append(
+            (
+                c.name,
+                repr(c.dtype),
+                c.buffer.padded,
+                c.buffer.validity is not None,
+                id(c.table) if c.table is not None else 0,
+            )
+        )
+    return (tuple(parts), padded_size(df.height) if df._columns else 128)
+
+
+def _segment_key(node: L.LNode, leaf_ids: list[int]) -> tuple:
+    if id(node) in leaf_ids:
+        return ("leaf", leaf_ids.index(id(node)))
+    base: tuple = (type(node).__name__,)
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, L.LNode):
+            base += (_segment_key(v, leaf_ids),)
+        elif isinstance(v, tuple) and v and isinstance(v[0], L.LNode):
+            base += (tuple(_segment_key(x, leaf_ids) for x in v),)
+        elif isinstance(v, E.ENode):
+            base += (_expr_key(v),)
+        elif isinstance(v, tuple) and v and isinstance(v[0], E.ENode):
+            base += (tuple(_expr_key(x) for x in v),)
+        elif f.name in ("df", "function", "schema_fn", "ident"):
+            base += ("?",)
+        else:
+            base += (repr(v),)
+    return base
+
+
+_JIT_CACHE: dict[tuple, Any] = {}
+
+
+# ---------------------------------------------------------------------------
+# materialization
+# ---------------------------------------------------------------------------
+
+
+def _df_to_arrays(df: DataFrame) -> tuple[list, int]:
+    """Flatten a DataFrame into jit arguments. Order: per column values
+    [+validity], then the length scalar."""
+    args: list = []
+    for c in df._columns:
+        args.append(c.buffer.values)
+        if c.buffer.validity is not None:
+            args.append(c.buffer.validity)
+    args.append(np.int32(df.height))
+    return args, padded_size(df.height) if df._columns else 128
+
+
+def _args_to_ttable(df: DataFrame, args_iter) -> TTable:
+    cols: dict[str, Val] = {}
+    padded = padded_size(df.height) if df._columns else 128
+    for c in df._columns:
+        values = next(args_iter)
+        validity = next(args_iter) if c.buffer.validity is not None else None
+        cols[c.name] = Val(values, validity, c.dtype, c.table, ROW)
+    length = next(args_iter)
+    mask = row_mask(padded, length)
+    return TTable(cols, mask, padded)
+
+
+def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> DataFrame:
+    """Trace/execute one fused segment rooted at ``node`` with materialized
+    barrier inputs ``leaf_dfs``."""
+    leaf_ids = [id(n) for n, _ in leaf_dfs]
+    lit_nodes: list[E.ELiteral] = []  # literals are baked as constants
+    out_schema = node_schema(node)
+    out_names = out_schema.names()
+
+    key = (
+        _segment_key(node, leaf_ids),
+        tuple(_table_sig(df) for _, df in leaf_dfs),
+    )
+
+    entry = _JIT_CACHE.get(key)
+    if entry is None:
+        # string tables are trace-time metadata: deterministic functions of the
+        # input table identities (which are part of the cache key), so they are
+        # captured once at trace time and reused on every cache hit
+        captured_tables: dict[str, Any] = {}
+        schemas = [df.schema for _, df in leaf_dfs]
+        val_presence = [
+            tuple(c.buffer.validity is not None for c in df._columns) for _, df in leaf_dfs
+        ]
+        leaf_meta = [
+            (lnode, df._columns, df.height) for lnode, df in leaf_dfs
+        ]
+
+        def traced(leaf_args: list, lit_args: list):
+            literals = {ln: a for ln, a in zip(lit_nodes, lit_args)}
+            leaf_tables: dict[int, TTable] = {}
+            for (lnode, _df), args in zip(leaf_dfs, leaf_args):
+                it = iter(args)
+                leaf_tables[id(lnode)] = _args_to_ttable(_df, it)
+            tc = _TraceCtx(leaf_tables, literals)
+            tt = trace_node(node, tc)
+            for name, v in tt.cols.items():
+                captured_tables[name] = v.table
+            # compact: valid rows first (stable)
+            n = tt.padded
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+            _, perm = jax.lax.sort(
+                [(~tt.rowmask).astype(jnp.int8), iota], num_keys=1, is_stable=True
+            )
+            count = jnp.sum(tt.rowmask.astype(jnp.int32))
+            outs = []
+            for name in out_names:
+                v = tt.cols[name]
+                outs.append(v.values[perm])
+                outs.append(v.validity[perm] if v.validity is not None else None)
+            return outs, count
+
+        jfn = jax.jit(traced)
+        entry = (jfn, captured_tables)
+        _JIT_CACHE[key] = entry
+        if verbose():
+            print(
+                f"[polars_tpu] compiling segment {type(node).__name__} "
+                f"key_hash={hash(key) & 0xFFFFFFFF:x}"
+            )
+    jfn, captured_tables = entry
+
+    leaf_args = []
+    for _, df in leaf_dfs:
+        args, _ = _df_to_arrays(df)
+        leaf_args.append(args)
+    lit_args = [literal_host_value(ln) for ln in lit_nodes]
+    outs, count = jfn(leaf_args, lit_args)
+    n = int(count)
+    size = padded_size(n)
+
+    cols = []
+    it = iter(outs)
+    for name in out_names:
+        values = next(it)
+        validity = next(it)
+        values = values[:size] if values.shape[0] >= size else pad_to(values, size)
+        if validity is not None:
+            validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
+            validity = validity & row_mask(size, n)
+        cols.append(
+            Column(name, out_schema[name], Buffer(values, validity, n), captured_tables.get(name))
+        )
+    return DataFrame._from_columns(cols, n)

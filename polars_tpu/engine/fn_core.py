@@ -1,0 +1,680 @@
+"""Core elementwise ops: math, null handling, membership, horizontal folds.
+
+Reference kernels: polars-compute/src/{arithmetic,comparisons,if_then_else,
+unique}/ and the boolean/horizontal function namespaces in
+polars-plan/src/plans/aexpr/function_expr/.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.engine.cast import cast_val
+from polars_tpu.engine.common import ROW, SCALAR, Val, combine_validity
+from polars_tpu.engine.registry import BOOL, FLOAT, SAME, SUPER, register
+from polars_tpu.errors import InvalidOperationError
+from polars_tpu.kernels.rowencode import total_order_key
+
+
+def _float_vals(v: Val) -> tuple[jax.Array, dt.DataType]:
+    if isinstance(v.dtype, dt.Float32):
+        return v.values, dt.Float32()
+    return v.values.astype(jnp.float64), dt.Float64()
+
+
+def _unary_float(name: str, jfn):
+    @register(name, FLOAT)
+    def _(ctx, args, opts, _jfn=jfn):
+        v = args[0]
+        x, out_dt = _float_vals(v)
+        return Val(_jfn(x), v.validity, out_dt, None, v.domain)
+
+
+for _n, _f in [
+    ("sqrt", jnp.sqrt), ("cbrt", jnp.cbrt), ("exp", jnp.exp),
+    ("log10", jnp.log10), ("log1p", jnp.log1p),
+    ("sin", jnp.sin), ("cos", jnp.cos), ("tan", jnp.tan),
+    ("arcsin", jnp.arcsin), ("arccos", jnp.arccos), ("arctan", jnp.arctan),
+    ("sinh", jnp.sinh), ("cosh", jnp.cosh), ("tanh", jnp.tanh),
+    ("arcsinh", jnp.arcsinh), ("arccosh", jnp.arccosh), ("arctanh", jnp.arctanh),
+    ("degrees", jnp.degrees), ("radians", jnp.radians),
+    ("cot", lambda x: 1.0 / jnp.tan(x)),
+]:
+    _unary_float(_n, _f)
+
+
+@register("log", FLOAT)
+def _log(ctx, args, opts):
+    v = args[0]
+    x, out_dt = _float_vals(v)
+    base = opts.get("base")
+    out = jnp.log(x) if base is None else jnp.log(x) / np.log(base)
+    return Val(out, v.validity, out_dt, None, v.domain)
+
+
+@register("abs", SAME)
+def _abs(ctx, args, opts):
+    v = args[0]
+    return v.with_(values=jnp.abs(v.values) if v.values.dtype != jnp.bool_ else v.values)
+
+
+@register("sign", SAME)
+def _sign(ctx, args, opts):
+    v = args[0]
+    return v.with_(values=jnp.sign(v.values).astype(v.values.dtype))
+
+
+@register("round", SAME)
+def _round(ctx, args, opts):
+    v = args[0]
+    if v.dtype.is_integer():
+        return v
+    d = opts.get("decimals", 0)
+    f = 10.0 ** d
+    # polars rounds half away from zero
+    x = v.values * f
+    out = jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5) / f
+    return v.with_(values=out.astype(v.values.dtype))
+
+
+@register("floor", SAME)
+def _floor(ctx, args, opts):
+    v = args[0]
+    if v.dtype.is_integer():
+        return v
+    return v.with_(values=jnp.floor(v.values))
+
+
+@register("ceil", SAME)
+def _ceil(ctx, args, opts):
+    v = args[0]
+    if v.dtype.is_integer():
+        return v
+    return v.with_(values=jnp.ceil(v.values))
+
+
+@register("not", BOOL)
+def _not(ctx, args, opts):
+    v = args[0]
+    if isinstance(v.dtype, dt.Boolean):
+        return v.with_(values=~v.values.astype(bool))
+    if v.dtype.is_integer():
+        return v.with_(values=jnp.bitwise_not(v.values))
+    raise InvalidOperationError(f"cannot negate {v.dtype!r}")
+
+
+@register("clip", SAME)
+def _clip(ctx, args, opts):
+    v = args[0]
+    lo = args[1] if opts.get("has_lower") else None
+    hi = args[2 if opts.get("has_lower") else 1] if opts.get("has_upper") else None
+    out = v.values
+    if lo is not None:
+        out = jnp.maximum(out, lo.values.astype(out.dtype))
+    if hi is not None:
+        out = jnp.minimum(out, hi.values.astype(out.dtype))
+    return v.with_(values=out)
+
+
+# -- null handling ------------------------------------------------------------
+
+
+@register("is_null", BOOL)
+def _is_null(ctx, args, opts):
+    v = args[0]
+    if v.validity is None:
+        return Val(jnp.zeros(v.values.shape, bool), None, dt.Boolean(), None, v.domain)
+    return Val(~v.validity, None, dt.Boolean(), None, v.domain)
+
+
+@register("is_not_null", BOOL)
+def _is_not_null(ctx, args, opts):
+    v = args[0]
+    if v.validity is None:
+        return Val(jnp.ones(v.values.shape, bool), None, dt.Boolean(), None, v.domain)
+    return Val(v.validity, None, dt.Boolean(), None, v.domain)
+
+
+@register("is_nan", BOOL)
+def _is_nan(ctx, args, opts):
+    v = args[0]
+    out = jnp.isnan(v.values) if v.dtype.is_float() else jnp.zeros(v.values.shape, bool)
+    return Val(out, v.validity, dt.Boolean(), None, v.domain)
+
+
+@register("is_not_nan", BOOL)
+def _is_not_nan(ctx, args, opts):
+    v = args[0]
+    out = ~jnp.isnan(v.values) if v.dtype.is_float() else jnp.ones(v.values.shape, bool)
+    return Val(out, v.validity, dt.Boolean(), None, v.domain)
+
+
+@register("is_finite", BOOL)
+def _is_finite(ctx, args, opts):
+    v = args[0]
+    out = jnp.isfinite(v.values) if v.dtype.is_float() else jnp.ones(v.values.shape, bool)
+    return Val(out, v.validity, dt.Boolean(), None, v.domain)
+
+
+@register("is_infinite", BOOL)
+def _is_infinite(ctx, args, opts):
+    v = args[0]
+    out = jnp.isinf(v.values) if v.dtype.is_float() else jnp.zeros(v.values.shape, bool)
+    return Val(out, v.validity, dt.Boolean(), None, v.domain)
+
+
+@register("fill_null", SUPER)
+def _fill_null(ctx, args, opts):
+    v, fill = args
+    if v.validity is None:
+        return v
+    if v.table is not None or fill.table is not None:
+        from polars_tpu.engine.strings import unify_vals
+
+        if fill.table is None:
+            raise InvalidOperationError("fill_null value must be a string for string columns")
+        v2, f2 = unify_vals(v, fill)
+        values = jnp.where(v2.validity, v2.values, f2.values)
+        validity = None if f2.validity is None else jnp.where(v2.validity, True, jnp.broadcast_to(f2.validity, v2.validity.shape))
+        return Val(values, validity, v.dtype, v2.table, v.domain)
+    from polars_tpu.plan.schema_resolve import supertype
+
+    st = supertype(v.dtype, fill.dtype)
+    v2 = cast_val(v, st, strict=False) if v.dtype != st else v
+    f2 = cast_val(fill, st, strict=False) if fill.dtype != st else fill
+    values = jnp.where(v.validity, v2.values, jnp.broadcast_to(f2.values, v2.values.shape))
+    validity = None
+    if f2.validity is not None:
+        validity = jnp.where(v.validity, True, jnp.broadcast_to(f2.validity, v.validity.shape))
+    return Val(values, validity, st, None, v.domain)
+
+
+@register("fill_nan", SAME)
+def _fill_nan(ctx, args, opts):
+    v, fill = args
+    if not v.dtype.is_float():
+        return v
+    values = jnp.where(jnp.isnan(v.values), jnp.broadcast_to(fill.values.astype(v.values.dtype), v.values.shape), v.values)
+    validity = v.validity
+    if fill.validity is not None:
+        nan_mask = jnp.isnan(v.values)
+        base = jnp.ones(values.shape, bool) if validity is None else validity
+        validity = jnp.where(nan_mask, jnp.broadcast_to(fill.validity, values.shape), base)
+    return Val(values, validity, v.dtype, None, v.domain)
+
+
+@register("coalesce", SUPER)
+def _coalesce(ctx, args, opts):
+    from polars_tpu.plan.schema_resolve import supertype
+
+    if args[0].table is not None:
+        from polars_tpu.engine.strings import unify_vals
+
+        out = args[0]
+        for nxt in args[1:]:
+            out, n2 = unify_vals(out, nxt)
+            ov = out.valid_or_true()
+            values = jnp.where(ov, out.values, jnp.broadcast_to(n2.values, out.values.shape))
+            nv = jnp.broadcast_to(n2.valid_or_true(), out.values.shape)
+            validity = ov | nv
+            out = Val(values, validity, out.dtype, out.table, out.domain)
+        return out
+    st = args[0].dtype
+    for a in args[1:]:
+        st = supertype(st, a.dtype)
+    args = [cast_val(a, st, strict=False) if a.dtype != st else a for a in args]
+    out = args[0]
+    shape = None
+    for a in args:
+        if a.domain != SCALAR:
+            shape = a.values.shape
+    if shape is None:
+        shape = out.values.shape
+    values = jnp.broadcast_to(out.values, shape)
+    validity = jnp.broadcast_to(out.valid_or_true(), shape)
+    for nxt in args[1:]:
+        nv = jnp.broadcast_to(nxt.valid_or_true(), shape)
+        values = jnp.where(validity, values, jnp.broadcast_to(nxt.values, shape))
+        validity = validity | nv
+    dom = ROW if any(a.domain == ROW for a in args) else (
+        "group" if any(a.domain == "group" for a in args) else SCALAR
+    )
+    return Val(values, validity, st, None, dom)
+
+
+# -- membership ----------------------------------------------------------------
+
+
+@register("is_in", BOOL)
+def _is_in(ctx, args, opts):
+    # membership via broadcast compare: `other` is typically a small literal
+    # list, so O(n*m) elementwise beats a sort (switch to searchsorted for big m)
+    v, other = args
+    nulls_equal = opts.get("nulls_equal", False)
+    if v.table is not None:
+        if other.table is None:
+            raise InvalidOperationError("is_in on strings requires string values")
+        from polars_tpu.engine.strings import unify_vals
+
+        v2, o2 = unify_vals(v, other)
+        vv, ov, o_valid = v2.values, o2.values, o2.validity
+    else:
+        vv, ov, o_valid = v.values, other.values, other.validity
+        if vv.dtype != ov.dtype:
+            from polars_tpu.plan.schema_resolve import supertype
+
+            st = supertype(v.dtype, other.dtype)
+            vv = cast_val(v, st, strict=False).values
+            ov = cast_val(other, st, strict=False).values
+    hits = vv[:, None] == ov[None, :]
+    if o_valid is not None:
+        hits = hits & o_valid[None, :]
+    out = jnp.any(hits, axis=1)
+    validity = v.validity
+    if nulls_equal and v.validity is not None:
+        other_has_null = (
+            jnp.any(~o_valid) if o_valid is not None else jnp.asarray(False)
+        )
+        out = jnp.where(v.validity, out, other_has_null)
+        validity = None
+    return Val(out, validity, dt.Boolean(), None, v.domain)
+
+
+@register("is_between", BOOL)
+def _is_between(ctx, args, opts):
+    v, lo, hi = args
+    closed = opts.get("closed", "both")
+    from polars_tpu.plan.schema_resolve import supertype
+
+    st = supertype(supertype(v.dtype, lo.dtype), hi.dtype)
+    vv = cast_val(v, st, strict=False).values if v.dtype != st else v.values
+    lv = cast_val(lo, st, strict=False).values if lo.dtype != st else lo.values
+    hv = cast_val(hi, st, strict=False).values if hi.dtype != st else hi.values
+    left = vv >= lv if closed in ("both", "left") else vv > lv
+    right = vv <= hv if closed in ("both", "right") else vv < hv
+    validity = combine_validity(v.validity, lo.validity, hi.validity)
+    return Val(left & right, validity, dt.Boolean(), None, v.domain)
+
+
+def _distinct_flags(ctx, v: Val, kind: str) -> Val:
+    """is_duplicated / is_unique / is_first_distinct / is_last_distinct via one
+    sort by (value) + neighbour compare (reference: polars-ops unique kernels)."""
+    n = v.values.shape[0]
+    key = total_order_key(v.values, v.dtype)
+    invalid = jnp.zeros((n,), jnp.int8) if v.validity is None else (~v.validity).astype(jnp.int8)
+    oob = (~ctx.rowmask).astype(jnp.int8)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    s_oob, s_inv, s_key, perm = jax.lax.sort([oob, invalid, key, iota], num_keys=3, is_stable=True)
+    first_pos = iota == 0
+    same_prev = (~first_pos) & (s_key == jnp.roll(s_key, 1)) & (s_inv == jnp.roll(s_inv, 1)) & (s_oob == 0) & (jnp.roll(s_oob, 1) == 0)
+    same_next = jnp.roll(same_prev, -1) & (iota != n - 1)
+    if kind == "is_first_distinct":
+        flag = ~same_prev
+    elif kind == "is_last_distinct":
+        flag = ~same_next
+    elif kind == "is_duplicated":
+        flag = same_prev | same_next
+    else:  # is_unique
+        flag = ~(same_prev | same_next)
+    out = jnp.zeros((n,), bool).at[perm].set(flag)
+    return Val(out, None, dt.Boolean(), None, ROW)
+
+
+for _kind in ("is_duplicated", "is_unique", "is_first_distinct", "is_last_distinct"):
+    def _mk(kind):
+        @register(kind, BOOL, elementwise=False)
+        def _(ctx, args, opts):
+            return _distinct_flags(ctx, args[0], kind)
+
+    _mk(_kind)
+
+
+@register("unique", SAME, elementwise=False)
+def _unique(ctx, args, opts):
+    raise InvalidOperationError("expression-level unique() changes length; use frame unique()")
+
+
+@register("unique_counts", dt.UInt32(), elementwise=False)
+def _unique_counts(ctx, args, opts):
+    raise InvalidOperationError("unique_counts changes length; use value_counts()")
+
+
+# -- horizontal folds ---------------------------------------------------------------
+
+
+def _horizontal(args: list[Val], fn_pair, identity_validity="and"):
+    out = args[0]
+    for nxt in args[1:]:
+        out = fn_pair(out, nxt)
+    return out
+
+
+@register("all_horizontal", BOOL)
+def _all_h(ctx, args, opts):
+    from polars_tpu.engine.compiler import _kleene
+
+    out = args[0]
+    for nxt in args[1:]:
+        out = _kleene("&", out, nxt, _dom2(out, nxt))
+    return out
+
+
+@register("any_horizontal", BOOL)
+def _any_h(ctx, args, opts):
+    from polars_tpu.engine.compiler import _kleene
+
+    out = args[0]
+    for nxt in args[1:]:
+        out = _kleene("|", out, nxt, _dom2(out, nxt))
+    return out
+
+
+def _dom2(a: Val, b: Val) -> str:
+    from polars_tpu.engine.common import broadcast_pair
+
+    return broadcast_pair(a, b)[2]
+
+
+@register("sum_horizontal", SUPER)
+def _sum_h(ctx, args, opts):
+    from polars_tpu.plan.schema_resolve import supertype
+
+    st = args[0].dtype
+    for a in args[1:]:
+        st = supertype(st, a.dtype)
+    if isinstance(st, dt.Boolean):
+        st = dt.UInt32()
+    acc = None
+    any_row = any(a.domain == ROW for a in args)
+    for a in args:
+        av = cast_val(a, st, strict=False) if a.dtype != st else a
+        x = jnp.where(av.valid_or_true(), av.values, jnp.zeros((), av.values.dtype)) if av.validity is not None else av.values
+        acc = x if acc is None else acc + x
+    return Val(acc, None, st, None, ROW if any_row else args[0].domain)
+
+
+@register("mean_horizontal", FLOAT)
+def _mean_h(ctx, args, opts):
+    cnt = None
+    acc = None
+    for a in args:
+        x = a.values.astype(jnp.float64)
+        valid = a.valid_or_true() if a.validity is not None else jnp.ones(x.shape, bool)
+        x = jnp.where(valid, x, 0.0)
+        c = valid.astype(jnp.float64)
+        acc = x if acc is None else acc + x
+        cnt = c if cnt is None else cnt + c
+    out = acc / jnp.maximum(cnt, 1.0)
+    validity = cnt > 0
+    dom = ROW if any(a.domain == ROW for a in args) else args[0].domain
+    return Val(out, validity, dt.Float64(), None, dom)
+
+
+def _minmax_h(args: list[Val], is_min: bool):
+    from polars_tpu.plan.schema_resolve import supertype
+
+    st = args[0].dtype
+    for a in args[1:]:
+        st = supertype(st, a.dtype)
+    acc_v = None
+    acc_valid = None
+    for a in args:
+        av = cast_val(a, st, strict=False) if a.dtype != st else a
+        valid = av.valid_or_true() if av.validity is not None else jnp.ones(av.values.shape, bool)
+        if acc_v is None:
+            acc_v, acc_valid = av.values, valid
+        else:
+            pick_new = valid & (
+                ~acc_valid | ((av.values < acc_v) if is_min else (av.values > acc_v))
+            )
+            acc_v = jnp.where(pick_new, av.values, acc_v)
+            acc_valid = acc_valid | valid
+    dom = ROW if any(a.domain == ROW for a in args) else args[0].domain
+    validity = None if all(a.validity is None for a in args) else acc_valid
+    return Val(acc_v, validity, st, None, dom)
+
+
+@register("min_horizontal", SUPER)
+def _min_h(ctx, args, opts):
+    return _minmax_h(args, True)
+
+
+@register("max_horizontal", SUPER)
+def _max_h(ctx, args, opts):
+    return _minmax_h(args, False)
+
+
+# -- misc ------------------------------------------------------------------------
+
+
+@register("hash", dt.UInt64())
+def _hash(ctx, args, opts):
+    from polars_tpu.kernels.hashing import hash_column
+
+    v = args[0]
+    h = hash_column(v.values, v.validity, opts.get("seed", 0))
+    return Val(h, None, dt.UInt64(), None, v.domain)
+
+
+@register("replace", SUPER)
+def _replace(ctx, args, opts):
+    v, old, new = args
+    # replace values found in `old` with parallel `new`; others unchanged
+    if v.table is not None:
+        from polars_tpu.engine.strings import map_over_table
+
+        old_list = [x for x in (old.table.values if old.table is not None else [])]
+        new_list = [x for x in (new.table.values if new.table is not None else [])]
+        # old/new series literals keep given order in their column values
+        mapping = _string_literal_mapping(old, new)
+
+        def f(uniq):
+            return np.asarray([mapping.get(u, u) for u in uniq], object)
+
+        return map_over_table(v, f, out_is_string=True)
+    from polars_tpu.plan.schema_resolve import supertype
+
+    st = supertype(v.dtype, new.dtype)
+    out = cast_val(v, st, strict=False) if v.dtype != st else v
+    values = out.values
+    validity = out.valid_or_true() if out.validity is not None else None
+    ov, nv = old.values, cast_val(new, st, strict=False).values
+    m = ov.shape[0]
+    for i in range(m):
+        hit = out.values == ov[i] if old.validity is None else (out.values == ov[i]) & old.validity[i]
+        values = jnp.where(hit, jnp.broadcast_to(nv[i], values.shape), values)
+        if validity is not None:
+            validity = jnp.where(hit, True, validity)
+    return Val(values, None if validity is None else (validity if out.validity is not None else None), st, None, v.domain)
+
+
+def _string_literal_mapping(old: Val, new: Val) -> dict:
+    olds = old.table.take(np.asarray(old.values)) if old.table is not None else np.asarray(old.values)
+    news = new.table.take(np.asarray(new.values)) if new.table is not None else np.asarray(new.values)
+    return dict(zip(olds.tolist(), news.tolist()))
+
+
+@register("replace_strict", lambda dts, opts: opts.get("return_dtype") or SUPER(dts[2:], opts))
+def _replace_strict(ctx, args, opts):
+    v, old, new = args[0], args[1], args[2]
+    default = args[3] if opts.get("has_default") else None
+    if v.table is not None:
+        olds = old.table.take(np.asarray(old.values)).tolist() if old.table is not None else []
+        key_codes = [v.table.find(o) for o in olds]
+    else:
+        key_codes = None
+    nv = new.values
+    out_dt = opts.get("return_dtype") or new.dtype
+    nvv = cast_val(new, out_dt, strict=False).values if new.dtype != out_dt else nv
+    shape = v.values.shape
+    values = jnp.zeros(shape, nvv.dtype)
+    matched = jnp.zeros(shape, bool)
+    m = nvv.shape[0]
+    for i in range(m):
+        if key_codes is not None:
+            hit = v.values == key_codes[i]
+        else:
+            hit = v.values == old.values[i].astype(v.values.dtype)
+        values = jnp.where(hit, jnp.broadcast_to(nvv[i], shape), values)
+        matched = matched | hit
+    if default is not None:
+        dv = cast_val(default, out_dt, strict=False) if default.dtype != out_dt else default
+        values = jnp.where(matched, values, jnp.broadcast_to(dv.values, shape))
+        validity = combine_validity(v.validity, None)
+    else:
+        validity = combine_validity(v.validity, matched)
+    return Val(values, validity, out_dt, None, v.domain)
+
+
+@register("set_sorted", SAME)
+def _set_sorted(ctx, args, opts):
+    return args[0]
+
+
+@register("shrink_dtype", SAME)
+def _shrink_dtype(ctx, args, opts):
+    return args[0]
+
+
+@register("to_physical", lambda dts, opts: _physical_dtype(dts[0]))
+def _to_physical(ctx, args, opts):
+    v = args[0]
+    return Val(v.values, v.validity, _physical_dtype(v.dtype), None, v.domain)
+
+
+def _physical_dtype(d: dt.DataType) -> dt.DataType:
+    name = type(d).__name__
+    lut = {
+        "String": dt.UInt32(), "Categorical": dt.UInt32(), "Enum": dt.UInt32(),
+        "Date": dt.Int32(), "Datetime": dt.Int64(), "Duration": dt.Int64(),
+        "Time": dt.Int64(), "Decimal": dt.Int64(), "Binary": dt.UInt32(),
+    }
+    return lut.get(name, d)
+
+
+@register("int_range", lambda dts, opts: opts.get("dtype", dt.Int64()), elementwise=False)
+def _int_range(ctx, args, opts):
+    raise InvalidOperationError("int_range is materialized by the executor")
+
+
+@register("repeat_value", lambda dts, opts: opts.get("dtype") or dts[0], elementwise=False)
+def _repeat_value(ctx, args, opts):
+    raise InvalidOperationError("repeat is materialized by the executor")
+
+
+@register("date_range", dt.Date(), elementwise=False)
+def _date_range(ctx, args, opts):
+    raise InvalidOperationError("date_range is materialized by the executor")
+
+
+@register("datetime_range", lambda dts, opts: dt.Datetime(opts.get("time_unit", "us")), elementwise=False)
+def _datetime_range(ctx, args, opts):
+    raise InvalidOperationError("datetime_range is materialized by the executor")
+
+
+@register("arg_where", dt.UInt32(), elementwise=False)
+def _arg_where(ctx, args, opts):
+    raise InvalidOperationError("arg_where changes length; handled by the executor")
+
+
+@register("search_sorted", dt.UInt32(), elementwise=False)
+def _search_sorted(ctx, args, opts):
+    v, elem = args
+    idx = jnp.searchsorted(v.values, elem.values)
+    return Val(idx.astype(jnp.uint32), None, dt.UInt32(), None, elem.domain)
+
+
+@register("make_date", dt.Date())
+def _make_date(ctx, args, opts):
+    from polars_tpu.kernels.temporal import days_from_civil
+
+    y, m, d = args
+    days = days_from_civil(y.values, m.values, d.values)
+    validity = combine_validity(y.validity, m.validity, d.validity)
+    dom = ROW if any(a.domain == ROW for a in args) else args[0].domain
+    return Val(days, validity, dt.Date(), None, dom)
+
+
+@register("make_datetime", lambda dts, opts: dt.Datetime(opts.get("time_unit", "us")))
+def _make_datetime(ctx, args, opts):
+    from polars_tpu.kernels.temporal import days_from_civil
+
+    tu = opts.get("time_unit", "us")
+    mult = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[tu]
+    y, mo, d = args[0], args[1], args[2]
+    rest = args[3:]
+    days = days_from_civil(y.values, mo.values, d.values).astype(jnp.int64)
+    out = days * 86_400 * mult
+    scales = [3600 * mult, 60 * mult, mult, mult // 1_000_000 if mult >= 1_000_000 else 0]
+    for i, r in enumerate(rest):
+        if i < 3:
+            out = out + r.values.astype(jnp.int64) * scales[i]
+        else:
+            out = out + (r.values.astype(jnp.int64) * mult) // 1_000_000
+    validity = combine_validity(*[a.validity for a in args])
+    dom = ROW if any(a.domain == ROW for a in args) else args[0].domain
+    return Val(out, validity, dt.Datetime(tu), None, dom)
+
+
+@register("make_duration", lambda dts, opts: dt.Duration(opts.get("time_unit", "us")))
+def _make_duration(ctx, args, opts):
+    tu = opts.get("time_unit", "us")
+    mult = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[tu]
+    per = {
+        "weeks": 604_800 * mult, "days": 86_400 * mult, "hours": 3_600 * mult,
+        "minutes": 60 * mult, "seconds": mult,
+        "milliseconds": mult // 1_000 if mult >= 1_000 else 0,
+        "microseconds": mult // 1_000_000 if mult >= 1_000_000 else 0,
+        "nanoseconds": mult // 1_000_000_000 if mult >= 1_000_000_000 else 0,
+    }
+    units = opts["units"]
+    out = None
+    for u, a in zip(units, args):
+        term = a.values.astype(jnp.int64) * per[u]
+        out = term if out is None else out + term
+    validity = combine_validity(*[a.validity for a in args])
+    dom = ROW if any(a.domain == ROW for a in args) else (args[0].domain if args else SCALAR)
+    return Val(out, validity, dt.Duration(tu), None, dom)
+
+
+@register("pack_pair", SAME)
+def _pack_pair(ctx, args, opts):
+    raise InvalidOperationError("corr/cov are evaluated by the aggregation engine")
+
+
+@register("concat_str", dt.String())
+def _concat_str(ctx, args, opts):
+    raise InvalidOperationError("concat_str is a host op (hoisted by the executor)")
+
+
+@register("as_struct", lambda dts, opts: dt.Struct(), elementwise=True)
+def _as_struct(ctx, args, opts):
+    raise InvalidOperationError("struct dtype pending nested layout")
+
+
+@register("gather_every", SAME, elementwise=False)
+def _gather_every(ctx, args, opts):
+    raise InvalidOperationError("gather_every changes length; handled by the executor")
+
+
+@register("repeat_by", SAME, elementwise=False)
+def _repeat_by(ctx, args, opts):
+    raise InvalidOperationError("repeat_by produces lists; pending nested layout")
+
+
+@register("explode", SAME, elementwise=False)
+def _explode(ctx, args, opts):
+    raise InvalidOperationError("explode is handled by the frame-level explode node")
+
+
+@register("append", SAME, elementwise=False)
+def _append(ctx, args, opts):
+    raise InvalidOperationError("expression append changes length; use concat")
+
+
+@register("extend_constant", SAME, elementwise=False)
+def _extend_constant(ctx, args, opts):
+    raise InvalidOperationError("extend_constant changes length; handled by the executor")

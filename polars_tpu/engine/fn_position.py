@@ -1,0 +1,564 @@
+"""Position-dependent ops: shift, diff, cumulative, rolling, rank, fills.
+
+Reference kernels: polars-ops/src/series/ops/{cum_agg,diff,pct_change,rank}.rs,
+polars-compute/src/rolling/. All implementations are segment-aware: in window
+(`over()`) context they respect group boundaries by operating on rows sorted by
+(gid, original position) and masking cross-group leakage.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from polars_tpu import datatypes as dt
+from polars_tpu.engine.common import GROUP, ROW, Val, combine_validity
+from polars_tpu.engine.registry import BOOL, FLOAT, SAME, register
+from polars_tpu.errors import InvalidOperationError
+from polars_tpu.kernels.rowencode import total_order_key
+
+
+def _group_order(ctx):
+    """(sort_to_row perm, gid_sorted) when in window context, else None."""
+    g = ctx.groups
+    if g is None:
+        return None
+    n = g.gids.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    oob = (~ctx.rowmask).astype(jnp.int8)
+    _, gs, perm = jax.lax.sort([oob, g.gids, iota], num_keys=2, is_stable=True)
+    return perm, gs
+
+
+def _row_domain(ctx, v: Val) -> Val:
+    if v.domain != ROW:
+        raise InvalidOperationError("positional ops need a row-domain input")
+    return v
+
+
+def _apply_in_group_order(ctx, v: Val, fn):
+    """Run fn(values, validity, seg_ids) over rows arranged in group order.
+
+    Outside window context, all rows form one segment in original order.
+    """
+    n = v.values.shape[0]
+    order = _group_order(ctx)
+    if order is None:
+        seg = jnp.zeros((n,), jnp.int32)
+        out_vals, out_valid = fn(v.values, v.validity, seg, ctx.rowmask)
+        return v.with_(values=out_vals, validity=out_valid)
+    perm, gs = order
+    vals = v.values[perm]
+    valid = None if v.validity is None else v.validity[perm]
+    mask = ctx.rowmask[perm]
+    out_vals, out_valid = fn(vals, valid, gs, mask)
+    inv_vals = jnp.zeros_like(out_vals).at[perm].set(out_vals)
+    inv_valid = None
+    if out_valid is not None:
+        inv_valid = jnp.zeros(out_valid.shape, bool).at[perm].set(out_valid)
+    return Val(inv_vals, inv_valid, v.dtype, v.table, ROW)
+
+
+def _seg_boundary(seg: jax.Array) -> jax.Array:
+    n = seg.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    return (iota == 0) | (seg != jnp.roll(seg, 1))
+
+
+@register("shift", SAME, elementwise=False)
+def _shift(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    n_sh = opts.get("n", 1)
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        shifted = jnp.roll(vals, n_sh)
+        valid_arr = jnp.ones((n,), bool) if valid is None else valid
+        sh_valid = jnp.roll(valid_arr, n_sh)
+        seg_src = jnp.roll(seg, n_sh)
+        in_bounds = (iota >= n_sh) if n_sh >= 0 else (iota < n + n_sh)
+        ok = in_bounds & (seg_src == seg)
+        return jnp.where(ok, shifted, jnp.zeros((), vals.dtype)), ok & sh_valid
+
+    return _apply_in_group_order(ctx, v, fn)
+
+
+@register("shift_fill", SAME, elementwise=False)
+def _shift_fill(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    fill = args[1]
+    n_sh = opts.get("n", 1)
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        shifted = jnp.roll(vals, n_sh)
+        valid_arr = jnp.ones((n,), bool) if valid is None else valid
+        sh_valid = jnp.roll(valid_arr, n_sh)
+        seg_src = jnp.roll(seg, n_sh)
+        in_bounds = (iota >= n_sh) if n_sh >= 0 else (iota < n + n_sh)
+        ok = in_bounds & (seg_src == seg)
+        fv = jnp.broadcast_to(fill.values.astype(vals.dtype), vals.shape)
+        out = jnp.where(ok, shifted, fv)
+        out_valid = jnp.where(ok, sh_valid, True)
+        return out, out_valid if valid is not None else None
+
+    return _apply_in_group_order(ctx, v, fn)
+
+
+@register("diff", SAME, elementwise=False)
+def _diff(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    n_sh = opts.get("n", 1)
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        prev = jnp.roll(vals, n_sh)
+        valid_arr = jnp.ones((n,), bool) if valid is None else valid
+        prev_valid = jnp.roll(valid_arr, n_sh)
+        seg_src = jnp.roll(seg, n_sh)
+        in_bounds = (iota >= n_sh) if n_sh >= 0 else (iota < n + n_sh)
+        ok = in_bounds & (seg_src == seg) & prev_valid & valid_arr
+        return jnp.where(ok, vals - prev, jnp.zeros((), vals.dtype)), ok
+
+    return _apply_in_group_order(ctx, v, fn)
+
+
+@register("pct_change", FLOAT, elementwise=False)
+def _pct_change(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    n_sh = opts.get("n", 1)
+    acc = jnp.float32 if isinstance(v.dtype, dt.Float32) else jnp.float64
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        x = vals.astype(acc)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        prev = jnp.roll(x, n_sh)
+        valid_arr = jnp.ones((n,), bool) if valid is None else valid
+        prev_valid = jnp.roll(valid_arr, n_sh)
+        seg_src = jnp.roll(seg, n_sh)
+        ok = (iota >= n_sh) & (seg_src == seg) & prev_valid & valid_arr & (prev != 0)
+        return jnp.where(ok, x / prev - 1.0, 0.0), ok
+
+    out = _apply_in_group_order(ctx, v, fn)
+    return out.with_(dtype=dt.Float32() if acc == jnp.float32 else dt.Float64())
+
+
+def _cum(kind: str, dtype_rule):
+    @register(f"cum_{kind}", dtype_rule, elementwise=False)
+    def _(ctx, args, opts):
+        v = _row_domain(ctx, args[0])
+        reverse = opts.get("reverse", False)
+        out_dt_pre = dtype_rule([v.dtype], opts) if callable(dtype_rule) else dtype_rule
+        if kind in ("sum", "prod") and out_dt_pre != v.dtype:
+            # accumulate in the widened dtype to avoid overflow
+            v = v.with_(
+                values=v.values.astype(jnp.dtype(dt.dtype_to_numpy(out_dt_pre))),
+                dtype=out_dt_pre,
+            )
+
+        def fn(vals, valid, seg, mask):
+            n = vals.shape[0]
+            valid_arr = mask if valid is None else (valid & mask)
+            if kind == "count":
+                x = valid_arr.astype(jnp.uint32)
+            else:
+                ident = {
+                    "sum": jnp.zeros((), vals.dtype),
+                    "prod": jnp.ones((), vals.dtype),
+                    "min": _pos_inf(vals.dtype),
+                    "max": _neg_inf(vals.dtype),
+                }[kind]
+                x = jnp.where(valid_arr, vals, ident)
+            if reverse:
+                x = x[::-1]
+                seg_ = seg[::-1]
+            else:
+                seg_ = seg
+            scan_kind = "sum" if kind == "count" else kind
+            out = _segmented_scan(x, seg_, scan_kind)
+            if reverse:
+                out = out[::-1]
+            if kind == "count":
+                return out, None
+            return jnp.where(valid_arr, out, jnp.zeros((), vals.dtype)), (
+                None if valid is None else valid
+            )
+
+        out_dt = dtype_rule([v.dtype], opts) if callable(dtype_rule) else dtype_rule
+        res = _apply_in_group_order(ctx, v, fn)
+        if kind == "count":
+            res = Val(res.values, res.validity, out_dt, None, res.domain)
+        elif out_dt != v.dtype:
+            res = Val(
+                res.values.astype(jnp.dtype(dt.dtype_to_numpy(out_dt))),
+                res.validity, out_dt, None, res.domain,
+            )
+        return res
+
+
+def _pos_inf(dtype):
+    if jnp.dtype(dtype).kind == "f":
+        return jnp.asarray(jnp.inf, dtype)
+    return jnp.asarray(jnp.iinfo(dtype).max, dtype)
+
+
+def _neg_inf(dtype):
+    if jnp.dtype(dtype).kind == "f":
+        return jnp.asarray(-jnp.inf, dtype)
+    return jnp.asarray(jnp.iinfo(dtype).min, dtype)
+
+
+def _seg_start_gather(carry: jax.Array, seg: jax.Array) -> jax.Array:
+    """Value of ``carry`` at each row's segment start."""
+    n = carry.shape[0]
+    boundary = _seg_boundary(seg)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    start_idx = jnp.maximum.accumulate if False else None
+    starts = jnp.where(boundary, iota, 0)
+    start_of_row = jax.lax.associative_scan(jnp.maximum, starts)
+    return carry[start_of_row]
+
+
+def _segmented_scan(x: jax.Array, seg: jax.Array, kind: str) -> jax.Array:
+    """Segmented inclusive scan via associative_scan over (value, boundary)."""
+    boundary = _seg_boundary(seg)
+
+    op = {
+        "sum": lambda a, b: a + b,
+        "prod": lambda a, b: a * b,
+        "min": jnp.minimum,
+        "max": jnp.maximum,
+    }[kind]
+
+    def combine(a, b):
+        av, ab = a
+        bv, bb = b
+        return (jnp.where(bb, bv, op(av, bv)), ab | bb)
+
+    out, _ = jax.lax.associative_scan(combine, (x, boundary))
+    return out
+
+
+def _cum_dtype_sum(dts, opts):
+    d = dts[0]
+    if isinstance(d, dt.Boolean):
+        return dt.UInt32()
+    if type(d).__name__ in ("Int8", "Int16", "UInt8", "UInt16"):
+        return dt.Int64()
+    return d
+
+
+_cum("sum", _cum_dtype_sum)
+_cum("prod", lambda dts, opts: dt.Int64() if dts[0].is_integer() else dts[0])
+_cum("min", SAME)
+_cum("max", SAME)
+_cum("count", lambda dts, opts: dt.UInt32())
+
+
+@register("reverse", SAME, elementwise=False)
+def _reverse(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        boundary = _seg_boundary(seg)
+        starts = jnp.where(boundary, iota, 0)
+        seg_start = jax.lax.associative_scan(jnp.maximum, starts)
+        # segment end = start of next segment - 1 (for last segment: count of in-mask rows)
+        seg_len = jnp.zeros((n,), jnp.int32).at[seg_start].add(jnp.ones((n,), jnp.int32))
+        seg_end = seg_start + seg_len[seg_start] - 1
+        target = seg_end - (iota - seg_start)
+        out = vals[target]
+        out_valid = None if valid is None else valid[target]
+        return out, out_valid
+
+    return _apply_in_group_order(ctx, v, fn)
+
+
+@register("forward_fill", SAME, elementwise=False)
+def _forward_fill(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    if v.validity is None:
+        return v
+
+    def fn(vals, valid, seg, mask):
+        if valid is None:
+            return vals, None
+        n = vals.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        boundary = _seg_boundary(seg)
+        # last valid index at or before each row, within segment
+        cand = jnp.where(valid, iota, -1)
+        cand = jnp.where(boundary, jnp.where(valid, iota, -1), cand)
+
+        def combine(a, b):
+            av, ab = a
+            bv, bb = b
+            return (jnp.where(bb, bv, jnp.maximum(av, bv)), ab | bb)
+
+        src, _ = jax.lax.associative_scan(combine, (cand, boundary))
+        ok = src >= 0
+        out = vals[jnp.maximum(src, 0)]
+        return jnp.where(ok, out, jnp.zeros((), vals.dtype)), ok
+
+    return _apply_in_group_order(ctx, v, fn)
+
+
+@register("backward_fill", SAME, elementwise=False)
+def _backward_fill(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    if v.validity is None:
+        return v
+
+    def fn(vals, valid, seg, mask):
+        if valid is None:
+            return vals, None
+        rvals = vals[::-1]
+        rvalid = valid[::-1]
+        rseg = seg[::-1]
+        n = vals.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        boundary = _seg_boundary(rseg)
+        cand = jnp.where(rvalid, iota, -1)
+
+        def combine(a, b):
+            av, ab = a
+            bv, bb = b
+            return (jnp.where(bb, bv, jnp.maximum(av, bv)), ab | bb)
+
+        src, _ = jax.lax.associative_scan(combine, (cand, boundary))
+        ok = src >= 0
+        out = rvals[jnp.maximum(src, 0)]
+        return jnp.where(ok, out, jnp.zeros((), vals.dtype))[::-1], ok[::-1]
+
+    return _apply_in_group_order(ctx, v, fn)
+
+
+@register("interpolate", SAME, elementwise=False)
+def _interpolate(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    if v.validity is None:
+        return v
+    if not v.dtype.is_numeric():
+        return v
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        x = vals.astype(jnp.float64)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        boundary = _seg_boundary(seg)
+
+        def combine(a, b):
+            av, ab = a
+            bv, bb = b
+            return (jnp.where(bb, bv, jnp.maximum(av, bv)), ab | bb)
+
+        prev_i, _ = jax.lax.associative_scan(combine, (jnp.where(valid, iota, -1), boundary))
+        rboundary = _seg_boundary(seg[::-1])
+        next_rev, _ = jax.lax.associative_scan(
+            combine, (jnp.where(valid[::-1], iota, -1), rboundary)
+        )
+        next_i = jnp.where(next_rev[::-1] >= 0, n - 1 - next_rev[::-1], -1)
+        has_prev = prev_i >= 0
+        has_next = next_i >= 0
+        p = jnp.maximum(prev_i, 0)
+        q = jnp.maximum(next_i, 0)
+        frac = jnp.where(q > p, (iota - p) / jnp.maximum(q - p, 1), 0.0)
+        interp = x[p] + (x[q] - x[p]) * frac
+        out = jnp.where(valid, x, interp)
+        ok = valid | (has_prev & has_next)
+        return out.astype(vals.dtype) if vals.dtype.kind == "f" else out, ok
+
+    out = _apply_in_group_order(ctx, v, fn)
+    if v.dtype.is_integer():
+        return out.with_(dtype=v.dtype)
+    return out
+
+
+@register("rank", lambda dts, opts: dt.Float64() if opts.get("method", "average") == "average" else dt.UInt32(), elementwise=False)
+def _rank(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    method = opts.get("method", "average")
+    descending = opts.get("descending", False)
+    if ctx.groups is not None:
+        raise InvalidOperationError("rank().over() pending segmented rank")
+    n = v.values.shape[0]
+    key = total_order_key(v.values, v.dtype)
+    if descending:
+        key = ~key
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    oob = ~ctx.rowmask | (jnp.zeros((n,), bool) if v.validity is None else ~v.validity)
+    s_oob, s_key, perm = jax.lax.sort([oob.astype(jnp.int8), key, iota], num_keys=2, is_stable=True)
+    pos = iota + 1  # 1-based rank in sorted order
+    first_pos = iota == 0
+    newval = first_pos | (s_key != jnp.roll(s_key, 1)) | (jnp.roll(s_oob, 1) != s_oob)
+    # ordinal rank
+    if method == "ordinal":
+        rank_sorted = pos.astype(jnp.float64)
+    else:
+        run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(newval, pos, 0))
+        if method == "min":
+            rank_sorted = run_start.astype(jnp.float64)
+        else:
+            run_len = jnp.zeros((n,), jnp.int32).at[run_start - 1].add(1)
+            run_end = run_start + run_len[run_start - 1] - 1
+            if method == "max":
+                rank_sorted = run_end.astype(jnp.float64)
+            elif method == "dense":
+                dense = jnp.cumsum(newval.astype(jnp.int32))
+                rank_sorted = dense.astype(jnp.float64)
+            else:  # average
+                rank_sorted = (run_start + run_end).astype(jnp.float64) / 2.0
+    out = jnp.zeros((n,), jnp.float64).at[perm].set(rank_sorted)
+    validity = v.validity
+    if method == "average":
+        return Val(out, validity, dt.Float64(), None, ROW)
+    return Val(out.astype(jnp.uint32), validity, dt.UInt32(), None, ROW)
+
+
+@register("arg_sort", dt.UInt32(), elementwise=False)
+def _arg_sort(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    descending = opts.get("descending", False)
+    nulls_last = opts.get("nulls_last", False)
+    n = v.values.shape[0]
+    key = total_order_key(v.values, v.dtype)
+    if descending:
+        key = ~key
+    if v.validity is None:
+        null_rank = jnp.ones((n,), jnp.int8)
+    else:
+        null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
+    null_rank = jnp.where(ctx.rowmask, null_rank, jnp.int8(3))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    _, _, perm = jax.lax.sort([null_rank, key, iota], num_keys=2, is_stable=True)
+    return Val(perm.astype(jnp.uint32), None, dt.UInt32(), None, ROW)
+
+
+def _rolling(kind: str, dtype_rule):
+    @register(f"rolling_{kind}", dtype_rule, elementwise=False)
+    def _(ctx, args, opts):
+        v = _row_domain(ctx, args[0])
+        w = opts["window_size"]
+        min_samples = opts.get("min_samples") or w
+        center = opts.get("center", False)
+        if ctx.groups is not None:
+            raise InvalidOperationError("rolling over groups pending")
+        acc_t = jnp.float32 if isinstance(v.dtype, dt.Float32) else jnp.float64
+        n = v.values.shape[0]
+        valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
+        x = jnp.where(valid, v.values.astype(acc_t), 0.0)
+        offs = (w - 1) // 2 if center else 0
+
+        def window_stack():
+            cols = []
+            for i in range(w):
+                sh = i - (w - 1) + offs
+                cols.append((jnp.roll(x, -sh), jnp.roll(valid, -sh) & _inb(n, -sh)))
+            return cols
+
+        cols = window_stack()
+        vs = jnp.stack([c[0] for c in cols])
+        ms = jnp.stack([c[1] for c in cols])
+        cnt = jnp.sum(ms, axis=0)
+        if kind == "sum":
+            out = jnp.sum(jnp.where(ms, vs, 0.0), axis=0)
+        elif kind == "mean":
+            out = jnp.sum(jnp.where(ms, vs, 0.0), axis=0) / jnp.maximum(cnt, 1)
+        elif kind == "min":
+            out = jnp.min(jnp.where(ms, vs, jnp.inf), axis=0)
+        elif kind == "max":
+            out = jnp.max(jnp.where(ms, vs, -jnp.inf), axis=0)
+        elif kind in ("std", "var"):
+            ddof = opts.get("ddof", 1)
+            s = jnp.sum(jnp.where(ms, vs, 0.0), axis=0)
+            mean = s / jnp.maximum(cnt, 1)
+            d2 = jnp.sum(jnp.where(ms, (vs - mean) ** 2, 0.0), axis=0)
+            out = d2 / jnp.maximum(cnt - ddof, 1)
+            if kind == "std":
+                out = jnp.sqrt(out)
+        ok = cnt >= min_samples
+        if kind in ("sum",) and v.dtype.is_integer():
+            return Val(out.astype(v.values.dtype), ok, v.dtype, None, ROW)
+        if kind in ("min", "max") and not v.dtype.is_float():
+            return Val(out.astype(v.values.dtype), ok, v.dtype, None, ROW)
+        out_dt = dt.Float32() if acc_t == jnp.float32 else dt.Float64()
+        return Val(out, ok, out_dt, None, ROW)
+
+
+def _inb(n: int, shift: int) -> jax.Array:
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    if shift <= 0:
+        return iota >= -shift
+    return iota < n - shift
+
+
+_rolling("sum", SAME)
+_rolling("mean", FLOAT)
+_rolling("min", SAME)
+_rolling("max", SAME)
+_rolling("std", FLOAT)
+_rolling("var", FLOAT)
+
+
+@register("ewm_mean", FLOAT, elementwise=False)
+def _ewm_mean(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+    if ctx.groups is not None:
+        raise InvalidOperationError("ewm over groups pending")
+    com, span, half_life, alpha = (
+        opts.get("com"), opts.get("span"), opts.get("half_life"), opts.get("alpha"),
+    )
+    if alpha is None:
+        if com is not None:
+            alpha = 1.0 / (1.0 + com)
+        elif span is not None:
+            alpha = 2.0 / (span + 1.0)
+        elif half_life is not None:
+            alpha = 1.0 - 2.0 ** (-1.0 / half_life)
+        else:
+            raise InvalidOperationError("ewm_mean requires com/span/half_life/alpha")
+    adjust = opts.get("adjust", True)
+    x = v.values.astype(jnp.float64)
+    valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
+    a = jnp.float64(alpha)
+
+    if adjust:
+        # y_t = sum_{i<=t} (1-a)^(t-i) x_i / sum (1-a)^(t-i) over valid
+        def combine(c1, c2):
+            num1, den1 = c1
+            num2, den2 = c2
+            # c2 applied after c1: decay c1 by c2's step count — track (num, den, decay)
+            return (num1 * den2 + num2, den1 * den2)
+
+        decay = jnp.where(valid, 1.0 - a, 1.0)
+        xi = jnp.where(valid, x, 0.0)
+
+        def comb(c1, c2):
+            n1, w1 = c1
+            n2, w2 = c2
+            return (n1 * w2 + n2, w1 * w2)
+
+        num, _ = jax.lax.associative_scan(comb, (xi, decay))
+        wsum, _ = jax.lax.associative_scan(comb, (valid.astype(jnp.float64), decay))
+        out = num / jnp.maximum(wsum, 1e-300)
+        ok = wsum > 0
+    else:
+        def comb(c1, c2):
+            y1, f1 = c1
+            y2, f2 = c2
+            return (y1 * f2 + y2, f1 * f2)
+
+        contrib = jnp.where(valid, a * x, 0.0)
+        factor = jnp.where(valid, 1.0 - a, 1.0)
+        y, _ = jax.lax.associative_scan(comb, (contrib, factor))
+        # first valid value seeds with full weight: correct by renormalizing
+        wsum, _ = jax.lax.associative_scan(comb, (jnp.where(valid, a, 0.0), factor))
+        out = y / jnp.maximum(wsum, 1e-300)
+        ok = wsum > 0
+    return Val(out, ok & valid if v.validity is not None else ok, dt.Float64(), None, ROW)

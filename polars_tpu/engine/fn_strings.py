@@ -1,0 +1,356 @@
+"""String ops over dictionary-coded columns.
+
+The TPU string strategy (north star): device arrays hold int32 codes; every
+string op runs ONCE per unique value on the host at trace time (the dictionary
+is static metadata), producing constant LUTs gathered on device. Reference
+semantics: polars-ops/src/chunked_array/strings/.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.engine.common import Val, combine_validity
+from polars_tpu.engine.registry import BOOL, SAME, register
+from polars_tpu.engine.strings import map_over_table
+from polars_tpu.errors import InvalidOperationError
+
+
+def _require_str(v: Val) -> Val:
+    if v.table is None:
+        raise InvalidOperationError("expected a String column")
+    return v
+
+
+def _lut_op(v: Val, fn, out_dtype: dt.DataType, *, with_validity: bool = False) -> Val:
+    """Host fn over uniques -> non-string output via LUT gather."""
+    uniques = v.table.values
+    n = max(len(uniques), 1)
+    if with_validity:
+        outs = np.zeros(n, dt.dtype_to_numpy(out_dtype))
+        ok = np.ones(n, bool)
+        for i, u in enumerate(uniques):
+            r = fn(u)
+            if r is None:
+                ok[i] = False
+            else:
+                outs[i] = r
+        codes = jnp.clip(v.values, 0, n - 1)
+        out = jnp.asarray(outs)[codes]
+        okv = jnp.asarray(ok)[codes]
+        return Val(out, combine_validity(v.validity, okv), out_dtype, None, v.domain)
+    outs = np.asarray([fn(u) for u in uniques] or [0], dt.dtype_to_numpy(out_dtype))
+    codes = jnp.clip(v.values, 0, n - 1)
+    return Val(jnp.asarray(outs)[codes], v.validity, out_dtype, None, v.domain)
+
+
+def _str_map(v: Val, fn) -> Val:
+    """Host fn over uniques -> string output (remapped table)."""
+    return map_over_table(v, lambda u: np.asarray([fn(x) for x in u] or [""], object), out_is_string=True)
+
+
+@register("str.contains", BOOL)
+def _contains(ctx, args, opts):
+    v = _require_str(args[0])
+    pat, literal = opts["pattern"], opts.get("literal", False)
+    if literal:
+        return _lut_op(v, lambda s: pat in s, dt.Boolean())
+    rx = re.compile(pat)
+    return _lut_op(v, lambda s: rx.search(s) is not None, dt.Boolean())
+
+
+@register("str.contains_any", BOOL)
+def _contains_any(ctx, args, opts):
+    v = _require_str(args[0])
+    pats = opts["patterns"]
+    if opts.get("ascii_case_insensitive"):
+        pats = [p.lower() for p in pats]
+        return _lut_op(v, lambda s: any(p in s.lower() for p in pats), dt.Boolean())
+    return _lut_op(v, lambda s: any(p in s for p in pats), dt.Boolean())
+
+
+@register("str.starts_with", BOOL)
+def _starts_with(ctx, args, opts):
+    v = _require_str(args[0])
+    p = opts["prefix"]
+    return _lut_op(v, lambda s: s.startswith(p), dt.Boolean())
+
+
+@register("str.ends_with", BOOL)
+def _ends_with(ctx, args, opts):
+    v = _require_str(args[0])
+    p = opts["suffix"]
+    return _lut_op(v, lambda s: s.endswith(p), dt.Boolean())
+
+
+@register("str.len_chars", dt.UInt32())
+def _len_chars(ctx, args, opts):
+    return _lut_op(_require_str(args[0]), lambda s: len(s), dt.UInt32())
+
+
+@register("str.len_bytes", dt.UInt32())
+def _len_bytes(ctx, args, opts):
+    return _lut_op(_require_str(args[0]), lambda s: len(s.encode()), dt.UInt32())
+
+
+@register("str.count_matches", dt.UInt32())
+def _count_matches(ctx, args, opts):
+    v = _require_str(args[0])
+    pat, literal = opts["pattern"], opts.get("literal", False)
+    if literal:
+        return _lut_op(v, lambda s: s.count(pat), dt.UInt32())
+    rx = re.compile(pat)
+    return _lut_op(v, lambda s: len(rx.findall(s)), dt.UInt32())
+
+
+@register("str.find", dt.UInt32())
+def _find(ctx, args, opts):
+    v = _require_str(args[0])
+    pat, literal = opts["pattern"], opts.get("literal", False)
+    if literal:
+        return _lut_op(v, lambda s: (s.find(pat) if s.find(pat) >= 0 else None), dt.UInt32(), with_validity=True)
+    rx = re.compile(pat)
+
+    def f(s):
+        m = rx.search(s)
+        return m.start() if m else None
+
+    return _lut_op(v, f, dt.UInt32(), with_validity=True)
+
+
+for _name, _f in [
+    ("to_lowercase", lambda s, o: s.lower()),
+    ("to_uppercase", lambda s, o: s.upper()),
+    ("to_titlecase", lambda s, o: s.title()),
+    ("reverse", lambda s, o: s[::-1]),
+    ("strip_chars", lambda s, o: s.strip(o.get("characters"))),
+    ("strip_chars_start", lambda s, o: s.lstrip(o.get("characters"))),
+    ("strip_chars_end", lambda s, o: s.rstrip(o.get("characters"))),
+    ("strip_prefix", lambda s, o: s[len(o["prefix"]):] if s.startswith(o["prefix"]) else s),
+    ("strip_suffix", lambda s, o: s[: -len(o["suffix"])] if s.endswith(o["suffix"]) else s),
+    ("pad_start", lambda s, o: s.rjust(o["length"], o.get("fill_char", " "))),
+    ("pad_end", lambda s, o: s.ljust(o["length"], o.get("fill_char", " "))),
+    ("zfill", lambda s, o: s.zfill(o["length"])),
+]:
+    def _mk(name, f):
+        @register(f"str.{name}", dt.String())
+        def _(ctx, args, opts):
+            v = _require_str(args[0])
+            return _str_map(v, lambda s: f(s, opts))
+
+    _mk(_name, _f)
+
+
+@register("str.slice", dt.String())
+def _slice(ctx, args, opts):
+    v = _require_str(args[0])
+    off, length = opts.get("offset", 0), opts.get("length")
+
+    def f(s):
+        if length is None:
+            return s[off:]
+        if off < 0:
+            end = len(s) + off + length
+            return s[off:end if end < 0 else None] if end != 0 else s[off:]
+        return s[off : off + length]
+
+    return _str_map(v, f)
+
+
+@register("str.tail", dt.String())
+def _tail(ctx, args, opts):
+    v = _require_str(args[0])
+    n = opts["n"]
+    return _str_map(v, lambda s: s[-n:] if n else "")
+
+
+@register("str.replace", dt.String())
+def _replace(ctx, args, opts):
+    v = _require_str(args[0])
+    pat, val, literal, n = opts["pattern"], opts["value"], opts.get("literal", False), opts.get("n", 1)
+    count = 0 if n < 0 else n
+    if literal:
+        return _str_map(v, lambda s: s.replace(pat, val, -1 if n < 0 else n))
+    rx = re.compile(pat)
+    repl = re.sub(r"\$(\d+)", r"\\\1", val)  # polars uses $1 group refs
+    return _str_map(v, lambda s: rx.sub(repl, s, count=count))
+
+
+@register("str.extract", dt.String())
+def _extract(ctx, args, opts):
+    v = _require_str(args[0])
+    rx = re.compile(opts["pattern"])
+    gi = opts.get("group_index", 1)
+    uniques = v.table.values
+    n = max(len(uniques), 1)
+    outs = np.empty(n, object)
+    ok = np.ones(n, bool)
+    for i, u in enumerate(uniques):
+        m = rx.search(u)
+        if m is None or (gi > 0 and m.group(gi) is None):
+            ok[i] = False
+            outs[i] = ""
+        else:
+            outs[i] = m.group(gi)
+    mapped = map_over_table(v, lambda u: outs[: len(u)] if len(u) else np.asarray([""], object), out_is_string=True)
+    codes = jnp.clip(v.values, 0, n - 1)
+    okv = jnp.asarray(ok)[codes]
+    return mapped.with_(validity=combine_validity(v.validity, okv))
+
+
+@register("str.to_integer", lambda dts, opts: dt.Int64())
+def _to_integer(ctx, args, opts):
+    v = _require_str(args[0])
+    base = opts.get("base", 10)
+
+    def f(s):
+        try:
+            return int(str(s).strip(), base)
+        except ValueError:
+            return None
+
+    return _lut_op(v, f, dt.Int64(), with_validity=True)
+
+
+@register("str.to_date", dt.Date())
+def _to_date(ctx, args, opts):
+    v = _require_str(args[0])
+    fmt = opts.get("format")
+
+    def f(s):
+        try:
+            if fmt is None:
+                return int(np.datetime64(str(s), "D").astype(np.int64))
+            import datetime as _dt
+
+            return (_dt.datetime.strptime(str(s), fmt).date() - _dt.date(1970, 1, 1)).days
+        except (ValueError, TypeError):
+            return None
+
+    return _lut_op(v, f, dt.Date(), with_validity=True)
+
+
+@register("str.to_datetime", lambda dts, opts: dt.Datetime(opts.get("time_unit", "us")))
+def _to_datetime(ctx, args, opts):
+    v = _require_str(args[0])
+    fmt = opts.get("format")
+    tu = opts.get("time_unit", "us")
+    mult = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[tu]
+
+    def f(s):
+        try:
+            if fmt is None:
+                return int(np.datetime64(str(s), tu).astype(np.int64))
+            import datetime as _dt
+
+            d = _dt.datetime.strptime(str(s), fmt).replace(tzinfo=_dt.timezone.utc)
+            return int(d.timestamp() * mult)
+        except (ValueError, TypeError):
+            return None
+
+    out = _lut_op(v, f, dt.Datetime(tu), with_validity=True)
+    return out
+
+
+@register("str.to_time", dt.Time())
+def _to_time(ctx, args, opts):
+    v = _require_str(args[0])
+    fmt = opts.get("format") or "%H:%M:%S"
+
+    def f(s):
+        try:
+            import datetime as _dt
+
+            t = _dt.datetime.strptime(str(s), fmt).time()
+            return (
+                t.hour * 3_600_000_000_000
+                + t.minute * 60_000_000_000
+                + t.second * 1_000_000_000
+                + t.microsecond * 1000
+            )
+        except (ValueError, TypeError):
+            return None
+
+    return _lut_op(v, f, dt.Time(), with_validity=True)
+
+
+@register("str.json_path_match", dt.String())
+def _json_path_match(ctx, args, opts):
+    v = _require_str(args[0])
+    path = opts["json_path"]
+    if not path.startswith("$."):
+        raise InvalidOperationError("only simple $.field json paths supported")
+    field = path[2:]
+    import json
+
+    uniques = v.table.values
+    n = max(len(uniques), 1)
+    ok = np.ones(n, bool)
+
+    def f(s):
+        try:
+            obj = json.loads(s)
+            val = obj
+            for part in field.split("."):
+                val = val[part]
+            return str(val)
+        except Exception:
+            return None
+
+    outs = np.empty(n, object)
+    for i, u in enumerate(uniques):
+        r = f(u)
+        if r is None:
+            ok[i] = False
+            outs[i] = ""
+        else:
+            outs[i] = r
+    mapped = map_over_table(v, lambda u: outs[: len(u)] if len(u) else np.asarray([""], object), out_is_string=True)
+    codes = jnp.clip(v.values, 0, n - 1)
+    okv = jnp.asarray(ok)[codes]
+    return mapped.with_(validity=combine_validity(v.validity, okv))
+
+
+@register("str.encode", dt.String())
+def _encode(ctx, args, opts):
+    v = _require_str(args[0])
+    enc = opts["encoding"]
+    if enc == "base64":
+        import base64
+
+        return _str_map(v, lambda s: base64.b64encode(s.encode()).decode())
+    if enc == "hex":
+        return _str_map(v, lambda s: s.encode().hex())
+    raise InvalidOperationError(f"unknown encoding {enc!r}")
+
+
+@register("str.decode", dt.String())
+def _decode(ctx, args, opts):
+    v = _require_str(args[0])
+    enc = opts["encoding"]
+    if enc == "base64":
+        import base64
+
+        return _str_map(v, lambda s: base64.b64decode(s).decode())
+    if enc == "hex":
+        return _str_map(v, lambda s: bytes.fromhex(s).decode())
+    raise InvalidOperationError(f"unknown encoding {enc!r}")
+
+
+@register("str.split", SAME, elementwise=False)
+def _split(ctx, args, opts):
+    raise InvalidOperationError("str.split produces List dtype; pending nested layout")
+
+
+@register("str.extract_all", SAME, elementwise=False)
+def _extract_all(ctx, args, opts):
+    raise InvalidOperationError("str.extract_all produces List dtype; pending nested layout")
+
+
+@register("cat.get_categories", dt.String(), elementwise=False)
+def _get_categories(ctx, args, opts):
+    raise InvalidOperationError("cat.get_categories is materialized by the executor")

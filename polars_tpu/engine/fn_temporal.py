@@ -1,0 +1,330 @@
+"""Temporal ops on integer epochs (reference: polars-time, dtype-expr dt.*)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from polars_tpu import datatypes as dt
+from polars_tpu.engine.common import Val
+from polars_tpu.engine.registry import BOOL, register
+from polars_tpu.errors import InvalidOperationError
+from polars_tpu.kernels import temporal as T
+
+_TU = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _days_of(v: Val) -> jnp.ndarray:
+    name = type(v.dtype).__name__
+    if name == "Date":
+        return v.values.astype(jnp.int64)
+    if name == "Datetime":
+        per_day = _TU[v.dtype.time_unit] * 86_400
+        return jnp.floor_divide(v.values, per_day)
+    raise InvalidOperationError(f"expected Date/Datetime, got {v.dtype!r}")
+
+
+def _time_part(v: Val) -> tuple[jnp.ndarray, int]:
+    """(nonnegative intra-day offset, ticks per second)."""
+    name = type(v.dtype).__name__
+    if name == "Datetime":
+        per_day = _TU[v.dtype.time_unit] * 86_400
+        return jnp.mod(v.values, per_day), _TU[v.dtype.time_unit]
+    if name == "Time":
+        return v.values, 1_000_000_000
+    if name == "Duration":
+        return v.values, _TU[v.dtype.time_unit]
+    if name == "Date":
+        return jnp.zeros_like(v.values, jnp.int64), 1
+    raise InvalidOperationError(f"no time component in {v.dtype!r}")
+
+
+def _simple(name, out_dt, fn):
+    @register(f"dt.{name}", out_dt)
+    def _(ctx, args, opts):
+        v = args[0]
+        return Val(fn(v), v.validity, out_dt if isinstance(out_dt, dt.DataType) else out_dt([v.dtype], opts), None, v.domain)
+
+
+_simple("year", dt.Int32(), lambda v: T.civil_from_days(_days_of(v))[0])
+_simple("month", dt.Int8(), lambda v: T.civil_from_days(_days_of(v))[1])
+_simple("day", dt.Int8(), lambda v: T.civil_from_days(_days_of(v))[2])
+_simple("quarter", dt.Int8(), lambda v: ((T.civil_from_days(_days_of(v))[1].astype(jnp.int32) - 1) // 3 + 1).astype(jnp.int8))
+_simple("weekday", dt.Int8(), lambda v: T.weekday_from_days(_days_of(v)))
+_simple("week", dt.Int8(), lambda v: T.iso_week(_days_of(v)))
+_simple("iso_year", dt.Int32(), lambda v: T.iso_year(_days_of(v)))
+_simple("ordinal_day", dt.Int16(), lambda v: T.ordinal_day(_days_of(v)))
+_simple("leap_year", dt.Boolean(), lambda v: T.is_leap_year(T.civil_from_days(_days_of(v))[0]))
+_simple(
+    "days_in_month", dt.Int8(),
+    lambda v: T.days_in_month(T.civil_from_days(_days_of(v))[0], T.civil_from_days(_days_of(v))[1]),
+)
+
+
+@register("dt.hour", dt.Int8())
+def _hour(ctx, args, opts):
+    v = args[0]
+    t, per_s = _time_part(v)
+    return Val(jnp.floor_divide(t, per_s * 3600).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
+
+
+@register("dt.minute", dt.Int8())
+def _minute(ctx, args, opts):
+    v = args[0]
+    t, per_s = _time_part(v)
+    return Val((jnp.floor_divide(t, per_s * 60) % 60).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
+
+
+@register("dt.second", lambda dts, opts: dt.Float64() if opts.get("fractional") else dt.Int8())
+def _second(ctx, args, opts):
+    v = args[0]
+    t, per_s = _time_part(v)
+    if opts.get("fractional"):
+        out = (jnp.mod(t, per_s * 60).astype(jnp.float64)) / per_s
+        return Val(out, v.validity, dt.Float64(), None, v.domain)
+    return Val((jnp.floor_divide(t, per_s) % 60).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
+
+
+@register("dt.millisecond", dt.Int32())
+def _millisecond(ctx, args, opts):
+    v = args[0]
+    t, per_s = _time_part(v)
+    frac = jnp.mod(t, per_s)
+    out = frac * 1_000 // per_s if per_s >= 1_000 else frac * (1_000 // per_s)
+    return Val(out.astype(jnp.int32), v.validity, dt.Int32(), None, v.domain)
+
+
+@register("dt.microsecond", dt.Int32())
+def _microsecond(ctx, args, opts):
+    v = args[0]
+    t, per_s = _time_part(v)
+    frac = jnp.mod(t, per_s)
+    out = frac * 1_000_000 // per_s if per_s >= 1_000_000 else frac * (1_000_000 // per_s)
+    return Val(out.astype(jnp.int32), v.validity, dt.Int32(), None, v.domain)
+
+
+@register("dt.nanosecond", dt.Int32())
+def _nanosecond(ctx, args, opts):
+    v = args[0]
+    t, per_s = _time_part(v)
+    frac = jnp.mod(t, per_s)
+    out = frac * (1_000_000_000 // per_s)
+    return Val(out.astype(jnp.int32), v.validity, dt.Int32(), None, v.domain)
+
+
+@register("dt.date", dt.Date())
+def _date(ctx, args, opts):
+    v = args[0]
+    return Val(_days_of(v).astype(jnp.int32), v.validity, dt.Date(), None, v.domain)
+
+
+@register("dt.time", dt.Time())
+def _time(ctx, args, opts):
+    v = args[0]
+    t, per_s = _time_part(v)
+    out = t * (1_000_000_000 // per_s)
+    return Val(out.astype(jnp.int64), v.validity, dt.Time(), None, v.domain)
+
+
+@register("dt.datetime", lambda dts, opts: dt.Datetime("us"))
+def _datetime(ctx, args, opts):
+    v = args[0]
+    if isinstance(v.dtype, dt.Date):
+        return Val(v.values.astype(jnp.int64) * 86_400_000_000, v.validity, dt.Datetime("us"), None, v.domain)
+    return v.with_(dtype=dt.Datetime(v.dtype.time_unit))
+
+
+@register("dt.timestamp", lambda dts, opts: dt.Int64())
+def _timestamp(ctx, args, opts):
+    v = args[0]
+    tu = opts.get("time_unit", "us")
+    if isinstance(v.dtype, dt.Date):
+        out = v.values.astype(jnp.int64) * 86_400 * _TU[tu]
+    else:
+        src = _TU[v.dtype.time_unit]
+        dst = _TU[tu]
+        x = v.values.astype(jnp.int64)
+        out = x * (dst // src) if dst >= src else jnp.floor_divide(x, src // dst)
+    return Val(out, v.validity, dt.Int64(), None, v.domain)
+
+
+@register("dt.with_time_unit", lambda dts, opts: dt.Datetime(opts["time_unit"]) if type(dts[0]).__name__ == "Datetime" else dt.Duration(opts["time_unit"]))
+def _with_time_unit(ctx, args, opts):
+    v = args[0]
+    tu = opts["time_unit"]
+    new = dt.Datetime(tu) if isinstance(v.dtype, dt.Datetime) else dt.Duration(tu)
+    return v.with_(dtype=new)
+
+
+@register("dt.cast_time_unit", lambda dts, opts: dt.Datetime(opts["time_unit"]) if type(dts[0]).__name__ == "Datetime" else dt.Duration(opts["time_unit"]))
+def _cast_time_unit(ctx, args, opts):
+    v = args[0]
+    tu = opts["time_unit"]
+    src = _TU[v.dtype.time_unit]
+    dst = _TU[tu]
+    x = v.values
+    out = x * (dst // src) if dst >= src else jnp.floor_divide(x, src // dst)
+    new = dt.Datetime(tu) if isinstance(v.dtype, dt.Datetime) else dt.Duration(tu)
+    return Val(out, v.validity, new, None, v.domain)
+
+
+@register("dt.total", lambda dts, opts: dt.Int64())
+def _total(ctx, args, opts):
+    v = args[0]
+    unit = opts["unit"]
+    per_s = _TU[v.dtype.time_unit]
+    x = v.values.astype(jnp.int64)
+    div = {
+        "d": per_s * 86_400, "h": per_s * 3_600, "m": per_s * 60, "s": per_s,
+        "ms": per_s // 1_000 if per_s >= 1_000 else 1,
+        "us": per_s // 1_000_000 if per_s >= 1_000_000 else 1,
+        "ns": per_s // 1_000_000_000 if per_s >= 1_000_000_000 else 1,
+    }[unit]
+    if unit in ("ms", "us", "ns") and _TU[v.dtype.time_unit] < {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]:
+        mul = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit] // per_s
+        return Val(x * mul, v.validity, dt.Int64(), None, v.domain)
+    out = jnp.where(x < 0, -jnp.floor_divide(-x, div), jnp.floor_divide(x, div))
+    return Val(out, v.validity, dt.Int64(), None, v.domain)
+
+
+def _parse_every(every: str) -> tuple[int, str]:
+    """Parse polars interval strings like '1d', '3mo', '2h30m' (single unit only)."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(ns|us|ms|s|m|h|d|w|mo|q|y)", every)
+    if not m:
+        raise InvalidOperationError(f"unsupported interval {every!r}")
+    return int(m.group(1)), m.group(2)
+
+
+_UNIT_TICKS_US = {
+    "ns": 0, "us": 1, "ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+    "h": 3_600_000_000, "d": 86_400_000_000, "w": 604_800_000_000,
+}
+
+
+@register("dt.truncate", lambda dts, opts: dts[0])
+def _truncate(ctx, args, opts):
+    v = args[0]
+    n, unit = _parse_every(opts["every"])
+    if isinstance(v.dtype, dt.Date):
+        if unit in ("d", "w"):
+            step = n * (7 if unit == "w" else 1)
+            off = 4 if unit == "w" else 0  # 1970-01-01 is a Thursday; weeks start Monday
+            x = v.values.astype(jnp.int64) + (3 if unit == "w" else 0)
+            out = (jnp.floor_divide(x, step) * step - (3 if unit == "w" else 0)).astype(jnp.int32)
+            return v.with_(values=out)
+        if unit in ("mo", "q", "y"):
+            y, m, _ = T.civil_from_days(v.values.astype(jnp.int64))
+            if unit == "y":
+                m2 = jnp.ones_like(m, jnp.int64)
+                y2 = (y.astype(jnp.int64) // n) * n if n > 1 else y.astype(jnp.int64)
+            else:
+                months = y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1)
+                step = n * (3 if unit == "q" else 1)
+                months = (months // step) * step
+                y2 = months // 12
+                m2 = months % 12 + 1
+            out = T.days_from_civil(y2, m2, jnp.ones_like(m2))
+            return v.with_(values=out)
+        raise InvalidOperationError(f"cannot truncate Date by {unit!r}")
+    if isinstance(v.dtype, dt.Datetime):
+        per_us = _TU[v.dtype.time_unit] // 1_000_000 or 1
+        if unit in _UNIT_TICKS_US and _UNIT_TICKS_US[unit] > 0:
+            step = n * _UNIT_TICKS_US[unit] * per_us
+            out = jnp.floor_divide(v.values, step) * step
+            return v.with_(values=out)
+        if unit in ("mo", "q", "y"):
+            per_day = _TU[v.dtype.time_unit] * 86_400
+            days = jnp.floor_divide(v.values, per_day)
+            y, m, _ = T.civil_from_days(days)
+            if unit == "y":
+                m2 = jnp.ones_like(m, jnp.int64)
+                y2 = y.astype(jnp.int64)
+            else:
+                months = y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1)
+                step = n * (3 if unit == "q" else 1)
+                months = (months // step) * step
+                y2 = months // 12
+                m2 = months % 12 + 1
+            out_days = T.days_from_civil(y2, m2, jnp.ones_like(m2))
+            return v.with_(values=out_days.astype(jnp.int64) * per_day)
+    raise InvalidOperationError(f"cannot truncate {v.dtype!r}")
+
+
+@register("dt.month_start", lambda dts, opts: dts[0])
+def _month_start(ctx, args, opts):
+    return _truncate(ctx, args, {"every": "1mo"})
+
+
+@register("dt.month_end", lambda dts, opts: dts[0])
+def _month_end(ctx, args, opts):
+    v = args[0]
+    days = _days_of(v)
+    y, m, _ = T.civil_from_days(days)
+    dim = T.days_in_month(y, m)
+    out_days = T.days_from_civil(y.astype(jnp.int64), m.astype(jnp.int64), dim.astype(jnp.int64))
+    if isinstance(v.dtype, dt.Date):
+        return v.with_(values=out_days)
+    per_day = _TU[v.dtype.time_unit] * 86_400
+    return v.with_(values=out_days.astype(jnp.int64) * per_day + jnp.mod(v.values, per_day))
+
+
+@register("dt.offset_by", lambda dts, opts: dts[0])
+def _offset_by(ctx, args, opts):
+    v = args[0]
+    n, unit = _parse_every(opts["by"].lstrip("-"))
+    if opts["by"].startswith("-"):
+        n = -n
+    if unit in ("mo", "q", "y"):
+        months_off = n * {"mo": 1, "q": 3, "y": 12}[unit]
+        days = _days_of(v)
+        y, m, d = T.civil_from_days(days)
+        months = y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1) + months_off
+        y2 = jnp.floor_divide(months, 12)
+        m2 = jnp.mod(months, 12) + 1
+        dim = T.days_in_month(y2, m2)
+        d2 = jnp.minimum(d.astype(jnp.int64), dim.astype(jnp.int64))
+        out_days = T.days_from_civil(y2, m2, d2)
+        if isinstance(v.dtype, dt.Date):
+            return v.with_(values=out_days)
+        per_day = _TU[v.dtype.time_unit] * 86_400
+        return v.with_(values=out_days.astype(jnp.int64) * per_day + jnp.mod(v.values, per_day))
+    if isinstance(v.dtype, dt.Date):
+        step = n * (7 if unit == "w" else 1)
+        if unit in ("d", "w"):
+            return v.with_(values=v.values + jnp.int32(step))
+        raise InvalidOperationError("sub-day offsets on Date")
+    per_us = _TU[v.dtype.time_unit] // 1_000_000 or 1
+    step = n * _UNIT_TICKS_US[unit] * per_us
+    return v.with_(values=v.values + step)
+
+
+@register("dt.dt_round", lambda dts, opts: dts[0])
+def _dt_round(ctx, args, opts):
+    v = args[0]
+    n, unit = _parse_every(opts["every"])
+    if isinstance(v.dtype, dt.Datetime) and unit in _UNIT_TICKS_US and _UNIT_TICKS_US[unit] > 0:
+        per_us = _TU[v.dtype.time_unit] // 1_000_000 or 1
+        step = n * _UNIT_TICKS_US[unit] * per_us
+        out = jnp.floor_divide(v.values + step // 2, step) * step
+        return v.with_(values=out)
+    if isinstance(v.dtype, dt.Date) and unit in ("d", "w"):
+        step = n * (7 if unit == "w" else 1)
+        out = (jnp.floor_divide(v.values.astype(jnp.int64) + step // 2, step) * step).astype(jnp.int32)
+        return v.with_(values=out)
+    raise InvalidOperationError(f"dt.round by {unit!r} unsupported")
+
+
+@register("dt.to_string", dt.String(), elementwise=False)
+def _to_string(ctx, args, opts):
+    raise InvalidOperationError("dt.to_string is a host op (hoisted by the executor)")
+
+
+@register("dt.replace_time_zone", lambda dts, opts: dts[0])
+def _replace_tz(ctx, args, opts):
+    return args[0]
+
+
+@register("dt.convert_time_zone", lambda dts, opts: dts[0])
+def _convert_tz(ctx, args, opts):
+    return args[0]

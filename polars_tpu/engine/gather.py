@@ -1,0 +1,40 @@
+"""Host-index gather on Columns (reference: ChunkGather / take kernels)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from polars_tpu.core.buffer import Buffer, padded_size
+from polars_tpu.core.column import Column
+from polars_tpu.errors import OutOfBoundsError
+
+
+def gather_column(col: Column, indices: np.ndarray) -> Column:
+    n = len(col)
+    idx = np.asarray(indices)
+    if idx.dtype == object:
+        validity_extra = np.array([i is not None for i in idx], bool)
+        idx = np.array([0 if i is None else i for i in idx], np.int64)
+    else:
+        validity_extra = None
+        idx = idx.astype(np.int64)
+    neg = idx < 0
+    if neg.any():
+        idx = np.where(neg, idx + n, idx)
+    if ((idx < 0) | (idx >= n)).any() and n > 0:
+        bad = idx[(idx < 0) | (idx >= n)][0]
+        raise OutOfBoundsError(f"gather index {bad} out of bounds for length {n}")
+    m = len(idx)
+    size = padded_size(m)
+    pad_idx = np.zeros(size, np.int64)
+    pad_idx[:m] = idx
+    didx = jnp.asarray(pad_idx)
+    values = col.buffer.values[didx]
+    validity = None if col.buffer.validity is None else col.buffer.validity[didx]
+    if validity_extra is not None:
+        ve = np.ones(size, bool)
+        ve[:m] = validity_extra
+        dve = jnp.asarray(ve)
+        validity = dve if validity is None else (validity & dve)
+    return Column(col.name, col.dtype, Buffer(values, validity, m), col.table)

@@ -1,0 +1,292 @@
+"""Group machinery: key -> group-id assignment + segmented reductions.
+
+TPU-native replacement for the reference's hash group-by stack
+(``Grouper``/``HotGrouper`` polars-expr/src/{groups,hot_groups}/,
+``group_tuples`` polars-core/src/frame/group_by/into_groups.rs): instead of
+hash tables with pointers, rows are sorted by their order-encoded keys with
+``lax.sort`` (multi-operand, stable), group boundaries are a vectorized
+neighbour compare, and every aggregation is a masked scatter ("segmented
+reduction") into capacity-bounded dense arrays. A dictionary-coded fast path
+("dense") skips the sort entirely when the key domain is small — the perfect-
+hash analogue of the reference's hot table (nodes/group_by.rs:28-31).
+
+Everything here is shape-static and traceable; the only data-dependent value is
+``num_groups``, carried as a traced scalar until the executor's compaction
+barrier.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from polars_tpu import datatypes as dt
+from polars_tpu.engine.common import GroupCtx, Val
+from polars_tpu.kernels.rowencode import total_order_key
+
+_IDENT_BIG = {
+    jnp.float64: jnp.inf, jnp.float32: jnp.inf,
+    jnp.int64: jnp.iinfo(jnp.int64).max, jnp.int32: jnp.iinfo(jnp.int32).max,
+    jnp.int16: jnp.iinfo(jnp.int16).max, jnp.int8: jnp.iinfo(jnp.int8).max,
+    jnp.uint64: jnp.iinfo(jnp.uint64).max, jnp.uint32: jnp.iinfo(jnp.uint32).max,
+    jnp.uint16: jnp.iinfo(jnp.uint16).max, jnp.uint8: jnp.iinfo(jnp.uint8).max,
+}
+
+
+def _big(dtype) -> jax.Array:
+    if dtype == jnp.bool_:
+        return jnp.asarray(True)
+    return jnp.asarray(_IDENT_BIG[jnp.dtype(dtype).type], dtype)
+
+
+def _small(dtype) -> jax.Array:
+    if dtype == jnp.bool_:
+        return jnp.asarray(False)
+    if jnp.dtype(dtype).kind == "f":
+        return jnp.asarray(-jnp.inf, dtype)
+    return jnp.asarray(jnp.iinfo(dtype).min, dtype)
+
+
+# ---------------------------------------------------------------------------
+# group id assignment
+# ---------------------------------------------------------------------------
+
+
+def dense_group_ctx(keys: list[Val], rowmask: jax.Array, sizes: list[int]) -> GroupCtx:
+    """Perfect-hash grouping for small dictionary-coded key domains.
+
+    ``sizes[i]`` is the exclusive upper bound of key i's code (+1 slot for
+    null). Capacity = prod(sizes) must be small (config.max dense capacity is
+    enforced by the caller).
+    """
+    cap = 1
+    gid = jnp.zeros(rowmask.shape, jnp.int32)
+    for k, size in zip(keys, sizes):
+        code = k.values.astype(jnp.int32) + 1  # 0 reserved for null
+        if k.validity is not None:
+            code = jnp.where(k.validity, code, 0)
+        gid = gid * jnp.int32(size + 1) + jnp.clip(code, 0, size)
+        cap *= size + 1
+    # mark which dense slots are occupied, then rank them to dense gids
+    occupied = jnp.zeros((cap,), bool).at[gid].max(rowmask, mode="drop")
+    rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    num_groups = rank[-1] + 1
+    dense_gid = rank[gid]
+    cap_groups = cap
+    group_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (cap_groups, 1), 0).squeeze(-1) < num_groups
+    )
+    return GroupCtx(
+        gids=dense_gid,
+        num_groups=num_groups.astype(jnp.int32),
+        capacity=cap_groups,
+        group_valid=group_valid,
+    )
+
+
+def sorted_group_ctx(keys: list[Val], rowmask: jax.Array) -> GroupCtx:
+    """General sort-based grouping over order-encoded keys."""
+    n = rowmask.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    operands: list[jax.Array] = [(~rowmask).astype(jnp.int8)]  # invalid rows last
+    for k in keys:
+        invalid = (
+            jnp.zeros((n,), jnp.int8)
+            if k.validity is None
+            else (~k.validity).astype(jnp.int8)
+        )
+        operands.append(invalid)  # nulls-first within valid rows
+        operands.append(total_order_key(k.values, k.dtype))
+    num_keys = len(operands)
+    operands.append(iota)
+    sorted_ops = jax.lax.sort(operands, num_keys=num_keys, is_stable=True)
+    perm = sorted_ops[-1]
+    valid_sorted = sorted_ops[0] == 0
+    # boundary where any key word differs from the previous row
+    diff = jnp.zeros((n,), bool)
+    for word in sorted_ops[1:-1]:
+        diff = diff | (word != jnp.roll(word, 1))
+    first = iota == 0
+    boundary = valid_sorted & (first | diff)
+    gid_sorted = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    num_groups = gid_sorted[-1] + 1  # rows are all-valid or clamped below
+    num_groups = jnp.maximum(jnp.sum(boundary.astype(jnp.int32)), 0)
+    gid_sorted = jnp.clip(gid_sorted, 0, None)
+    gids = jnp.zeros((n,), jnp.int32).at[perm].set(gid_sorted)
+    group_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < num_groups
+    )
+    return GroupCtx(
+        gids=gids,
+        num_groups=num_groups.astype(jnp.int32),
+        capacity=n,
+        group_valid=group_valid,
+        sort_perm=perm,
+    )
+
+
+def reorder_by_first_occurrence(ctx: GroupCtx, rowmask: jax.Array) -> GroupCtx:
+    """Renumber groups by first appearance (maintain_order=True semantics)."""
+    n = ctx.gids.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    big = jnp.int32(2**31 - 1)
+    first_row = (
+        jnp.full((ctx.capacity,), big, jnp.int32)
+        .at[ctx.gids]
+        .min(jnp.where(rowmask, iota, big), mode="drop")
+    )
+    order = jnp.argsort(first_row)  # empty slots (big) sort last
+    inv = jnp.zeros((ctx.capacity,), jnp.int32).at[order].set(
+        jax.lax.broadcasted_iota(jnp.int32, (ctx.capacity, 1), 0).squeeze(-1)
+    )
+    return GroupCtx(
+        gids=inv[ctx.gids],
+        num_groups=ctx.num_groups,
+        capacity=ctx.capacity,
+        group_valid=ctx.group_valid,
+        sort_perm=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# segmented reductions (GroupedReduction analogue, polars-expr/src/reduce/)
+# ---------------------------------------------------------------------------
+
+
+def seg_sum(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    x = jnp.where(mask, values, jnp.zeros((), values.dtype))
+    return jnp.zeros((cap,), values.dtype).at[gids].add(x, mode="drop")
+
+
+def seg_count(mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    return jnp.zeros((cap,), jnp.int64).at[gids].add(mask.astype(jnp.int64), mode="drop")
+
+
+def seg_min(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    x = jnp.where(mask, values, _big(values.dtype))
+    return jnp.full((cap,), _big(values.dtype), values.dtype).at[gids].min(x, mode="drop")
+
+
+def seg_max(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    x = jnp.where(mask, values, _small(values.dtype))
+    return jnp.full((cap,), _small(values.dtype), values.dtype).at[gids].max(x, mode="drop")
+
+
+def seg_any(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    x = jnp.where(mask, values, False)
+    return jnp.zeros((cap,), bool).at[gids].max(x, mode="drop")
+
+
+def seg_all(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    x = jnp.where(mask, values, True)
+    return jnp.ones((cap,), bool).at[gids].min(x, mode="drop")
+
+
+def seg_first_idx(mask: jax.Array, gids: jax.Array, cap: int) -> tuple[jax.Array, jax.Array]:
+    """(row index of first masked row per group, has_any mask)."""
+    n = gids.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    big = jnp.int32(2**31 - 1)
+    idx = (
+        jnp.full((cap,), big, jnp.int32)
+        .at[gids]
+        .min(jnp.where(mask, iota, big), mode="drop")
+    )
+    has = idx != big
+    return jnp.where(has, idx, 0), has
+
+
+def seg_last_idx(mask: jax.Array, gids: jax.Array, cap: int) -> tuple[jax.Array, jax.Array]:
+    n = gids.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    idx = (
+        jnp.full((cap,), -1, jnp.int32)
+        .at[gids]
+        .max(jnp.where(mask, iota, -1), mode="drop")
+    )
+    has = idx >= 0
+    return jnp.where(has, idx, 0), has
+
+
+def seg_mean(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int):
+    acc_t = jnp.float64 if values.dtype != jnp.float32 else jnp.float32
+    s = seg_sum(values.astype(acc_t), mask, gids, cap)
+    c = seg_count(mask, gids, cap)
+    return s / jnp.maximum(c, 1).astype(acc_t), c > 0
+
+
+def seg_var(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int, ddof: int):
+    """Two-pass (mean-subtracted) variance — mirrors the stability of the
+    reference's pairwise accumulation (polars-compute/src/var_cov.rs)."""
+    acc_t = jnp.float64 if values.dtype != jnp.float32 else jnp.float32
+    v = values.astype(acc_t)
+    mean, has = seg_mean(v, mask, gids, cap)
+    centered = v - mean[gids]
+    ss = seg_sum(jnp.where(mask, centered * centered, 0.0), mask, gids, cap)
+    c = seg_count(mask, gids, cap)
+    denom = c - ddof
+    ok = denom > 0
+    return ss / jnp.maximum(denom, 1).astype(acc_t), ok & has
+
+
+def seg_nunique(values: jax.Array, validity: jax.Array | None, mask: jax.Array, gids: jax.Array, cap: int, dtype: dt.DataType) -> jax.Array:
+    """Distinct count per group (nulls count as one distinct value)."""
+    n = gids.shape[0]
+    key = total_order_key(values, dtype)
+    invalid = jnp.zeros((n,), jnp.int8) if validity is None else (~validity).astype(jnp.int8)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    big_g = jnp.int32(cap + 1)
+    g = jnp.where(mask, gids, big_g)  # masked rows sort last
+    sorted_ops = jax.lax.sort([g, invalid, key, iota], num_keys=3, is_stable=False)
+    gs, invs, ks = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    first = iota == 0
+    newgrp = gs != jnp.roll(gs, 1)
+    newval = (ks != jnp.roll(ks, 1)) | (invs != jnp.roll(invs, 1))
+    boundary = (gs != big_g) & (first | newgrp | newval)
+    return jnp.zeros((cap,), jnp.int64).at[gs].add(boundary.astype(jnp.int64), mode="drop")
+
+
+def seg_quantile(
+    values: jax.Array,
+    mask: jax.Array,
+    gids: jax.Array,
+    cap: int,
+    q: float,
+    interpolation: str,
+):
+    """Per-group quantile via one sort by (gid, value) + offset arithmetic
+    (reference: QuantileDispatcher, polars-core group_by/aggregations)."""
+    n = gids.shape[0]
+    big_g = jnp.int32(cap + 1)
+    g = jnp.where(mask, gids, big_g)
+    key = total_order_key(values, dt.Float64()) if values.dtype in (jnp.float32, jnp.float64) else values
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    sorted_ops = jax.lax.sort([g, key.astype(key.dtype), iota], num_keys=2, is_stable=False)
+    gs, perm = sorted_ops[0], sorted_ops[2]
+    vals_sorted = values[perm]
+    counts = seg_count(mask, gids, cap)
+    offsets = jnp.cumsum(counts) - counts  # start of each group's run
+    c = jnp.maximum(counts, 1)
+    pos = (c - 1).astype(jnp.float64) * q
+    if interpolation in ("nearest",):
+        k = jnp.round(pos).astype(jnp.int64)
+        idx = jnp.clip(offsets + k, 0, n - 1)
+        out = vals_sorted[idx]
+    elif interpolation == "lower":
+        idx = jnp.clip(offsets + jnp.floor(pos).astype(jnp.int64), 0, n - 1)
+        out = vals_sorted[idx]
+    elif interpolation == "higher":
+        idx = jnp.clip(offsets + jnp.ceil(pos).astype(jnp.int64), 0, n - 1)
+        out = vals_sorted[idx]
+    elif interpolation == "midpoint":
+        lo = vals_sorted[jnp.clip(offsets + jnp.floor(pos).astype(jnp.int64), 0, n - 1)].astype(jnp.float64)
+        hi = vals_sorted[jnp.clip(offsets + jnp.ceil(pos).astype(jnp.int64), 0, n - 1)].astype(jnp.float64)
+        out = (lo + hi) / 2
+    else:  # linear
+        lo_i = jnp.floor(pos).astype(jnp.int64)
+        frac = pos - lo_i
+        lo = vals_sorted[jnp.clip(offsets + lo_i, 0, n - 1)].astype(jnp.float64)
+        hi = vals_sorted[jnp.clip(offsets + lo_i + 1, 0, n - 1)].astype(jnp.float64)
+        hi = jnp.where(lo_i + 1 > c - 1, lo, hi)
+        out = lo + (hi - lo) * frac
+    return out, counts > 0

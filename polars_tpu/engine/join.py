@@ -1,0 +1,393 @@
+"""Equi/asof/cross joins.
+
+TPU-native replacement for the reference's hash-join stack (polars-ops/src/
+frame/join/hash_join/, polars-stream/src/nodes/joins/equi_join.rs): the build
+side is sorted by a 64-bit key word (``lax.sort``), probes binary-search the
+sorted run (vectorized ``searchsorted``), and one-to-many expansion uses
+offset arithmetic over static-capacity outputs. Multi-key joins hash to 64
+bits (HashKeys analogue) and verify candidates during expansion; single
+integer/dictionary keys skip hashing entirely. Output sizing needs exactly one
+host sync (the count pass), mirroring the reference's build/probe barrier.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.buffer import Buffer, pad_to, padded_size, row_mask
+from polars_tpu.core.column import Column
+from polars_tpu.core.frame import DataFrame
+from polars_tpu.engine.common import Val
+from polars_tpu.errors import InvalidOperationError
+from polars_tpu.kernels.hashing import combine_hashes, hash_column
+from polars_tpu.kernels.rowencode import total_order_key
+from polars_tpu.utils import strtable
+
+
+def _key_word(col: Column, other: Column | None) -> tuple[jax.Array, jax.Array | None, bool]:
+    """(int64 key word, validity, needs_verify) for one key column."""
+    buf = col.buffer
+    if col.table is not None:
+        if other is not None and other.table is not col.table:
+            merged, lmap, _ = strtable.unify(col.table, other.table)
+            lut = jnp.asarray(lmap if len(lmap) else np.zeros(1, np.int32))
+            codes = lut[jnp.clip(buf.values, 0, max(len(lmap) - 1, 0))]
+            return codes.astype(jnp.int64), buf.validity, False
+        return buf.values.astype(jnp.int64), buf.validity, False
+    if col.dtype.is_float():
+        return total_order_key(buf.values, col.dtype).astype(jnp.int64), buf.validity, False
+    if isinstance(col.dtype, dt.Boolean):
+        return buf.values.astype(jnp.int64), buf.validity, False
+    if col.dtype.is_integer() or col.dtype.is_temporal() or isinstance(col.dtype, dt.Decimal):
+        if type(col.dtype).__name__ == "UInt64":
+            return total_order_key(buf.values, col.dtype), buf.validity, False
+        return buf.values.astype(jnp.int64), buf.validity, False
+    raise InvalidOperationError(f"cannot join on dtype {col.dtype!r}")
+
+
+def _side_keys(
+    cols: list[Column], other_cols: list[Column], nulls_equal: bool
+) -> tuple[jax.Array, jax.Array, bool]:
+    """(key64, usable_mask, needs_verify) for one side's key columns."""
+    n_padded = cols[0].buffer.padded
+    length = cols[0].buffer.length
+    rmask = row_mask(n_padded, length)
+    if len(cols) == 1:
+        word, validity, _ = _key_word(cols[0], other_cols[0])
+        if validity is None:
+            return word, rmask, False
+        if nulls_equal:
+            # fold null into a distinct key via the hash path
+            h = hash_column(word, validity, 7)
+            return h.astype(jnp.int64), rmask, True
+        return word, rmask & validity, False
+    # multi-key: 64-bit hash + verification
+    h = None
+    all_valid = None
+    for c, o in zip(cols, other_cols):
+        word, validity, _ = _key_word(c, o)
+        hc = hash_column(word, validity, 7)
+        h = hc if h is None else combine_hashes(h, hc)
+        if validity is not None:
+            all_valid = validity if all_valid is None else (all_valid & validity)
+    mask = rmask
+    if not nulls_equal and all_valid is not None:
+        mask = mask & all_valid
+    return h.astype(jnp.int64), mask, True
+
+
+def _gather_col(col: Column, idx: jax.Array, valid: jax.Array | None, out_len: int) -> Column:
+    size = padded_size(out_len)
+    buf = col.buffer
+    safe = jnp.clip(idx, 0, buf.padded - 1)
+    values = buf.values[safe]
+    validity = None if buf.validity is None else buf.validity[safe]
+    if valid is not None:
+        validity = valid if validity is None else (validity & valid)
+    values = values[:size] if values.shape[0] >= size else pad_to(values, size)
+    if validity is not None:
+        validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
+        validity = validity & row_mask(size, out_len)
+    return Column(col.name, col.dtype, Buffer(values, validity, out_len), col.table)
+
+
+def join_frames(
+    left: DataFrame,
+    right: DataFrame,
+    left_key_names: list[str],
+    right_key_names: list[str],
+    how: str,
+    suffix: str,
+    nulls_equal: bool,
+    coalesce: bool | None,
+    out_schema,
+) -> DataFrame:
+    if how == "cross":
+        return _cross_join(left, right, suffix, out_schema)
+    if how == "right":
+        flipped = join_frames(
+            right, left, right_key_names, left_key_names, "left", suffix,
+            nulls_equal, coalesce, None,
+        )
+        return _reorder_right(flipped, left, right, left_key_names, right_key_names, suffix, coalesce, out_schema)
+
+    lkey_cols = [left._get(n) for n in left_key_names]
+    rkey_cols = [right._get(n) for n in right_key_names]
+
+    lk, lmask, lverify = _side_keys(lkey_cols, rkey_cols, nulls_equal)
+    rk, rmask, rverify = _side_keys(rkey_cols, lkey_cols, nulls_equal)
+    needs_verify = lverify or rverify
+
+    nl, nr = left._columns[0].buffer.padded if left._columns else 128, (
+        right._columns[0].buffer.padded if right._columns else 128
+    )
+
+    emit_unmatched_left = how in ("left", "full")
+
+    def build_probe(lk, lmask, rk, rmask, lrowmask):
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rk.shape[0], 1), 0).squeeze(-1)
+        big = jnp.int64(0x7FFFFFFFFFFFFFFF)
+        rk_m = jnp.where(rmask, rk, big)
+        sk, sperm = jax.lax.sort([rk_m, iota_r], num_keys=1)
+        lk_m = jnp.where(lmask, lk, big - 1)
+        lo = jnp.searchsorted(sk, lk_m, side="left")
+        hi = jnp.searchsorted(sk, lk_m, side="right")
+        matches = jnp.where(lmask, hi - lo, 0)
+        if emit_unmatched_left:
+            counts = jnp.where(lrowmask, jnp.maximum(matches, 1), 0)
+        else:
+            counts = matches
+        return sk, sperm, lo, matches, counts
+
+    lrowmask = row_mask(nl, left.height)
+    rrowmask = row_mask(nr, right.height)
+
+    @jax.jit
+    def count_fn(lk, lmask, rk, rmask, lrowmask):
+        _, _, _, matches, counts = build_probe(lk, lmask, rk, rmask, lrowmask)
+        return jnp.sum(counts), matches
+
+    total, matches_arr = count_fn(lk, lmask, rk, rmask, lrowmask)
+
+    if how in ("semi", "anti"):
+        keep = (matches_arr > 0) if how == "semi" else ((matches_arr == 0) & lrowmask)
+        keep_np = np.asarray(keep)[: left.height]
+        idx = np.nonzero(keep_np)[0]
+        return left.gather(idx)
+
+    cap = int(total)
+    if how == "full":
+        cap_full = cap + right.height  # upper bound incl. unmatched right
+    size = padded_size(max(cap if how != "full" else cap + right.height, 1))
+
+    @jax.jit
+    def expand_fn(lk, lmask, rk, rmask, lrowmask):
+        sk, sperm, lo, matches, counts = build_probe(lk, lmask, rk, rmask, lrowmask)
+        offsets = jnp.cumsum(counts)  # inclusive
+        k = jax.lax.broadcasted_iota(jnp.int64, (size, 1), 0).squeeze(-1)
+        probe_row = jnp.searchsorted(offsets, k, side="right").astype(jnp.int32)
+        probe_row_c = jnp.clip(probe_row, 0, nl - 1)
+        start = offsets[probe_row_c] - counts[probe_row_c]
+        j = k - start
+        matched = matches[probe_row_c] > 0
+        build_pos = jnp.clip(lo[probe_row_c] + j, 0, nr - 1).astype(jnp.int32)
+        build_row = sperm[build_pos]
+        in_range = k < offsets[nl - 1]
+        right_valid = matched & in_range
+        out_left = probe_row_c
+        out_right = jnp.where(right_valid, build_row, 0)
+        pair_ok = in_range
+        return out_left, out_right, right_valid, pair_ok, sk
+
+    out_left, out_right, right_valid, pair_ok, _ = expand_fn(lk, lmask, rk, rmask, lrowmask)
+
+    if needs_verify and cap > 0:
+        # verify candidate pairs on actual key columns (hash collisions)
+        ok = np.asarray(pair_ok).copy()
+        lv = np.asarray(right_valid)
+        ol = np.asarray(out_left)
+        orr = np.asarray(out_right)
+        for lc, rc in zip(lkey_cols, rkey_cols):
+            la, lval = lc.buffer.to_numpy()
+            ra, rval = rc.buffer.to_numpy()
+            if lc.table is not None and rc.table is not None and lc.table is not rc.table:
+                _, lmap2, rmap2 = strtable.unify(lc.table, rc.table)
+                la = lmap2[la] if len(lmap2) else la
+                ra = rmap2[ra] if len(rmap2) else ra
+            li = np.clip(ol, 0, len(la) - 1) if len(la) else ol * 0
+            ri = np.clip(orr, 0, len(ra) - 1) if len(ra) else orr * 0
+            same = la[li] == ra[ri]
+            if lval is not None:
+                lnull = ~lval[li]
+            else:
+                lnull = np.zeros(len(li), bool)
+            if rval is not None:
+                rnull = ~rval[ri]
+            else:
+                rnull = np.zeros(len(ri), bool)
+            if nulls_equal:
+                same = np.where(lnull | rnull, lnull & rnull, same)
+            else:
+                same = same & ~lnull & ~rnull
+            ok = ok & np.where(lv, same, True)
+        if not ok.all():
+            # drop collided pairs (recount)
+            keep_idx = np.nonzero(ok[: max(cap, 1)])[0]
+            out_left = jnp.asarray(np.asarray(out_left)[keep_idx])
+            out_right = jnp.asarray(np.asarray(out_right)[keep_idx])
+            right_valid = jnp.asarray(np.asarray(right_valid)[keep_idx])
+            cap = len(keep_idx)
+            size2 = padded_size(max(cap, 1))
+            out_left = pad_to(out_left, size2)
+            out_right = pad_to(out_right, size2)
+            right_valid = pad_to(right_valid, size2)
+
+    out_len = cap
+
+    # full join: append unmatched right rows
+    extra_right_idx = None
+    if how == "full":
+        @jax.jit
+        def right_unmatched(lk, lmask, rk, rmask):
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (lk.shape[0], 1), 0).squeeze(-1)
+            big = jnp.int64(0x7FFFFFFFFFFFFFFF)
+            lk_m = jnp.where(lmask, lk, big)
+            slk, _ = jax.lax.sort([lk_m, iota_l], num_keys=1)
+            lo = jnp.searchsorted(slk, rk, side="left")
+            hi = jnp.searchsorted(slk, rk, side="right")
+            return rmask & ((hi - lo) == 0), rrowmask & ~rmask
+
+        unmatched, nullkey_right = right_unmatched(lk, lmask, rk, rmask)
+        un_np = np.nonzero(np.asarray(unmatched | nullkey_right)[: right.height])[0]
+        extra_right_idx = un_np
+        out_len = cap + len(un_np)
+
+    # assemble output columns
+    left_names = set(left.columns)
+    do_coalesce = coalesce
+    if do_coalesce is None:
+        do_coalesce = how in ("inner", "left", "right")
+    right_keys = list(right_key_names)
+
+    cols: list[Column] = []
+    lvalid = None
+    for c in left._columns:
+        col = _gather_col(c, out_left, lvalid, cap)
+        cols.append(col)
+    for c in right._columns:
+        if do_coalesce and c.name in right_keys and how != "full":
+            continue
+        name = c.name + suffix if c.name in left_names else c.name
+        col = _gather_col(c, out_right, right_valid, cap)
+        if do_coalesce and c.name in right_keys and how == "full":
+            # coalesce keys: fill from left where right null
+            li = right_keys.index(c.name)
+            lcol = next(cc for cc in cols if cc.name == left_key_names[li])
+            col = _coalesce_cols(lcol, col)
+            cols = [col if cc.name == left_key_names[li] else cc for cc in cols]
+            continue
+        cols.append(col.rename(name))
+
+    out = DataFrame._from_columns(cols, cap)
+    if extra_right_idx is not None and len(extra_right_idx) > 0:
+        extra_cols = []
+        for c in out._columns:
+            src = None
+            rc_name = c.name[: -len(suffix)] if suffix and c.name.endswith(suffix) and c.name not in right.columns else c.name
+            if rc_name in right.columns and (c.name not in left_names or c.name.endswith(suffix) or (do_coalesce and rc_name in right_keys)):
+                src = right._get(rc_name)
+            if do_coalesce and c.name in [ln for ln in left_key_names]:
+                src = right._get(right_keys[left_key_names.index(c.name)])
+            if src is not None:
+                from polars_tpu.engine.gather import gather_column
+
+                extra_cols.append(gather_column(src, extra_right_idx).rename(c.name))
+            else:
+                null_col = Column.from_values(c.name, [None] * len(extra_right_idx), c.dtype)
+                extra_cols.append(null_col)
+        extra = DataFrame._from_columns(extra_cols, len(extra_right_idx))
+        from polars_tpu.functions.eager import concat
+
+        out = concat([out, extra], how="vertical_relaxed")
+    return out
+
+
+def _coalesce_cols(a: Column, b: Column) -> Column:
+    av, bv = a.buffer, b.buffer
+    if av.validity is None:
+        return a
+    values = jnp.where(av.validity, av.values, bv.values)
+    validity = av.validity if bv.validity is None else (av.validity | bv.validity)
+    return Column(a.name, a.dtype, Buffer(values, validity, av.length), a.table)
+
+
+def _cross_join(left: DataFrame, right: DataFrame, suffix: str, out_schema) -> DataFrame:
+    nl, nr = left.height, right.height
+    total = nl * nr
+    size = padded_size(max(total, 1))
+    k = jnp.arange(size, dtype=jnp.int64)
+    li = (k // max(nr, 1)).astype(jnp.int32)
+    ri = (k % max(nr, 1)).astype(jnp.int32)
+    left_names = set(left.columns)
+    cols = []
+    for c in left._columns:
+        cols.append(_gather_col(c, li, None, total))
+    for c in right._columns:
+        name = c.name + suffix if c.name in left_names else c.name
+        cols.append(_gather_col(c, ri, None, total).rename(name))
+    return DataFrame._from_columns(cols, total)
+
+
+def _reorder_right(
+    flipped: DataFrame, left: DataFrame, right: DataFrame,
+    left_key_names, right_key_names, suffix, coalesce, out_schema,
+) -> DataFrame:
+    """Map the flipped left-join output back to right-join column layout."""
+    do_coalesce = coalesce if coalesce is not None else True
+    out_cols = []
+    lnames = set(left.columns)
+    for name in out_schema.names():
+        # right-join schema: left cols minus coalesced keys, then right cols
+        if name in flipped.columns:
+            out_cols.append(flipped._get(name))
+        elif name.endswith(suffix) and name[: -len(suffix)] in flipped.columns:
+            out_cols.append(flipped._get(name[: -len(suffix)]).rename(name))
+        else:
+            raise InvalidOperationError(f"right-join column mapping failed for {name!r}")
+    return DataFrame._from_columns(out_cols, flipped.height)
+
+
+def asof_join_frames(
+    left: DataFrame, right: DataFrame, left_on: str, right_on: str,
+    strategy: str, suffix: str, tolerance, out_schema,
+) -> DataFrame:
+    lcol = left._get(left_on)
+    rcol = right._get(right_on)
+    lk = lcol.buffer.values.astype(jnp.int64) if not lcol.dtype.is_float() else lcol.buffer.values
+    rk = rcol.buffer.values.astype(jnp.int64) if not rcol.dtype.is_float() else rcol.buffer.values
+    nr = rcol.buffer.padded
+    rmask = row_mask(nr, right.height)
+    big = jnp.asarray(np.iinfo(np.int64).max, lk.dtype) if lk.dtype == jnp.int64 else jnp.asarray(np.inf, lk.dtype)
+
+    @jax.jit
+    def match(lk, rk, rmask):
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0).squeeze(-1)
+        rk_m = jnp.where(rmask, rk, big)
+        sk, sperm = jax.lax.sort([rk_m, iota_r], num_keys=1)
+        pos_right = jnp.searchsorted(sk, lk, side="right")
+        pos_left = jnp.searchsorted(sk, lk, side="left")
+        n_valid = jnp.sum(rmask.astype(jnp.int32))
+        if strategy == "backward":
+            idx = pos_right - 1
+            ok = idx >= 0
+        elif strategy == "forward":
+            idx = pos_left
+            ok = idx < n_valid
+        else:  # nearest
+            prev_i = jnp.clip(pos_right - 1, 0, nr - 1)
+            next_i = jnp.clip(pos_left, 0, nr - 1)
+            d_prev = jnp.abs(lk - sk[prev_i])
+            d_next = jnp.abs(sk[next_i] - lk)
+            use_prev = (pos_right - 1 >= 0) & ((pos_left >= n_valid) | (d_prev <= d_next))
+            idx = jnp.where(use_prev, pos_right - 1, pos_left)
+            ok = (pos_right - 1 >= 0) | (pos_left < n_valid)
+        idxc = jnp.clip(idx, 0, nr - 1)
+        if tolerance is not None:
+            tol = jnp.asarray(tolerance, lk.dtype)
+            ok = ok & (jnp.abs(lk - sk[idxc]) <= tol)
+        return sperm[idxc], ok
+
+    ridx, ok = match(lk, rk, rmask)
+    if lcol.buffer.validity is not None:
+        ok = ok & lcol.buffer.validity
+    cols = list(left._columns)
+    lnames = set(left.columns)
+    for c in right._columns:
+        if c.name == right_on:
+            continue
+        name = c.name + suffix if c.name in lnames else c.name
+        cols.append(_gather_col(c, ridx, ok, left.height).rename(name))
+    return DataFrame._from_columns(cols, left.height)

@@ -1,0 +1,561 @@
+"""Plan orchestration: barrier-recursive execution.
+
+The ``create_physical_plan`` analogue (polars-mem-engine/src/planner/lp.rs:75):
+walks the optimized logical plan, materializes barrier nodes (scans, joins,
+host ops), and hands maximal fusable chains to run_segment (one XLA program
+per chain).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.column import Column
+from polars_tpu.core.frame import DataFrame
+from polars_tpu.engine.executors import _expr_needs_host, _is_fusable, run_segment
+from polars_tpu.errors import ComputeError, InvalidOperationError
+from polars_tpu.plan import exprs as E
+from polars_tpu.plan import logical as L
+from polars_tpu.plan.schema_resolve import expand_exprs, node_schema
+
+_SPECIAL_FNS = {
+    "int_range", "repeat_value", "date_range", "datetime_range", "arg_where",
+    "gather_every", "unique", "unique_counts", "cat.get_categories",
+}
+
+
+def execute_plan(node: L.LNode) -> DataFrame:
+    if isinstance(node, L.LDataFrameScan):
+        df = node.df
+        if node.projection is not None:
+            df = DataFrame._from_columns(
+                [df._get(n) for n in node.projection], df.height
+            )
+        return df
+
+    if isinstance(node, L.LScan):
+        from polars_tpu.io.scan_exec import execute_scan
+
+        return execute_scan(node)
+
+    if isinstance(node, L.LJoin):
+        return _exec_join(node)
+
+    if isinstance(node, L.LJoinWhere):
+        return _exec_join_where(node)
+
+    if isinstance(node, L.LAsofJoin):
+        return _exec_asof(node)
+
+    if isinstance(node, L.LMapFunction):
+        df = execute_plan(node.input)
+        return node.function(df)
+
+    if isinstance(node, L.LSink):
+        df = execute_plan(node.input)
+        from polars_tpu.io.sink import write_sink
+
+        write_sink(df, node.path, node.fmt, dict(node.options))
+        return df
+
+    if isinstance(node, L.LUnpivot):
+        return _exec_unpivot(node)
+
+    if isinstance(node, L.LExplode):
+        raise InvalidOperationError("explode requires List columns (pending nested layout)")
+
+    if isinstance(node, (L.LSelect, L.LWithColumns)) and _needs_special(node):
+        return _exec_special_select(node)
+
+    if isinstance(node, L.LGroupBy) and _groupby_needs_host(node):
+        return _exec_groupby_hosted(node)
+
+    if _is_fusable(node):
+        leaves: list[tuple[L.LNode, DataFrame]] = []
+        seen: dict[int, DataFrame] = {}
+
+        def collect(n: L.LNode):
+            for i in n.inputs():
+                if _is_fusable(i):
+                    collect(i)
+                else:
+                    if id(i) not in seen:
+                        seen[id(i)] = execute_plan(i)
+                        leaves.append((i, seen[id(i)]))
+
+        collect(node)
+        return run_segment(node, leaves)
+
+    raise InvalidOperationError(f"cannot execute {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# special / host-op selects
+# ---------------------------------------------------------------------------
+
+
+def _needs_special(node: L.LNode) -> bool:
+    try:
+        schema = node_schema(node.input)
+    except Exception:
+        return True
+    for e in node.exprs():
+        try:
+            exprs = expand_exprs((e,), schema)
+        except Exception:
+            return True
+        for ex in exprs:
+            if _expr_needs_host(ex, schema):
+                return True
+            for sub in E.walk(ex):
+                if isinstance(sub, E.ESlice):
+                    return True
+                if isinstance(sub, E.EFunction) and sub.name in _SPECIAL_FNS:
+                    return True
+    return False
+
+
+def _groupby_needs_host(node: L.LGroupBy) -> bool:
+    try:
+        schema = node_schema(node.input)
+    except Exception:
+        return True
+    for e in (*node.keys, *node.aggs):
+        try:
+            for ex in expand_exprs((e,), schema):
+                if _expr_needs_host(ex, schema):
+                    return True
+        except Exception:
+            return True
+    return False
+
+
+def _lit_node_for_column(col: Column) -> E.ENode:
+    return E.ESeriesLit(column=col, ident=id(col))
+
+
+def _hoist_host_exprs(
+    df: DataFrame, exprs: tuple[E.ENode, ...], schema
+) -> tuple[tuple[E.ENode, ...], DataFrame]:
+    """Replace host-op subtrees with materialized Series literals."""
+    out = []
+    for e in exprs:
+        out.append(_hoist_one(df, e, schema))
+    return tuple(out), df
+
+
+def _hoist_one(df: DataFrame, node: E.ENode, schema) -> E.ENode:
+    if _is_host_root(node, schema):
+        col = _eval_host(df, node, schema)
+        return E.EAlias(_lit_node_for_column(col), E.output_name(node) or col.name or "literal")
+    kids = node.children()
+    if not kids:
+        return node
+    new_kids = tuple(_hoist_one(df, k, schema) for k in kids)
+    if new_kids == kids:
+        return node
+    from polars_tpu.plan.schema_resolve import _rebuild_expr
+
+    return _rebuild_expr(node, new_kids)
+
+
+def _is_host_root(node: E.ENode, schema) -> bool:
+    if isinstance(node, E.EAnonymous):
+        return True
+    if isinstance(node, E.EFunction) and node.name in ("concat_str", "dt.to_string", "cat.get_categories"):
+        return True
+    if isinstance(node, E.ECast):
+        target = dt.parse_into_dtype(node.dtype)
+        if isinstance(target, dt.String):
+            from polars_tpu.plan.schema_resolve import expr_dtype
+
+            try:
+                src = expr_dtype(node.input, schema)
+            except Exception:
+                return False
+            if type(src).__name__ not in ("String", "Categorical", "Enum", "Binary"):
+                return True
+    return False
+
+
+def _eval_subexpr(df: DataFrame, node: E.ENode) -> Column:
+    """Evaluate an arbitrary (traceable) expression on df eagerly."""
+    sub = L.LSelect(
+        L.LDataFrameScan(df=df, ident=id(df)),
+        (E.EAlias(node, "__tmp"),),
+    )
+    out = execute_plan(sub)
+    return out._columns[0]
+
+
+def _eval_host(df: DataFrame, node: E.ENode, schema) -> Column:
+    """Evaluate a host-op root: inputs via the engine, op on the host."""
+    from polars_tpu.core.series import Series
+
+    if isinstance(node, E.EAnonymous):
+        in_col = _eval_subexpr(df, node.input[0]) if node.input else None
+        s = Series._from_column(in_col.rename(E.output_name(node.input[0]) or ""))
+        res = node.function(s)
+        if isinstance(res, Series):
+            col = res._column
+        else:
+            col = Series("", list(np.asarray(res)))._column
+        if node.return_dtype is not None and col.dtype != node.return_dtype:
+            from polars_tpu.ops.cast import cast_column
+
+            col = cast_column(col, node.return_dtype, strict=False)
+        return col
+
+    if isinstance(node, E.ECast):
+        in_col = _eval_subexpr(df, node.input)
+        from polars_tpu.ops.cast import cast_column
+
+        return cast_column(in_col, dt.parse_into_dtype(node.dtype), strict=node.strict)
+
+    if isinstance(node, E.EFunction) and node.name == "concat_str":
+        sep = node.opt("separator", "")
+        ignore_nulls = node.opt("ignore_nulls", False)
+        cols = [_eval_subexpr(df, i) for i in node.inputs]
+        arrays = []
+        for c in cols:
+            if type(c.dtype).__name__ in ("String", "Categorical", "Enum"):
+                arrays.append(c.to_numpy())
+            else:
+                arrays.append(np.asarray([None if v is None else _fmt_scalar(v) for v in c.to_pylist()], object))
+        n = max((len(a) for a in arrays), default=0)
+        arrays = [np.repeat(a, n) if len(a) == 1 and n > 1 else a for a in arrays]
+        out = np.empty(n, object)
+        for i in range(n):
+            parts = []
+            isnull = False
+            for a in arrays:
+                v = a[i]
+                if v is None or (isinstance(v, float) and v != v):
+                    if ignore_nulls:
+                        continue
+                    isnull = True
+                    break
+                parts.append(str(v))
+            out[i] = None if isnull else sep.join(parts)
+        return Column.from_values("literal", out.tolist(), dt.String())
+
+    if isinstance(node, E.EFunction) and node.name == "dt.to_string":
+        in_col = _eval_subexpr(df, node.inputs[0])
+        fmt = node.opt("format")
+        vals = in_col.to_numpy()
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+            elif fmt is None:
+                out.append(str(v))
+            else:
+                out.append(v.strftime(_chrono_to_py(fmt)) if hasattr(v, "strftime") else str(v))
+        return Column.from_values("literal", out, dt.String())
+
+    if isinstance(node, E.EFunction) and node.name == "cat.get_categories":
+        in_col = df._get(E.root_column_names(node)[0])
+        vals = [str(v) for v in in_col.table.values]
+        return Column.from_values(in_col.name, vals, dt.String())
+
+    raise InvalidOperationError(f"unknown host op {node!r}")
+
+
+def _fmt_scalar(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        s = f"{v:.6f}".rstrip("0")
+        return s + "0" if s.endswith(".") else s
+    return str(v)
+
+
+def _chrono_to_py(fmt: str) -> str:
+    return fmt  # chrono strftime specifiers largely match python's
+
+
+def _exec_special_select(node: L.LSelect | L.LWithColumns) -> DataFrame:
+    df = execute_plan(node.input)
+    schema = df.schema
+    exprs = expand_exprs(node.expressions, schema)
+
+    results: list[Column] = []
+    for e in exprs:
+        name = E.output_name(e) or "literal"
+        col = _eval_special_expr(df, e, schema).rename(name)
+        results.append(col)
+
+    if isinstance(node, L.LWithColumns):
+        out_cols = {c.name: c for c in df._columns}
+        heights = {len(c) for c in results} | ({df.height} if df.width else set())
+        for c in results:
+            if len(c) == 1 and df.height != 1:
+                from polars_tpu.core.column import full_column
+
+                vals = c.to_pylist()
+                c = full_column(c.name, vals[0], df.height, c.dtype)
+            out_cols[c.name] = c
+        return DataFrame._from_columns(list(out_cols.values()), df.height)
+
+    heights = {len(c) for c in results}
+    if len(heights) > 1:
+        target = max(heights)
+        if heights <= {1, target}:
+            from polars_tpu.core.column import full_column
+
+            results = [
+                c if len(c) == target else full_column(c.name, c.to_pylist()[0], target, c.dtype)
+                for c in results
+            ]
+        else:
+            raise ComputeError(f"select produced differing lengths {sorted(heights)}")
+    h = max(heights) if heights else 0
+    return DataFrame._from_columns(results, h)
+
+
+def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
+    # host hoisting first
+    e = _hoist_one(df, e, schema)
+
+    if isinstance(e, E.EAlias):
+        return _eval_special_expr(df, e.input, schema).rename(e.name)
+
+    if isinstance(e, E.ESeriesLit):
+        return e.column
+
+    if isinstance(e, E.ESlice):
+        inner = _eval_special_expr(df, e.input, schema)
+        off = e.offset if e.offset >= 0 else max(0, len(inner) + e.offset)
+        ln = e.length if e.length is not None else len(inner) - off
+        return inner.with_buffer(inner.buffer.slice(off, ln))
+
+    if isinstance(e, E.EFunction) and e.name in _SPECIAL_FNS:
+        return _eval_generator(df, e, schema)
+
+    # otherwise traceable — check for nested special parts
+    has_special = any(
+        isinstance(s, (E.ESlice,)) or (isinstance(s, E.EFunction) and s.name in _SPECIAL_FNS)
+        for s in E.walk(e)
+        if s is not e
+    )
+    if has_special:
+        # hoist nested special subtrees
+        kids = e.children()
+        new_kids = []
+        for k in kids:
+            if any(
+                isinstance(s, E.ESlice) or (isinstance(s, E.EFunction) and s.name in _SPECIAL_FNS)
+                for s in E.walk(k)
+            ):
+                col = _eval_special_expr(df, k, schema)
+                new_kids.append(_lit_node_for_column(col))
+            else:
+                new_kids.append(k)
+        from polars_tpu.plan.schema_resolve import _rebuild_expr
+
+        e = _rebuild_expr(e, tuple(new_kids))
+    return _eval_subexpr(df, e)
+
+
+def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
+    def scalar_of(n: E.ENode):
+        if isinstance(n, E.ELiteral):
+            return n.value
+        col = _eval_subexpr(df, n)
+        vals = col.to_pylist()
+        if len(vals) != 1:
+            raise ComputeError("range bounds must be scalar")
+        return vals[0]
+
+    if e.name == "int_range":
+        start = scalar_of(e.inputs[0])
+        end = scalar_of(e.inputs[1])
+        step = e.opt("step", 1)
+        dtype = e.opt("dtype", dt.Int64())
+        return Column.from_values("int", np.arange(start, end, step), dtype)
+    if e.name == "repeat_value":
+        val = scalar_of(e.inputs[0])
+        n = scalar_of(e.inputs[1])
+        dtype = e.opt("dtype")
+        return Column.from_values("repeat", [val] * int(n), dtype)
+    if e.name in ("date_range", "datetime_range"):
+        start = scalar_of(e.inputs[0])
+        end = scalar_of(e.inputs[1])
+        interval = e.opt("interval", "1d")
+        closed = e.opt("closed", "both")
+        import datetime as _dtm
+
+        from polars_tpu.engine.fn_temporal import _parse_every
+
+        n_, unit = _parse_every(interval)
+        if isinstance(start, str):
+            start = _dtm.date.fromisoformat(start[:10])
+        if isinstance(end, str):
+            end = _dtm.date.fromisoformat(end[:10])
+        out = []
+        cur = start
+        while True:
+            cmp = (cur <= end) if closed in ("both", "right") else (cur < end)
+            if not cmp:
+                break
+            if not (closed in ("left", "both")) and cur == start:
+                pass
+            out.append(cur)
+            if unit == "d":
+                cur = cur + _dtm.timedelta(days=n_)
+            elif unit == "w":
+                cur = cur + _dtm.timedelta(weeks=n_)
+            elif unit == "h":
+                cur = cur + _dtm.timedelta(hours=n_)
+            elif unit == "m":
+                cur = cur + _dtm.timedelta(minutes=n_)
+            elif unit == "s":
+                cur = cur + _dtm.timedelta(seconds=n_)
+            elif unit == "mo":
+                y, m = cur.year, cur.month + n_
+                y += (m - 1) // 12
+                m = (m - 1) % 12 + 1
+                cur = cur.replace(year=y, month=m)
+            elif unit == "y":
+                cur = cur.replace(year=cur.year + n_)
+            else:
+                raise InvalidOperationError(f"range interval {unit!r}")
+        if closed in ("right", "none") and out and out[0] == start:
+            out = out[1:]
+        dtype = dt.Date() if e.name == "date_range" else dt.Datetime(e.opt("time_unit", "us"))
+        return Column.from_values("literal", out, dtype)
+    if e.name == "arg_where":
+        col = _eval_subexpr(df, e.inputs[0])
+        vals = col.to_numpy()
+        idx = np.nonzero(np.asarray([bool(v) if v is not None else False for v in vals]))[0]
+        return Column.from_values("literal", idx.astype(np.uint32), dt.UInt32())
+    if e.name == "gather_every":
+        col = _eval_subexpr(df, e.inputs[0])
+        from polars_tpu.engine.gather import gather_column
+
+        return gather_column(col, np.arange(e.opt("offset", 0), len(col), e.opt("n", 1)))
+    if e.name == "unique":
+        col = _eval_subexpr(df, e.inputs[0])
+        sub = DataFrame._from_columns([col.rename("__u")], len(col))
+        out = sub.unique(maintain_order=e.opt("maintain_order", False))
+        return out._columns[0]
+    if e.name == "unique_counts":
+        col = _eval_subexpr(df, e.inputs[0])
+        sub = DataFrame._from_columns([col.rename("__u")], len(col))
+        import polars_tpu as pl
+
+        out = sub.group_by("__u", maintain_order=True).agg(pl.len().alias("c"))
+        return out._columns[1]
+    if e.name == "cat.get_categories":
+        return _eval_host(df, e, schema)
+    raise InvalidOperationError(f"unknown generator {e.name!r}")
+
+
+def _exec_groupby_hosted(node: L.LGroupBy) -> DataFrame:
+    df = execute_plan(node.input)
+    schema = df.schema
+    keys, _ = _hoist_host_exprs(df, expand_exprs(node.keys, schema), schema)
+    aggs, _ = _hoist_host_exprs(df, expand_exprs(node.aggs, schema), schema)
+    new = L.LGroupBy(
+        L.LDataFrameScan(df=df, ident=id(df)), keys, aggs, node.maintain_order
+    )
+    return execute_plan(new)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def _exec_join(node: L.LJoin) -> DataFrame:
+    from polars_tpu.engine.join import join_frames
+
+    left = execute_plan(node.input_left)
+    right = execute_plan(node.input_right)
+
+    def key_names(df: DataFrame, on: tuple[E.ENode, ...], side_node) -> tuple[DataFrame, list[str]]:
+        names = []
+        extra = []
+        for i, e in enumerate(on):
+            if isinstance(e, E.EColumn):
+                names.append(e.name)
+            else:
+                kname = f"__join_key_{i}"
+                col = _eval_subexpr(df, e).rename(kname)
+                extra.append(col)
+                names.append(kname)
+        if extra:
+            df = DataFrame._from_columns(list(df._columns) + extra, df.height)
+        return df, names
+
+    lf, lnames = key_names(left, node.left_on, node.input_left)
+    rf, rnames = key_names(right, node.right_on, node.input_right)
+    out_schema = node_schema(node)
+    out = join_frames(
+        lf, rf, lnames, rnames, node.how, node.suffix, node.nulls_equal,
+        node.coalesce, out_schema,
+    )
+    drop = [n for n in out.columns if n.startswith("__join_key_")]
+    if drop:
+        out = out.drop(*drop, strict=False)
+    return out
+
+
+def _exec_join_where(node: L.LJoinWhere) -> DataFrame:
+    # round-1 strategy: cross join then filter (the reference lowers join_where
+    # into equi + iejoin parts at dsl->ir, polars-plan/src/plans/conversion/
+    # dsl_to_ir/join.rs:455 — TODO: split equi conjuncts out for hash-join speed)
+    cross = L.LJoin(
+        node.input_left, node.input_right, (), (), "cross", node.suffix, False, False, "none"
+    )
+    out = execute_plan(cross)
+    filt = L.LFilter(
+        L.LDataFrameScan(df=out, ident=id(out)),
+        _and_all(node.predicates),
+    )
+    return execute_plan(filt)
+
+
+def _and_all(preds: tuple[E.ENode, ...]) -> E.ENode:
+    node = preds[0]
+    for p in preds[1:]:
+        node = E.EBinary(node, "&", p)
+    return node
+
+
+def _exec_asof(node: L.LAsofJoin) -> DataFrame:
+    from polars_tpu.engine.join import asof_join_frames
+
+    left = execute_plan(node.input_left)
+    right = execute_plan(node.input_right)
+    if node.by_left:
+        raise InvalidOperationError("asof join with `by` pending")
+    lon = E.output_name(node.left_on)
+    ron = E.output_name(node.right_on)
+    # asof requires sorted left? polars requires sorted keys; we sort right internally
+    return asof_join_frames(
+        left, right, lon, ron, node.strategy, node.suffix, node.tolerance,
+        node_schema(node),
+    )
+
+
+def _exec_unpivot(node: L.LUnpivot) -> DataFrame:
+    df = execute_plan(node.input)
+    on = list(node.on) if node.on is not None else [
+        c for c in df.columns if c not in set(node.index)
+    ]
+    frames = []
+    import polars_tpu as pl
+
+    for c in on:
+        sel = [pl.col(i) for i in node.index]
+        sel.append(pl.lit(c).alias(node.variable_name))
+        sel.append(pl.col(c).alias(node.value_name))
+        frames.append(df.select(sel))
+    from polars_tpu.functions.eager import concat
+
+    return concat(frames, how="vertical_relaxed")

@@ -1,0 +1,115 @@
+"""Eager combination functions (reference: py-polars functions/eager.py)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.buffer import concat_buffers
+from polars_tpu.core.column import Column
+from polars_tpu.core.frame import DataFrame
+from polars_tpu.errors import SchemaError, ShapeError
+from polars_tpu.utils import strtable
+
+
+def concat_series(series_list: list) -> Any:
+    from polars_tpu.core.series import Series
+
+    cols = [s._column for s in series_list]
+    return Series._from_column(_concat_columns(cols, cols[0].name))
+
+
+def _concat_columns(cols: list[Column], name: str) -> Column:
+    from polars_tpu.ops.cast import cast_column
+
+    # supercast to a common dtype
+    target = cols[0].dtype
+    for c in cols[1:]:
+        target = _supertype(target, c.dtype)
+    cols = [cast_column(c, target, strict=False) if c.dtype != target else c for c in cols]
+    table = None
+    if cols[0].table is not None:
+        # unify dictionaries pairwise, remapping codes on device
+        from polars_tpu.engine.strings import remap_column_codes
+
+        table = cols[0].table
+        new_cols = [cols[0]]
+        for c in cols[1:]:
+            table, lmap, rmap = strtable.unify(table, c.table)
+            new_cols = [remap_column_codes(x, lmap, table) for x in new_cols]
+            new_cols.append(remap_column_codes(c, rmap, table))
+        cols = new_cols
+    buf = concat_buffers([c.buffer for c in cols])
+    return Column(name, cols[0].dtype, buf, cols[0].table if table is None else table)
+
+
+def _supertype(a: dt.DataType, b: dt.DataType) -> dt.DataType:
+    from polars_tpu.plan.schema_resolve import supertype
+
+    return supertype(a, b)
+
+
+def concat(items: Any, *, how: str = "vertical", rechunk: bool = False, parallel: bool = True):
+    items = list(items)
+    if not items:
+        raise ValueError("cannot concat empty list")
+    from polars_tpu.core.series import Series
+    from polars_tpu.lazyframe import LazyFrame
+
+    if isinstance(items[0], Series):
+        return concat_series(items)
+    if isinstance(items[0], LazyFrame):
+        if len(items) == 1:
+            return items[0]
+        return LazyFrame._concat(items, how=how)
+    if not isinstance(items[0], DataFrame):
+        raise TypeError(f"cannot concat items of type {type(items[0]).__name__}")
+
+    if how in ("vertical", "vertical_relaxed", "diagonal", "diagonal_relaxed"):
+        frames: list[DataFrame] = items
+        if how.startswith("diagonal"):
+            all_names: list[str] = []
+            dtypes: dict[str, dt.DataType] = {}
+            for f in frames:
+                for c in f._columns:
+                    if c.name not in dtypes:
+                        all_names.append(c.name)
+                        dtypes[c.name] = c.dtype
+            frames = [
+                DataFrame(
+                    {
+                        n: (f.get_column(n).to_list() if n in f.columns else [None] * f.height)
+                        for n in all_names
+                    },
+                    schema_overrides={n: dtypes[n] for n in all_names if n not in f.columns},
+                )
+                for f in frames
+            ]
+        names = frames[0].columns
+        for f in frames[1:]:
+            if f.columns != names and not how.endswith("relaxed") and how == "vertical":
+                raise SchemaError(
+                    f"column name mismatch in vertical concat: {names} vs {f.columns}"
+                )
+        cols = []
+        for i, n in enumerate(names):
+            cols.append(_concat_columns([f._columns[i] for f in frames], n))
+        return DataFrame._from_columns(cols, sum(f.height for f in frames))
+
+    if how in ("horizontal", "align"):
+        seen: set[str] = set()
+        cols = []
+        height = max(f.height for f in items)
+        for f in items:
+            if f.height != height and f.height != 0:
+                raise ShapeError("horizontal concat requires equal heights")
+            for c in f._columns:
+                if c.name in seen:
+                    from polars_tpu.errors import DuplicateError
+
+                    raise DuplicateError(f"column {c.name!r} occurs in multiple frames")
+                seen.add(c.name)
+                cols.append(c)
+        return DataFrame._from_columns(cols, height)
+
+    raise ValueError(f"unsupported concat strategy {how!r}")

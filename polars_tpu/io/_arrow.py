@@ -1,0 +1,179 @@
+"""Arrow <-> device-column conversion (the FFI boundary analogue,
+polars-arrow/src/ffi/)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.buffer import Buffer
+from polars_tpu.core.column import Column
+from polars_tpu.utils import strtable
+
+
+def _arrow_dtype_to_polars(t: Any) -> dt.DataType:
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return dt.Int8()
+    if pa.types.is_int16(t):
+        return dt.Int16()
+    if pa.types.is_int32(t):
+        return dt.Int32()
+    if pa.types.is_int64(t):
+        return dt.Int64()
+    if pa.types.is_uint8(t):
+        return dt.UInt8()
+    if pa.types.is_uint16(t):
+        return dt.UInt16()
+    if pa.types.is_uint32(t):
+        return dt.UInt32()
+    if pa.types.is_uint64(t):
+        return dt.UInt64()
+    if pa.types.is_float32(t):
+        return dt.Float32()
+    if pa.types.is_float64(t) or pa.types.is_float16(t):
+        return dt.Float64()
+    if pa.types.is_boolean(t):
+        return dt.Boolean()
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_string_view(t):
+        return dt.String()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return dt.Binary()
+    if pa.types.is_date32(t) or pa.types.is_date64(t):
+        return dt.Date()
+    if pa.types.is_timestamp(t):
+        return dt.Datetime(t.unit if t.unit in ("ms", "us", "ns") else "us", t.tz)
+    if pa.types.is_duration(t):
+        return dt.Duration(t.unit if t.unit in ("ms", "us", "ns") else "us")
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        return dt.Time()
+    if pa.types.is_decimal(t):
+        return dt.Decimal(t.precision, t.scale)
+    if pa.types.is_dictionary(t):
+        return dt.Categorical()
+    if pa.types.is_null(t):
+        return dt.Null()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return dt.List(_arrow_dtype_to_polars(t.value_type))
+    if pa.types.is_struct(t):
+        return dt.Struct([(f.name, _arrow_dtype_to_polars(f.type)) for f in t])
+    raise dt.InvalidOperationError if False else NotImplementedError(f"arrow type {t}")
+
+
+def arrow_schema_to_schema(sch: Any):
+    from polars_tpu.core.schema import Schema
+
+    return Schema([(f.name, _arrow_dtype_to_polars(f.type)) for f in sch])
+
+
+def arrow_array_to_column(name: str, arr: Any, override: dt.DataType | None = None) -> Column:
+    """One arrow chunked/array -> device Column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    logical = _arrow_dtype_to_polars(t)
+
+    if isinstance(logical, (dt.String, dt.Binary, dt.Categorical)):
+        # dictionary-encode on the host (Arrow C++), ship codes to device
+        if not pa.types.is_dictionary(t):
+            arr = pc.dictionary_encode(arr)
+        dict_vals = arr.dictionary.to_pylist()
+        codes = arr.indices
+        validity = None
+        if codes.null_count:
+            validity = np.asarray(codes.is_valid())
+        codes_np = codes.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int32)
+        # renormalize to sorted (ordinal) dictionary
+        uniq, inv = np.unique(np.asarray(dict_vals, dtype=object).astype(str), return_inverse=True)
+        codes_np = inv.astype(np.int32)[codes_np] if len(dict_vals) else codes_np
+        table = strtable.StringTable(uniq.astype(object), sorted_order=True)
+        buf = Buffer.from_numpy(codes_np, validity)
+        col = Column(name, dt.String() if not isinstance(logical, dt.Categorical) else logical, buf, table)
+        return _maybe_cast(col, override)
+
+    validity = None
+    if arr.null_count:
+        validity = np.asarray(arr.is_valid())
+        arr = arr.fill_null(_zero_for(t))
+    if pa.types.is_boolean(t):
+        vals = arr.to_numpy(zero_copy_only=False)
+        col = Column(name, logical, Buffer.from_numpy(vals, validity))
+        return _maybe_cast(col, override)
+    if pa.types.is_date32(t):
+        vals = np.asarray(arr.cast(pa.int32()))
+        col = Column(name, logical, Buffer.from_numpy(vals, validity))
+        return _maybe_cast(col, override)
+    if pa.types.is_timestamp(t) or pa.types.is_duration(t):
+        vals = np.asarray(arr.cast(pa.int64()))
+        col = Column(name, logical, Buffer.from_numpy(vals, validity))
+        return _maybe_cast(col, override)
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        factor = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[t.unit]
+        vals = np.asarray(arr.cast(pa.int64())) * factor
+        col = Column(name, logical, Buffer.from_numpy(vals, validity))
+        return _maybe_cast(col, override)
+    if pa.types.is_decimal(t):
+        scale = t.scale
+        vals = np.asarray(
+            [0 if v is None else int(v.scaleb(scale)) for v in arr.to_pylist()],
+            np.int64,
+        )
+        col = Column(name, logical, Buffer.from_numpy(vals, validity))
+        return _maybe_cast(col, override)
+    if pa.types.is_float16(t):
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        col = Column(name, dt.Float64(), Buffer.from_numpy(vals, validity))
+        return _maybe_cast(col, override)
+    if pa.types.is_null(t):
+        n = len(arr)
+        return Column(name, dt.Null(), Buffer.from_numpy(np.zeros(n, np.int32), np.zeros(n, bool) if n else None))
+    vals = arr.to_numpy(zero_copy_only=False)
+    col = Column(name, logical, Buffer.from_numpy(vals, validity))
+    return _maybe_cast(col, override)
+
+
+def _maybe_cast(col: Column, override: dt.DataType | None) -> Column:
+    if override is None or override == col.dtype:
+        return col
+    from polars_tpu.ops.cast import cast_column
+
+    return cast_column(col, override, strict=False)
+
+
+def _zero_for(t: Any):
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t) or pa.types.is_duration(t) or pa.types.is_time64(t):
+        return 0
+    if pa.types.is_boolean(t):
+        return False
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_decimal(t):
+        import decimal
+
+        return decimal.Decimal(0)
+    return 0
+
+
+def arrow_to_columns(table: Any, overrides: dict | None = None) -> list[Column]:
+    overrides = overrides or {}
+    cols = []
+    for name in table.column_names:
+        o = overrides.get(name)
+        o = dt.parse_into_dtype(o) if o is not None else None
+        cols.append(arrow_array_to_column(name, table.column(name), o))
+    return cols
+
+
+def arrow_to_df(table: Any, overrides: dict | None = None):
+    from polars_tpu.core.frame import DataFrame
+
+    cols = arrow_to_columns(table, overrides)
+    return DataFrame._from_columns(cols, table.num_rows)

@@ -1,0 +1,111 @@
+"""CSV read/scan/write (reference: polars-io/src/csv SIMD parser; host path
+rides Arrow C++'s multithreaded CSV reader)."""
+
+from __future__ import annotations
+
+import io as _io
+from typing import Any
+
+from polars_tpu import datatypes as dt
+from polars_tpu.plan import logical as L
+
+
+def scan_csv(
+    source: Any,
+    *,
+    has_header: bool = True,
+    separator: str = ",",
+    comment_prefix: str | None = None,
+    quote_char: str | None = '"',
+    skip_rows: int = 0,
+    schema_overrides: Any = None,
+    null_values: Any = None,
+    try_parse_dates: bool = False,
+    n_rows: int | None = None,
+    encoding: str = "utf8",
+    infer_schema_length: int | None = 100,
+    row_index_name: str | None = None,
+    row_index_offset: int = 0,
+    **kwargs: Any,
+):
+    from polars_tpu.io.parquet import _expand_paths
+    from polars_tpu.lazyframe import LazyFrame
+
+    overrides = ()
+    if schema_overrides:
+        if isinstance(schema_overrides, dict):
+            overrides = tuple((k, dt.parse_into_dtype(v)) for k, v in schema_overrides.items())
+        else:
+            overrides = tuple(
+                (f"column_{i+1}", dt.parse_into_dtype(v)) for i, v in enumerate(schema_overrides)
+            )
+    node = L.LScan(
+        sources=_expand_paths(source),
+        fmt="csv",
+        options=(
+            ("has_header", has_header),
+            ("separator", separator),
+            ("quote_char", quote_char),
+            ("skip_rows", skip_rows),
+            ("schema_overrides", overrides),
+            ("null_values", tuple(null_values) if isinstance(null_values, (list, tuple)) else null_values),
+            ("try_parse_dates", try_parse_dates),
+            ("comment_prefix", comment_prefix),
+        ),
+        n_rows=n_rows,
+        row_index=(row_index_name, row_index_offset) if row_index_name else None,
+    )
+    return LazyFrame._from_node(node)
+
+
+def read_csv(source: Any, *, columns: Any = None, **kwargs: Any):
+    lf = scan_csv(source, **kwargs)
+    if columns is not None:
+        lf = lf.select(list(columns))
+    return lf.collect()
+
+
+def write_csv(
+    df,
+    file: Any = None,
+    *,
+    include_header: bool = True,
+    separator: str = ",",
+    quote_char: str = '"',
+    null_value: str = "",
+    **kwargs: Any,
+):
+    lines = []
+    if include_header:
+        lines.append(separator.join(_quote(c, separator, quote_char) for c in df.columns))
+    cols = [c.to_pylist() for c in df._columns]
+    for i in range(df.height):
+        parts = []
+        for vals in cols:
+            v = vals[i]
+            if v is None:
+                parts.append(null_value)
+            elif isinstance(v, bool):
+                parts.append("true" if v else "false")
+            elif isinstance(v, str):
+                parts.append(_quote(v, separator, quote_char))
+            elif isinstance(v, float):
+                parts.append(repr(v))
+            else:
+                parts.append(str(v))
+        lines.append(separator.join(parts))
+    out = "\n".join(lines) + "\n"
+    if file is None:
+        return out
+    if isinstance(file, (str,)) or hasattr(file, "__fspath__"):
+        with open(file, "w") as f:
+            f.write(out)
+        return None
+    file.write(out if not isinstance(file, _io.BytesIO) else out.encode())
+    return None
+
+
+def _quote(s: str, sep: str, q: str) -> str:
+    if sep in s or q in s or "\n" in s:
+        return q + s.replace(q, q + q) + q
+    return s

@@ -1,0 +1,91 @@
+"""Parquet read/scan/write.
+
+Reference: polars-parquet (33k LoC) + polars-io parquet module. The host path
+rides Arrow C++'s parquet reader; scan-level projection/predicate/slice
+pushdown maps onto row-group pruning via parquet statistics, mirroring the
+reference's scan-statistics predicate pruning
+(polars-plan/src/plans/optimizer/predicate_pushdown/join/predicate_pruning.rs).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from typing import Any
+
+from polars_tpu.plan import logical as L
+
+
+def _expand_paths(source: Any) -> tuple[str, ...]:
+    if isinstance(source, (list, tuple)):
+        out: list[str] = []
+        for s in source:
+            out.extend(_expand_paths(s))
+        return tuple(out)
+    s = str(source)
+    if any(ch in s for ch in "*?["):
+        return tuple(sorted(_glob.glob(s)))
+    return (s,)
+
+
+def scan_parquet(
+    source: Any,
+    *,
+    n_rows: int | None = None,
+    row_index_name: str | None = None,
+    row_index_offset: int = 0,
+    parallel: str = "auto",
+    rechunk: bool = False,
+    low_memory: bool = False,
+    cache: bool = True,
+    storage_options: Any = None,
+    **kwargs: Any,
+):
+    from polars_tpu.lazyframe import LazyFrame
+
+    node = L.LScan(
+        sources=_expand_paths(source),
+        fmt="parquet",
+        options=(),
+        n_rows=n_rows,
+        row_index=(row_index_name, row_index_offset) if row_index_name else None,
+    )
+    return LazyFrame._from_node(node)
+
+
+def read_parquet(source: Any, *, columns: Any = None, n_rows: int | None = None, **kwargs: Any):
+    lf = scan_parquet(source, n_rows=n_rows, **kwargs)
+    if columns is not None:
+        lf = lf.select(list(columns))
+    return lf.collect()
+
+
+def read_parquet_schema(source: Any):
+    import pyarrow.parquet as pq
+
+    from polars_tpu.io._arrow import arrow_schema_to_schema
+
+    return arrow_schema_to_schema(pq.read_schema(_expand_paths(source)[0]))
+
+
+def write_parquet(
+    df,
+    file: Any,
+    *,
+    compression: str = "zstd",
+    compression_level: int | None = None,
+    statistics: bool | str = True,
+    row_group_size: int | None = None,
+    **kwargs: Any,
+) -> None:
+    import pyarrow.parquet as pq
+
+    table = df.to_arrow()
+    comp = compression if compression != "uncompressed" else "none"
+    pq.write_table(
+        table,
+        file,
+        compression=comp,
+        compression_level=compression_level,
+        row_group_size=row_group_size,
+        write_statistics=bool(statistics),
+    )

@@ -1,0 +1,194 @@
+"""LScan execution: host read -> device ingest, with pushdown.
+
+The MultiScan analogue (polars-stream/src/nodes/io_sources/multi_scan/):
+multiple files are read sequentially (parallel prefetch TODO), projection and
+slice push into the Arrow readers, and parquet predicates prune row groups via
+column statistics before any decode.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.frame import DataFrame
+from polars_tpu.errors import ComputeError
+from polars_tpu.plan import exprs as E
+from polars_tpu.plan import logical as L
+
+
+def _read_csv_arrow(path: str, options: dict, n_rows: int | None = None):
+    import pyarrow.csv as pacsv
+
+    overrides = dict(options.get("schema_overrides", ()))
+    null_values = options.get("null_values")
+    parse_opts = pacsv.ParseOptions(
+        delimiter=options.get("separator", ","),
+        quote_char=options.get("quote_char") or False,
+    )
+    nv = ["", "null"]
+    if null_values:
+        if isinstance(null_values, str):
+            nv = [null_values]
+        else:
+            nv = list(null_values)
+    convert = pacsv.ConvertOptions(null_values=nv, strings_can_be_null=True)
+    read_opts = pacsv.ReadOptions(
+        skip_rows=options.get("skip_rows", 0),
+        autogenerate_column_names=not options.get("has_header", True),
+    )
+    table = pacsv.read_csv(path, read_options=read_opts, parse_options=parse_opts, convert_options=convert)
+    if not options.get("has_header", True):
+        table = table.rename_columns([f"column_{i+1}" for i in range(table.num_columns)])
+    if n_rows is not None:
+        table = table.slice(0, n_rows)
+    return table
+
+
+def _pred_to_parquet_filter(pred: E.ENode):
+    """Best-effort conversion of a pushed predicate into row-group pruning
+    bounds: returns list of (col, op, literal) conjuncts it understands."""
+    out = []
+
+    def visit(n: E.ENode) -> bool:
+        if isinstance(n, E.EBinary) and n.op == "&":
+            return visit(n.left) and visit(n.right)
+        if isinstance(n, E.EBinary) and n.op in ("<", "<=", ">", ">=", "=="):
+            a, b = n.left, n.right
+            if isinstance(a, E.EColumn) and isinstance(b, E.ELiteral):
+                out.append((a.name, n.op, b))
+                return True
+            if isinstance(b, E.EColumn) and isinstance(a, E.ELiteral):
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "=="}
+                out.append((b.name, flip[n.op], a))
+                return True
+        return False
+
+    visit(pred)
+    return out
+
+
+def _literal_plain(lit: E.ELiteral):
+    v = lit.value
+    if lit.dtype is not None:
+        d = dt.parse_into_dtype(lit.dtype)
+        if isinstance(d, dt.Date) and isinstance(v, str):
+            return np.datetime64(v, "D").astype("datetime64[D]").astype("O")
+        if isinstance(d, dt.Datetime) and isinstance(v, str):
+            return np.datetime64(v, d.time_unit).astype("O")
+    return v
+
+
+def _prune_row_groups(pf, conjuncts) -> list[int]:
+    """Row groups whose statistics cannot satisfy the conjuncts are skipped
+    (reference: parquet_metadata_prune.rs / predicate pruning)."""
+    md = pf.metadata
+    keep = []
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for rg in range(md.num_row_groups):
+        ok = True
+        rgm = md.row_group(rg)
+        for col, op, lit in conjuncts:
+            ci = name_to_idx.get(col)
+            if ci is None:
+                continue
+            stats = rgm.column(ci).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo, hi = stats.min, stats.max
+            v = _literal_plain(lit)
+            try:
+                if op == "<" and not (lo < v):
+                    ok = False
+                elif op == "<=" and not (lo <= v):
+                    ok = False
+                elif op == ">" and not (hi > v):
+                    ok = False
+                elif op == ">=" and not (hi >= v):
+                    ok = False
+                elif op == "==" and not (lo <= v <= hi):
+                    ok = False
+            except TypeError:
+                continue
+            if not ok:
+                break
+        if ok:
+            keep.append(rg)
+    return keep
+
+
+def execute_scan(node: L.LScan) -> DataFrame:
+    from polars_tpu.io._arrow import arrow_to_df
+
+    tables = []
+    remaining = node.n_rows
+    columns = list(node.projection) if node.projection is not None else None
+    for path in node.sources:
+        if remaining is not None and remaining <= 0:
+            break
+        if node.fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(path)
+            rgs = list(range(pf.metadata.num_row_groups))
+            if node.predicate is not None:
+                conj = _pred_to_parquet_filter(node.predicate)
+                if conj:
+                    rgs = _prune_row_groups(pf, conj)
+            if not rgs:
+                continue
+            t = pf.read_row_groups(rgs, columns=columns)
+        elif node.fmt == "csv":
+            t = _read_csv_arrow(path, dict(node.options))
+            if columns is not None:
+                t = t.select([c for c in columns if c in t.column_names])
+        elif node.fmt == "ipc":
+            import pyarrow.feather as feather
+
+            t = feather.read_table(path, columns=columns)
+        elif node.fmt == "ndjson":
+            import pyarrow.json as pj
+
+            t = pj.read_json(path)
+            if columns is not None:
+                t = t.select([c for c in columns if c in t.column_names])
+        else:
+            raise ComputeError(f"unknown scan format {node.fmt!r}")
+        if remaining is not None:
+            t = t.slice(0, remaining)
+            remaining -= t.num_rows
+        tables.append(t)
+
+    if not tables:
+        from polars_tpu.core.schema import Schema
+        from polars_tpu.plan.schema_resolve import node_schema
+
+        sch = node_schema(node)
+        return DataFrame(schema=sch)
+
+    import pyarrow as pa
+
+    table = pa.concat_tables(tables, promote_options="permissive") if len(tables) > 1 else tables[0]
+
+    overrides = {}
+    if node.fmt == "csv":
+        overrides = dict(dict(node.options).get("schema_overrides", ()))
+    df = arrow_to_df(table, overrides)
+
+    if node.row_index is not None:
+        name, offset = node.row_index
+        from polars_tpu.core.column import Column
+
+        idx = Column.from_values(name, np.arange(offset, offset + df.height, dtype=np.uint32), dt.UInt32())
+        df = DataFrame._from_columns([idx, *df._columns], df.height)
+
+    if node.predicate is not None:
+        # residual filter (pruning is only row-group granular)
+        from polars_tpu.engine.run import execute_plan
+
+        df = execute_plan(
+            L.LFilter(L.LDataFrameScan(df=df, ident=id(df)), node.predicate)
+        )
+    return df

@@ -1,0 +1,58 @@
+"""Schema resolution for LScan nodes (cached per source list)."""
+
+from __future__ import annotations
+
+import functools
+
+from polars_tpu.core.schema import Schema
+from polars_tpu.errors import ComputeError
+from polars_tpu.plan import logical as L
+
+
+@functools.lru_cache(maxsize=512)
+def _schema_for(sources: tuple[str, ...], fmt: str, options) -> Schema:
+    if not sources:
+        return Schema()
+    path = sources[0]
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        from polars_tpu.io._arrow import arrow_schema_to_schema
+
+        return arrow_schema_to_schema(pq.read_schema(path))
+    if fmt == "ipc":
+        import pyarrow.feather as feather
+        import pyarrow.ipc as ipc
+
+        from polars_tpu.io._arrow import arrow_schema_to_schema
+
+        with open(path, "rb") as f:
+            try:
+                reader = ipc.open_file(f)
+                return arrow_schema_to_schema(reader.schema)
+            except Exception:
+                f.seek(0)
+                reader = ipc.open_stream(f)
+                return arrow_schema_to_schema(reader.schema)
+    if fmt == "csv":
+        from polars_tpu.io.scan_exec import _read_csv_arrow
+
+        table = _read_csv_arrow(path, dict(options), n_rows=100)
+        from polars_tpu.io._arrow import arrow_schema_to_schema
+
+        sch = arrow_schema_to_schema(table.schema)
+        for name, d in dict(options).get("schema_overrides", ()):
+            if name in sch:
+                sch[name] = d
+        return sch
+    if fmt == "ndjson":
+        import pyarrow.json as pj
+
+        from polars_tpu.io._arrow import arrow_schema_to_schema
+
+        return arrow_schema_to_schema(pj.read_json(path).schema)
+    raise ComputeError(f"unknown scan format {fmt!r}")
+
+
+def scan_schema(node: L.LScan) -> Schema:
+    return _schema_for(node.sources, node.fmt, node.options).copy()

@@ -1,0 +1,69 @@
+"""Vectorized 64-bit row hashing.
+
+Reference: polars' vectorized row hashing for join/group-by
+(polars-core/src/hashing/, polars-expr/src/hash_keys.rs) and the seeded
+``HashPartitioner`` (polars-utils/src/hashing.rs:72-99) whose partition
+assignment is consistent across independent instances — the property the
+distributed shuffle relies on.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# splitmix64 constants
+_C1 = jnp.uint64(0x9E3779B97F4A7C15)
+_C2 = jnp.uint64(0xBF58476D1CE4E5B9)
+_C3 = jnp.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: jax.Array) -> jax.Array:
+    """splitmix64 finalizer — cheap, high-quality 64-bit mixing (VPU-friendly:
+    only mul/xor/shift)."""
+    x = x + _C1
+    x = (x ^ (x >> 30)) * _C2
+    x = (x ^ (x >> 27)) * _C3
+    return x ^ (x >> 31)
+
+
+def hash_column(values: jax.Array, validity: jax.Array | None, seed: int = 0) -> jax.Array:
+    """Hash one column to uint64 (nulls hash to a fixed sentinel)."""
+    if values.dtype in (jnp.float32, jnp.float64):
+        # canonicalize NaN / -0.0 so equal keys hash equal
+        v = jnp.where(jnp.isnan(values), jnp.float64(jnp.nan).astype(values.dtype), values)
+        v = jnp.where(v == 0, jnp.zeros((), values.dtype), v)
+        bits = jax.lax.bitcast_convert_type(
+            v, jnp.int64 if values.dtype == jnp.float64 else jnp.int32
+        )
+        x = bits.astype(jnp.uint64)
+    elif values.dtype == jnp.bool_:
+        x = values.astype(jnp.uint64)
+    else:
+        x = values.astype(jnp.uint64)
+    h = splitmix64(x + jnp.uint64(seed))
+    if validity is not None:
+        h = jnp.where(validity, h, jnp.uint64(0xC0FFEE_DEAD_BEEF))
+    return h
+
+
+def combine_hashes(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Order-dependent hash combination (boost::hash_combine style, 64-bit)."""
+    return splitmix64(a ^ (b + _C1 + (a << 6) + (a >> 2)))
+
+
+def hash_columns(
+    cols: list[tuple[jax.Array, jax.Array | None]], seed: int = 0
+) -> jax.Array:
+    """Hash several key columns into one uint64 per row (HashKeys analogue)."""
+    h = hash_column(cols[0][0], cols[0][1], seed)
+    for values, validity in cols[1:]:
+        h = combine_hashes(h, hash_column(values, validity, seed))
+    return h
+
+
+def partition_of(h: jax.Array, num_partitions: int) -> jax.Array:
+    """Hash -> partition id, consistent across callers (HashPartitioner
+    analogue). Uses the high bits (multiply-shift) like the reference."""
+    wide = (h >> jnp.uint64(32)) * jnp.uint64(num_partitions)
+    return (wide >> jnp.uint64(32)).astype(jnp.int32)

@@ -1,0 +1,557 @@
+"""LazyFrame: the lazy query builder (reference: polars-lazy/src/frame/mod.rs +
+py-polars lazyframe/frame.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.frame import DataFrame
+from polars_tpu.core.schema import Schema
+from polars_tpu.errors import InvalidOperationError
+from polars_tpu.expr.expr import Expr, parse_into_expr, parse_into_expr_list
+from polars_tpu.plan import exprs as E
+from polars_tpu.plan import logical as L
+from polars_tpu.plan.schema_resolve import node_schema
+
+
+class LazyFrame:
+    __slots__ = ("_node",)
+
+    def __init__(self, data: Any = None, schema: Any = None, **kwargs: Any) -> None:
+        if data is None and schema is None:
+            df = DataFrame()
+        elif isinstance(data, DataFrame):
+            df = data
+        else:
+            df = DataFrame(data, schema=schema, **kwargs)
+        self._node = L.LDataFrameScan(df=df, ident=id(df))
+
+    @classmethod
+    def _from_node(cls, node: L.LNode) -> LazyFrame:
+        lf = cls.__new__(cls)
+        lf._node = node
+        return lf
+
+    @classmethod
+    def _from_df(cls, df: DataFrame) -> LazyFrame:
+        return cls._from_node(L.LDataFrameScan(df=df, ident=id(df)))
+
+    def _wrap(self, node: L.LNode) -> LazyFrame:
+        return LazyFrame._from_node(node)
+
+    # -- introspection -------------------------------------------------------
+
+    @property
+    def schema(self) -> Schema:
+        return node_schema(self._node)
+
+    def collect_schema(self) -> Schema:
+        return node_schema(self._node)
+
+    @property
+    def columns(self) -> list[str]:
+        return self.schema.names()
+
+    @property
+    def dtypes(self) -> list[dt.DataType]:
+        return self.schema.dtypes()
+
+    @property
+    def width(self) -> int:
+        return len(self.schema)
+
+    def explain(self, *, optimized: bool = True, **kwargs: Any) -> str:
+        from polars_tpu.plan.fmt import explain_plan
+        from polars_tpu.plan.optimizer import optimize
+
+        node = optimize(self._node) if optimized else self._node
+        return explain_plan(node)
+
+    def show_graph(self, **kwargs: Any) -> str:
+        return self.explain()
+
+    def __repr__(self) -> str:
+        return f"<LazyFrame at 0x{id(self):X}>\n{self.explain(optimized=False)}"
+
+    # -- execution ------------------------------------------------------------
+
+    def collect(self, *, engine: str = "auto", no_optimization: bool = False, **kwargs: Any) -> DataFrame:
+        from polars_tpu.engine.run import execute_plan
+        from polars_tpu.plan.optimizer import optimize
+
+        node = self._node if no_optimization else optimize(self._node)
+        return execute_plan(node)
+
+    def fetch(self, n_rows: int = 500, **kwargs: Any) -> DataFrame:
+        return self.limit(n_rows).collect(**kwargs)
+
+    def profile(self, **kwargs: Any):
+        import time
+
+        t0 = time.perf_counter()
+        from polars_tpu.engine.run import execute_plan
+        from polars_tpu.plan.optimizer import optimize
+
+        node = optimize(self._node)
+        out = execute_plan(node)
+        elapsed_us = (time.perf_counter() - t0) * 1e6
+        timings = DataFrame({
+            "node": ["optimization", "full query"],
+            "start": [0, 0],
+            "end": [int(elapsed_us * 0.05), int(elapsed_us)],
+        })
+        return out, timings
+
+    def lazy(self) -> LazyFrame:
+        return self
+
+    def cache(self) -> LazyFrame:
+        return self
+
+    def clone(self) -> LazyFrame:
+        return LazyFrame._from_node(self._node)
+
+    def pipe(self, function, *args: Any, **kwargs: Any):
+        return function(self, *args, **kwargs)
+
+    # -- projections / mutations ------------------------------------------------
+
+    def select(self, *exprs: Any, **named_exprs: Any) -> LazyFrame:
+        nodes = tuple(parse_into_expr_list(list(exprs), named_exprs))
+        return self._wrap(L.LSelect(self._node, nodes))
+
+    def select_seq(self, *exprs: Any, **named_exprs: Any) -> LazyFrame:
+        return self.select(*exprs, **named_exprs)
+
+    def with_columns(self, *exprs: Any, **named_exprs: Any) -> LazyFrame:
+        nodes = tuple(parse_into_expr_list(list(exprs), named_exprs))
+        return self._wrap(L.LWithColumns(self._node, nodes))
+
+    def with_columns_seq(self, *exprs: Any, **named_exprs: Any) -> LazyFrame:
+        return self.with_columns(*exprs, **named_exprs)
+
+    def with_column(self, expr: Any) -> LazyFrame:
+        return self.with_columns(expr)
+
+    def filter(self, *predicates: Any, **constraints: Any) -> LazyFrame:
+        preds = list(predicates)
+        nodes = parse_into_expr_list(preds)
+        for name, value in constraints.items():
+            nodes.append(E.EBinary(E.EColumn(name), "==", parse_into_expr(value, str_as_lit=True)))
+        node = self._node
+        pred = nodes[0]
+        for p in nodes[1:]:
+            pred = E.EBinary(pred, "&", p)
+        return self._wrap(L.LFilter(node, pred))
+
+    def remove(self, *predicates: Any, **constraints: Any) -> LazyFrame:
+        from polars_tpu.functions.lazy import all_horizontal
+
+        pred = all_horizontal(*predicates) if predicates else None
+        for name, value in constraints.items():
+            c = Expr(E.EBinary(E.EColumn(name), "==", parse_into_expr(value, str_as_lit=True)))
+            pred = c if pred is None else (pred & c)
+        return self.filter(~pred)
+
+    def drop(self, *columns: Any, strict: bool = True) -> LazyFrame:
+        from polars_tpu.core.frame import _flatten_names
+
+        names = tuple(_flatten_names(columns))
+        return self._wrap(L.LDrop(self._node, names, strict))
+
+    def rename(self, mapping: Mapping[str, str] | Any, *, strict: bool = True) -> LazyFrame:
+        if callable(mapping):
+            mapping = {n: mapping(n) for n in self.columns}
+        return self._wrap(L.LRename(self._node, tuple(mapping.items()), strict))
+
+    def cast(self, dtypes: Any, *, strict: bool = True) -> LazyFrame:
+        import polars_tpu as pl
+
+        if isinstance(dtypes, Mapping):
+            exprs = [pl.col(n).cast(d, strict=strict) for n, d in dtypes.items()]
+            return self.with_columns(exprs)
+        return self.select(pl.col("*").cast(dtypes, strict=strict))
+
+    def with_row_index(self, name: str = "index", offset: int = 0) -> LazyFrame:
+        return self._wrap(L.LWithRowIndex(self._node, name, offset))
+
+    def with_row_count(self, name: str = "row_nr", offset: int = 0) -> LazyFrame:
+        return self.with_row_index(name, offset)
+
+    def reverse(self) -> LazyFrame:
+        import polars_tpu as pl
+
+        n = "__rev_idx"
+        return (
+            self.with_row_index(n)
+            .sort(n, descending=True)
+            .drop(n)
+        )
+
+    def fill_null(self, value: Any = None, strategy: str | None = None, limit: int | None = None, *, matches_supertype: bool = True) -> LazyFrame:
+        import polars_tpu as pl
+
+        return self.with_columns(pl.col("*").fill_null(value, strategy, limit))
+
+    def fill_nan(self, value: Any) -> LazyFrame:
+        import polars_tpu as pl
+        from polars_tpu import datatypes as dtt
+
+        return self.with_columns(pl.col(dtt.Float64, dtt.Float32).fill_nan(value))
+
+    def drop_nulls(self, subset: Any = None) -> LazyFrame:
+        import polars_tpu as pl
+
+        if subset is None:
+            pred = pl.all_horizontal(pl.col("*").is_not_null())
+        else:
+            from polars_tpu.core.frame import _flatten_names
+
+            names = _flatten_names(subset if isinstance(subset, (list, tuple)) else [subset])
+            pred = pl.all_horizontal(*[pl.col(n).is_not_null() for n in names])
+        return self.filter(pred)
+
+    def drop_nans(self, subset: Any = None) -> LazyFrame:
+        import polars_tpu as pl
+        from polars_tpu import datatypes as dtt
+
+        if subset is None:
+            pred = pl.all_horizontal(pl.col(dtt.Float64, dtt.Float32).is_not_nan())
+        else:
+            from polars_tpu.core.frame import _flatten_names
+
+            names = _flatten_names(subset if isinstance(subset, (list, tuple)) else [subset])
+            pred = pl.all_horizontal(*[pl.col(n).is_not_nan() for n in names])
+        return self.filter(pred)
+
+    # -- slicing ------------------------------------------------------------------
+
+    def slice(self, offset: int, length: int | None = None) -> LazyFrame:
+        return self._wrap(L.LSlice(self._node, offset, length))
+
+    def head(self, n: int = 5) -> LazyFrame:
+        return self.slice(0, n)
+
+    def tail(self, n: int = 5) -> LazyFrame:
+        return self.slice(-n, n)
+
+    def limit(self, n: int = 5) -> LazyFrame:
+        return self.head(n)
+
+    def first(self) -> LazyFrame:
+        return self.head(1)
+
+    def last(self) -> LazyFrame:
+        return self.tail(1)
+
+    def gather_every(self, n: int, offset: int = 0) -> LazyFrame:
+        import polars_tpu as pl
+
+        idx = "__ge_idx"
+        return (
+            self.with_row_index(idx)
+            .filter(((pl.col(idx).cast(dt.Int64()) - offset) % n == 0) & (pl.col(idx) >= offset))
+            .drop(idx)
+        )
+
+    # -- sorting -----------------------------------------------------------------
+
+    def sort(
+        self,
+        by: Any,
+        *more_by: Any,
+        descending: bool | Sequence[bool] = False,
+        nulls_last: bool | Sequence[bool] = False,
+        maintain_order: bool = False,
+        multithreaded: bool = True,
+    ) -> LazyFrame:
+        by_nodes = tuple(parse_into_expr_list([by, *more_by]))
+        k = len(by_nodes)
+        desc = tuple(descending) if isinstance(descending, (list, tuple)) else (descending,) * k
+        nl = tuple(nulls_last) if isinstance(nulls_last, (list, tuple)) else (nulls_last,) * k
+        return self._wrap(L.LSort(self._node, by_nodes, desc, nl, maintain_order))
+
+    def top_k(self, k: int, *, by: Any, reverse: Any = False) -> LazyFrame:
+        by_nodes = tuple(parse_into_expr_list([by]))
+        rev = tuple(reverse) if isinstance(reverse, (list, tuple)) else (reverse,) * len(by_nodes)
+        desc = tuple(not r for r in rev)
+        return self._wrap(
+            L.LSort(self._node, by_nodes, desc, (True,) * len(by_nodes), False, k)
+        )
+
+    def bottom_k(self, k: int, *, by: Any, reverse: Any = False) -> LazyFrame:
+        by_nodes = tuple(parse_into_expr_list([by]))
+        rev = tuple(reverse) if isinstance(reverse, (list, tuple)) else (reverse,) * len(by_nodes)
+        return self._wrap(
+            L.LSort(self._node, by_nodes, rev, (True,) * len(by_nodes), False, k)
+        )
+
+    # -- distinct ------------------------------------------------------------------
+
+    def unique(
+        self,
+        subset: Any = None,
+        *,
+        keep: str = "any",
+        maintain_order: bool = False,
+    ) -> LazyFrame:
+        names = None
+        if subset is not None:
+            from polars_tpu.core.frame import _flatten_names
+
+            names = tuple(_flatten_names(subset if isinstance(subset, (list, tuple)) else [subset]))
+        return self._wrap(L.LDistinct(self._node, names, keep, maintain_order))
+
+    # -- group by -------------------------------------------------------------------
+
+    def group_by(self, *by: Any, maintain_order: bool = False, **named_by: Any) -> LazyGroupBy:
+        keys = tuple(parse_into_expr_list(list(by), named_by))
+        return LazyGroupBy(self, keys, maintain_order)
+
+    def group_by_dynamic(self, *args: Any, **kwargs: Any):
+        raise NotImplementedError("group_by_dynamic pending temporal windows")
+
+    def rolling(self, *args: Any, **kwargs: Any):
+        raise NotImplementedError("rolling group-by pending temporal windows")
+
+    # -- joins ----------------------------------------------------------------------
+
+    def join(
+        self,
+        other: LazyFrame,
+        on: Any = None,
+        how: str = "inner",
+        *,
+        left_on: Any = None,
+        right_on: Any = None,
+        suffix: str = "_right",
+        validate: str = "m:m",
+        nulls_equal: bool = False,
+        coalesce: bool | None = None,
+        maintain_order: str | None = None,
+        allow_parallel: bool = True,
+        force_parallel: bool = False,
+        join_nulls: bool | None = None,
+    ) -> LazyFrame:
+        if join_nulls is not None:
+            nulls_equal = join_nulls
+        if how == "cross":
+            lo = ro = ()
+        else:
+            if on is not None:
+                lo = ro = tuple(parse_into_expr_list([on]))
+            elif left_on is not None and right_on is not None:
+                lo = tuple(parse_into_expr_list([left_on]))
+                ro = tuple(parse_into_expr_list([right_on]))
+            else:
+                raise InvalidOperationError("join requires `on` or `left_on`+`right_on`")
+        if how == "outer":
+            how = "full"
+        return self._wrap(
+            L.LJoin(
+                self._node, other._node, lo, ro, how, suffix, nulls_equal,
+                coalesce, maintain_order or "none",
+            )
+        )
+
+    def join_where(self, other: LazyFrame, *predicates: Any, suffix: str = "_right") -> LazyFrame:
+        preds = tuple(parse_into_expr_list(list(predicates)))
+        return self._wrap(L.LJoinWhere(self._node, other._node, preds, suffix))
+
+    def join_asof(
+        self,
+        other: LazyFrame,
+        *,
+        on: Any = None,
+        left_on: Any = None,
+        right_on: Any = None,
+        by: Any = None,
+        by_left: Any = None,
+        by_right: Any = None,
+        strategy: str = "backward",
+        tolerance: Any = None,
+        suffix: str = "_right",
+        **kwargs: Any,
+    ) -> LazyFrame:
+        lo = parse_into_expr(on if on is not None else left_on)
+        ro = parse_into_expr(on if on is not None else right_on)
+        bl = tuple(parse_into_expr_list([by if by is not None else by_left])) if (by or by_left) else ()
+        br = tuple(parse_into_expr_list([by if by is not None else by_right])) if (by or by_right) else ()
+        return self._wrap(
+            L.LAsofJoin(self._node, other._node, lo, ro, bl, br, strategy, tolerance, suffix)
+        )
+
+    # -- reshape ---------------------------------------------------------------------
+
+    def explode(self, columns: Any, *more_columns: Any) -> LazyFrame:
+        from polars_tpu.core.frame import _flatten_names
+
+        names = tuple(_flatten_names((columns, *more_columns)))
+        return self._wrap(L.LExplode(self._node, names))
+
+    def unpivot(
+        self,
+        on: Any = None,
+        *,
+        index: Any = None,
+        variable_name: str = "variable",
+        value_name: str = "value",
+    ) -> LazyFrame:
+        from polars_tpu.core.frame import _flatten_names
+
+        on_t = tuple(_flatten_names(on if isinstance(on, (list, tuple)) else [on])) if on is not None else None
+        idx_t = tuple(_flatten_names(index if isinstance(index, (list, tuple)) else [index])) if index is not None else ()
+        return self._wrap(L.LUnpivot(self._node, on_t, idx_t, variable_name, value_name))
+
+    def melt(self, id_vars: Any = None, value_vars: Any = None, variable_name: str = "variable", value_name: str = "value") -> LazyFrame:
+        return self.unpivot(value_vars, index=id_vars or (), variable_name=variable_name, value_name=value_name)
+
+    def map_batches(self, function, *, schema: Any = None, streamable: bool = False, validate_output_schema: bool = True, **kwargs: Any) -> LazyFrame:
+        return self._wrap(
+            L.LMapFunction(self._node, function=function, ident=id(function))
+        )
+
+    # -- frame-level aggregation shortcuts ----------------------------------------------
+
+    def _agg_all(self, method: str, **kwargs: Any) -> LazyFrame:
+        import polars_tpu as pl
+
+        schema = self.schema
+        exprs = []
+        for n, d in schema.items():
+            e = pl.col(n)
+            exprs.append(getattr(e, method)(**kwargs))
+        return self.select(exprs)
+
+    def sum(self) -> LazyFrame:
+        return self._agg_all("sum")
+
+    def mean(self) -> LazyFrame:
+        return self._agg_all("mean")
+
+    def min(self) -> LazyFrame:
+        return self._agg_all("min")
+
+    def max(self) -> LazyFrame:
+        return self._agg_all("max")
+
+    def median(self) -> LazyFrame:
+        return self._agg_all("median")
+
+    def std(self, ddof: int = 1) -> LazyFrame:
+        return self._agg_all("std", ddof=ddof)
+
+    def var(self, ddof: int = 1) -> LazyFrame:
+        return self._agg_all("var", ddof=ddof)
+
+    def quantile(self, quantile: float, interpolation: str = "nearest") -> LazyFrame:
+        return self._agg_all("quantile", quantile=quantile, interpolation=interpolation)
+
+    def count(self) -> LazyFrame:
+        return self._agg_all("count")
+
+    def null_count(self) -> LazyFrame:
+        return self._agg_all("null_count")
+
+    # -- sinks -------------------------------------------------------------------------
+
+    def sink_parquet(self, path: Any, **kwargs: Any) -> None:
+        self._wrap(L.LSink(self._node, str(path), "parquet", tuple(sorted(kwargs.items())))).collect()
+
+    def sink_csv(self, path: Any, **kwargs: Any) -> None:
+        self._wrap(L.LSink(self._node, str(path), "csv", tuple(sorted(kwargs.items())))).collect()
+
+    def sink_ipc(self, path: Any, **kwargs: Any) -> None:
+        self._wrap(L.LSink(self._node, str(path), "ipc", tuple(sorted(kwargs.items())))).collect()
+
+    def sink_ndjson(self, path: Any, **kwargs: Any) -> None:
+        self._wrap(L.LSink(self._node, str(path), "ndjson", tuple(sorted(kwargs.items())))).collect()
+
+    # -- concat helper -------------------------------------------------------------------
+
+    @staticmethod
+    def _concat(frames: list[LazyFrame], how: str = "vertical") -> LazyFrame:
+        if how.startswith("vertical") or how.startswith("diagonal"):
+            return LazyFrame._from_node(L.LUnion(tuple(f._node for f in frames)))
+        if how == "horizontal":
+            return LazyFrame._from_node(L.LHConcat(tuple(f._node for f in frames)))
+        raise InvalidOperationError(f"concat strategy {how!r}")
+
+
+class LazyGroupBy:
+    __slots__ = ("_lf", "_keys", "_maintain_order")
+
+    def __init__(self, lf: LazyFrame, keys: tuple[E.ENode, ...], maintain_order: bool) -> None:
+        self._lf = lf
+        self._keys = keys
+        self._maintain_order = maintain_order
+
+    def agg(self, *aggs: Any, **named_aggs: Any) -> LazyFrame:
+        nodes = tuple(parse_into_expr_list(list(aggs), named_aggs))
+        return self._lf._wrap(
+            L.LGroupBy(self._lf._node, self._keys, nodes, self._maintain_order)
+        )
+
+    def _agg_all(self, method: str, **kwargs: Any) -> LazyFrame:
+        import polars_tpu as pl
+
+        schema = self._lf.schema
+        key_names = set()
+        for k in self._keys:
+            n = E.output_name(k)
+            if n:
+                key_names.add(n)
+        exprs = [
+            getattr(pl.col(n), method)(**kwargs)
+            for n in schema.names()
+            if n not in key_names
+        ]
+        return self.agg(exprs)
+
+    def sum(self) -> LazyFrame:
+        return self._agg_all("sum")
+
+    def mean(self) -> LazyFrame:
+        return self._agg_all("mean")
+
+    def min(self) -> LazyFrame:
+        return self._agg_all("min")
+
+    def max(self) -> LazyFrame:
+        return self._agg_all("max")
+
+    def median(self) -> LazyFrame:
+        return self._agg_all("median")
+
+    def first(self) -> LazyFrame:
+        return self._agg_all("first")
+
+    def last(self) -> LazyFrame:
+        return self._agg_all("last")
+
+    def n_unique(self) -> LazyFrame:
+        return self._agg_all("n_unique")
+
+    def quantile(self, quantile: float, interpolation: str = "nearest") -> LazyFrame:
+        return self._agg_all("quantile", quantile=quantile, interpolation=interpolation)
+
+    def count(self) -> LazyFrame:
+        import polars_tpu as pl
+
+        return self.agg(pl.len().alias("count"))
+
+    def len(self, name: str = "len") -> LazyFrame:
+        import polars_tpu as pl
+
+        return self.agg(pl.len().alias(name))
+
+    def head(self, n: int = 5) -> LazyFrame:
+        raise NotImplementedError("group_by().head() pending per-group slicing")
+
+    def tail(self, n: int = 5) -> LazyFrame:
+        raise NotImplementedError("group_by().tail() pending per-group slicing")
+
+    def all(self) -> LazyFrame:
+        raise NotImplementedError("group_by().all() requires List dtype")

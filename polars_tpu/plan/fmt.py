@@ -1,0 +1,43 @@
+"""Plan pretty-printing (reference: polars-plan IR Display + polars-lazy dot.rs)."""
+
+from __future__ import annotations
+
+from polars_tpu.plan import logical as L
+
+
+def explain_plan(node: L.LNode, indent: int = 0) -> str:
+    pad = "  " * indent
+    name = type(node).__name__[1:]
+    detail = ""
+    if isinstance(node, L.LDataFrameScan):
+        detail = f" [{node.df.width} cols, {node.df.height} rows]"
+        if node.projection:
+            detail += f" π {list(node.projection)}"
+    elif isinstance(node, L.LScan):
+        detail = f" {node.fmt}: {list(node.sources)[:2]}"
+        if node.projection is not None:
+            detail += f" π {len(node.projection)}/{len(node.projection)}"
+        if node.predicate is not None:
+            detail += f" σ {node.predicate!r}"
+        if node.n_rows is not None:
+            detail += f" n_rows={node.n_rows}"
+    elif isinstance(node, L.LSelect):
+        detail = f" {len(node.expressions)} exprs"
+    elif isinstance(node, L.LWithColumns):
+        detail = f" {len(node.expressions)} exprs"
+    elif isinstance(node, L.LFilter):
+        detail = f" {node.predicate!r}"
+    elif isinstance(node, L.LGroupBy):
+        detail = f" keys={len(node.keys)} aggs={len(node.aggs)}"
+    elif isinstance(node, L.LJoin):
+        detail = f" how={node.how}"
+    elif isinstance(node, L.LSort):
+        detail = f" by={len(node.by)} desc={node.descending}" + (
+            f" limit={node.limit}" if node.limit is not None else ""
+        )
+    elif isinstance(node, L.LSlice):
+        detail = f" offset={node.offset} len={node.length}"
+    lines = [f"{pad}{name}{detail}"]
+    for i in node.inputs():
+        lines.append(explain_plan(i, indent + 1))
+    return "\n".join(lines)
