@@ -156,6 +156,13 @@ class Column:
         return out
 
     def to_pylist(self) -> list:
+        # NaN is a VALUE for float columns (distinct from null) — use validity
+        if isinstance(self.dtype, dt.FloatType):
+            vals, validity = self.buffer.to_numpy()
+            lst = vals.tolist()
+            if validity is None:
+                return lst
+            return [v if ok else None for v, ok in zip(lst, validity.tolist())]
         arr = self.to_numpy()
         out = []
         for v in arr.tolist() if arr.dtype != object else arr:
@@ -229,7 +236,7 @@ def _maybe_cast(col: Column, dtype: dt.DataType | None) -> Column:
     return cast_column(col, dtype, strict=False)
 
 
-def _infer_pylist_dtype(seq: list) -> dt.DataType:
+def _infer_pylist_dtype(seq: list, *, strict: bool = True) -> dt.DataType:
     has = set()
     for v in seq:
         if v is None:
@@ -283,13 +290,15 @@ def _infer_pylist_dtype(seq: list) -> dt.DataType:
     if has == {"list"}:
         inner_vals = [x for v in seq if v is not None for x in v]
         return dt.List(_infer_pylist_dtype(inner_vals))
+    if not strict and has <= {"str", "int", "float", "bool"}:
+        return dt.String()
     raise InvalidOperationError(f"cannot infer dtype from values with kinds {sorted(has)}")
 
 
 def _from_pylist(
     name: str, seq: list, dtype: dt.DataType | None, *, strict: bool
 ) -> Column:
-    logical = dtype if dtype is not None else _infer_pylist_dtype(seq)
+    logical = dtype if dtype is not None else _infer_pylist_dtype(seq, strict=strict)
     n = len(seq)
     validity = np.array([v is not None for v in seq], dtype=bool)
     has_null = not validity.all()

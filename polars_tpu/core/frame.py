@@ -294,6 +294,9 @@ class DataFrame:
     def join_where(self, other: DataFrame, *predicates: Any, suffix: str = "_right") -> DataFrame:
         return self.lazy().join_where(other.lazy(), *predicates, suffix=suffix).collect()
 
+    def join_asof(self, other: DataFrame, **kwargs: Any) -> DataFrame:
+        return self.lazy().join_asof(other.lazy(), **kwargs).collect()
+
     # -- direct (cheap) ops ------------------------------------------------------------
 
     def slice(self, offset: int, length: int | None = None) -> DataFrame:

@@ -204,6 +204,8 @@ def _eval_binary(node: E.EBinary, ctx: EvalCtx) -> Val:
 
     out_dt = binary_dtype(op, a.dtype, b.dtype)
     a2, b2, values, validity = _arith(op, a, b, out_dt)
+    if validity is not None and validity.shape != values.shape:
+        validity = jnp.broadcast_to(validity, values.shape)
     return Val(values, validity, out_dt, None, dom)
 
 
@@ -318,7 +320,7 @@ def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
         bc = cast_val(b, st, strict=False) if b.dtype != st else b
         av, bv = ac.values, bc.values
 
-    base = op.replace("_missing", "") if op in ("eq_missing", "ne_missing") else op
+    base = {"eq_missing": "==", "ne_missing": "!="}.get(op, op)
     if base == "==":
         values = av == bv
     elif base == "!=":
@@ -345,6 +347,8 @@ def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
             values = jnp.where(either_null, ~both_null, values)
         return Val(values, None, dt.Boolean(), None, dom)
     validity = combine_validity(va, vb)
+    if validity is not None and validity.shape != values.shape:
+        validity = jnp.broadcast_to(validity, values.shape)
     return Val(values, validity, dt.Boolean(), None, dom)
 
 

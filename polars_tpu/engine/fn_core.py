@@ -459,74 +459,116 @@ def _hash(ctx, args, opts):
     return Val(h, None, dt.UInt64(), None, v.domain)
 
 
-@register("replace", SUPER)
+@register("replace", lambda dts, opts: dts[0])
 def _replace(ctx, args, opts):
-    v, old, new = args
-    # replace values found in `old` with parallel `new`; others unchanged
+    """Map listed values to replacements; others unchanged. The old/new lists
+    are static host values (reference: polars-ops replace.rs)."""
+    v = args[0]
+    olds, news = list(opts["olds"]), list(opts["news"])
     if v.table is not None:
         from polars_tpu.engine.strings import map_over_table
 
-        old_list = [x for x in (old.table.values if old.table is not None else [])]
-        new_list = [x for x in (new.table.values if new.table is not None else [])]
-        # old/new series literals keep given order in their column values
-        mapping = _string_literal_mapping(old, new)
+        mapping = dict(zip(olds, news))
 
         def f(uniq):
             return np.asarray([mapping.get(u, u) for u in uniq], object)
 
         return map_over_table(v, f, out_is_string=True)
-    from polars_tpu.plan.schema_resolve import supertype
-
-    st = supertype(v.dtype, new.dtype)
-    out = cast_val(v, st, strict=False) if v.dtype != st else v
-    values = out.values
-    validity = out.valid_or_true() if out.validity is not None else None
-    ov, nv = old.values, cast_val(new, st, strict=False).values
-    m = ov.shape[0]
-    for i in range(m):
-        hit = out.values == ov[i] if old.validity is None else (out.values == ov[i]) & old.validity[i]
-        values = jnp.where(hit, jnp.broadcast_to(nv[i], values.shape), values)
-        if validity is not None:
-            validity = jnp.where(hit, True, validity)
-    return Val(values, None if validity is None else (validity if out.validity is not None else None), st, None, v.domain)
-
-
-def _string_literal_mapping(old: Val, new: Val) -> dict:
-    olds = old.table.take(np.asarray(old.values)) if old.table is not None else np.asarray(old.values)
-    news = new.table.take(np.asarray(new.values)) if new.table is not None else np.asarray(new.values)
-    return dict(zip(olds.tolist(), news.tolist()))
-
-
-@register("replace_strict", lambda dts, opts: opts.get("return_dtype") or SUPER(dts[2:], opts))
-def _replace_strict(ctx, args, opts):
-    v, old, new = args[0], args[1], args[2]
-    default = args[3] if opts.get("has_default") else None
-    if v.table is not None:
-        olds = old.table.take(np.asarray(old.values)).tolist() if old.table is not None else []
-        key_codes = [v.table.find(o) for o in olds]
-    else:
-        key_codes = None
-    nv = new.values
-    out_dt = opts.get("return_dtype") or new.dtype
-    nvv = cast_val(new, out_dt, strict=False).values if new.dtype != out_dt else nv
-    shape = v.values.shape
-    values = jnp.zeros(shape, nvv.dtype)
-    matched = jnp.zeros(shape, bool)
-    m = nvv.shape[0]
-    for i in range(m):
-        if key_codes is not None:
-            hit = v.values == key_codes[i]
+    values = v.values
+    validity = v.valid_or_true() if v.validity is not None else None
+    for o, nw in zip(olds, news):
+        if o is None:
+            if v.validity is not None:
+                hit = ~v.validity
+            else:
+                continue
         else:
-            hit = v.values == old.values[i].astype(v.values.dtype)
-        values = jnp.where(hit, jnp.broadcast_to(nvv[i], shape), values)
+            hit = v.values == jnp.asarray(o, v.values.dtype)
+            if v.validity is not None:
+                hit = hit & v.validity
+        if nw is None:
+            if validity is None:
+                validity = jnp.ones(values.shape, bool)
+            validity = jnp.where(hit, False, validity)
+        else:
+            values = jnp.where(hit, jnp.asarray(nw, values.dtype), values)
+            if validity is not None:
+                validity = jnp.where(hit, True, validity)
+    return Val(values, validity, v.dtype, None, v.domain)
+
+
+def _replace_strict_dtype(dts, opts):
+    rd = opts.get("return_dtype")
+    if rd is not None:
+        return rd
+    news = [n for n in opts.get("news", ()) if n is not None]
+    cand = news + ([opts.get("default")] if opts.get("default") is not None else [])
+    if not cand:
+        return dt.Null()
+    from polars_tpu.core.column import _infer_pylist_dtype
+
+    return _infer_pylist_dtype(list(cand))
+
+
+@register("replace_strict", _replace_strict_dtype)
+def _replace_strict(ctx, args, opts):
+    v = args[0]
+    olds, news = list(opts["olds"]), list(opts["news"])
+    default = opts.get("default")
+    out_dt = _replace_strict_dtype([v.dtype], opts)
+
+    if type(out_dt).__name__ in ("String", "Categorical", "Enum"):
+        # string outputs: build via dictionary of outputs
+        from polars_tpu.utils import strtable
+
+        out_values = sorted({str(x) for x in news if x is not None} | ({str(default)} if default is not None else set()))
+        table = strtable.StringTable(np.asarray(out_values, object), sorted_order=True)
+        code_of = {s: i for i, s in enumerate(out_values)}
+        shape = v.values.shape
+        values = jnp.zeros(shape, jnp.int32)
+        matched = jnp.zeros(shape, bool)
+        for o, nw in zip(olds, news):
+            hit = _match_old(v, o)
+            if nw is not None:
+                values = jnp.where(hit, jnp.int32(code_of[str(nw)]), values)
+            matched = matched | hit
+        if default is not None:
+            values = jnp.where(matched, values, jnp.int32(code_of[str(default)]))
+            validity = v.validity
+        else:
+            validity = matched if v.validity is None else (matched & v.validity)
+        return Val(values, validity, out_dt, table, v.domain)
+
+    np_dt = jnp.dtype(dt.dtype_to_numpy(out_dt))
+    shape = v.values.shape
+    values = jnp.zeros(shape, np_dt)
+    matched = jnp.zeros(shape, bool)
+    for o, nw in zip(olds, news):
+        hit = _match_old(v, o)
+        if nw is not None:
+            values = jnp.where(hit, jnp.asarray(nw, np_dt), values)
         matched = matched | hit
     if default is not None:
-        dv = cast_val(default, out_dt, strict=False) if default.dtype != out_dt else default
-        values = jnp.where(matched, values, jnp.broadcast_to(dv.values, shape))
-        validity = combine_validity(v.validity, None)
+        values = jnp.where(matched, values, jnp.asarray(default, np_dt))
+        validity = v.validity
     else:
-        validity = combine_validity(v.validity, matched)
+        validity = matched if v.validity is None else (matched & v.validity)
     return Val(values, validity, out_dt, None, v.domain)
+
+
+def _match_old(v: Val, o):
+    if o is None:
+        if v.validity is None:
+            return jnp.zeros(v.values.shape, bool)
+        return ~v.validity
+    if v.table is not None:
+        code = v.table.find(str(o))
+        hit = v.values == jnp.int32(code)
+    else:
+        hit = v.values == jnp.asarray(o, v.values.dtype)
+    if v.validity is not None:
+        hit = hit & v.validity
+    return hit
 
 
 @register("set_sorted", SAME)

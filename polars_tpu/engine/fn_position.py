@@ -74,7 +74,7 @@ def _shift(ctx, args, opts):
         n = vals.shape[0]
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         shifted = jnp.roll(vals, n_sh)
-        valid_arr = jnp.ones((n,), bool) if valid is None else valid
+        valid_arr = mask if valid is None else (valid & mask)
         sh_valid = jnp.roll(valid_arr, n_sh)
         seg_src = jnp.roll(seg, n_sh)
         in_bounds = (iota >= n_sh) if n_sh >= 0 else (iota < n + n_sh)
@@ -94,7 +94,7 @@ def _shift_fill(ctx, args, opts):
         n = vals.shape[0]
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         shifted = jnp.roll(vals, n_sh)
-        valid_arr = jnp.ones((n,), bool) if valid is None else valid
+        valid_arr = mask if valid is None else (valid & mask)
         sh_valid = jnp.roll(valid_arr, n_sh)
         seg_src = jnp.roll(seg, n_sh)
         in_bounds = (iota >= n_sh) if n_sh >= 0 else (iota < n + n_sh)
@@ -116,7 +116,7 @@ def _diff(ctx, args, opts):
         n = vals.shape[0]
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         prev = jnp.roll(vals, n_sh)
-        valid_arr = jnp.ones((n,), bool) if valid is None else valid
+        valid_arr = mask if valid is None else (valid & mask)
         prev_valid = jnp.roll(valid_arr, n_sh)
         seg_src = jnp.roll(seg, n_sh)
         in_bounds = (iota >= n_sh) if n_sh >= 0 else (iota < n + n_sh)
@@ -137,7 +137,7 @@ def _pct_change(ctx, args, opts):
         x = vals.astype(acc)
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         prev = jnp.roll(x, n_sh)
-        valid_arr = jnp.ones((n,), bool) if valid is None else valid
+        valid_arr = mask if valid is None else (valid & mask)
         prev_valid = jnp.roll(valid_arr, n_sh)
         seg_src = jnp.roll(seg, n_sh)
         ok = (iota >= n_sh) & (seg_src == seg) & prev_valid & valid_arr & (prev != 0)
@@ -261,23 +261,32 @@ _cum("count", lambda dts, opts: dt.UInt32())
 
 @register("reverse", SAME, elementwise=False)
 def _reverse(ctx, args, opts):
+    # reverse the in-mask rows (per group in window context) via a compact
+    # slot permutation: robust to padding and non-contiguous row masks
     v = _row_domain(ctx, args[0])
-
-    def fn(vals, valid, seg, mask):
-        n = vals.shape[0]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        boundary = _seg_boundary(seg)
-        starts = jnp.where(boundary, iota, 0)
-        seg_start = jax.lax.associative_scan(jnp.maximum, starts)
-        # segment end = start of next segment - 1 (for last segment: count of in-mask rows)
-        seg_len = jnp.zeros((n,), jnp.int32).at[seg_start].add(jnp.ones((n,), jnp.int32))
-        seg_end = seg_start + seg_len[seg_start] - 1
-        target = seg_end - (iota - seg_start)
-        out = vals[target]
-        out_valid = None if valid is None else valid[target]
-        return out, out_valid
-
-    return _apply_in_group_order(ctx, v, fn)
+    vals, valid = v.values, v.validity
+    n = vals.shape[0]
+    mask = ctx.rowmask
+    seg = ctx.groups.gids if ctx.groups is not None else jnp.zeros((n,), jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    oobk = (~mask).astype(jnp.int8)
+    _, seg_s, perm = jax.lax.sort([oobk, seg, iota], num_keys=2, is_stable=True)
+    mask_s = mask[perm]
+    first = iota == 0
+    boundary = mask_s & (first | (seg_s != jnp.roll(seg_s, 1)) | ~jnp.roll(mask_s, 1))
+    starts = jnp.where(boundary, iota, 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, starts)
+    seg_len = jnp.zeros((n,), jnp.int32).at[seg_start].add(mask_s.astype(jnp.int32))
+    seg_end = seg_start + seg_len[seg_start] - 1
+    src_slot = jnp.clip(seg_end - (iota - seg_start), 0, n - 1)
+    src_row = perm[src_slot]
+    out_compact = vals[src_row]
+    out = jnp.zeros_like(vals).at[perm].set(out_compact)
+    out_valid = None
+    if valid is not None:
+        ov = valid[src_row]
+        out_valid = jnp.zeros((n,), bool).at[perm].set(ov)
+    return Val(out, out_valid, v.dtype, v.table, ROW)
 
 
 @register("forward_fill", SAME, elementwise=False)
@@ -562,3 +571,35 @@ def _ewm_mean(ctx, args, opts):
         out = y / jnp.maximum(wsum, 1e-300)
         ok = wsum > 0
     return Val(out, ok & valid if v.validity is not None else ok, dt.Float64(), None, ROW)
+
+
+@register("fill_null_with_strategy", SAME, elementwise=False)
+def _fill_null_with_strategy(ctx, args, opts):
+    v = args[0]
+    strategy = opts.get("strategy")
+    if v.validity is None:
+        return v
+    if strategy == "forward":
+        return _forward_fill(ctx, args, {})
+    if strategy == "backward":
+        return _backward_fill(ctx, args, {})
+    if strategy in ("zero", "one"):
+        fillv = jnp.asarray(1 if strategy == "one" else 0, v.values.dtype)
+        return Val(
+            jnp.where(v.validity, v.values, fillv), None, v.dtype, v.table, v.domain
+        )
+    if strategy in ("min", "max", "mean"):
+        mask = ctx.rowmask & v.validity
+        if strategy == "mean":
+            x = v.values.astype(jnp.float64)
+            s = jnp.sum(jnp.where(mask, x, 0.0))
+            c = jnp.sum(mask.astype(jnp.float64))
+            fillv = (s / jnp.maximum(c, 1.0)).astype(v.values.dtype)
+        elif strategy == "min":
+            fillv = jnp.min(jnp.where(mask, v.values, _pos_inf(v.values.dtype)))
+        else:
+            fillv = jnp.max(jnp.where(mask, v.values, _neg_inf(v.values.dtype)))
+        return Val(
+            jnp.where(v.validity, v.values, fillv), None, v.dtype, v.table, v.domain
+        )
+    raise InvalidOperationError(f"unknown fill_null strategy {strategy!r}")

@@ -718,7 +718,8 @@ class Expr:
     def hash(self, seed: int = 0, *more_seeds: int) -> Expr:
         return self._fn("hash", seed=seed)
 
-    def replace(self, old: Any, new: Any = None) -> Expr:
+    @staticmethod
+    def _replace_pairs(old: Any, new: Any) -> tuple[tuple, tuple]:
         if isinstance(old, dict):
             olds = list(old.keys())
             news = list(old.values())
@@ -726,19 +727,17 @@ class Expr:
             olds, news = old, new
         if not isinstance(olds, (list, tuple)):
             olds, news = [olds], [news]
-        return self._fn("replace", list(olds), list(news))
+        return tuple(olds), tuple(news)
+
+    def replace(self, old: Any, new: Any = None) -> Expr:
+        # old/new are static mapping tables (host-side), not expression inputs
+        olds, news = self._replace_pairs(old, new)
+        return self._fn("replace", olds=olds, news=news)
 
     def replace_strict(self, old: Any, new: Any = None, *, default: Any = None, return_dtype: Any = None) -> Expr:
-        if isinstance(old, dict):
-            olds = list(old.keys())
-            news = list(old.values())
-        else:
-            olds, news = old, new
-        if not isinstance(olds, (list, tuple)):
-            olds, news = [olds], [news]
+        olds, news = self._replace_pairs(old, new)
         return self._fn(
-            "replace_strict", list(olds), list(news), default,
-            has_default=default is not None,
+            "replace_strict", olds=olds, news=news, default=default,
             return_dtype=dt.parse_into_dtype(return_dtype) if return_dtype is not None else None,
         )
 

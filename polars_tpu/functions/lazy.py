@@ -9,7 +9,8 @@ from polars_tpu import datatypes as dt
 from polars_tpu.expr.expr import Expr, parse_into_expr, parse_into_expr_list
 from polars_tpu.plan import exprs as E
 
-_len = len  # the module-level len() shadows the builtin below
+# module-level len()/all()/any()/... shadow the builtins below
+_len, _all, _any = len, all, any
 
 
 def col(name: Any, *more_names: Any) -> Expr:
@@ -25,9 +26,9 @@ def col(name: Any, *more_names: Any) -> Expr:
             return Expr(E.EDtypeColumns((dt.parse_into_dtype(n),)))
         if isinstance(n, Iterable):
             names = list(n)
-    if all(isinstance(n, str) for n in names):
+    if _all(isinstance(n, str) for n in names):
         return Expr(E.EColumns(tuple(names)))
-    if all(isinstance(n, (dt.DataType, dt.DataTypeClass)) for n in names):
+    if _all(isinstance(n, (dt.DataType, dt.DataTypeClass)) for n in names):
         return Expr(E.EDtypeColumns(tuple(dt.parse_into_dtype(n) for n in names)))
     raise TypeError("col() accepts strings or datatypes, not a mix")
 

@@ -229,9 +229,19 @@ def _rebuild_expr(node: E.ENode, kids: tuple[E.ENode, ...]) -> E.ENode:
     raise InvalidOperationError(f"cannot rebuild {type(node).__name__}")
 
 
+def _selector_roots(node: E.ENode) -> list[E.ENode]:
+    """Outermost selector nodes (don't descend into set-selector children)."""
+    if _is_selector_node(node):
+        return [node]
+    out: list[E.ENode] = []
+    for c in node.children():
+        out.extend(_selector_roots(c))
+    return out
+
+
 def expand_expr(node: E.ENode, schema: Schema) -> list[E.ENode]:
     """Expand selector roots into one expression per matched column."""
-    selectors = [n for n in E.walk(node) if _is_selector_node(n)]
+    selectors = _selector_roots(node)
     if not selectors:
         return [node]
     # distinct selector nodes (hash-equal collapse)

