@@ -1,0 +1,280 @@
+"""PDS-H (TPC-H-derived) data generator + reference queries.
+
+Seeded numpy generator producing the TPC-H schema at a given scale factor
+(reference test pattern: py-polars/tests/benchmark/data/ + the pdsh logic
+tests, crates/polars-lazy/src/tests/pdsh.rs). Row counts follow the TPC-H
+spec ratios; value distributions are simplified but exercise the same paths
+(dates, dictionary keys, skewed foreign keys, monetary decimals-as-floats).
+"""
+
+from __future__ import annotations
+
+import datetime as dtm
+
+import numpy as np
+
+_NATIONS = [
+    "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA", "FRANCE",
+    "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN", "JORDAN", "KENYA",
+    "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA", "ROMANIA", "SAUDI ARABIA",
+    "VIETNAM", "RUSSIA", "UNITED KINGDOM", "UNITED STATES",
+]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_NATION_REGION = [0, 1, 1, 1, 4, 0, 3, 3, 2, 2, 4, 4, 2, 4, 0, 0, 0, 1, 2, 3, 4, 2, 3, 3, 1]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_SHIPMODES = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+_INSTRUCTIONS = ["COLLECT COD", "DELIVER IN PERSON", "NONE", "TAKE BACK RETURN"]
+
+_EPOCH = dtm.date(1970, 1, 1)
+_START = (dtm.date(1992, 1, 1) - _EPOCH).days
+_END = (dtm.date(1998, 12, 1) - _EPOCH).days
+
+
+def _dates(rng, n, lo=_START, hi=_END):
+    return rng.integers(lo, hi, n).astype("datetime64[D]")
+
+
+def generate_pdsh(scale: float = 0.01, seed: int = 42) -> dict:
+    """All eight TPC-H tables as dicts of numpy arrays."""
+    rng = np.random.default_rng(seed)
+    n_cust = max(int(150_000 * scale), 10)
+    n_orders = n_cust * 10
+    n_line = int(n_orders * 4)
+    n_part = max(int(200_000 * scale), 10)
+    n_supp = max(int(10_000 * scale), 5)
+    n_psupp = n_part * 4
+
+    region = {
+        "r_regionkey": np.arange(5, dtype=np.int64),
+        "r_name": np.asarray(_REGIONS, object),
+        "r_comment": np.asarray([f"region comment {i}" for i in range(5)], object),
+    }
+    nation = {
+        "n_nationkey": np.arange(25, dtype=np.int64),
+        "n_name": np.asarray(_NATIONS, object),
+        "n_regionkey": np.asarray(_NATION_REGION, np.int64),
+        "n_comment": np.asarray([f"nation comment {i}" for i in range(25)], object),
+    }
+    customer = {
+        "c_custkey": np.arange(1, n_cust + 1, dtype=np.int64),
+        "c_name": np.asarray([f"Customer#{i:09d}" for i in range(1, n_cust + 1)], object),
+        "c_address": np.asarray([f"addr{i}" for i in range(n_cust)], object),
+        "c_nationkey": rng.integers(0, 25, n_cust),
+        "c_phone": np.asarray([f"{10+i%25}-{i%1000:03d}-{i%10000:04d}" for i in range(n_cust)], object),
+        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
+        "c_mktsegment": np.asarray(_SEGMENTS, object)[rng.integers(0, 5, n_cust)],
+        "c_comment": np.asarray([f"customer comment {i}" for i in range(n_cust)], object),
+    }
+    o_custkey = rng.integers(1, n_cust + 1, n_orders)
+    o_orderdate = _dates(rng, n_orders)
+    orders = {
+        "o_orderkey": np.arange(1, n_orders + 1, dtype=np.int64),
+        "o_custkey": o_custkey.astype(np.int64),
+        "o_orderstatus": np.asarray(["F", "O", "P"], object)[rng.integers(0, 3, n_orders)],
+        "o_totalprice": np.round(rng.uniform(800.0, 500000.0, n_orders), 2),
+        "o_orderdate": o_orderdate,
+        "o_orderpriority": np.asarray(_PRIORITIES, object)[rng.integers(0, 5, n_orders)],
+        "o_clerk": np.asarray([f"Clerk#{i%1000:09d}" for i in range(n_orders)], object),
+        "o_shippriority": np.zeros(n_orders, np.int64),
+        "o_comment": np.asarray([f"order comment {i % 977}" for i in range(n_orders)], object),
+    }
+    l_orderkey = rng.integers(1, n_orders + 1, n_line).astype(np.int64)
+    l_orderkey.sort()
+    odate_of = o_orderdate[l_orderkey - 1].astype("datetime64[D]").astype(np.int64)
+    l_ship = odate_of + rng.integers(1, 122, n_line)
+    l_commit = odate_of + rng.integers(30, 91, n_line)
+    l_receipt = l_ship + rng.integers(1, 31, n_line)
+    lineitem = {
+        "l_orderkey": l_orderkey,
+        "l_partkey": rng.integers(1, n_part + 1, n_line).astype(np.int64),
+        "l_suppkey": rng.integers(1, n_supp + 1, n_line).astype(np.int64),
+        "l_linenumber": (np.arange(n_line) % 7 + 1).astype(np.int64),
+        "l_quantity": rng.integers(1, 51, n_line).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900.0, 100000.0, n_line), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_line) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_line) / 100.0, 2),
+        "l_returnflag": np.asarray(["A", "N", "R"], object)[rng.integers(0, 3, n_line)],
+        "l_linestatus": np.asarray(["F", "O"], object)[rng.integers(0, 2, n_line)],
+        "l_shipdate": l_ship.astype("datetime64[D]"),
+        "l_commitdate": l_commit.astype("datetime64[D]"),
+        "l_receiptdate": l_receipt.astype("datetime64[D]"),
+        "l_shipinstruct": np.asarray(_INSTRUCTIONS, object)[rng.integers(0, 4, n_line)],
+        "l_shipmode": np.asarray(_SHIPMODES, object)[rng.integers(0, 7, n_line)],
+        "l_comment": np.asarray([f"line comment {i % 499}" for i in range(n_line)], object),
+    }
+    supplier = {
+        "s_suppkey": np.arange(1, n_supp + 1, dtype=np.int64),
+        "s_name": np.asarray([f"Supplier#{i:09d}" for i in range(1, n_supp + 1)], object),
+        "s_address": np.asarray([f"saddr{i}" for i in range(n_supp)], object),
+        "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int64),
+        "s_phone": np.asarray([f"{10+i%25}-{i%1000:03d}" for i in range(n_supp)], object),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
+        "s_comment": np.asarray([f"supplier comment {i}" for i in range(n_supp)], object),
+    }
+    _types = ["ECONOMY ANODIZED STEEL", "LARGE BRUSHED BRASS", "STANDARD POLISHED TIN",
+              "SMALL PLATED COPPER", "MEDIUM BURNISHED NICKEL", "PROMO BURNISHED COPPER",
+              "PROMO PLATED STEEL", "ECONOMY BRUSHED TIN"]
+    _containers = ["SM CASE", "LG BOX", "MED BAG", "JUMBO JAR", "WRAP PACK"]
+    part = {
+        "p_partkey": np.arange(1, n_part + 1, dtype=np.int64),
+        "p_name": np.asarray([f"part name {i % 92} color{i % 7}" for i in range(n_part)], object),
+        "p_mfgr": np.asarray([f"Manufacturer#{i % 5 + 1}" for i in range(n_part)], object),
+        "p_brand": np.asarray([f"Brand#{i % 5 + 1}{i % 5 + 1}" for i in range(n_part)], object),
+        "p_type": np.asarray(_types, object)[rng.integers(0, len(_types), n_part)],
+        "p_size": rng.integers(1, 51, n_part).astype(np.int64),
+        "p_container": np.asarray(_containers, object)[rng.integers(0, 5, n_part)],
+        "p_retailprice": np.round(rng.uniform(900.0, 2000.0, n_part), 2),
+        "p_comment": np.asarray([f"part comment {i % 131}" for i in range(n_part)], object),
+    }
+    partsupp = {
+        "ps_partkey": np.repeat(np.arange(1, n_part + 1, dtype=np.int64), 4),
+        "ps_suppkey": rng.integers(1, n_supp + 1, n_psupp).astype(np.int64),
+        "ps_availqty": rng.integers(1, 10000, n_psupp).astype(np.int64),
+        "ps_supplycost": np.round(rng.uniform(1.0, 1000.0, n_psupp), 2),
+        "ps_comment": np.asarray([f"ps comment {i % 199}" for i in range(n_psupp)], object),
+    }
+    return {
+        "region": region, "nation": nation, "customer": customer,
+        "orders": orders, "lineitem": lineitem, "supplier": supplier,
+        "part": part, "partsupp": partsupp,
+    }
+
+
+# ---------------------------------------------------------------------------
+# queries — polars_tpu implementations (used by tests AND bench.py)
+# ---------------------------------------------------------------------------
+
+
+def q1(lineitem):
+    import polars_tpu as pl
+
+    return (
+        lineitem.lazy()
+        .filter(pl.col("l_shipdate") <= dtm.date(1998, 9, 2))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=pl.col("l_quantity").sum(),
+            sum_base_price=pl.col("l_extendedprice").sum(),
+            sum_disc_price=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum(),
+            sum_charge=(
+                pl.col("l_extendedprice") * (1 - pl.col("l_discount")) * (1 + pl.col("l_tax"))
+            ).sum(),
+            avg_qty=pl.col("l_quantity").mean(),
+            avg_price=pl.col("l_extendedprice").mean(),
+            avg_disc=pl.col("l_discount").mean(),
+            count_order=pl.len(),
+        )
+        .sort("l_returnflag", "l_linestatus")
+    )
+
+
+def q3(customer, orders, lineitem):
+    import polars_tpu as pl
+
+    d = dtm.date(1995, 3, 15)
+    return (
+        customer.lazy()
+        .filter(pl.col("c_mktsegment") == "BUILDING")
+        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey")
+        .filter(pl.col("o_orderdate") < d)
+        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey")
+        .filter(pl.col("l_shipdate") > d)
+        .group_by("o_orderkey", "o_orderdate", "o_shippriority")
+        .agg(revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum())
+        .select(
+            pl.col("o_orderkey").alias("l_orderkey"),
+            "revenue",
+            "o_orderdate",
+            "o_shippriority",
+        )
+        .sort(["revenue", "o_orderdate"], descending=[True, False])
+        .head(10)
+    )
+
+
+def q4(orders, lineitem):
+    import polars_tpu as pl
+
+    return (
+        orders.lazy()
+        .filter(
+            (pl.col("o_orderdate") >= dtm.date(1993, 7, 1))
+            & (pl.col("o_orderdate") < dtm.date(1993, 10, 1))
+        )
+        .join(
+            lineitem.lazy().filter(pl.col("l_commitdate") < pl.col("l_receiptdate")),
+            left_on="o_orderkey",
+            right_on="l_orderkey",
+            how="semi",
+        )
+        .group_by("o_orderpriority")
+        .agg(order_count=pl.len())
+        .sort("o_orderpriority")
+    )
+
+
+def q5(customer, orders, lineitem, supplier, nation, region):
+    import polars_tpu as pl
+
+    return (
+        region.lazy()
+        .filter(pl.col("r_name") == "ASIA")
+        .join(nation.lazy(), left_on="r_regionkey", right_on="n_regionkey")
+        .join(customer.lazy(), left_on="n_nationkey", right_on="c_nationkey")
+        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey")
+        .filter(
+            (pl.col("o_orderdate") >= dtm.date(1994, 1, 1))
+            & (pl.col("o_orderdate") < dtm.date(1995, 1, 1))
+        )
+        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey")
+        .join(
+            supplier.lazy(),
+            left_on=["l_suppkey", "n_nationkey"],
+            right_on=["s_suppkey", "s_nationkey"],
+        )
+        .group_by("n_name")
+        .agg(revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum())
+        .sort("revenue", descending=True)
+    )
+
+
+def q6(lineitem):
+    import polars_tpu as pl
+
+    return (
+        lineitem.lazy()
+        .filter(
+            (pl.col("l_shipdate") >= dtm.date(1994, 1, 1))
+            & (pl.col("l_shipdate") < dtm.date(1995, 1, 1))
+            & (pl.col("l_discount").is_between(0.05, 0.07))
+            & (pl.col("l_quantity") < 24)
+        )
+        .select(revenue=(pl.col("l_extendedprice") * pl.col("l_discount")).sum())
+    )
+
+
+def q10(customer, orders, lineitem, nation):
+    import polars_tpu as pl
+
+    return (
+        customer.lazy()
+        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey")
+        .filter(
+            (pl.col("o_orderdate") >= dtm.date(1993, 10, 1))
+            & (pl.col("o_orderdate") < dtm.date(1994, 1, 1))
+        )
+        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey")
+        .filter(pl.col("l_returnflag") == "R")
+        .join(nation.lazy(), left_on="c_nationkey", right_on="n_nationkey")
+        .group_by(
+            "c_custkey", "c_name", "c_acctbal", "c_phone", "n_name", "c_address", "c_comment"
+        )
+        .agg(revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum())
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_address",
+            "c_phone", "c_comment",
+        )
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .head(20)
+    )
