@@ -1,0 +1,118 @@
+"""PDS-H benchmark on the real chip.
+
+Primary metric: lineitem rows/s on PDS-H Q1 (scan -> filter -> hash aggregate
+-> sort), the BASELINE.json headline config. vs_baseline compares against
+pandas running the identical query on this host (the only runnable stand-in
+for the reference CPU engine — reference polars is Rust source only here; see
+BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def pandas_q1(raw):
+    import pandas as pd
+
+    li = pd.DataFrame(raw["lineitem"])
+    t0 = time.perf_counter()
+    f = li[li["l_shipdate"] <= np.datetime64("1998-09-02")]
+    disc_price = f["l_extendedprice"] * (1 - f["l_discount"])
+    charge = disc_price * (1 + f["l_tax"])
+    g = f.assign(disc_price=disc_price, charge=charge).groupby(
+        ["l_returnflag", "l_linestatus"], sort=True
+    )
+    out = g.agg(
+        sum_qty=("l_quantity", "sum"),
+        sum_base_price=("l_extendedprice", "sum"),
+        sum_disc_price=("disc_price", "sum"),
+        sum_charge=("charge", "sum"),
+        avg_qty=("l_quantity", "mean"),
+        avg_price=("l_extendedprice", "mean"),
+        avg_disc=("l_discount", "mean"),
+        count_order=("l_quantity", "count"),
+    ).reset_index()
+    dt_s = time.perf_counter() - t0
+    return out, dt_s
+
+
+def main() -> None:
+    import polars_tpu as pl
+    from polars_tpu.testing import pdsh
+
+    scale = float(__import__("os").environ.get("BENCH_SCALE", "1.0"))
+    log(f"generating PDS-H data at SF{scale}...")
+    t0 = time.perf_counter()
+    raw = pdsh.generate_pdsh(scale=scale, seed=42)
+    n_rows = len(raw["lineitem"]["l_orderkey"])
+    log(f"datagen: {n_rows} lineitem rows in {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    lineitem = pl.DataFrame(raw["lineitem"])
+    log(f"device ingest: {time.perf_counter()-t0:.1f}s")
+
+    q = pdsh.q1(lineitem)
+    # warmup (compile)
+    t0 = time.perf_counter()
+    out = q.collect()
+    log(f"Q1 first run (compile+exec): {time.perf_counter()-t0:.2f}s, {out.height} groups")
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = q.collect()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rows_per_s = n_rows / best
+    log(f"Q1 steady-state: {best*1000:.1f} ms -> {rows_per_s/1e6:.1f}M rows/s")
+
+    # secondary: Q6 (pure filter+reduce) and Q3 (join-heavy)
+    try:
+        q6 = pdsh.q6(lineitem)
+        q6.collect()
+        t0 = time.perf_counter()
+        q6.collect()
+        log(f"Q6 steady-state: {(time.perf_counter()-t0)*1000:.1f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"Q6 failed: {e}")
+    try:
+        orders = pl.DataFrame(raw["orders"])
+        customer = pl.DataFrame(raw["customer"])
+        q3 = pdsh.q3(customer, orders, lineitem)
+        q3.collect()
+        t0 = time.perf_counter()
+        q3.collect()
+        log(f"Q3 steady-state: {(time.perf_counter()-t0)*1000:.1f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"Q3 failed: {e}")
+
+    log("running pandas baseline...")
+    _, pandas_s = pandas_q1(raw)
+    log(f"pandas Q1: {pandas_s*1000:.1f} ms")
+
+    vs_baseline = pandas_s / best  # >1 means faster than the pandas oracle
+    print(
+        json.dumps(
+            {
+                "metric": "pdsh_q1_rows_per_s",
+                "value": round(rows_per_s, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

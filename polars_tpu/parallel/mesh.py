@@ -1,0 +1,39 @@
+"""Mesh construction + row sharding helpers."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_table_arrays(mesh: Mesh, arrays: dict, length: int) -> tuple[dict, int]:
+    """Pad each 1-D array so rows divide evenly across shards and place them
+    row-sharded on the mesh. Returns (sharded arrays, per-shard rows)."""
+    import jax.numpy as jnp
+
+    d = mesh.devices.size
+    per = -(-length // d)
+    per = max(per, 128)
+    total = per * d
+    sharding = NamedSharding(mesh, P(AXIS))
+    out = {}
+    for name, arr in arrays.items():
+        a = np.asarray(arr)
+        if a.shape[0] < total:
+            pad = np.zeros((total - a.shape[0],) + a.shape[1:], a.dtype)
+            a = np.concatenate([a, pad])
+        else:
+            a = a[:total]
+        out[name] = jax.device_put(jnp.asarray(a), sharding)
+    return out, per
