@@ -762,9 +762,19 @@ def _build_columns(
         d = schema_dtypes.get(name)
         return dt.parse_into_dtype(d) if d is not None else None
 
-    # pandas
+    # pandas (incl. pandas>=3.0 StringDtype: NA sentinels -> None)
     if type(data).__name__ == "DataFrame" and type(data).__module__.startswith("pandas"):
-        data = {str(k): data[k].to_numpy() for k in data.columns}
+        import pandas as pd
+
+        def _pd_col(s):
+            arr = s.to_numpy()
+            if arr.dtype.kind in ("O", "U", "T"):
+                return np.asarray(
+                    [None if pd.isna(x) else x for x in arr], dtype=object
+                )
+            return arr
+
+        data = {str(k): _pd_col(data[k]) for k in data.columns}
 
     # pyarrow
     if type(data).__name__ in ("Table", "RecordBatch") and type(data).__module__.startswith("pyarrow"):

@@ -220,8 +220,15 @@ def _arith(op: str, a: Val, b: Val, out_dt: dt.DataType):
         values = av - bv if op == "-" else av + bv
         return a, b, values, validity
     if an in ("Date", "Datetime") and bn == "Duration" or bn in ("Date", "Datetime") and an == "Duration":
-        av, bv = _temporal_pair(a, b, out_dt)
-        values = av + bv if op == "+" else av - bv
+        if on == "Date":
+            # compute in microseconds, then floor back to whole days
+            work = dt.Datetime("us")
+            av, bv = _temporal_pair(a, b, work)
+            values = av + bv if op == "+" else av - bv
+            values = jnp.floor_divide(values, 86_400_000_000).astype(jnp.int32)
+        else:
+            av, bv = _temporal_pair(a, b, out_dt)
+            values = av + bv if op == "+" else av - bv
         return a, b, values, validity
     if on == "Duration" and op in ("*", "/") :
         av = a.values.astype(jnp.int64)

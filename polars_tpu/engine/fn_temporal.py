@@ -137,13 +137,19 @@ def _datetime(ctx, args, opts):
 def _timestamp(ctx, args, opts):
     v = args[0]
     tu = opts.get("time_unit", "us")
+    per = {"s": 1, "d": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[tu]
     if isinstance(v.dtype, dt.Date):
-        out = v.values.astype(jnp.int64) * 86_400 * _TU[tu]
+        days = v.values.astype(jnp.int64)
+        out = days if tu == "d" else days * 86_400 * per
     else:
         src = _TU[v.dtype.time_unit]
-        dst = _TU[tu]
         x = v.values.astype(jnp.int64)
-        out = x * (dst // src) if dst >= src else jnp.floor_divide(x, src // dst)
+        if tu == "d":
+            out = jnp.floor_divide(x, src * 86_400)
+        elif per >= src:
+            out = x * (per // src)
+        else:
+            out = jnp.floor_divide(x, src // per)
     return Val(out, v.validity, dt.Int64(), None, v.domain)
 
 

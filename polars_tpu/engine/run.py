@@ -71,6 +71,9 @@ def execute_plan(node: L.LNode) -> DataFrame:
     if isinstance(node, (L.LSelect, L.LWithColumns)) and _needs_special(node):
         return _exec_special_select(node)
 
+    if isinstance(node, L.LGroupBy) and _has_host_aggs(node):
+        return _exec_groupby_host_aggs(node)
+
     if isinstance(node, L.LGroupBy) and _groupby_needs_host(node):
         return _exec_groupby_hosted(node)
 
@@ -453,6 +456,86 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
     if e.name == "cat.get_categories":
         return _eval_host(df, e, schema)
     raise InvalidOperationError(f"unknown generator {e.name!r}")
+
+
+_HOST_AGGS = {"str_concat", "implode", "mode"}
+
+
+def _has_host_aggs(node: L.LGroupBy) -> bool:
+    for e in node.aggs:
+        for sub in E.walk(e):
+            if isinstance(sub, E.EAgg) and sub.kind in _HOST_AGGS:
+                return True
+    return False
+
+
+def _exec_groupby_host_aggs(node: L.LGroupBy) -> DataFrame:
+    """Group-by with host-only aggs (string concat / implode / mode): run the
+    traceable part on device, host-compute the rest, align on key order."""
+    df = execute_plan(node.input)
+    schema = df.schema
+    keys = expand_exprs(node.keys, schema)
+    aggs = expand_exprs(node.aggs, schema)
+    traced_aggs = []
+    host_aggs = []
+    for a in aggs:
+        if any(isinstance(s, E.EAgg) and s.kind in _HOST_AGGS for s in E.walk(a)):
+            host_aggs.append(a)
+        else:
+            traced_aggs.append(a)
+    import polars_tpu as pl
+
+    scan = L.LDataFrameScan(df=df, ident=id(df))
+    base = execute_plan(
+        L.LGroupBy(scan, keys, tuple(traced_aggs), node.maintain_order)
+    )
+    if not host_aggs:
+        return base
+    key_names = [E.output_name(k) or "literal" for k in keys]
+    # host grouping: map key tuple -> row values
+    key_rows = [tuple(r) for r in base.select(key_names).rows()]
+    order = {kr: i for i, kr in enumerate(key_rows)}
+    src_keys = [tuple(r) for r in df.select([pl.Expr(k) for k in keys]).rows()]
+    extra_cols = []
+    for a in host_aggs:
+        agg_node = next(s for s in E.walk(a) if isinstance(s, E.EAgg) and s.kind in _HOST_AGGS)
+        if agg_node is not a and not (isinstance(a, E.EAlias) and a.input is agg_node):
+            raise InvalidOperationError(
+                "host aggregations cannot be nested in larger expressions yet"
+            )
+        name = E.output_name(a) or "literal"
+        in_col = _eval_subexpr(df, agg_node.input)
+        vals = in_col.to_pylist()
+        buckets: dict = {kr: [] for kr in key_rows}
+        for kr, v in zip(src_keys, vals):
+            if kr in buckets:
+                buckets[kr].append(v)
+        if agg_node.kind == "str_concat":
+            sep = agg_node.opt("delimiter", "-")
+            ignore_nulls = agg_node.opt("ignore_nulls", True)
+            out_vals = []
+            for kr in key_rows:
+                items = buckets[kr]
+                if not ignore_nulls and any(v is None for v in items):
+                    out_vals.append(None)
+                else:
+                    out_vals.append(sep.join(str(v) for v in items if v is not None))
+            extra_cols.append(Column.from_values(name, out_vals, dt.String()))
+        elif agg_node.kind == "mode":
+            from collections import Counter
+
+            out_vals = []
+            for kr in key_rows:
+                items = [v for v in buckets[kr] if v is not None]
+                out_vals.append(Counter(items).most_common(1)[0][0] if items else None)
+            extra_cols.append(Column.from_values(name, out_vals, in_col.dtype if in_col.table is None else dt.String()))
+        else:
+            raise InvalidOperationError("implode pending List dtype")
+    cols = list(base._columns) + extra_cols
+    # restore requested column order (keys, then aggs in original order)
+    want = key_names + [E.output_name(a) or "literal" for a in aggs]
+    by_name = {c.name: c for c in cols}
+    return DataFrame._from_columns([by_name[n] for n in want], base.height)
 
 
 def _exec_groupby_hosted(node: L.LGroupBy) -> DataFrame:
