@@ -1,14 +1,477 @@
-"""Minimal SQL -> LazyFrame translation (full translator is a later
-milestone; reference: polars-sql/src/{context.rs,sql_expr.rs,functions.rs})."""
+"""SQL AST -> LazyFrame translation (reference: polars-sql/src/{context.rs,
+sql_expr.rs,functions.rs} — ~150 SQL functions; the common core here)."""
 
 from __future__ import annotations
 
+import datetime as dtm
 from typing import Any
 
-from polars_tpu.errors import SQLInterfaceError
+from polars_tpu import datatypes as dt
+from polars_tpu.errors import SQLInterfaceError, SQLSyntaxError
+from polars_tpu.sql import parser as P
+
+_TYPE_MAP = {
+    "int": dt.Int64, "integer": dt.Int64, "bigint": dt.Int64, "smallint": dt.Int16,
+    "tinyint": dt.Int8, "int2": dt.Int16, "int4": dt.Int32, "int8": dt.Int64,
+    "float": dt.Float64, "float4": dt.Float32, "float8": dt.Float64,
+    "double": dt.Float64, "double precision": dt.Float64, "real": dt.Float32,
+    "text": dt.String, "varchar": dt.String, "char": dt.String, "string": dt.String,
+    "bool": dt.Boolean, "boolean": dt.Boolean, "date": dt.Date,
+    "timestamp": dt.Datetime, "datetime": dt.Datetime, "time": dt.Time,
+    "decimal": dt.Float64, "numeric": dt.Float64,
+}
 
 
 def translate(query: str, tables: dict[str, Any]):
-    raise SQLInterfaceError(
-        "the SQL translator is not implemented yet in this build"
-    )
+    stmt = P.parse_sql(query)
+    return _build(stmt, tables)
+
+
+def _build(stmt: P.SelectStmt, tables: dict[str, Any]):
+    import polars_tpu as pl
+
+    if stmt.table is None:
+        exprs = [_expr(it.expr, it.alias) for it in stmt.items]
+        return pl.DataFrame({"__d": [0]}).lazy().select(exprs)
+
+    lf = _table(stmt.table, tables)
+    for j in stmt.joins:
+        right = _table(j.table, tables)
+        if j.kind == "cross":
+            lf = lf.join(right, how="cross")
+        elif j.using is not None:
+            lf = lf.join(right, on=j.using, how=j.kind if j.kind != "full" else "full")
+        else:
+            lo, ro = _join_keys(j.on)
+            lf = lf.join(right, left_on=lo, right_on=ro, how=j.kind)
+    if stmt.where is not None:
+        lf = lf.filter(_expr(stmt.where))
+
+    has_aggs = any(_has_agg(it.expr) for it in stmt.items)
+    if stmt.group_by:
+        # keys: column refs, expressions, or positional GROUP BY 1,2...
+        keys = []
+        key_names: set[str] = set()
+        for g in stmt.group_by:
+            if isinstance(g, P.SLiteral) and isinstance(g.value, int):
+                item = stmt.items[g.value - 1]
+                keys.append(_expr(item.expr, item.alias))
+                key_names.add(item.alias or _default_name(item.expr))
+            else:
+                keys.append(_expr(g))
+                if isinstance(g, P.SColumn):
+                    key_names.add(g.name)
+        aggs = []
+        for it in stmt.items:
+            name = it.alias or _default_name(it.expr)
+            if isinstance(it.expr, P.SColumn) and it.expr.name in key_names:
+                continue
+            if name in key_names:
+                continue
+            aggs.append(_expr(it.expr, it.alias))
+        having_extra = []
+        if stmt.having is not None:
+            stmt_having, having_extra = _rewrite_having(stmt.having, stmt.items)
+        lf = lf.group_by(keys).agg(aggs + [_expr(x, n) for x, n in having_extra])
+        out_names = [it.alias or _default_name(it.expr) for it in stmt.items]
+        if stmt.having is not None:
+            lf = lf.filter(_expr(stmt_having))
+        try:
+            lf = lf.select([pl.col(n) for n in out_names])
+        except Exception:
+            pass
+    elif has_aggs:
+        lf = lf.select([_expr(it.expr, it.alias) for it in stmt.items])
+    else:
+        exprs = []
+        for it in stmt.items:
+            if isinstance(it.expr, P.SStar):
+                exprs.append(pl.col("*"))
+            else:
+                exprs.append(_expr(it.expr, it.alias))
+        lf = lf.select(exprs)
+        if stmt.distinct:
+            lf = lf.unique(maintain_order=True)
+
+    if stmt.union is not None:
+        how, other_stmt = stmt.union
+        other = _build(other_stmt, tables)
+        lf = pl.concat([lf, other])
+        if how == "distinct":
+            lf = lf.unique(maintain_order=True)
+
+    if stmt.order_by:
+        by = []
+        desc = []
+        nl = []
+        for o in stmt.order_by:
+            if isinstance(o.expr, P.SLiteral) and isinstance(o.expr.value, int):
+                item = stmt.items[o.expr.value - 1]
+                by.append(pl.col(item.alias or _default_name(item.expr)))
+            else:
+                by.append(_expr(o.expr))
+            desc.append(o.descending)
+            nl.append(o.nulls_last if o.nulls_last is not None else False)
+        lf = lf.sort(by, descending=desc, nulls_last=nl)
+    if stmt.offset is not None or stmt.limit is not None:
+        lf = lf.slice(stmt.offset or 0, stmt.limit)
+    return lf
+
+
+def _rewrite_having(having: Any, items: list) -> tuple[Any, list]:
+    """Replace aggregate subtrees in HAVING with references to SELECT outputs
+    (adding hidden agg columns for aggs not already selected)."""
+    extra: list = []
+    counter = [0]
+
+    def walk(e: Any):
+        if isinstance(e, P.SFunc) and e.name in _AGG_FUNCS:
+            for it in items:
+                if it.expr == e:
+                    return P.SColumn(it.alias or _default_name(it.expr))
+            name = f"__having_{counter[0]}"
+            counter[0] += 1
+            extra.append((e, name))
+            return P.SColumn(name)
+        if isinstance(e, P.SBinary):
+            return P.SBinary(walk(e.left), e.op, walk(e.right))
+        if isinstance(e, P.SUnary):
+            return P.SUnary(e.op, walk(e.operand))
+        return e
+
+    return walk(having), extra
+
+
+def _table(ref: P.TableRef, tables: dict[str, Any]):
+    if ref.subquery is not None:
+        return _build(ref.subquery, tables)
+    try:
+        lf = tables[ref.name]
+    except KeyError:
+        raise SQLInterfaceError(
+            f"relation {ref.name!r} not found; registered: {sorted(tables)}"
+        ) from None
+    from polars_tpu.core.frame import DataFrame
+
+    if isinstance(lf, DataFrame):
+        lf = lf.lazy()
+    return lf
+
+
+def _join_keys(on: Any):
+    """Decompose an ON conjunction of equalities into left/right key lists."""
+    import polars_tpu as pl
+
+    conj: list = []
+
+    def flat(e):
+        if isinstance(e, P.SBinary) and e.op == "and":
+            flat(e.left)
+            flat(e.right)
+        else:
+            conj.append(e)
+
+    flat(on)
+    lo, ro = [], []
+    for c in conj:
+        if not (isinstance(c, P.SBinary) and c.op == "="):
+            raise SQLInterfaceError("only equi-join ON clauses are supported")
+        a, b = c.left, c.right
+        if not (isinstance(a, P.SColumn) and isinstance(b, P.SColumn)):
+            raise SQLInterfaceError("join keys must be column references")
+        lo.append(pl.col(a.name))
+        ro.append(pl.col(b.name))
+    return lo, ro
+
+
+def _has_agg(e: Any) -> bool:
+    if isinstance(e, P.SFunc) and e.name in _AGG_FUNCS:
+        return True
+    for child in _children(e):
+        if _has_agg(child):
+            return True
+    return False
+
+
+def _children(e: Any) -> list:
+    if isinstance(e, P.SBinary):
+        return [e.left, e.right]
+    if isinstance(e, P.SUnary):
+        return [e.operand]
+    if isinstance(e, P.SFunc):
+        return list(e.args)
+    if isinstance(e, P.SCase):
+        out = [c for b in e.branches for c in b]
+        if e.default is not None:
+            out.append(e.default)
+        return out
+    if isinstance(e, (P.SCast, P.SIn, P.SBetween, P.SLike, P.SIsNull)):
+        return [e.operand]
+    return []
+
+
+def _default_name(e: Any) -> str:
+    if isinstance(e, P.SColumn):
+        return e.name
+    if isinstance(e, P.SFunc):
+        for a in e.args:
+            n = _default_name(a)
+            if n != "literal":
+                return n
+        return e.name
+    if isinstance(e, P.SCast):
+        return _default_name(e.operand)
+    if isinstance(e, P.SBinary):
+        n = _default_name(e.left)
+        return n if n != "literal" else _default_name(e.right)
+    return "literal"
+
+
+_AGG_FUNCS = {
+    "sum", "avg", "mean", "min", "max", "count", "median", "stddev", "stdev",
+    "stddev_samp", "variance", "var_samp", "first", "last", "approx_count_distinct",
+    "quantile_cont", "quantile_disc",
+}
+
+
+def _expr(e: Any, alias: str | None = None):
+    import polars_tpu as pl
+
+    out = _expr_inner(e)
+    if alias:
+        out = out.alias(alias)
+    return out
+
+
+def _expr_inner(e: Any):
+    import polars_tpu as pl
+
+    if isinstance(e, P.SColumn):
+        return pl.col(e.name)
+    if isinstance(e, P.SStar):
+        return pl.col("*")
+    if isinstance(e, P.SLiteral):
+        if e.kind == "date":
+            return pl.lit(dtm.date.fromisoformat(e.value))
+        if e.kind == "timestamp":
+            return pl.lit(dtm.datetime.fromisoformat(e.value))
+        if e.kind == "interval":
+            return _interval(e.value)
+        return pl.lit(e.value)
+    if isinstance(e, P.SBinary):
+        a, b = _expr_inner(e.left), _expr_inner(e.right)
+        op = e.op
+        if op == "=":
+            return a == b
+        if op in ("<>", "!="):
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return a % b
+        if op == "and":
+            return a & b
+        if op == "or":
+            return a | b
+        if op == "||":
+            return pl.concat_str([a, b])
+        raise SQLSyntaxError(f"operator {op!r}")
+    if isinstance(e, P.SUnary):
+        if e.op == "not":
+            return ~_expr_inner(e.operand)
+        if e.op == "-":
+            return -_expr_inner(e.operand)
+    if isinstance(e, P.SIsNull):
+        x = _expr_inner(e.operand)
+        return x.is_not_null() if e.negated else x.is_null()
+    if isinstance(e, P.SIn):
+        x = _expr_inner(e.operand)
+        vals = [v.value for v in e.items if isinstance(v, P.SLiteral)]
+        out = x.is_in(vals)
+        return ~out if e.negated else out
+    if isinstance(e, P.SBetween):
+        x = _expr_inner(e.operand)
+        out = x.is_between(_expr_inner(e.low), _expr_inner(e.high))
+        return ~out if e.negated else out
+    if isinstance(e, P.SLike):
+        x = _expr_inner(e.operand)
+        import re as _re
+
+        pat = "^" + _re.escape(e.pattern).replace("%", ".*").replace("_", ".") + "$"
+        pat = pat.replace("\\%", ".*").replace("\\_", ".")  # escaped by re.escape
+        if e.case_insensitive:
+            pat = "(?i)" + pat
+        out = x.str.contains(pat)
+        return ~out if e.negated else out
+    if isinstance(e, P.SCase):
+        out = None
+        for cond, res in e.branches:
+            if out is None:
+                out = pl.when(_expr_inner(cond)).then(_expr_inner(res))
+            else:
+                out = out.when(_expr_inner(cond)).then(_expr_inner(res))
+        return out.otherwise(_expr_inner(e.default) if e.default is not None else None)
+    if isinstance(e, P.SCast):
+        tname = e.type_name.lower()
+        if tname not in _TYPE_MAP:
+            raise SQLSyntaxError(f"unknown type {e.type_name!r}")
+        return _expr_inner(e.operand).cast(_TYPE_MAP[tname]())
+    if isinstance(e, P.SFunc):
+        return _func(e)
+    raise SQLSyntaxError(f"cannot translate {type(e).__name__}")
+
+
+def _interval(text: str):
+    import polars_tpu as pl
+
+    parts = text.strip().split()
+    if len(parts) != 2:
+        raise SQLSyntaxError(f"unsupported interval {text!r}")
+    n = int(parts[0])
+    unit = parts[1].lower().rstrip("s")
+    kw = {
+        "day": "days", "hour": "hours", "minute": "minutes", "second": "seconds",
+        "week": "weeks", "millisecond": "milliseconds", "microsecond": "microseconds",
+    }
+    if unit in kw:
+        return pl.duration(**{kw[unit]: n})
+    raise SQLSyntaxError(f"unsupported interval unit {unit!r}")
+
+
+def _func(e: P.SFunc):
+    import polars_tpu as pl
+
+    name = e.name
+    args = [_expr_inner(a) for a in e.args if not isinstance(a, P.SStar)]
+    a0 = args[0] if args else None
+
+    if name == "count":
+        if not args or isinstance(e.args[0], P.SStar):
+            return pl.len().cast(dt.UInt32())
+        if e.distinct:
+            return a0.n_unique()
+        return a0.count()
+    if name in ("sum",):
+        return a0.sum()
+    if name in ("avg", "mean"):
+        return a0.mean()
+    if name == "min":
+        return a0.min()
+    if name == "max":
+        return a0.max()
+    if name == "median":
+        return a0.median()
+    if name in ("stddev", "stdev", "stddev_samp"):
+        return a0.std()
+    if name in ("variance", "var_samp"):
+        return a0.var()
+    if name == "first":
+        return a0.first()
+    if name == "last":
+        return a0.last()
+    if name == "approx_count_distinct":
+        return a0.n_unique()
+    if name == "abs":
+        return a0.abs()
+    if name == "round":
+        dec = e.args[1].value if len(e.args) > 1 else 0
+        return a0.round(dec)
+    if name == "floor":
+        return a0.floor()
+    if name in ("ceil", "ceiling"):
+        return a0.ceil()
+    if name == "sqrt":
+        return a0.sqrt()
+    if name in ("ln",):
+        return a0.log()
+    if name == "log":
+        return a0.log10() if len(args) == 1 else args[1].log(e.args[0].value)
+    if name == "exp":
+        return a0.exp()
+    if name in ("pow", "power"):
+        return a0 ** args[1]
+    if name == "mod":
+        return a0 % args[1]
+    if name in ("upper", "ucase"):
+        return a0.str.to_uppercase()
+    if name in ("lower", "lcase"):
+        return a0.str.to_lowercase()
+    if name in ("length", "char_length", "character_length"):
+        return a0.str.len_chars()
+    if name in ("substr", "substring"):
+        start = e.args[1].value - 1
+        length = e.args[2].value if len(e.args) > 2 else None
+        return a0.str.slice(start, length)
+    if name == "trim":
+        return a0.str.strip_chars()
+    if name == "ltrim":
+        return a0.str.strip_chars_start()
+    if name == "rtrim":
+        return a0.str.strip_chars_end()
+    if name == "replace":
+        return a0.str.replace_all(e.args[1].value, e.args[2].value, literal=True)
+    if name == "reverse":
+        return a0.str.reverse()
+    if name == "left":
+        return a0.str.slice(0, e.args[1].value)
+    if name == "right":
+        return a0.str.tail(e.args[1].value)
+    if name == "concat":
+        return pl.concat_str(args)
+    if name == "coalesce":
+        return pl.coalesce(*args)
+    if name == "nullif":
+        return pl.when(a0 == args[1]).then(None).otherwise(a0)
+    if name == "ifnull":
+        return a0.fill_null(args[1] if not isinstance(e.args[1], P.SLiteral) else pl.lit(e.args[1].value))
+    if name == "greatest":
+        return pl.max_horizontal(*args)
+    if name == "least":
+        return pl.min_horizontal(*args)
+    if name == "year":
+        return a0.dt.year()
+    if name == "month":
+        return a0.dt.month()
+    if name == "day":
+        return a0.dt.day()
+    if name == "hour":
+        return a0.dt.hour()
+    if name == "minute":
+        return a0.dt.minute()
+    if name == "second":
+        return a0.dt.second()
+    if name in ("dayofweek", "weekday"):
+        return a0.dt.weekday()
+    if name == "week":
+        return a0.dt.week()
+    if name == "quarter":
+        return a0.dt.quarter()
+    if name == "date_trunc":
+        every = {"year": "1y", "quarter": "1q", "month": "1mo", "week": "1w",
+                 "day": "1d", "hour": "1h", "minute": "1m", "second": "1s"}[e.args[0].value.lower()]
+        return args[1].dt.truncate(every)
+    if name == "date_part" or name == "extract":
+        part = e.args[0].value.lower()
+        fn = {"year": "year", "month": "month", "day": "day", "hour": "hour",
+              "minute": "minute", "second": "second", "week": "week",
+              "quarter": "quarter"}[part]
+        return getattr(args[1].dt, fn)()
+    if name == "strftime" or name == "to_char":
+        return a0.dt.to_string(e.args[1].value)
+    if name == "if":
+        return pl.when(a0).then(args[1]).otherwise(args[2])
+    raise SQLSyntaxError(f"unknown SQL function {name!r}")
