@@ -14,6 +14,17 @@ import jax as _jax
 # wide-type emulation (hot paths downcast explicitly where safe).
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: query-shape compiles amortize across
+# processes (the TPU backend's compile service is slow for large programs).
+import os as _os
+
+_cache_dir = _os.environ.get("POLARS_TPU_COMPILE_CACHE", "/tmp/polars_tpu_xla_cache")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001
+    pass
+
 from polars_tpu import datatypes
 from polars_tpu import selectors
 from polars_tpu.config import Config

@@ -58,6 +58,8 @@ class EvalCtx:
     schema: Any  # Schema of input
     literals: dict[Any, jax.Array]  # ELiteral node -> traced scalar
     groups: GroupCtx | None = None
+    # pre-fused aggregation results (EAgg node -> Val), see executors._batch_aggs
+    precomputed: dict | None = None
 
     def out_mask(self) -> jax.Array:
         """Validity domain mask for the produced frame."""

@@ -452,6 +452,8 @@ def _group_of(ctx: EvalCtx) -> tuple[jax.Array, jax.Array, int]:
 
 
 def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
+    if ctx.precomputed is not None and node in ctx.precomputed:
+        return ctx.precomputed[node]
     kind = node.kind
     input_node = node.input
     extra_mask = None
@@ -555,16 +557,18 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         validity = has if v.validity is None else (has & v.validity[idx])
         return Val(out, validity, v.dtype, v.table, dom)
     if kind in ("arg_min", "arg_max"):
-        key = total_order_key(v.values, v.dtype)
-        if kind == "arg_max":
-            key = jnp.bitwise_not(key) if key.dtype != jnp.bool_ else ~key
-        n = ctx.padded
-        iota = jax.lax.broadcasted_iota(jnp.int64, (n, 1), 0).squeeze(-1)
-        big = jnp.int64(2**62)
-        packed = jnp.where(data_mask, key.astype(jnp.int64) * jnp.int64(n) + iota, big) if False else None
-        # pack (key, idx) -> minimize: sort-free via two scatters
-        kmin = G.seg_min(key, data_mask, gids, cap)
-        is_best = data_mask & (key == kmin[gids])
+        # sort-free: find the extreme value per group, then its first row index
+        ext = (G.seg_min if kind == "arg_min" else G.seg_max)(
+            v.values, data_mask, gids, cap
+        )
+        is_best = data_mask & (v.values == ext[gids])
+        if v.dtype.is_float():
+            # NaN is greatest: if a group's max is NaN, match NaN rows
+            if kind == "arg_max":
+                has_nan = G.seg_any(jnp.isnan(v.values), data_mask, gids, cap)
+                is_best = data_mask & jnp.where(
+                    has_nan[gids], jnp.isnan(v.values), v.values == ext[gids]
+                )
         idx, has = G.seg_first_idx(is_best, gids, cap)
         return Val(idx.astype(jnp.uint32), has, dt.UInt32(), None, dom)
     if kind in ("any", "all"):
@@ -685,14 +689,14 @@ def _eval_sort_by(node: E.ESortBy, ctx: EvalCtx) -> Val:
 def _sort_key_words(
     v: Val, descending: bool, nulls_last: bool, rowmask: jax.Array
 ) -> list[jax.Array]:
-    """(null_rank, order_key) words for one sort key; out-of-bounds rows always
+    """(null_rank, *order words) for one sort key; out-of-bounds rows always
     sort last (rank 3)."""
-    key = total_order_key(v.values, v.dtype)
-    if descending:
-        key = ~key if key.dtype != jnp.bool_ else ~key
+    from polars_tpu.kernels.rowencode import order_words
+
+    kws = order_words(v.values, v.dtype, descending=descending)
     if v.validity is None:
-        null_rank = jnp.ones(key.shape, jnp.int8)
+        null_rank = jnp.ones(v.values.shape, jnp.int8)
     else:
         null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
     null_rank = jnp.where(rowmask, null_rank, jnp.int8(3))
-    return [null_rank, key]
+    return [null_rank, *kws]

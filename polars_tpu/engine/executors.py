@@ -307,7 +307,7 @@ def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
 
 def _distinct_rowmask(keys: list[Val], rowmask: jax.Array, keep: str) -> jax.Array:
     """Distinct-keeper flags over multi-key rows without reordering."""
-    from polars_tpu.kernels.rowencode import total_order_key
+    from polars_tpu.kernels.rowencode import order_words
 
     n = rowmask.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
@@ -317,7 +317,7 @@ def _distinct_rowmask(keys: list[Val], rowmask: jax.Array, keep: str) -> jax.Arr
             jnp.zeros((n,), jnp.int8) if k.validity is None else (~k.validity).astype(jnp.int8)
         )
         words.append(invalid)
-        words.append(total_order_key(k.values, k.dtype))
+        words.extend(order_words(k.values, k.dtype))
     nk = len(words)
     sorted_ops = jax.lax.sort([*words, iota], num_keys=nk, is_stable=True)
     perm = sorted_ops[-1]
@@ -453,6 +453,7 @@ def _trace_groupby(tt: TTable, node: L.LGroupBy, tc: _TraceCtx) -> TTable:
         literals=tc.literals,
         groups=gctx,
     )
+    gctx_ctx.precomputed = _batch_aggs(aggs, gctx_ctx)
     for a in aggs:
         name = E.output_name(a) or "literal"
         v = eval_expr(a, gctx_ctx)
@@ -472,6 +473,152 @@ def _trace_groupby(tt: TTable, node: L.LGroupBy, tc: _TraceCtx) -> TTable:
         out_cols[name] = Val(v.values, v.validity, v.dtype, v.table, ROW)
 
     return TTable(out_cols, gctx.group_valid, gctx.capacity)
+
+
+def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
+    """Fuse sum-class and min/max aggregations sharing the group assignment
+    into batched 2-D scatters — ONE pass over HBM instead of one per agg.
+
+    The TPU form of the reference's GroupedReduction update loop
+    (polars-expr/src/reduce/): all reductions for a morsel update together.
+    """
+    from polars_tpu.engine.compiler import _agg_out_dtype
+    from polars_tpu.plan.schema_resolve import expr_dtype
+
+    gctx = ctx.groups
+    cap = gctx.capacity
+
+    sum_jobs: list[tuple[E.EAgg, Val, jax.Array]] = []  # (node, input val, contrib mask)
+    minmax_jobs: list[tuple[E.EAgg, Val, jax.Array, bool]] = []
+    seen: set = set()
+    for a in aggs:
+        for sub in E.walk(a):
+            if not isinstance(sub, E.EAgg) or sub in seen:
+                continue
+            inner = sub.input
+            extra = None
+            if isinstance(inner, E.EFilter):
+                cond_node, inner = inner.by, inner.input
+            else:
+                cond_node = None
+            if sub.kind not in ("sum", "mean", "count", "len", "min", "max"):
+                continue
+            if sub.kind != "len" and not E.is_elementwise(inner):
+                continue
+            if cond_node is not None and not E.is_elementwise(cond_node):
+                continue
+            seen.add(sub)
+            rowmask = ctx.rowmask
+            if cond_node is not None:
+                cv = eval_expr(cond_node, ctx)
+                cm = cv.values.astype(bool)
+                if cv.validity is not None:
+                    cm = cm & cv.validity
+                rowmask = rowmask & cm
+            if sub.kind == "len":
+                v = None
+                data_mask = rowmask
+            else:
+                v = eval_expr(inner, ctx)
+                if v.domain != ROW:
+                    seen.discard(sub)
+                    continue
+                data_mask = rowmask if v.validity is None else (rowmask & v.validity)
+            if sub.kind in ("min", "max"):
+                minmax_jobs.append((sub, v, data_mask, sub.kind == "min"))
+            else:
+                sum_jobs.append((sub, v, data_mask))
+
+    out: dict = {}
+    if len(sum_jobs) + len(minmax_jobs) < 3:
+        return out  # not worth batching
+
+    def _in_dtype(node_a, v):
+        if node_a.kind in ("count", "len"):
+            return dt.Int64()
+        return v.dtype
+
+    # ---- sum-class batches, exact per accumulation dtype -------------------
+    # float inputs + means + counts -> one f64 scatter; int sums -> one i64
+    f_cols: list = []
+    f_meta: list = []  # (node, kind, slots...)
+    i_cols: list = []
+    i_meta: list = []
+    for node_a, v, m in sum_jobs:
+        if node_a.kind in ("count", "len"):
+            i_cols.append(jnp.where(m, jnp.int64(1), jnp.int64(0)))
+            i_meta.append((node_a, "count", len(i_cols) - 1))
+        elif node_a.kind == "mean":
+            f_cols.append(jnp.where(m, v.values.astype(jnp.float64), 0.0))
+            f_cols.append(jnp.where(m, 1.0, 0.0))
+            f_meta.append((node_a, "mean", len(f_cols) - 2, len(f_cols) - 1))
+        elif v.dtype.is_float():
+            f_cols.append(jnp.where(m, v.values.astype(jnp.float64), 0.0))
+            f_meta.append((node_a, "sum", len(f_cols) - 1))
+        else:  # exact integer/bool/temporal sums in i64
+            i_cols.append(jnp.where(m, v.values.astype(jnp.int64), jnp.int64(0)))
+            i_meta.append((node_a, "sum", len(i_cols) - 1))
+
+    def _finish_sum(node_a, vals, v_dt):
+        out_dt = _agg_out_dtype(node_a, v_dt)
+        np_d = jnp.dtype(dt.dtype_to_numpy(out_dt))
+        return Val(vals.astype(np_d), None, out_dt, None, GROUP)
+
+    if f_cols:
+        stacked = jnp.stack(f_cols, axis=-1)
+        table = jnp.zeros((cap, stacked.shape[1]), jnp.float64).at[gctx.gids].add(
+            stacked, mode="drop"
+        )
+        for meta in f_meta:
+            node_a = meta[0]
+            v = next(v for n_, v, _ in sum_jobs if n_ is node_a)
+            if meta[1] == "mean":
+                s, c = table[:, meta[2]], table[:, meta[3]]
+                out_dt = _agg_out_dtype(node_a, v.dtype)
+                np_d = jnp.dtype(dt.dtype_to_numpy(out_dt))
+                out[node_a] = Val((s / jnp.maximum(c, 1.0)).astype(np_d), c > 0, out_dt, None, GROUP)
+            else:
+                out[node_a] = _finish_sum(node_a, table[:, meta[2]], v.dtype)
+    if i_cols:
+        stacked = jnp.stack(i_cols, axis=-1)
+        table = jnp.zeros((cap, stacked.shape[1]), jnp.int64).at[gctx.gids].add(
+            stacked, mode="drop"
+        )
+        for meta in i_meta:
+            node_a = meta[0]
+            if meta[1] == "count":
+                out[node_a] = Val(
+                    table[:, meta[2]].astype(jnp.uint32), None, dt.UInt32(), None, GROUP
+                )
+            else:
+                v = next(v for n_, v, _ in sum_jobs if n_ is node_a)
+                out[node_a] = _finish_sum(node_a, table[:, meta[2]], v.dtype)
+
+    # ---- min/max batches per (direction, physical dtype): exact ------------
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for node_a, v, m, ismin in minmax_jobs:
+        groups[(ismin, str(v.values.dtype))].append((node_a, v, m))
+    for (want_min, _dts), jobs in groups.items():
+        ident = G._big(jobs[0][1].values.dtype) if want_min else G._small(jobs[0][1].values.dtype)
+        stacked = jnp.stack(
+            [jnp.where(m, v.values, ident) for _, v, m in jobs], axis=-1
+        )
+        init = jnp.full((cap, stacked.shape[1]), ident, stacked.dtype)
+        table = (
+            init.at[gctx.gids].min(stacked, mode="drop")
+            if want_min
+            else init.at[gctx.gids].max(stacked, mode="drop")
+        )
+        has_tab = (
+            jnp.zeros((cap, stacked.shape[1]), bool)
+            .at[gctx.gids]
+            .max(jnp.stack([m for _, _, m in jobs], axis=-1), mode="drop")
+        )
+        for i, (node_a, v, m) in enumerate(jobs):
+            out[node_a] = Val(table[:, i], has_tab[:, i], v.dtype, v.table, GROUP)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -396,16 +396,21 @@ def _rank(ctx, args, opts):
     descending = opts.get("descending", False)
     if ctx.groups is not None:
         raise InvalidOperationError("rank().over() pending segmented rank")
+    from polars_tpu.kernels.rowencode import order_words
+
     n = v.values.shape[0]
-    key = total_order_key(v.values, v.dtype)
-    if descending:
-        key = ~key
+    kws = order_words(v.values, v.dtype, descending=descending)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     oob = ~ctx.rowmask | (jnp.zeros((n,), bool) if v.validity is None else ~v.validity)
-    s_oob, s_key, perm = jax.lax.sort([oob.astype(jnp.int8), key, iota], num_keys=2, is_stable=True)
+    sorted_ops = jax.lax.sort(
+        [oob.astype(jnp.int8), *kws, iota], num_keys=1 + len(kws), is_stable=True
+    )
+    s_oob, perm = sorted_ops[0], sorted_ops[-1]
     pos = iota + 1  # 1-based rank in sorted order
     first_pos = iota == 0
-    newval = first_pos | (s_key != jnp.roll(s_key, 1)) | (jnp.roll(s_oob, 1) != s_oob)
+    newval = first_pos | (jnp.roll(s_oob, 1) != s_oob)
+    for w in sorted_ops[1:-1]:
+        newval = newval | (w != jnp.roll(w, 1))
     # ordinal rank
     if method == "ordinal":
         rank_sorted = pos.astype(jnp.float64)
@@ -435,17 +440,17 @@ def _arg_sort(ctx, args, opts):
     v = _row_domain(ctx, args[0])
     descending = opts.get("descending", False)
     nulls_last = opts.get("nulls_last", False)
+    from polars_tpu.kernels.rowencode import order_words
+
     n = v.values.shape[0]
-    key = total_order_key(v.values, v.dtype)
-    if descending:
-        key = ~key
+    kws = order_words(v.values, v.dtype, descending=descending)
     if v.validity is None:
         null_rank = jnp.ones((n,), jnp.int8)
     else:
         null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
     null_rank = jnp.where(ctx.rowmask, null_rank, jnp.int8(3))
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    _, _, perm = jax.lax.sort([null_rank, key, iota], num_keys=2, is_stable=True)
+    perm = jax.lax.sort([null_rank, *kws, iota], num_keys=1 + len(kws), is_stable=True)[-1]
     return Val(perm.astype(jnp.uint32), None, dt.UInt32(), None, ROW)
 
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from polars_tpu import datatypes as dt
 from polars_tpu.engine.common import GroupCtx, Val
-from polars_tpu.kernels.rowencode import total_order_key
+from polars_tpu.kernels.rowencode import order_words, total_order_key
 
 _IDENT_BIG = {
     jnp.float64: jnp.inf, jnp.float32: jnp.inf,
@@ -96,7 +96,7 @@ def sorted_group_ctx(keys: list[Val], rowmask: jax.Array) -> GroupCtx:
             else (~k.validity).astype(jnp.int8)
         )
         operands.append(invalid)  # nulls-first within valid rows
-        operands.append(total_order_key(k.values, k.dtype))
+        operands.extend(order_words(k.values, k.dtype))
     num_keys = len(operands)
     operands.append(iota)
     sorted_ops = jax.lax.sort(operands, num_keys=num_keys, is_stable=True)
@@ -164,11 +164,20 @@ def seg_count(mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
 
 def seg_min(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
     x = jnp.where(mask, values, _big(values.dtype))
+    if jnp.dtype(values.dtype).kind == "f":
+        # NaN is greatest (total order): never the min unless the group is all-NaN
+        x = jnp.where(jnp.isnan(x), _big(values.dtype), x)
     return jnp.full((cap,), _big(values.dtype), values.dtype).at[gids].min(x, mode="drop")
 
 
 def seg_max(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
     x = jnp.where(mask, values, _small(values.dtype))
+    if jnp.dtype(values.dtype).kind == "f":
+        # NaN is greatest: a group containing NaN has max NaN
+        has_nan = jnp.zeros((cap,), bool).at[gids].max(mask & jnp.isnan(values), mode="drop")
+        x = jnp.where(jnp.isnan(x), _small(values.dtype), x)
+        out = jnp.full((cap,), _small(values.dtype), values.dtype).at[gids].max(x, mode="drop")
+        return jnp.where(has_nan, jnp.asarray(jnp.nan, values.dtype), out)
     return jnp.full((cap,), _small(values.dtype), values.dtype).at[gids].max(x, mode="drop")
 
 
@@ -232,16 +241,19 @@ def seg_var(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int, ddof:
 def seg_nunique(values: jax.Array, validity: jax.Array | None, mask: jax.Array, gids: jax.Array, cap: int, dtype: dt.DataType) -> jax.Array:
     """Distinct count per group (nulls count as one distinct value)."""
     n = gids.shape[0]
-    key = total_order_key(values, dtype)
+    kws = order_words(values, dtype)
     invalid = jnp.zeros((n,), jnp.int8) if validity is None else (~validity).astype(jnp.int8)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     big_g = jnp.int32(cap + 1)
     g = jnp.where(mask, gids, big_g)  # masked rows sort last
-    sorted_ops = jax.lax.sort([g, invalid, key, iota], num_keys=3, is_stable=False)
-    gs, invs, ks = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    nk = 2 + len(kws)
+    sorted_ops = jax.lax.sort([g, invalid, *kws, iota], num_keys=nk, is_stable=False)
+    gs, invs = sorted_ops[0], sorted_ops[1]
     first = iota == 0
     newgrp = gs != jnp.roll(gs, 1)
-    newval = (ks != jnp.roll(ks, 1)) | (invs != jnp.roll(invs, 1))
+    newval = invs != jnp.roll(invs, 1)
+    for w in sorted_ops[2:-1]:
+        newval = newval | (w != jnp.roll(w, 1))
     boundary = (gs != big_g) & (first | newgrp | newval)
     return jnp.zeros((cap,), jnp.int64).at[gs].add(boundary.astype(jnp.int64), mode="drop")
 

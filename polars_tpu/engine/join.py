@@ -38,7 +38,11 @@ def _key_word(col: Column, other: Column | None) -> tuple[jax.Array, jax.Array |
             return codes.astype(jnp.int64), buf.validity, False
         return buf.values.astype(jnp.int64), buf.validity, False
     if col.dtype.is_float():
-        return total_order_key(buf.values, col.dtype).astype(jnp.int64), buf.validity, False
+        # float keys: 64-bit bitcast is unavailable on this backend, so route
+        # through the hash-and-verify path (equal floats hash equal after
+        # canonicalization in hash_column)
+        h = hash_column(buf.values, buf.validity, 13)
+        return h.astype(jnp.int64), buf.validity, True
     if isinstance(col.dtype, dt.Boolean):
         return buf.values.astype(jnp.int64), buf.validity, False
     if col.dtype.is_integer() or col.dtype.is_temporal() or isinstance(col.dtype, dt.Decimal):

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from polars_tpu.engine.common import Val
-from polars_tpu.kernels.rowencode import total_order_key
+from polars_tpu.kernels.rowencode import order_words
 
 
 def sort_perm(
@@ -28,15 +28,12 @@ def sort_perm(
     n = rowmask.shape[0]
     words: list[jax.Array] = [(~rowmask).astype(jnp.int8)]
     for v, desc, nl in zip(key_vals, descending, nulls_last):
-        key = total_order_key(v.values, v.dtype)
-        if desc:
-            key = ~key if key.dtype != jnp.bool_ else ~key
         if v.validity is None:
             null_rank = jnp.ones((n,), jnp.int8)
         else:
             null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nl else 0))
         words.append(null_rank)
-        words.append(key)
+        words.extend(order_words(v.values, v.dtype, descending=desc))
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     nk = len(words)
     sorted_ops = jax.lax.sort([*words, iota], num_keys=nk, is_stable=stable)

@@ -30,13 +30,22 @@ def splitmix64(x: jax.Array) -> jax.Array:
 def hash_column(values: jax.Array, validity: jax.Array | None, seed: int = 0) -> jax.Array:
     """Hash one column to uint64 (nulls hash to a fixed sentinel)."""
     if values.dtype in (jnp.float32, jnp.float64):
-        # canonicalize NaN / -0.0 so equal keys hash equal
-        v = jnp.where(jnp.isnan(values), jnp.float64(jnp.nan).astype(values.dtype), values)
+        # canonicalize NaN / -0.0 so equal keys hash equal; 64-bit bitcasts are
+        # unimplemented on this backend, so f64 splits into an f32 hi/lo pair
+        # (equal f64s give identical pairs; callers verify candidates anyway)
+        v = jnp.where(jnp.isnan(values), jnp.asarray(jnp.nan, values.dtype), values)
         v = jnp.where(v == 0, jnp.zeros((), values.dtype), v)
-        bits = jax.lax.bitcast_convert_type(
-            v, jnp.int64 if values.dtype == jnp.float64 else jnp.int32
-        )
-        x = bits.astype(jnp.uint64)
+        if values.dtype == jnp.float64:
+            hi = v.astype(jnp.float32)
+            lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+            hi = jnp.where(jnp.isnan(hi), jnp.asarray(jnp.nan, jnp.float32), hi)
+            lo = jnp.where(jnp.isnan(lo) | jnp.isinf(v.astype(jnp.float32)), jnp.zeros((), jnp.float32), lo)
+            bhi = jax.lax.bitcast_convert_type(hi, jnp.int32).astype(jnp.uint64)
+            blo = jax.lax.bitcast_convert_type(lo, jnp.int32).astype(jnp.uint64)
+            x = (bhi << jnp.uint64(32)) | (blo & jnp.uint64(0xFFFFFFFF))
+        else:
+            bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+            x = bits.astype(jnp.uint64)
     elif values.dtype == jnp.bool_:
         x = values.astype(jnp.uint64)
     else:

@@ -18,27 +18,23 @@ from polars_tpu import datatypes as dt
 
 
 def total_order_key(values: jax.Array, dtype: dt.DataType) -> jax.Array:
-    """Map values to SIGNED ints whose ``<`` order equals the logical order.
+    """Map values to ONE comparable word whose ``<`` order equals the logical
+    order, with NaN canonicalized greatest.
 
-    Floats use the IEEE total-order transform (sign bit flip / full flip for
-    negatives, matching polars-row's encoding); NaNs canonicalize to the largest
-    key, matching the reference's NaN-greatest total order
-    (polars-utils/src/total_ord.rs).
+    Floats stay floats (XLA's sort comparator is already a total order with
+    NaN greatest after canonicalization) — the IEEE bit transform is avoided
+    because 64-bit ``bitcast_convert`` is unimplemented on this TPU backend's
+    x64 rewriter. NaN-vs-value ordering is handled by the rank word callers
+    add (see sort_words); for pure key-equality uses (grouping boundaries),
+    canonicalized NaNs compare equal to each other via the float '==' only if
+    callers also compare the NaN rank word — which they do.
     """
-    if values.dtype == jnp.float64:
-        bits = jax.lax.bitcast_convert_type(values, jnp.int64)
+    if values.dtype in (jnp.float64, jnp.float32):
         nan = jnp.isnan(values)
-        bits = jnp.where(nan, jnp.int64(0x7FF8000000000000), bits)
-        # sign-set bit patterns (negative floats) map to [int64_min, 0),
-        # order-reversed; non-negatives keep their (already ascending) bits
-        neg_key = jnp.bitwise_not(bits) + jnp.int64(-0x8000000000000000)
-        return jnp.where(bits < 0, neg_key, bits)
-    if values.dtype == jnp.float32:
-        bits = jax.lax.bitcast_convert_type(values, jnp.int32)
-        nan = jnp.isnan(values)
-        bits = jnp.where(nan, jnp.int32(0x7FC00000), bits)
-        neg_key = jnp.bitwise_not(bits) + jnp.int32(-0x80000000)
-        return jnp.where(bits < 0, neg_key, bits)
+        # canonicalize NaN payloads/sign and collapse -0.0 to +0.0
+        v = jnp.where(nan, jnp.asarray(jnp.inf, values.dtype), values)
+        v = jnp.where(v == 0, jnp.zeros((), values.dtype), v)
+        return v
     if values.dtype == jnp.bool_:
         return values.astype(jnp.int32)
     if values.dtype in (jnp.uint8, jnp.uint16, jnp.uint32):
@@ -47,6 +43,37 @@ def total_order_key(values: jax.Array, dtype: dt.DataType) -> jax.Array:
         # shift into signed order-preserving range
         return (values - jnp.uint64(0x8000000000000000)).astype(jnp.int64)
     return values  # signed ints already totally ordered
+
+
+def nan_rank(values: jax.Array) -> jax.Array | None:
+    """Extra rank word separating NaN (greatest value) from real numbers.
+    None for non-float dtypes (no extra word needed)."""
+    if values.dtype in (jnp.float64, jnp.float32):
+        return jnp.isnan(values).astype(jnp.int8)
+    return None
+
+
+def order_words(
+    values: jax.Array, dtype: dt.DataType, *, descending: bool = False
+) -> list[jax.Array]:
+    """The canonical multi-word sort/equality encoding of one key column.
+
+    Ascending ``lexicographic <`` over the returned words == the column's
+    logical total order (NaN greatest); word-wise ``==`` == logical key
+    equality. This replaces the reference's byte-row encoding (polars-row)
+    with register-resident words for ``lax.sort(num_keys=...)``.
+    """
+    key = total_order_key(values, dtype)
+    words: list[jax.Array] = []
+    nr = nan_rank(values)
+    if nr is not None:
+        words.append((1 - nr).astype(jnp.int8) if descending else nr)
+        words.append(jnp.negative(key) if descending else key)
+        return words
+    if descending:
+        key = ~key if key.dtype != jnp.bool_ else ~key
+    words.append(key)
+    return words
 
 
 def key_bit_width(dtype: dt.DataType, table_size: int | None = None) -> int | None:

@@ -1,0 +1,149 @@
+"""Optimizer correctness: plans contain/lack nodes after pushdowns
+(reference pattern: polars-lazy/src/tests/optimization_checks.rs)."""
+
+import polars_tpu as pl
+from polars_tpu.plan import logical as L
+from polars_tpu.plan.optimizer import optimize
+from polars_tpu.testing import assert_frame_equal
+
+
+def _nodes(plan):
+    out = [plan]
+    for i in plan.inputs():
+        out.extend(_nodes(i))
+    return out
+
+
+def _find(plan, cls):
+    return [n for n in _nodes(plan) if isinstance(n, cls)]
+
+
+def test_predicate_pushdown_to_scan(tmp_path):
+    df = pl.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = tmp_path / "t.parquet"
+    df.write_parquet(p)
+    lf = pl.scan_parquet(p).select("a", "b").filter(pl.col("a") > 1)
+    plan = optimize(lf._node)
+    scans = _find(plan, L.LScan)
+    assert len(scans) == 1
+    assert scans[0].predicate is not None
+    assert not _find(plan, L.LFilter)
+    assert_frame_equal(lf.collect(), df.filter(pl.col("a") > 1))
+
+
+def test_predicate_pushdown_through_join():
+    a = pl.DataFrame({"k": [1, 2], "v": [1, 2]}).lazy()
+    b = pl.DataFrame({"k": [1, 2], "w": [10, 20]}).lazy()
+    lf = a.join(b, on="k").filter(pl.col("v") > 1).filter(pl.col("w") < 100)
+    plan = optimize(lf._node)
+    join = _find(plan, L.LJoin)[0]
+    # both predicates moved below the join
+    assert isinstance(join.input_left, L.LFilter)
+    assert isinstance(join.input_right, L.LFilter)
+
+
+def test_predicate_not_pushed_past_slice():
+    lf = pl.DataFrame({"a": [3, 1, 2]}).lazy().head(2).filter(pl.col("a") > 1)
+    plan = optimize(lf._node)
+    # filter must remain above the slice
+    assert isinstance(plan, L.LFilter)
+    out = lf.collect()
+    assert out.get_column("a").to_list() == [3]
+
+
+def test_projection_pushdown_to_scan(tmp_path):
+    df = pl.DataFrame({"a": [1], "b": [2], "c": [3]})
+    p = tmp_path / "t.parquet"
+    df.write_parquet(p)
+    lf = pl.scan_parquet(p).select("a")
+    plan = optimize(lf._node)
+    scan = _find(plan, L.LScan)[0]
+    assert scan.projection == ("a",)
+
+
+def test_projection_pushdown_through_join(tmp_path):
+    a = pl.DataFrame({"k": [1], "v": [1], "unused": [9]})
+    b = pl.DataFrame({"k": [1], "w": [10], "unused2": [9]})
+    pa_, pb = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    a.write_parquet(pa_)
+    b.write_parquet(pb)
+    lf = pl.scan_parquet(pa_).join(pl.scan_parquet(pb), on="k").select("v", "w")
+    plan = optimize(lf._node)
+    scans = _find(plan, L.LScan)
+    projs = {s.sources[0]: set(s.projection) for s in scans}
+    assert projs[str(pa_)] == {"k", "v"}
+    assert projs[str(pb)] == {"k", "w"}
+    assert lf.collect().to_dicts() == [{"v": 1, "w": 10}]
+
+
+def test_slice_pushdown_to_scan(tmp_path):
+    df = pl.DataFrame({"a": list(range(100))})
+    p = tmp_path / "t.parquet"
+    df.write_parquet(p)
+    lf = pl.scan_parquet(p).head(5)
+    plan = optimize(lf._node)
+    scan = _find(plan, L.LScan)[0]
+    assert scan.n_rows == 5
+    assert not _find(plan, L.LSlice)
+
+
+def test_slice_fuses_into_topk():
+    lf = pl.DataFrame({"a": [5, 3, 1, 4, 2]}).lazy().sort("a").head(2)
+    plan = optimize(lf._node)
+    sorts = _find(plan, L.LSort)
+    assert sorts[0].limit == 2
+    assert lf.collect().get_column("a").to_list() == [1, 2]
+
+
+def test_simplify_constant_folding():
+    lf = pl.DataFrame({"a": [1]}).lazy().select(pl.col("a") + (pl.lit(2) + pl.lit(3)))
+    plan = optimize(lf._node)
+    from polars_tpu.plan import exprs as E
+
+    sel = _find(plan, L.LSelect)[0]
+    # 2+3 folded into a single literal
+    lits = [n for n in E.walk(sel.expressions[0]) if isinstance(n, E.ELiteral)]
+    assert len(lits) == 1 and lits[0].value == 5
+
+
+def test_boolean_simplify():
+    lf = pl.DataFrame({"a": [1, 2]}).lazy().filter((pl.col("a") > 1) & pl.lit(True))
+    plan = optimize(lf._node)
+    from polars_tpu.plan import exprs as E
+
+    # `& True` removed
+    filt = _find(plan, L.LFilter)
+    if filt:
+        assert not any(
+            isinstance(n, E.ELiteral) and n.value is True for n in E.walk(filt[0].predicate)
+        )
+    assert lf.collect().get_column("a").to_list() == [2]
+
+
+def test_explain_runs():
+    lf = pl.DataFrame({"a": [1]}).lazy().filter(pl.col("a") > 0).select("a")
+    text = lf.explain()
+    assert "Scan" in text or "DataFrameScan" in text
+
+
+def test_optimizations_preserve_results(rng):
+    n = 2000
+    df = pl.DataFrame(
+        {
+            "k": rng.integers(0, 50, n),
+            "v": rng.normal(size=n),
+            "s": np.asarray(["a", "b", "c"], object)[rng.integers(0, 3, n)],
+        }
+    )
+    lf = (
+        df.lazy()
+        .filter(pl.col("v") > 0)
+        .with_columns(w=pl.col("v") * 2)
+        .group_by("k", "s")
+        .agg(s2=pl.col("w").sum())
+        .sort("k", "s")
+    )
+    assert_frame_equal(lf.collect(), lf.collect(no_optimization=True))
+
+
+import numpy as np  # noqa: E402
