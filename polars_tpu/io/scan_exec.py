@@ -192,3 +192,55 @@ def execute_scan(node: L.LScan) -> DataFrame:
             L.LFilter(L.LDataFrameScan(df=df, ident=id(df)), node.predicate)
         )
     return df
+
+
+def iter_scan_batches(node: L.LScan, batch_rows: int):
+    """Yield DataFrames of <= batch_rows from a scan, one batch at a time
+    (MultiScan's morsel stream analogue — prefetch TODO)."""
+    from polars_tpu.io._arrow import arrow_to_df
+
+    columns = list(node.projection) if node.projection is not None else None
+    remaining = node.n_rows
+    for path in node.sources:
+        if remaining is not None and remaining <= 0:
+            return
+        if node.fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(path)
+            rgs = list(range(pf.metadata.num_row_groups))
+            if node.predicate is not None:
+                conj = _pred_to_parquet_filter(node.predicate)
+                if conj:
+                    rgs = _prune_row_groups(pf, conj)
+            for batch in pf.iter_batches(batch_size=batch_rows, row_groups=rgs, columns=columns):
+                import pyarrow as pa
+
+                t = pa.Table.from_batches([batch])
+                if remaining is not None:
+                    t = t.slice(0, remaining)
+                    remaining -= t.num_rows
+                df = arrow_to_df(t, {})
+                df = _apply_scan_extras(node, df, row_index_done=True)
+                yield df
+                if remaining is not None and remaining <= 0:
+                    return
+        else:
+            sub = L.LScan(
+                sources=(path,), fmt=node.fmt, options=node.options,
+                projection=node.projection, predicate=node.predicate,
+                n_rows=remaining, row_index=None,
+            )
+            df = execute_scan(sub)
+            for start in range(0, df.height, batch_rows):
+                yield df.slice(start, batch_rows)
+            if remaining is not None:
+                remaining -= df.height
+
+
+def _apply_scan_extras(node: L.LScan, df: DataFrame, *, row_index_done: bool) -> DataFrame:
+    if node.predicate is not None:
+        from polars_tpu.engine.run import execute_plan
+
+        df = execute_plan(L.LFilter(L.LDataFrameScan(df=df, ident=id(df)), node.predicate))
+    return df

@@ -82,6 +82,10 @@ class LazyFrame:
         from polars_tpu.plan.optimizer import optimize
 
         node = self._node if no_optimization else optimize(self._node)
+        if engine == "streaming":
+            from polars_tpu.engine.streaming import collect_streaming
+
+            return collect_streaming(node, batch_rows=kwargs.get("batch_rows"))
         return execute_plan(node)
 
     def fetch(self, n_rows: int = 500, **kwargs: Any) -> DataFrame:
