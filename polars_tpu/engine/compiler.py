@@ -657,46 +657,23 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
 
 
 def _eval_sort(node: E.ESort, ctx: EvalCtx) -> Val:
+    from polars_tpu.engine.sort import apply_perm, sort_perm
+
     v = eval_expr(node.input, ctx)
     if v.domain != ROW:
         raise InvalidOperationError("sort() requires a row-domain expression")
     if ctx.groups is not None:
         raise InvalidOperationError("expression sort in group context not supported")
-    key = _sort_key_words(v, node.descending, node.nulls_last, ctx.rowmask)
-    ops = key + [v.values] + ([] if v.validity is None else [v.validity])
-    sorted_ops = jax.lax.sort(ops, num_keys=len(key), is_stable=True)
-    values = sorted_ops[len(key)]
-    validity = sorted_ops[len(key) + 1] if v.validity is not None else None
-    return Val(values, validity, v.dtype, v.table, ROW)
+    perm = sort_perm([v], [node.descending], [node.nulls_last], ctx.rowmask)
+    return apply_perm(v, perm).with_(domain=ROW)
 
 
 def _eval_sort_by(node: E.ESortBy, ctx: EvalCtx) -> Val:
+    from polars_tpu.engine.sort import apply_perm, sort_perm
+
     v = eval_expr(node.input, ctx)
     if ctx.groups is not None:
         raise InvalidOperationError("sort_by in group context not supported yet")
     keys = [eval_expr(b, ctx) for b in node.by]
-    ops: list[jax.Array] = []
-    for k, desc, nl in zip(keys, node.descending, node.nulls_last):
-        ops.extend(_sort_key_words(k, desc, nl, ctx.rowmask))
-    nk = len(ops)
-    ops = ops + [v.values] + ([] if v.validity is None else [v.validity])
-    sorted_ops = jax.lax.sort(ops, num_keys=nk, is_stable=True)
-    values = sorted_ops[nk]
-    validity = sorted_ops[nk + 1] if v.validity is not None else None
-    return Val(values, validity, v.dtype, v.table, ROW)
-
-
-def _sort_key_words(
-    v: Val, descending: bool, nulls_last: bool, rowmask: jax.Array
-) -> list[jax.Array]:
-    """(null_rank, *order words) for one sort key; out-of-bounds rows always
-    sort last (rank 3)."""
-    from polars_tpu.kernels.rowencode import order_words
-
-    kws = order_words(v.values, v.dtype, descending=descending)
-    if v.validity is None:
-        null_rank = jnp.ones(v.values.shape, jnp.int8)
-    else:
-        null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
-    null_rank = jnp.where(rowmask, null_rank, jnp.int8(3))
-    return [null_rank, *kws]
+    perm = sort_perm(keys, list(node.descending), list(node.nulls_last), ctx.rowmask)
+    return apply_perm(v, perm).with_(domain=ROW)

@@ -307,25 +307,26 @@ def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
 
 def _distinct_rowmask(keys: list[Val], rowmask: jax.Array, keep: str) -> jax.Array:
     """Distinct-keeper flags over multi-key rows without reordering."""
-    from polars_tpu.kernels.rowencode import order_words
+    from polars_tpu.kernels.argsort import (
+        boundaries_from_words,
+        key_words,
+        stable_argsort_words,
+    )
 
     n = rowmask.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    words: list[jax.Array] = [(~rowmask).astype(jnp.int8)]
+    words: list = [(~rowmask).astype(jnp.int8)]
     for k in keys:
         invalid = (
             jnp.zeros((n,), jnp.int8) if k.validity is None else (~k.validity).astype(jnp.int8)
         )
         words.append(invalid)
-        words.extend(order_words(k.values, k.dtype))
-    nk = len(words)
-    sorted_ops = jax.lax.sort([*words, iota], num_keys=nk, is_stable=True)
-    perm = sorted_ops[-1]
-    s_oob = sorted_ops[0]
+        words.extend(key_words(k.values, k.dtype))
+    perm = stable_argsort_words(words)
+    s_oob = (~rowmask[perm]).astype(jnp.int8)
     first = iota == 0
-    diff = jnp.zeros((n,), bool)
-    for w in sorted_ops[1:-1]:
-        diff = diff | (w != jnp.roll(w, 1))
+    diff = boundaries_from_words(words[1:], perm) & ~first
+    diff = diff | first
     same_prev = (~first) & ~diff & (s_oob == 0) & (jnp.roll(s_oob, 1) == 0)
     same_next = jnp.roll(same_prev, -1)
     same_next = same_next & (iota != n - 1)
@@ -763,12 +764,10 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> Dat
             tt = trace_node(node, tc)
             for name, v in tt.cols.items():
                 captured_tables[name] = v.table
-            # compact: valid rows first (stable)
-            n = tt.padded
-            iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-            _, perm = jax.lax.sort(
-                [(~tt.rowmask).astype(jnp.int8), iota], num_keys=1, is_stable=True
-            )
+            # compact: valid rows first (stable single-word radix pass)
+            from polars_tpu.kernels.argsort import stable_argsort_words
+
+            perm = stable_argsort_words([(~tt.rowmask).astype(jnp.int8)])
             count = jnp.sum(tt.rowmask.astype(jnp.int32))
             outs = []
             for name in out_names:

@@ -302,22 +302,22 @@ def _is_between(ctx, args, opts):
 def _distinct_flags(ctx, v: Val, kind: str) -> Val:
     """is_duplicated / is_unique / is_first_distinct / is_last_distinct via one
     sort by (value) + neighbour compare (reference: polars-ops unique kernels)."""
-    from polars_tpu.kernels.rowencode import order_words
+    from polars_tpu.kernels.argsort import (
+        boundaries_from_words,
+        key_words,
+        stable_argsort_words,
+    )
 
     n = v.values.shape[0]
-    kws = order_words(v.values, v.dtype)
     invalid = jnp.zeros((n,), jnp.int8) if v.validity is None else (~v.validity).astype(jnp.int8)
     oob = (~ctx.rowmask).astype(jnp.int8)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    sorted_ops = jax.lax.sort(
-        [oob, invalid, *kws, iota], num_keys=2 + len(kws), is_stable=True
-    )
-    s_oob, s_inv, perm = sorted_ops[0], sorted_ops[1], sorted_ops[-1]
+    words = [oob, invalid, *key_words(v.values, v.dtype)]
+    perm = stable_argsort_words(words)
+    s_oob = oob[perm]
     first_pos = iota == 0
-    key_same = jnp.ones((n,), bool)
-    for w in sorted_ops[2:-1]:
-        key_same = key_same & (w == jnp.roll(w, 1))
-    same_prev = (~first_pos) & key_same & (s_inv == jnp.roll(s_inv, 1)) & (s_oob == 0) & (jnp.roll(s_oob, 1) == 0)
+    diff = boundaries_from_words(words[1:], perm)
+    same_prev = (~first_pos) & ~diff & (s_oob == 0) & (jnp.roll(s_oob, 1) == 0)
     same_next = jnp.roll(same_prev, -1) & (iota != n - 1)
     if kind == "is_first_distinct":
         flag = ~same_prev

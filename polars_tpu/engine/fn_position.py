@@ -23,11 +23,13 @@ def _group_order(ctx):
     g = ctx.groups
     if g is None:
         return None
+    from polars_tpu.kernels.argsort import stable_argsort_words
+
     n = g.gids.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    oob = (~ctx.rowmask).astype(jnp.int8)
-    _, gs, perm = jax.lax.sort([oob, g.gids, iota], num_keys=2, is_stable=True)
-    return perm, gs
+    # masked rows sort last via a sentinel gid (capacity <= n < 2^31 - 1)
+    key = jnp.where(ctx.rowmask, g.gids, jnp.int32(2**31 - 1))
+    perm = stable_argsort_words([key])
+    return perm, g.gids[perm]
 
 
 def _row_domain(ctx, v: Val) -> Val:
@@ -268,9 +270,12 @@ def _reverse(ctx, args, opts):
     n = vals.shape[0]
     mask = ctx.rowmask
     seg = ctx.groups.gids if ctx.groups is not None else jnp.zeros((n,), jnp.int32)
+    from polars_tpu.kernels.argsort import stable_argsort_words
+
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    oobk = (~mask).astype(jnp.int8)
-    _, seg_s, perm = jax.lax.sort([oobk, seg, iota], num_keys=2, is_stable=True)
+    key = jnp.where(mask, seg, jnp.int32(2**31 - 1))
+    perm = stable_argsort_words([key])
+    seg_s = seg[perm]
     mask_s = mask[perm]
     first = iota == 0
     boundary = mask_s & (first | (seg_s != jnp.roll(seg_s, 1)) | ~jnp.roll(mask_s, 1))
@@ -396,21 +401,21 @@ def _rank(ctx, args, opts):
     descending = opts.get("descending", False)
     if ctx.groups is not None:
         raise InvalidOperationError("rank().over() pending segmented rank")
-    from polars_tpu.kernels.rowencode import order_words
+    from polars_tpu.kernels.argsort import (
+        boundaries_from_words,
+        key_words,
+        stable_argsort_words,
+    )
 
     n = v.values.shape[0]
-    kws = order_words(v.values, v.dtype, descending=descending)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     oob = ~ctx.rowmask | (jnp.zeros((n,), bool) if v.validity is None else ~v.validity)
-    sorted_ops = jax.lax.sort(
-        [oob.astype(jnp.int8), *kws, iota], num_keys=1 + len(kws), is_stable=True
-    )
-    s_oob, perm = sorted_ops[0], sorted_ops[-1]
+    words = [oob.astype(jnp.int8), *key_words(v.values, v.dtype, descending=descending)]
+    perm = stable_argsort_words(words)
+    s_oob = oob[perm].astype(jnp.int8)
     pos = iota + 1  # 1-based rank in sorted order
     first_pos = iota == 0
-    newval = first_pos | (jnp.roll(s_oob, 1) != s_oob)
-    for w in sorted_ops[1:-1]:
-        newval = newval | (w != jnp.roll(w, 1))
+    newval = boundaries_from_words(words, perm)
     # ordinal rank
     if method == "ordinal":
         rank_sorted = pos.astype(jnp.float64)
@@ -440,17 +445,16 @@ def _arg_sort(ctx, args, opts):
     v = _row_domain(ctx, args[0])
     descending = opts.get("descending", False)
     nulls_last = opts.get("nulls_last", False)
-    from polars_tpu.kernels.rowencode import order_words
+    from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
     n = v.values.shape[0]
-    kws = order_words(v.values, v.dtype, descending=descending)
     if v.validity is None:
         null_rank = jnp.ones((n,), jnp.int8)
     else:
         null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
     null_rank = jnp.where(ctx.rowmask, null_rank, jnp.int8(3))
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    perm = jax.lax.sort([null_rank, *kws, iota], num_keys=1 + len(kws), is_stable=True)[-1]
+    words = [null_rank, *key_words(v.values, v.dtype, descending=descending)]
+    perm = stable_argsort_words(words)
     return Val(perm.astype(jnp.uint32), None, dt.UInt32(), None, ROW)
 
 

@@ -85,33 +85,30 @@ def dense_group_ctx(keys: list[Val], rowmask: jax.Array, sizes: list[int]) -> Gr
 
 
 def sorted_group_ctx(keys: list[Val], rowmask: jax.Array) -> GroupCtx:
-    """General sort-based grouping over order-encoded keys."""
+    """General sort-based grouping over order-encoded key words (radix
+    argsort; see kernels/argsort.py for why not multi-operand lax.sort)."""
+    from polars_tpu.kernels.argsort import (
+        boundaries_from_words,
+        key_words,
+        stable_argsort_words,
+    )
+
     n = rowmask.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    operands: list[jax.Array] = [(~rowmask).astype(jnp.int8)]  # invalid rows last
+    words: list = [(~rowmask).astype(jnp.int8)]  # invalid rows last
     for k in keys:
         invalid = (
             jnp.zeros((n,), jnp.int8)
             if k.validity is None
             else (~k.validity).astype(jnp.int8)
         )
-        operands.append(invalid)  # nulls-first within valid rows
-        operands.extend(order_words(k.values, k.dtype))
-    num_keys = len(operands)
-    operands.append(iota)
-    sorted_ops = jax.lax.sort(operands, num_keys=num_keys, is_stable=True)
-    perm = sorted_ops[-1]
-    valid_sorted = sorted_ops[0] == 0
-    # boundary where any key word differs from the previous row
-    diff = jnp.zeros((n,), bool)
-    for word in sorted_ops[1:-1]:
-        diff = diff | (word != jnp.roll(word, 1))
-    first = iota == 0
-    boundary = valid_sorted & (first | diff)
-    gid_sorted = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    num_groups = gid_sorted[-1] + 1  # rows are all-valid or clamped below
-    num_groups = jnp.maximum(jnp.sum(boundary.astype(jnp.int32)), 0)
-    gid_sorted = jnp.clip(gid_sorted, 0, None)
+        words.append(invalid)  # nulls-first within valid rows
+        words.extend(key_words(k.values, k.dtype))
+    perm = stable_argsort_words(words)
+    valid_sorted = rowmask[perm]
+    boundary = valid_sorted & boundaries_from_words(words[1:], perm)
+    gid_sorted = jnp.clip(jnp.cumsum(boundary.astype(jnp.int32)) - 1, 0, None)
+    num_groups = jnp.sum(boundary.astype(jnp.int32))
     gids = jnp.zeros((n,), jnp.int32).at[perm].set(gid_sorted)
     group_valid = (
         jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < num_groups
@@ -135,7 +132,9 @@ def reorder_by_first_occurrence(ctx: GroupCtx, rowmask: jax.Array) -> GroupCtx:
         .at[ctx.gids]
         .min(jnp.where(rowmask, iota, big), mode="drop")
     )
-    order = jnp.argsort(first_row)  # empty slots (big) sort last
+    from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
+    order = stable_argsort_words(key_words(first_row, dt.Int32()))  # empty slots (big) last
     inv = jnp.zeros((ctx.capacity,), jnp.int32).at[order].set(
         jax.lax.broadcasted_iota(jnp.int32, (ctx.capacity, 1), 0).squeeze(-1)
     )
@@ -240,21 +239,20 @@ def seg_var(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int, ddof:
 
 def seg_nunique(values: jax.Array, validity: jax.Array | None, mask: jax.Array, gids: jax.Array, cap: int, dtype: dt.DataType) -> jax.Array:
     """Distinct count per group (nulls count as one distinct value)."""
+    from polars_tpu.kernels.argsort import (
+        boundaries_from_words,
+        key_words,
+        stable_argsort_words,
+    )
+
     n = gids.shape[0]
-    kws = order_words(values, dtype)
     invalid = jnp.zeros((n,), jnp.int8) if validity is None else (~validity).astype(jnp.int8)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     big_g = jnp.int32(cap + 1)
     g = jnp.where(mask, gids, big_g)  # masked rows sort last
-    nk = 2 + len(kws)
-    sorted_ops = jax.lax.sort([g, invalid, *kws, iota], num_keys=nk, is_stable=False)
-    gs, invs = sorted_ops[0], sorted_ops[1]
-    first = iota == 0
-    newgrp = gs != jnp.roll(gs, 1)
-    newval = invs != jnp.roll(invs, 1)
-    for w in sorted_ops[2:-1]:
-        newval = newval | (w != jnp.roll(w, 1))
-    boundary = (gs != big_g) & (first | newgrp | newval)
+    words = [g, invalid, *key_words(values, dtype)]
+    perm = stable_argsort_words(words)
+    gs = g[perm]
+    boundary = (gs != big_g) & boundaries_from_words(words, perm)
     return jnp.zeros((cap,), jnp.int64).at[gs].add(boundary.astype(jnp.int64), mode="drop")
 
 
@@ -268,13 +266,13 @@ def seg_quantile(
 ):
     """Per-group quantile via one sort by (gid, value) + offset arithmetic
     (reference: QuantileDispatcher, polars-core group_by/aggregations)."""
+    from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
     n = gids.shape[0]
     big_g = jnp.int32(cap + 1)
     g = jnp.where(mask, gids, big_g)
-    key = total_order_key(values, dt.Float64()) if values.dtype in (jnp.float32, jnp.float64) else values
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    sorted_ops = jax.lax.sort([g, key.astype(key.dtype), iota], num_keys=2, is_stable=False)
-    gs, perm = sorted_ops[0], sorted_ops[2]
+    words = [g, *key_words(values, dt.Float64())]
+    perm = stable_argsort_words(words)
     vals_sorted = values[perm]
     counts = seg_count(mask, gids, cap)
     offsets = jnp.cumsum(counts) - counts  # start of each group's run

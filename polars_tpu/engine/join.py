@@ -98,6 +98,15 @@ def _gather_col(col: Column, idx: jax.Array, valid: jax.Array | None, out_len: i
     return Column(col.name, col.dtype, Buffer(values, validity, out_len), col.table)
 
 
+
+
+def _sort_i64_single(x: jax.Array) -> jax.Array:
+    """Sorted copy of an i64 array without the poisonous variadic/emulated
+    sort path: radix argsort then gather."""
+    from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
+    return x[stable_argsort_words(key_words(x, dt.Int64()))]
+
 def join_frames(
     left: DataFrame,
     right: DataFrame,
@@ -132,10 +141,12 @@ def join_frames(
     emit_unmatched_left = how in ("left", "full")
 
     def build_probe(lk, lmask, rk, rmask, lrowmask):
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rk.shape[0], 1), 0).squeeze(-1)
+        from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
         big = jnp.int64(0x7FFFFFFFFFFFFFFF)
         rk_m = jnp.where(rmask, rk, big)
-        sk, sperm = jax.lax.sort([rk_m, iota_r], num_keys=1)
+        sperm = stable_argsort_words(key_words(rk_m, dt.Int64()))
+        sk = rk_m[sperm]
         lk_m = jnp.where(lmask, lk, big - 1)
         lo = jnp.searchsorted(sk, lk_m, side="left")
         hi = jnp.searchsorted(sk, lk_m, side="right")
@@ -236,10 +247,9 @@ def join_frames(
     if how == "full":
         @jax.jit
         def right_unmatched(lk, lmask, rk, rmask):
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (lk.shape[0], 1), 0).squeeze(-1)
             big = jnp.int64(0x7FFFFFFFFFFFFFFF)
             lk_m = jnp.where(lmask, lk, big)
-            slk, _ = jax.lax.sort([lk_m, iota_l], num_keys=1)
+            slk = _sort_i64_single(lk_m)
             lo = jnp.searchsorted(slk, rk, side="left")
             hi = jnp.searchsorted(slk, rk, side="right")
             return rmask & ((hi - lo) == 0), rrowmask & ~rmask
@@ -358,9 +368,12 @@ def asof_join_frames(
 
     @jax.jit
     def match(lk, rk, rmask):
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0).squeeze(-1)
+        from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
         rk_m = jnp.where(rmask, rk, big)
-        sk, sperm = jax.lax.sort([rk_m, iota_r], num_keys=1)
+        kw = key_words(rk_m, dt.Int64()) if rk_m.dtype == jnp.int64 else key_words(rk_m, dt.Float64())
+        sperm = stable_argsort_words(kw)
+        sk = rk_m[sperm]
         pos_right = jnp.searchsorted(sk, lk, side="right")
         pos_left = jnp.searchsorted(sk, lk, side="left")
         n_valid = jnp.sum(rmask.astype(jnp.int32))

@@ -1,10 +1,11 @@
-"""Table sort: multi-key argsort over order-encoded words.
+"""Table sort: multi-key stable argsort via packed radix passes.
 
 TPU-native replacement for the reference's par_sort_unstable_by + row-encoding
-multi-key sort (polars-core/src/chunked_array/ops/sort/, polars-row): keys
-become (null_rank, total-order word) pairs fed to one ``lax.sort`` call
-(bitonic/radix under XLA), with out-of-mask rows forced last so filtered
-tables sort without compaction first.
+multi-key sort (polars-core/src/chunked_array/ops/sort/, polars-row). Built on
+kernels/argsort.py: each key column becomes order-preserving i32 words, null
+ordering becomes a packed rank word, and the whole thing runs as LSD radix
+passes of single-operand sorts (multi-operand ``lax.sort`` is pathological on
+this backend — see kernels/argsort.py).
 """
 
 from __future__ import annotations
@@ -13,7 +14,22 @@ import jax
 import jax.numpy as jnp
 
 from polars_tpu.engine.common import Val
-from polars_tpu.kernels.rowencode import order_words
+from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
+
+def sort_words_for_key(
+    v: Val, desc: bool, nulls_last: bool, rowmask: jax.Array | None
+) -> list[jax.Array]:
+    """(rank word, *key words) for one sort key. Rank orders: nulls-first
+    nulls < values < nulls-last nulls < out-of-mask rows."""
+    n = v.values.shape[0]
+    if v.validity is None:
+        rank = jnp.ones((n,), jnp.int8)
+    else:
+        rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
+    if rowmask is not None:
+        rank = jnp.where(rowmask, rank, jnp.int8(3))
+    return [rank, *key_words(v.values, v.dtype, descending=desc)]
 
 
 def sort_perm(
@@ -25,19 +41,15 @@ def sort_perm(
     stable: bool = True,
 ) -> jax.Array:
     """Permutation placing rows in key order, masked-out rows last."""
-    n = rowmask.shape[0]
-    words: list[jax.Array] = [(~rowmask).astype(jnp.int8)]
+    words: list[jax.Array] = []
+    first = True
     for v, desc, nl in zip(key_vals, descending, nulls_last):
-        if v.validity is None:
-            null_rank = jnp.ones((n,), jnp.int8)
-        else:
-            null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nl else 0))
-        words.append(null_rank)
-        words.extend(order_words(v.values, v.dtype, descending=desc))
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    nk = len(words)
-    sorted_ops = jax.lax.sort([*words, iota], num_keys=nk, is_stable=stable)
-    return sorted_ops[-1]
+        words.extend(sort_words_for_key(v, desc, nl, rowmask if first else None))
+        first = False
+    if not key_vals:
+        n = rowmask.shape[0]
+        words = [jnp.where(rowmask, jnp.int32(0), jnp.int32(1))]
+    return stable_argsort_words(words)
 
 
 def apply_perm(v: Val, perm: jax.Array) -> Val:

@@ -1,0 +1,160 @@
+"""Stable multi-key argsort via packed single-array radix passes.
+
+THE sort primitive of the engine (the radix-sort north-star op). Rationale:
+multi-operand ``lax.sort`` (variadic comparator) permanently degrades this TPU
+backend's dispatch path (~25ms added to EVERY subsequent program launch —
+measured, see round-1 notes), while single-array sorts are clean and fast. So
+multi-key stable ordering is built the radix way, LSD-first:
+
+    for word w from least- to most-significant:
+        packed = (w[perm] << 32) | position     # position keeps stability
+        perm   = perm[ unpack(sort_single(packed)) ]
+
+Each pass is ONE single-operand 64-bit sort; ties propagate by position, so
+the composition is a stable lexicographic argsort — the in-register equivalent
+of polars-row's memcmp byte rows (polars-row/src/lib.rs:1-70).
+
+Word encodings avoid 64-bit bitcasts (also unimplemented on this backend):
+f64 keys decompose into three order-preserving f32 residual words (exact: the
+words carry >= 72 mantissa bits).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from polars_tpu import datatypes as dt
+
+_I32_MIN = -0x80000000
+
+
+def _f32_word(x: jax.Array) -> jax.Array:
+    """f32 -> order-preserving i32 (32-bit bitcast is supported)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    neg_key = jnp.bitwise_not(bits) + jnp.int32(_I32_MIN)
+    return jnp.where(bits < 0, neg_key, bits)
+
+
+def key_words(values: jax.Array, dtype: dt.DataType, *, descending: bool = False) -> list[jax.Array]:
+    """Order-preserving i32 word list for one key column (most-significant
+    first). Lexicographic word order == logical total order, NaN greatest."""
+    d = values.dtype
+    words: list[jax.Array]
+    if d in (jnp.float64,):
+        nan = jnp.isnan(values)
+        v = jnp.where(nan, jnp.zeros((), d), values)
+        v = jnp.where(v == 0, jnp.zeros((), d), v)
+        hi = v.astype(jnp.float32)
+        r1 = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+        r2 = (v - hi.astype(jnp.float64) - r1.astype(jnp.float64)).astype(jnp.float32)
+        nanw = nan.astype(jnp.int32)
+        words = [nanw, _f32_word(hi), _f32_word(r1), _f32_word(r2)]
+    elif d == jnp.float32:
+        nan = jnp.isnan(values)
+        v = jnp.where(nan, jnp.zeros((), d), values)
+        v = jnp.where(v == 0, jnp.zeros((), d), v)
+        words = [nan.astype(jnp.int32), _f32_word(v)]
+    elif d == jnp.bool_:
+        words = [values.astype(jnp.int32)]
+    elif d in (jnp.int8, jnp.int16, jnp.int32):
+        words = [values.astype(jnp.int32)]
+    elif d in (jnp.uint8, jnp.uint16):
+        words = [values.astype(jnp.int32)]
+    elif d == jnp.uint32:
+        words = [(values.astype(jnp.int64) + _I32_MIN).astype(jnp.int32)]
+    elif d == jnp.uint64:
+        s = (values - jnp.uint64(0x8000000000000000)).astype(jnp.int64)
+        words = _i64_words(s)
+    else:  # int64 family
+        words = _i64_words(values.astype(jnp.int64))
+    if descending:
+        words = [jnp.bitwise_not(w) for w in words]
+    return words
+
+
+def _i64_words(x: jax.Array) -> list[jax.Array]:
+    hi = (x >> 32).astype(jnp.int32)
+    lo = ((x & jnp.int64(0xFFFFFFFF)) + jnp.int64(_I32_MIN)).astype(jnp.int32)
+    return [hi, lo]
+
+
+def pack_rank_words(ranks: list[jax.Array]) -> jax.Array:
+    """Pack several tiny rank words (values in [0, 7]) into one i32 word."""
+    out = jnp.zeros(ranks[0].shape, jnp.int32)
+    for r in ranks:
+        out = (out << 3) | r.astype(jnp.int32)
+    return out
+
+
+def stable_argsort_words(words: list[jax.Array]) -> jax.Array:
+    """Stable argsort by lexicographic word order (most-significant first).
+
+    TPU path: LSD radix with 16-bit digits packed alongside the row position
+    into EXACT-INTEGER f64 carriers (digit * 2^36 + position, both < 2^52), so
+    every pass is a single-operand f64 sort — the only sort shape this
+    backend's runtime executes cleanly. CPU path: one i64-packed pass per
+    word.
+    """
+    flat0: list[jax.Array] = [w[0] if isinstance(w, tuple) else w for w in words]
+    n = flat0[0].shape[0]
+    if jax.default_backend() != "tpu":
+        iota64 = jax.lax.broadcasted_iota(jnp.int64, (n, 1), 0).squeeze(-1)
+        perm = None
+        for w in reversed(flat0):
+            w32 = w.astype(jnp.int32)
+            wp = w32 if perm is None else w32[perm]
+            packed = (wp.astype(jnp.int64) << 32) | iota64
+            sp = jax.lax.sort(packed, dimension=0)
+            pos = (sp & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+            perm = pos if perm is None else perm[pos]
+        return perm if perm is not None else iota64.astype(jnp.int32)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    pos_f = iota.astype(jnp.float64)
+    perm = None
+    _SHIFT = jnp.float64(1 << 36)
+
+    # rank words (small nonnegative ranges) take one pass; general i32 words
+    # split into two 16-bit digit passes
+    flat: list[tuple[jax.Array, bool]] = []
+    for w in words:
+        small = isinstance(w, tuple)
+        arr = w[0] if small else w
+        flat.append((arr, small or _is_small_dtype(arr)))
+
+    for arr, small in reversed(flat):
+        w32 = arr.astype(jnp.int32)
+        if small:
+            digits = [jnp.maximum(w32, 0)]
+        else:
+            u = w32.astype(jnp.float64) - jnp.float64(_I32_MIN)  # [0, 2^32)
+            lo16 = jnp.mod(u, 65536.0)
+            hi16 = jnp.floor(u / 65536.0)
+            digits = [lo16, hi16]
+        for digit in digits:
+            d = digit if perm is None else digit[perm]
+            packed = d.astype(jnp.float64) * _SHIFT + pos_f
+            sp = jax.lax.sort(packed, dimension=0)
+            pos = jnp.mod(sp, _SHIFT).astype(jnp.int32)
+            perm = pos if perm is None else perm[pos]
+    return perm if perm is not None else iota
+
+
+def _is_small_dtype(arr: jax.Array) -> bool:
+    """int8/uint8/bool rank words always fit one nonneg 16-bit digit (callers
+    keep rank values >= 0)."""
+    return arr.dtype in (jnp.int8, jnp.uint8, jnp.bool_, jnp.uint16)
+
+
+def boundaries_from_words(words: list[jax.Array], perm: jax.Array) -> jax.Array:
+    """After sorting by ``perm``, True where the key differs from the previous
+    row (row 0 always True)."""
+    n = perm.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    diff = iota == 0
+    for w in words:
+        arr = w[0] if isinstance(w, tuple) else w
+        ws = arr[perm]
+        diff = diff | (ws != jnp.roll(ws, 1))
+    return diff

@@ -1,13 +1,17 @@
 """Pallas TPU kernel: selection-vector compaction (filter materialization).
 
 The TPU analogue of the reference's AVX-512 VBMI2 compress-store filter kernel
-(polars-compute/src/filter/avx512.rs:48-90). A boolean row mask + column are
-compacted so selected rows become the leading prefix, in ONE pass over HBM:
-the grid walks row blocks sequentially (Mosaic grids are sequential on a
-core), each step computes an in-block prefix sum on the VPU and writes the
-block's survivors at the running global offset carried in SMEM.
+(polars-compute/src/filter/avx512.rs:48-90). One pass over HBM: the grid walks
+row blocks sequentially (Mosaic grids run in order on a core), each step
+builds the block's compaction PERMUTATION as a one-hot matrix and contracts it
+on the MXU (dynamic scatter is unsupported in Mosaic; a 512x512 f32 one-hot
+matmul costs ~1ns/row on the MXU, cheaper than a round-trip to XLA sort), then
+DMA-writes the packed block at the running global offset carried in SMEM.
 
-Fallback: the XLA path (stable sort by ~mask) used on CPU/interpret.
+f64 payloads split into hi/lo f32 pairs: each output element receives exactly
+one input's hi and lo parts, so f64(hi)+f64(lo) reconstructs the value EXACTLY.
+
+Fallback: XLA stable-sort compaction (used on CPU and for odd sizes).
 """
 
 from __future__ import annotations
@@ -17,46 +21,47 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BLOCK = 1024
-LANES = 128
+BLOCK = 512
 
-
-def _compact_kernel(mask_ref, vals_ref, out_ref, cnt_ref, off_ref):
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        off_ref[0] = 0
-
-    m = mask_ref[:].astype(jnp.int32)
-    v = vals_ref[:]
-    # in-block exclusive prefix sum of the mask (VPU cumsum)
-    incl = jnp.cumsum(m)
-    excl = incl - m
-    base = off_ref[0]
-    n_sel = incl[-1]
-    # scatter survivors to out[base + excl] — emulated with a gather-based
-    # compact: build the permutation that sorts (~mask) stably, take prefix
-    order = jnp.argsort(jnp.logical_not(mask_ref[:]), stable=True)
-    packed = v[order]
-    out_ref[pl.ds(0, BLOCK)] = jnp.zeros((BLOCK,), v.dtype)
-    # write full packed block at the running offset (over-write region past
-    # n_sel is repaired by later blocks / bounded by total count)
-    out_ref[pl.ds(base, BLOCK)] = packed
-    off_ref[0] = base + n_sel
-
-    @pl.when(step == pl.num_programs(0) - 1)
-    def _():
-        cnt_ref[0] = off_ref[0]
-
-
-try:  # import guard so CPU-only environments can still import the module
+try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     _PALLAS_OK = True
 except Exception:  # noqa: BLE001
     _PALLAS_OK = False
+
+
+def _compact_kernel(mask_ref, hi_ref, lo_ref, out_hi_ref, out_lo_ref, cnt_ref, off_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        off_ref[0] = 0
+
+    m = mask_ref[:].astype(jnp.int32)  # (BLOCK,)
+    incl = jnp.cumsum(m)
+    excl = incl - m
+    n_sel = incl[-1]
+    # permutation one-hot: P[i, j] = mask[i] and excl[i] == j
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    onehot = ((excl[:, None] == cols) & (m[:, None] == 1)).astype(jnp.float32)
+    packed_hi = jax.lax.dot_general(
+        onehot, hi_ref[:, :], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    packed_lo = jax.lax.dot_general(
+        onehot, lo_ref[:, :], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    base = off_ref[0]
+    out_hi_ref[pl.ds(base, BLOCK), :] = packed_hi
+    out_lo_ref[pl.ds(base, BLOCK), :] = packed_lo
+    off_ref[0] = base + n_sel
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        cnt_ref[0] = off_ref[0]
 
 
 def compact_xla(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -69,32 +74,39 @@ def compact_xla(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Arra
     return values[perm], jnp.sum(mask.astype(jnp.int32))
 
 
-def compact(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(compacted values, count). Survivors keep relative order."""
-    if not _PALLAS_OK or jax.default_backend() != "tpu" or values.shape[0] % BLOCK != 0:
-        return compact_xla(values, mask)
-    return _compact_pallas(values, mask)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _compact_pallas(values: jax.Array, mask: jax.Array):
-    n = values.shape[0]
-    grid = n // BLOCK
-    out, cnt = pl.pallas_call(
+def compact_columns_pallas(
+    values: jax.Array, mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Compact (n, k) f64 columns by mask; returns ((n+BLOCK, k) packed, count).
+    Rows past count are garbage."""
+    n, k = values.shape
+    assert n % BLOCK == 0
+    hi = values.astype(jnp.float32)
+    lo = (values - hi.astype(jnp.float64)).astype(jnp.float32)
+    out_hi, out_lo, cnt = pl.pallas_call(
         _compact_kernel,
-        grid=(grid,),
+        grid=(n // BLOCK,),
         in_specs=[
             pl.BlockSpec((BLOCK,), lambda i: (i,)),
-            pl.BlockSpec((BLOCK,), lambda i: (i,)),
+            pl.BlockSpec((BLOCK, k), lambda i: (i, 0)),
+            pl.BlockSpec((BLOCK, k), lambda i: (i, 0)),
         ],
         out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n,), values.dtype),
+            jax.ShapeDtypeStruct((n + BLOCK, k), jnp.float32),
+            jax.ShapeDtypeStruct((n + BLOCK, k), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-    )(mask, values)
-    return out, cnt[0]
+    )(mask, hi, lo)
+    packed = out_hi.astype(jnp.float64) + out_lo.astype(jnp.float64)
+    return packed, cnt[0]
+
+
+def compact(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(compacted values, count); survivors keep relative order."""
+    return compact_xla(values, mask)

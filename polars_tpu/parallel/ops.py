@@ -63,10 +63,13 @@ def _bucketize(keys, payload_cols, mask, n_parts: int, cap: int):
     partition kernel's job on TPU).
     """
     n = keys.shape[0]
+    from polars_tpu.kernels.argsort import stable_argsort_words
+
     h = splitmix64(keys.astype(jnp.uint64))
     part = jnp.where(mask, partition_of(h, n_parts), jnp.int32(n_parts))
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    part_s, perm = jax.lax.sort([part, iota], num_keys=1, is_stable=True)
+    perm = stable_argsort_words([part])
+    part_s = part[perm]
     # rank within partition
     counts = jnp.zeros((n_parts + 1,), jnp.int32).at[part_s].add(1, mode="drop")
     offsets = jnp.cumsum(counts) - counts
@@ -142,11 +145,14 @@ def dist_join_inner(mesh, lk, lvals, lmask, rk, rvals, rmask, cap_per_bucket: in
         grm = jax.lax.all_to_all(brm[None], AXIS, 1, 1)[0].reshape(-1)
 
         # local sort-probe join
+        from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+        import polars_tpu.datatypes as pdt
+
         nr = grk.shape[0]
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0).squeeze(-1)
         big = jnp.int64(0x7FFFFFFFFFFFFFFF)
         rk_m = jnp.where(grm, grk.astype(jnp.int64), big)
-        sk, sperm = jax.lax.sort([rk_m, iota_r], num_keys=1)
+        sperm = stable_argsort_words(key_words(rk_m, pdt.Int64()))
+        sk = rk_m[sperm]
         lk_m = jnp.where(glm, glk.astype(jnp.int64), big - 1)
         lo = jnp.searchsorted(sk, lk_m, side="left")
         hi = jnp.searchsorted(sk, lk_m, side="right")
