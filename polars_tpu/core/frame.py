@@ -279,6 +279,80 @@ class DataFrame:
             .collect()
         )
 
+    def pivot(
+        self,
+        on: Any,
+        *,
+        index: Any = None,
+        values: Any = None,
+        aggregate_function: str | None = None,
+        maintain_order: bool = True,
+        sort_columns: bool = False,
+        separator: str = "_",
+    ) -> DataFrame:
+        """Wide reshape (reference: polars-ops/src/frame/pivot/): group by
+        ``index``, one output column per distinct ``on`` value."""
+        on_names = _flatten_names(on if isinstance(on, (list, tuple)) else [on])
+        if len(on_names) != 1:
+            raise InvalidOperationError("pivot supports a single `on` column for now")
+        on_name = on_names[0]
+        if index is None:
+            known = set(on_names) | (
+                set(_flatten_names(values if isinstance(values, (list, tuple)) else [values]))
+                if values is not None
+                else set()
+            )
+            index_names = [c for c in self.columns if c not in known]
+        else:
+            index_names = _flatten_names(index if isinstance(index, (list, tuple)) else [index])
+        if values is None:
+            value_names = [c for c in self.columns if c not in set(index_names) | {on_name}]
+        else:
+            value_names = _flatten_names(values if isinstance(values, (list, tuple)) else [values])
+
+        import polars_tpu as pl
+
+        agg = aggregate_function or "first"
+        aggs = [getattr(pl.col(v), agg)().alias(v) for v in value_names]
+        base = self.group_by(*index_names, on_name, maintain_order=maintain_order).agg(aggs)
+
+        on_vals = self.get_column(on_name).unique(maintain_order=maintain_order).to_list()
+        if sort_columns:
+            on_vals = sorted(on_vals, key=lambda x: (x is None, x))
+        idx_frame = base.select(index_names).unique(maintain_order=maintain_order)
+        key_of = {tuple(r[: len(index_names)]): i for i, r in enumerate(idx_frame.rows())}
+        n_out = idx_frame.height
+        cols = list(idx_frame._columns)
+        base_rows = base.rows()
+        base_cols = base.columns
+        on_pos = base_cols.index(on_name)
+        for v in on_vals:
+            for vn in value_names:
+                vpos = base_cols.index(vn)
+                out_vals: list = [None] * n_out
+                for r in base_rows:
+                    if r[on_pos] == v:
+                        out_vals[key_of[tuple(r[: len(index_names)])]] = r[vpos]
+                name = (
+                    str(v)
+                    if len(value_names) == 1
+                    else f"{vn}{separator}{v}"
+                )
+                cols.append(
+                    Column.from_values(name, out_vals, base.schema[vn], strict=False)
+                )
+        return DataFrame._from_columns(cols, n_out)
+
+    def transpose(self, *, include_header: bool = False, header_name: str = "column", column_names: Any = None) -> DataFrame:
+        rows = self.rows()
+        names = list(column_names) if column_names is not None else [
+            f"column_{i}" for i in range(self.height)
+        ]
+        data: dict[str, Any] = {header_name: self.columns} if include_header else {}
+        for i in range(self.height):
+            data[names[i]] = list(rows[i])
+        return DataFrame(data, strict=False)
+
     def top_k(self, k: int, *, by: Any, reverse: Any = False) -> DataFrame:
         return self.lazy().top_k(k, by=by, reverse=reverse).collect()
 

@@ -42,14 +42,31 @@ def key_words(values: jax.Array, dtype: dt.DataType, *, descending: bool = False
     d = values.dtype
     words: list[jax.Array]
     if d in (jnp.float64,):
+        # exact full-range decomposition WITHOUT 64-bit bitcasts: frexp gives
+        # (mantissa in [0.5,1), exponent) exactly; mantissa scales to a 52-bit
+        # integer split into two i32 words. Sign/exponent/nan/inf collapse into
+        # one small class word; negative rows flip their magnitude words.
         nan = jnp.isnan(values)
-        v = jnp.where(nan, jnp.zeros((), d), values)
-        v = jnp.where(v == 0, jnp.zeros((), d), v)
-        hi = v.astype(jnp.float32)
-        r1 = (v - hi.astype(jnp.float64)).astype(jnp.float32)
-        r2 = (v - hi.astype(jnp.float64) - r1.astype(jnp.float64)).astype(jnp.float32)
-        nanw = nan.astype(jnp.int32)
-        words = [nanw, _f32_word(hi), _f32_word(r1), _f32_word(r2)]
+        inf = jnp.isinf(values)
+        v = jnp.where(nan | inf, jnp.zeros((), d), values)
+        neg = values < 0
+        is_zero = (v == 0) & ~inf & ~nan
+        m, e = jnp.frexp(jnp.abs(v))
+        e = jnp.where(is_zero, jnp.int32(-4000), e.astype(jnp.int32))
+        e = jnp.where(inf, jnp.int32(4000), e)
+        # class: 0 = negatives, 1 = zero, 2 = positives, 3 = NaN (greatest)
+        cls = jnp.where(nan, jnp.int32(3), jnp.where(neg, jnp.int32(0), jnp.int32(2)))
+        cls = jnp.where(is_zero, jnp.int32(1), cls)
+        e_adj = jnp.where(neg, -e, e) + jnp.int32(4096)  # [0, 8192)
+        cls_exp = (cls * jnp.int32(8192) + jnp.where(cls == 1, jnp.int32(0), e_adj)).astype(jnp.uint16)
+        mm = m * jnp.float64(1 << 53)  # exact integer in [2^52, 2^53)
+        mm = jnp.where(nan | inf | is_zero, jnp.float64(0), mm)
+        m_hi_f = jnp.floor(mm / jnp.float64(1 << 32))
+        m_hi = m_hi_f.astype(jnp.int32)  # 21 bits
+        m_lo = (mm - m_hi_f * jnp.float64(1 << 32) - jnp.float64(1 << 31)).astype(jnp.int32)
+        m_hi = jnp.where(neg, jnp.bitwise_not(m_hi), m_hi)
+        m_lo = jnp.where(neg, jnp.bitwise_not(m_lo), m_lo)
+        words = [cls_exp, m_hi, m_lo]
     elif d == jnp.float32:
         nan = jnp.isnan(values)
         v = jnp.where(nan, jnp.zeros((), d), values)

