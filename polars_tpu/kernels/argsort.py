@@ -51,15 +51,15 @@ def key_words(values: jax.Array, dtype: dt.DataType, *, descending: bool = False
         v = jnp.where(nan | inf, jnp.zeros((), d), values)
         neg = values < 0
         is_zero = (v == 0) & ~inf & ~nan
-        m, e = jnp.frexp(jnp.abs(v))
-        e = jnp.where(is_zero, jnp.int32(-4000), e.astype(jnp.int32))
+        m, e = _frexp_ladder(jnp.abs(v))
+        e = jnp.where(is_zero, jnp.int32(-4000), e)
         e = jnp.where(inf, jnp.int32(4000), e)
         # class: 0 = negatives, 1 = zero, 2 = positives, 3 = NaN (greatest)
         cls = jnp.where(nan, jnp.int32(3), jnp.where(neg, jnp.int32(0), jnp.int32(2)))
         cls = jnp.where(is_zero, jnp.int32(1), cls)
         e_adj = jnp.where(neg, -e, e) + jnp.int32(4096)  # [0, 8192)
         cls_exp = (cls * jnp.int32(8192) + jnp.where(cls == 1, jnp.int32(0), e_adj)).astype(jnp.uint16)
-        mm = m * jnp.float64(1 << 53)  # exact integer in [2^52, 2^53)
+        mm = m * jnp.float64(1 << 52)  # m in [1,2): exact integer in [2^52, 2^53)
         mm = jnp.where(nan | inf | is_zero, jnp.float64(0), mm)
         m_hi_f = jnp.floor(mm / jnp.float64(1 << 32))
         m_hi = m_hi_f.astype(jnp.int32)  # 21 bits
@@ -88,6 +88,29 @@ def key_words(values: jax.Array, dtype: dt.DataType, *, descending: bool = False
     if descending:
         words = [jnp.bitwise_not(w) for w in words]
     return words
+
+
+def _frexp_ladder(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(mantissa in [1,2), exponent) for positive finite f64, via exact
+    power-of-two rescaling — ``jnp.frexp`` is unusable here (its lowering
+    bitcasts through s64, unimplemented on this backend's x64 rewriter).
+    Zero returns (0, 0). All multiplies are by powers of two: exact."""
+    m = a
+    e = jnp.zeros(a.shape, jnp.int32)
+    # pre-scale subnormals: the greedy ladder shifts at most 1023 exponents
+    sub = (m > 0) & (m < jnp.float64(2.0) ** (-1000))
+    m = jnp.where(sub, m * (jnp.float64(2.0) ** 64), m)
+    e = jnp.where(sub, e - 64, e)
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        up = jnp.float64(2.0) ** k
+        down = jnp.float64(2.0) ** (-k)
+        hi = m >= up
+        m = jnp.where(hi, m * down, m)
+        e = jnp.where(hi, e + k, e)
+        lo = (m < (jnp.float64(2.0) ** (1 - k))) & (m > 0)
+        m = jnp.where(lo, m * up, m)
+        e = jnp.where(lo, e - k, e)
+    return m, e
 
 
 def _i64_words(x: jax.Array) -> list[jax.Array]:

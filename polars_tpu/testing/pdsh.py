@@ -278,3 +278,107 @@ def q10(customer, orders, lineitem, nation):
         .sort(["revenue", "c_custkey"], descending=[True, False])
         .head(20)
     )
+
+
+def q12(orders, lineitem):
+    import polars_tpu as pl
+
+    return (
+        lineitem.lazy()
+        .filter(
+            pl.col("l_shipmode").is_in(["MAIL", "SHIP"])
+            & (pl.col("l_commitdate") < pl.col("l_receiptdate"))
+            & (pl.col("l_shipdate") < pl.col("l_commitdate"))
+            & (pl.col("l_receiptdate") >= dtm.date(1994, 1, 1))
+            & (pl.col("l_receiptdate") < dtm.date(1995, 1, 1))
+        )
+        .join(orders.lazy(), left_on="l_orderkey", right_on="o_orderkey")
+        .group_by("l_shipmode")
+        .agg(
+            high_line_count=(
+                pl.col("o_orderpriority").is_in(["1-URGENT", "2-HIGH"]).cast(pl.Int64)
+            ).sum(),
+            low_line_count=(
+                (~pl.col("o_orderpriority").is_in(["1-URGENT", "2-HIGH"])).cast(pl.Int64)
+            ).sum(),
+        )
+        .sort("l_shipmode")
+    )
+
+
+def q14(lineitem, part):
+    import polars_tpu as pl
+
+    return (
+        lineitem.lazy()
+        .filter(
+            (pl.col("l_shipdate") >= dtm.date(1995, 9, 1))
+            & (pl.col("l_shipdate") < dtm.date(1995, 10, 1))
+        )
+        .join(part.lazy(), left_on="l_partkey", right_on="p_partkey")
+        .select(
+            promo_revenue=(
+                100.0
+                * pl.when(pl.col("p_type").str.starts_with("PROMO"))
+                .then(pl.col("l_extendedprice") * (1 - pl.col("l_discount")))
+                .otherwise(0.0)
+                .sum()
+                / (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum()
+            )
+        )
+    )
+
+
+def q19(lineitem, part):
+    import polars_tpu as pl
+
+    j = lineitem.lazy().join(part.lazy(), left_on="l_partkey", right_on="p_partkey")
+    cond = (
+        (
+            (pl.col("p_container").is_in(["SM CASE"]))
+            & pl.col("l_quantity").is_between(1, 11)
+            & (pl.col("p_size") <= 5)
+        )
+        | (
+            (pl.col("p_container").is_in(["MED BAG"]))
+            & pl.col("l_quantity").is_between(10, 20)
+            & (pl.col("p_size") <= 10)
+        )
+        | (
+            (pl.col("p_container").is_in(["LG BOX"]))
+            & pl.col("l_quantity").is_between(20, 30)
+            & (pl.col("p_size") <= 15)
+        )
+    )
+    return (
+        j.filter(
+            cond
+            & pl.col("l_shipmode").is_in(["AIR", "REG AIR"])
+            & (pl.col("l_shipinstruct") == "DELIVER IN PERSON")
+        )
+        .select(revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum())
+    )
+
+
+def q18(customer, orders, lineitem, threshold=300):
+    import polars_tpu as pl
+
+    big_orders = (
+        lineitem.lazy()
+        .group_by("l_orderkey")
+        .agg(sum_qty=pl.col("l_quantity").sum())
+        .filter(pl.col("sum_qty") > threshold)
+    )
+    return (
+        orders.lazy()
+        .join(big_orders, left_on="o_orderkey", right_on="l_orderkey", how="semi")
+        .join(customer.lazy(), left_on="o_custkey", right_on="c_custkey")
+        .join(
+            lineitem.lazy().group_by("l_orderkey").agg(col_qty=pl.col("l_quantity").sum()),
+            left_on="o_orderkey",
+            right_on="l_orderkey",
+        )
+        .select("c_name", pl.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate", "o_totalprice", "col_qty")
+        .sort(["o_totalprice", "o_orderdate"], descending=[True, False])
+        .head(100)
+    )

@@ -177,3 +177,75 @@ def test_q10(data):
     np.testing.assert_allclose(
         out.get_column("revenue").to_list(), exp["rev"].to_numpy(), rtol=1e-9
     )
+
+
+def test_q12(data):
+    frames, p = data
+    out = pdsh.q12(frames["orders"], frames["lineitem"]).collect()
+    li = p["lineitem"]
+    m = (
+        li["l_shipmode"].isin(["MAIL", "SHIP"])
+        & (li["l_commitdate"] < li["l_receiptdate"])
+        & (li["l_shipdate"] < li["l_commitdate"])
+        & (li["l_receiptdate"] >= np.datetime64("1994-01-01"))
+        & (li["l_receiptdate"] < np.datetime64("1995-01-01"))
+    )
+    j = li[m].merge(p["orders"], left_on="l_orderkey", right_on="o_orderkey")
+    hi = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    exp = (
+        j.assign(h=hi.astype(int), l=(~hi).astype(int))
+        .groupby("l_shipmode")[["h", "l"]]
+        .sum()
+        .reset_index()
+        .sort_values("l_shipmode")
+    )
+    assert out.get_column("l_shipmode").to_list() == exp["l_shipmode"].tolist()
+    assert out.get_column("high_line_count").to_list() == exp["h"].tolist()
+    assert out.get_column("low_line_count").to_list() == exp["l"].tolist()
+
+
+def test_q14(data):
+    frames, p = data
+    out = pdsh.q14(frames["lineitem"], frames["part"]).collect()
+    li = p["lineitem"]
+    m = (li["l_shipdate"] >= np.datetime64("1995-09-01")) & (
+        li["l_shipdate"] < np.datetime64("1995-10-01")
+    )
+    j = li[m].merge(p["part"], left_on="l_partkey", right_on="p_partkey")
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    promo = rev.where(j["p_type"].str.startswith("PROMO"), 0.0)
+    exp = 100.0 * promo.sum() / rev.sum()
+    assert abs(out.item() - exp) < 1e-9 * max(abs(exp), 1)
+
+
+def test_q19(data):
+    frames, p = data
+    out = pdsh.q19(frames["lineitem"], frames["part"]).collect()
+    li = p["lineitem"].merge(p["part"], left_on="l_partkey", right_on="p_partkey")
+    c1 = (li["p_container"] == "SM CASE") & li["l_quantity"].between(1, 11) & (li["p_size"] <= 5)
+    c2 = (li["p_container"] == "MED BAG") & li["l_quantity"].between(10, 20) & (li["p_size"] <= 10)
+    c3 = (li["p_container"] == "LG BOX") & li["l_quantity"].between(20, 30) & (li["p_size"] <= 15)
+    m = (c1 | c2 | c3) & li["l_shipmode"].isin(["AIR", "REG AIR"]) & (
+        li["l_shipinstruct"] == "DELIVER IN PERSON"
+    )
+    exp = (li[m]["l_extendedprice"] * (1 - li[m]["l_discount"])).sum()
+    got = out.item()
+    if exp == 0:
+        assert got == 0 or got is None
+    else:
+        assert abs(got - exp) < 1e-9 * abs(exp)
+
+
+def test_q18(data):
+    frames, p = data
+    out = pdsh.q18(frames["customer"], frames["orders"], frames["lineitem"], threshold=150).collect()
+    li = p["lineitem"]
+    sums = li.groupby("l_orderkey")["l_quantity"].sum()
+    big = sums[sums > 150].index
+    j = (
+        p["orders"][p["orders"]["o_orderkey"].isin(big)]
+        .merge(p["customer"], left_on="o_custkey", right_on="c_custkey")
+        .merge(sums.rename("col_qty").reset_index(), left_on="o_orderkey", right_on="l_orderkey")
+    )
+    exp = j.sort_values(["o_totalprice", "o_orderdate"], ascending=[False, True]).head(100)
+    assert out.get_column("o_orderkey").to_list() == exp["o_orderkey"].tolist()
