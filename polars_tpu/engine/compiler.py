@@ -30,7 +30,6 @@ from polars_tpu.engine.common import (
 from polars_tpu.engine.registry import get_spec
 from polars_tpu.engine.strings import unify_vals
 from polars_tpu.errors import InvalidOperationError, ShapeError
-from polars_tpu.kernels.rowencode import total_order_key
 from polars_tpu.plan import exprs as E
 from polars_tpu.plan.schema_resolve import binary_dtype, supertype
 from polars_tpu.utils import strtable

@@ -16,7 +16,6 @@ from polars_tpu.engine.cast import cast_val
 from polars_tpu.engine.common import ROW, SCALAR, Val, combine_validity
 from polars_tpu.engine.registry import BOOL, FLOAT, SAME, SUPER, register
 from polars_tpu.errors import InvalidOperationError
-from polars_tpu.kernels.rowencode import total_order_key
 
 
 def _float_vals(v: Val) -> tuple[jax.Array, dt.DataType]:

@@ -15,7 +15,6 @@ from polars_tpu import datatypes as dt
 from polars_tpu.engine.common import GROUP, ROW, Val, combine_validity
 from polars_tpu.engine.registry import BOOL, FLOAT, SAME, register
 from polars_tpu.errors import InvalidOperationError
-from polars_tpu.kernels.rowencode import total_order_key
 
 
 def _group_order(ctx):
@@ -33,6 +32,12 @@ def _group_order(ctx):
 
 
 def _row_domain(ctx, v: Val) -> Val:
+    if v.domain == "scalar":
+        return Val(
+            jnp.broadcast_to(v.values, (ctx.padded,)),
+            None if v.validity is None else jnp.broadcast_to(v.validity, (ctx.padded,)),
+            v.dtype, v.table, ROW,
+        )
     if v.domain != ROW:
         raise InvalidOperationError("positional ops need a row-domain input")
     return v

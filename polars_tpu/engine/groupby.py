@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from polars_tpu import datatypes as dt
 from polars_tpu.engine.common import GroupCtx, Val
-from polars_tpu.kernels.rowencode import order_words, total_order_key
 
 _IDENT_BIG = {
     jnp.float64: jnp.inf, jnp.float32: jnp.inf,

@@ -552,10 +552,17 @@ class LazyGroupBy:
         return self.agg(pl.len().alias(name))
 
     def head(self, n: int = 5) -> LazyFrame:
-        raise NotImplementedError("group_by().head() pending per-group slicing")
+        import polars_tpu as pl
+
+        pos = pl.lit(True).cum_count().over([Expr(k) for k in self._keys])
+        return self._lf.filter(pos <= n)
 
     def tail(self, n: int = 5) -> LazyFrame:
-        raise NotImplementedError("group_by().tail() pending per-group slicing")
+        import polars_tpu as pl
+
+        keys = [Expr(k) for k in self._keys]
+        pos = pl.lit(True).cum_count(reverse=True).over(keys)
+        return self._lf.filter(pos <= n)
 
     def all(self) -> LazyFrame:
         raise NotImplementedError("group_by().all() requires List dtype")
