@@ -86,6 +86,10 @@ class LazyFrame:
             from polars_tpu.engine.streaming import collect_streaming
 
             return collect_streaming(node, batch_rows=kwargs.get("batch_rows"))
+        if engine == "distributed":
+            from polars_tpu.engine.distributed import collect_distributed
+
+            return collect_distributed(node, mesh=kwargs.get("mesh"))
         return execute_plan(node)
 
     def fetch(self, n_rows: int = 500, **kwargs: Any) -> DataFrame:

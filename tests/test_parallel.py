@@ -101,3 +101,35 @@ def test_dist_join_inner(mesh, rng):
     assert ok_np.sum() == len(exp)
     got_sum = np.asarray(olv)[ok_np].sum() + np.asarray(orv)[ok_np].sum()
     assert abs(got_sum - (exp["lv"].sum() + exp["rv"].sum())) < 1e-6
+
+
+def test_collect_distributed_matches(mesh, rng):
+    import pandas as pd
+
+    n = 20_000
+    df = pl.DataFrame(
+        {
+            "k": rng.integers(0, 30, n),
+            "s": np.asarray(["a", "b", "c"], object)[rng.integers(0, 3, n)],
+            "v": rng.normal(size=n),
+        }
+    )
+    q = (
+        df.lazy()
+        .filter(pl.col("v") > -1)
+        .group_by("s")
+        .agg(t=pl.col("v").sum(), c=pl.len(), m=pl.col("v").mean())
+        .sort("s")
+    )
+    from polars_tpu.testing import assert_frame_equal
+
+    assert_frame_equal(q.collect(), q.collect(engine="distributed", mesh=mesh), rtol=1e-12)
+
+
+def test_collect_distributed_int_keys(mesh, rng):
+    n = 9_000
+    df = pl.DataFrame({"k": rng.integers(0, 100, n), "v": rng.integers(0, 50, n)})
+    q = df.lazy().group_by("k").agg(s=pl.col("v").sum(), mx=pl.col("v").max()).sort("k")
+    from polars_tpu.testing import assert_frame_equal
+
+    assert_frame_equal(q.collect(), q.collect(engine="distributed", mesh=mesh))
