@@ -47,6 +47,7 @@ class GroupCtx:
     capacity: int  # static upper bound on group count
     group_valid: jax.Array  # (capacity,) bool — slot < num_groups
     sort_perm: jax.Array | None = None  # rows sorted by (key, order) — for order-aware aggs
+    order_words: list | None = None  # within-group ordering words (over(order_by=...))
 
 
 @dataclass

@@ -629,6 +629,14 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
         raise InvalidOperationError("over() inside group_by aggregation is not supported")
     keys = [eval_expr(k, ctx) for k in node.partition_by]
     gctx = G.sorted_group_ctx(keys, ctx.rowmask)
+    if node.order_by:
+        from polars_tpu.kernels.argsort import key_words
+
+        owords: list = []
+        for ob in node.order_by:
+            ov = eval_expr(ob, ctx)
+            owords.extend(key_words(ov.values, ov.dtype))
+        gctx.order_words = owords
     inner = EvalCtx(
         cols=ctx.cols,
         rowmask=ctx.rowmask,

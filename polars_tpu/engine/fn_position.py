@@ -27,7 +27,8 @@ def _group_order(ctx):
     n = g.gids.shape[0]
     # masked rows sort last via a sentinel gid (capacity <= n < 2^31 - 1)
     key = jnp.where(ctx.rowmask, g.gids, jnp.int32(2**31 - 1))
-    perm = stable_argsort_words([key])
+    words = [key] + (g.order_words or [])
+    perm = stable_argsort_words(words)
     return perm, g.gids[perm]
 
 
