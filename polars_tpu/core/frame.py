@@ -368,6 +368,12 @@ class DataFrame:
     def join_where(self, other: DataFrame, *predicates: Any, suffix: str = "_right") -> DataFrame:
         return self.lazy().join_where(other.lazy(), *predicates, suffix=suffix).collect()
 
+    def update(self, other: DataFrame, on: Any = None, how: str = "left", **kwargs: Any) -> DataFrame:
+        return self.lazy().update(other.lazy(), on, how, **kwargs).collect()
+
+    def merge_sorted(self, other: DataFrame, key: str) -> DataFrame:
+        return self.lazy().merge_sorted(other.lazy(), key).collect()
+
     def join_asof(self, other: DataFrame, **kwargs: Any) -> DataFrame:
         return self.lazy().join_asof(other.lazy(), **kwargs).collect()
 

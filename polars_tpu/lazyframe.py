@@ -416,6 +416,47 @@ class LazyFrame:
     def melt(self, id_vars: Any = None, value_vars: Any = None, variable_name: str = "variable", value_name: str = "value") -> LazyFrame:
         return self.unpivot(value_vars, index=id_vars or (), variable_name=variable_name, value_name=value_name)
 
+    def update(
+        self,
+        other: LazyFrame,
+        on: Any = None,
+        how: str = "left",
+        *,
+        left_on: Any = None,
+        right_on: Any = None,
+        include_nulls: bool = False,
+    ) -> LazyFrame:
+        """Overwrite matching rows' values with ``other``'s (reference:
+        py-polars frame.update)."""
+        import polars_tpu as pl
+
+        if on is None and left_on is None:
+            on = [c for c in self.columns if c in set(other.columns)][:1]
+        on_names = on if isinstance(on, list) else [on]
+        upd_cols = [c for c in other.columns if c not in set(on_names)]
+        marked = other.with_columns(pl.lit(True).alias("__upd_matched"))
+        joined = self.join(marked, on=on, how=how, suffix="__upd")
+        matched = pl.col("__upd_matched").fill_null(False)
+        exprs = []
+        for c in upd_cols:
+            u = pl.col(c + "__upd")
+            if include_nulls:
+                exprs.append(pl.when(matched).then(u).otherwise(pl.col(c)).alias(c))
+            else:
+                exprs.append(
+                    pl.when(matched & u.is_not_null()).then(u).otherwise(pl.col(c)).alias(c)
+                )
+        return joined.with_columns(exprs).drop(
+            ["__upd_matched"] + [c + "__upd" for c in upd_cols]
+        )
+
+    def merge_sorted(self, other: LazyFrame, key: str) -> LazyFrame:
+        """Merge two sorted frames preserving order on ``key`` (reference:
+        polars-ops merge_sorted.rs — implemented as union + stable sort)."""
+        import polars_tpu as pl
+
+        return LazyFrame._concat([self, other]).sort(key, maintain_order=True)
+
     def map_batches(self, function, *, schema: Any = None, streamable: bool = False, validate_output_schema: bool = True, **kwargs: Any) -> LazyFrame:
         return self._wrap(
             L.LMapFunction(self._node, function=function, ident=id(function))

@@ -150,3 +150,19 @@ def test_asof_forward():
     trades = pl.DataFrame({"t": [2, 5, 8]})
     out = trades.join_asof(quotes, on="t", strategy="forward")
     assert out.get_column("price").to_list() == [11.0, 12.0, None]
+
+
+def test_update():
+    a = pl.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30], "w": ["x", "y", "z"]})
+    b = pl.DataFrame({"k": [2, 3], "v": [99, None]})
+    out = a.update(b, on="k").sort("k")
+    assert out.get_column("v").to_list() == [10, 99, 30]
+    out2 = a.update(b, on="k", include_nulls=True).sort("k")
+    assert out2.get_column("v").to_list() == [10, 99, None]
+
+
+def test_merge_sorted():
+    a = pl.DataFrame({"t": [1, 3, 5], "s": ["a1", "a3", "a5"]})
+    b = pl.DataFrame({"t": [2, 3, 6], "s": ["b2", "b3", "b6"]})
+    out = a.merge_sorted(b, "t")
+    assert out.get_column("t").to_list() == [1, 2, 3, 3, 5, 6]

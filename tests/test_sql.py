@@ -157,3 +157,38 @@ def test_pl_sql_function():
 
 def test_tables_registry(ctx):
     assert ctx.tables() == ["other", "t"]
+
+
+def test_sql_pdsh_q1_equivalence():
+    from polars_tpu.testing import pdsh, assert_frame_equal
+
+    raw = pdsh.generate_pdsh(scale=0.002, seed=3)
+    lineitem = pl.DataFrame(raw["lineitem"])
+    ctx2 = pl.SQLContext(lineitem=lineitem)
+    sql_out = ctx2.execute(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    dsl_out = pdsh.q1(lineitem).collect()
+    assert sql_out.columns == dsl_out.columns
+    for c in ("sum_disc_price", "avg_disc"):
+        a = sql_out.get_column(c).to_list()
+        b = dsl_out.get_column(c).to_list()
+        assert all(abs(x - y) < 1e-9 * max(abs(y), 1) for x, y in zip(a, b))
+    assert (
+        sql_out.get_column("count_order").to_list()
+        == dsl_out.get_column("count_order").to_list()
+    )
