@@ -727,3 +727,78 @@ def _append(ctx, args, opts):
 @register("extend_constant", SAME, elementwise=False)
 def _extend_constant(ctx, args, opts):
     raise InvalidOperationError("extend_constant changes length; handled by the executor")
+
+
+def _cut_impl(v: Val, breaks: list, labels, left_closed: bool) -> Val:
+    from polars_tpu.utils import strtable
+
+    brks = [float(b) for b in breaks]
+    if labels is None:
+        edges = ["-inf"] + [_fmt_break(b) for b in brks] + ["inf"]
+        if left_closed:
+            labels = [f"[{a}, {b})" for a, b in zip(edges[:-1], edges[1:])]
+        else:
+            labels = [f"({a}, {b}]" for a, b in zip(edges[:-1], edges[1:])]
+    labels = [str(l) for l in labels]
+    # bin index per row
+    x = v.values.astype(jnp.float64)
+    idx = jnp.zeros(x.shape, jnp.int32)
+    for b in brks:
+        if left_closed:
+            idx = idx + (x >= b).astype(jnp.int32)
+        else:
+            idx = idx + (x > b).astype(jnp.int32)
+    # ordinal-code the labels
+    uniq = sorted(set(labels))
+    code_of = {s: i for i, s in enumerate(uniq)}
+    lut = jnp.asarray(np.asarray([code_of[l] for l in labels], np.int32))
+    codes = lut[idx]
+    table = strtable.StringTable(np.asarray(uniq, object), sorted_order=True)
+    return Val(codes, v.validity, dt.Categorical(), table, v.domain)
+
+
+def _fmt_break(b: float) -> str:
+    if b == int(b):
+        return str(int(b))
+    return str(b)
+
+
+@register("cut", dt.Categorical(), elementwise=True)
+def _cut(ctx, args, opts):
+    return _cut_impl(args[0], list(opts["breaks"]), opts.get("labels"), opts.get("left_closed", False))
+
+
+@register("qcut", dt.Categorical(), elementwise=False)
+def _qcut(ctx, args, opts):
+    v = args[0]
+    qs = list(opts["quantiles"])
+    # data-dependent break points via global quantiles (traced)
+    mask = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
+    from polars_tpu.engine.groupby import seg_quantile
+
+    gz = jnp.zeros((ctx.padded,), jnp.int32)
+    brks = []
+    for q in qs:
+        bq, _ = seg_quantile(v.values, mask, gz, 1, float(q), "linear")
+        brks.append(bq[0])
+    # breaks are traced -> compare directly (labels static from quantile fracs)
+    labels = opts.get("labels")
+    if labels is None:
+        edges = ["-inf"] + [str(q) for q in qs] + ["inf"]
+        labels = [f"({a}, {b}]" for a, b in zip(edges[:-1], edges[1:])]
+    labels = [str(l) for l in labels]
+    x = v.values.astype(jnp.float64)
+    idx = jnp.zeros(x.shape, jnp.int32)
+    for b in brks:
+        if opts.get("left_closed", False):
+            idx = idx + (x >= b).astype(jnp.int32)
+        else:
+            idx = idx + (x > b).astype(jnp.int32)
+    from polars_tpu.utils import strtable
+
+    uniq = sorted(set(labels))
+    code_of = {s: i for i, s in enumerate(uniq)}
+    lut = jnp.asarray(np.asarray([code_of[l] for l in labels], np.int32))
+    codes = lut[idx]
+    table = strtable.StringTable(np.asarray(uniq, object), sorted_order=True)
+    return Val(codes, v.validity, dt.Categorical(), table, v.domain)

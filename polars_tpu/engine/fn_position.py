@@ -618,3 +618,101 @@ def _fill_null_with_strategy(ctx, args, opts):
             jnp.where(v.validity, v.values, fillv), None, v.dtype, v.table, v.domain
         )
     raise InvalidOperationError(f"unknown fill_null strategy {strategy!r}")
+
+
+@register("peak_min", BOOL, elementwise=False)
+def _peak_min(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        prev = jnp.roll(vals, 1)
+        nxt = jnp.roll(vals, -1)
+        first = (iota == 0) | (seg != jnp.roll(seg, 1))
+        last = (iota == n - 1) | (seg != jnp.roll(seg, -1))
+        out = (first | (vals < prev)) & (last | (vals < nxt))
+        return out, valid
+
+    return _apply_in_group_order(ctx, v, fn).with_(dtype=dt.Boolean())
+
+
+@register("peak_max", BOOL, elementwise=False)
+def _peak_max(ctx, args, opts):
+    v = _row_domain(ctx, args[0])
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        prev = jnp.roll(vals, 1)
+        nxt = jnp.roll(vals, -1)
+        first = (iota == 0) | (seg != jnp.roll(seg, 1))
+        last = (iota == n - 1) | (seg != jnp.roll(seg, -1))
+        out = (first | (vals > prev)) & (last | (vals > nxt))
+        return out, valid
+
+    return _apply_in_group_order(ctx, v, fn).with_(dtype=dt.Boolean())
+
+
+def _rolling_order(kind: str):
+    @register(f"rolling_{kind}", SAME, elementwise=False)
+    def _(ctx, args, opts):
+        v = _row_domain(ctx, args[0])
+        w = opts["window_size"]
+        min_samples = opts.get("min_samples") or w
+        if ctx.groups is not None:
+            raise InvalidOperationError("rolling over groups pending")
+        n = v.values.shape[0]
+        valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
+        acc = v.values.astype(jnp.float64)
+        cols = []
+        ms = []
+        for i in range(w):
+            sh = i - (w - 1)
+            cols.append(jnp.roll(acc, -sh))
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+            inb = iota >= -sh if sh <= 0 else iota < n - sh
+            ms.append(jnp.roll(valid, -sh) & inb)
+        vs = jnp.stack(cols)
+        mm = jnp.stack(ms)
+        cnt = jnp.sum(mm, axis=0)
+        big = jnp.float64(jnp.inf)
+        masked = jnp.where(mm, vs, big)
+        svals = jnp.sort(masked, axis=0)
+        k = jnp.maximum(cnt - 1, 0)
+        if kind == "median":
+            lo_i = (cnt - 1) // 2
+            hi_i = cnt // 2
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+            lo = svals[jnp.clip(lo_i, 0, w - 1), rows]
+            hi = svals[jnp.clip(hi_i, 0, w - 1), rows]
+            out = (lo + hi) / 2.0
+        ok = cnt >= min_samples
+        return Val(out, ok, dt.Float64(), None, ROW)
+
+    return _
+
+
+_rolling_order("median")
+
+
+@register("ewm_std", FLOAT, elementwise=False)
+def _ewm_std(ctx, args, opts):
+    var = _ewm_var(ctx, args, opts)
+    return var.with_(values=jnp.sqrt(var.values))
+
+
+@register("ewm_var", FLOAT, elementwise=False)
+def _ewm_var(ctx, args, opts):
+    # EWM variance via EWM of x and x^2 with the same weights
+    v = _row_domain(ctx, args[0])
+    m1 = _ewm_mean(ctx, [v], opts)
+    v2 = v.with_(values=v.values.astype(jnp.float64) ** 2, dtype=dt.Float64())
+    m2 = _ewm_mean(ctx, [v2], opts)
+    out = jnp.maximum(m2.values - m1.values**2, 0.0)
+    return Val(out, m1.validity, dt.Float64(), None, ROW)
+
+
+@register("arg_unique", dt.UInt32(), elementwise=False)
+def _arg_unique(ctx, args, opts):
+    raise InvalidOperationError("arg_unique changes length; handled by the executor")

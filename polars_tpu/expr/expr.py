@@ -572,6 +572,29 @@ class Expr:
     def ewm_mean(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False) -> Expr:
         return self._fn("ewm_mean", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
 
+    def peak_min(self) -> Expr:
+        return self._fn("peak_min")
+
+    def peak_max(self) -> Expr:
+        return self._fn("peak_max")
+
+    def rolling_median(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
+        return self._fn("rolling_median", window_size=window_size, min_samples=min_samples)
+
+    def ewm_std(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False, bias: bool = False) -> Expr:
+        return self._fn("ewm_std", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
+
+    def ewm_var(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False, bias: bool = False) -> Expr:
+        return self._fn("ewm_var", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
+
+    def cut(self, breaks: Any, *, labels: Any = None, left_closed: bool = False, include_breaks: bool = False) -> Expr:
+        return self._fn("cut", breaks=tuple(breaks), labels=tuple(labels) if labels is not None else None, left_closed=left_closed)
+
+    def qcut(self, quantiles: Any, *, labels: Any = None, left_closed: bool = False, allow_duplicates: bool = False, include_breaks: bool = False) -> Expr:
+        if isinstance(quantiles, int):
+            quantiles = [i / quantiles for i in range(1, quantiles)]
+        return self._fn("qcut", quantiles=tuple(quantiles), labels=tuple(labels) if labels is not None else None, left_closed=left_closed)
+
     def interpolate(self, method: str = "linear") -> Expr:
         return self._fn("interpolate", method=method)
 
