@@ -30,6 +30,14 @@ from polars_tpu.utils import strtable
 def _key_word(col: Column, other: Column | None) -> tuple[jax.Array, jax.Array | None, bool]:
     """(int64 key word, validity, needs_verify) for one key column."""
     buf = col.buffer
+    if isinstance(col.dtype, dt.Null):
+        # all-null key column (e.g. from empty-list inference): nothing matches
+        # unless nulls_equal folds nulls into keys upstream
+        return (
+            jnp.zeros((buf.padded,), jnp.int64),
+            jnp.zeros((buf.padded,), bool),
+            False,
+        )
     if col.table is not None:
         if other is not None and other.table is not col.table:
             merged, lmap, _ = strtable.unify(col.table, other.table)

@@ -1,0 +1,81 @@
+"""Property-based differential tests (reference pattern: py-polars hypothesis
+profiles, SURVEY.md §4 tier 2)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+
+import polars_tpu as pl
+from polars_tpu.testing.parametric import dataframes, series_strategy
+
+_settings = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@given(s=series_strategy("Int64", max_size=30))
+@_settings
+def test_sort_matches_python(s):
+    out = s.sort(nulls_last=True).to_list()
+    vals = [v for v in s.to_list() if v is not None]
+    nn = s.to_list().count(None)
+    assert out == sorted(vals) + [None] * nn
+
+
+@given(s=series_strategy("Float64", max_size=30))
+@_settings
+def test_sum_matches_numpy(s):
+    vals = [v for v in s.to_list() if v is not None]
+    got = s.sum()
+    exp = float(np.sum(vals)) if vals else 0.0
+    assert abs(got - exp) <= 1e-9 * max(1.0, abs(exp))
+
+
+@given(s=series_strategy("Int64", max_size=30, allow_null=False))
+@_settings
+def test_unique_roundtrip(s):
+    assert sorted(s.unique().to_list()) == sorted(set(s.to_list()))
+
+
+@given(s=series_strategy("String", max_size=25))
+@_settings
+def test_string_sort_and_filter(s):
+    out = s.sort(nulls_last=True).to_list()
+    vals = sorted(v for v in s.to_list() if v is not None)
+    assert out[: len(vals)] == vals
+
+
+@given(df=dataframes(max_cols=3, max_size=25))
+@_settings
+def test_head_tail_slice_consistency(df):
+    n = df.height
+    k = min(3, n)
+    assert df.head(k).height == k
+    assert df.tail(k).height == k
+    assert df.slice(0, n).height == n
+    if n:
+        assert df.reverse().reverse().equals(df)
+
+
+@given(s=series_strategy("Int64", max_size=30))
+@_settings
+def test_filter_groupby_count_invariant(s):
+    df = s.to_frame("x")
+    total = df.height
+    nulls = df.select(pl.col("x").is_null().sum().alias("n")).item()
+    lf = df.lazy().group_by(pl.col("x").is_null().alias("k")).agg(c=pl.len())
+    out = lf.collect()
+    assert sum(out.get_column("c").to_list()) == total
+
+
+@given(a=series_strategy("Int64", max_size=20, allow_null=False),
+       b=series_strategy("Int64", max_size=20, allow_null=False))
+@_settings
+def test_join_cardinality_vs_pandas(a, b):
+    la = pl.DataFrame({"k": a.to_list()})
+    rb = pl.DataFrame({"k": b.to_list()})
+    got = la.join(rb, on="k").height
+    exp = len(pd.merge(pd.DataFrame({"k": a.to_list()}), pd.DataFrame({"k": b.to_list()}), on="k"))
+    assert got == exp
