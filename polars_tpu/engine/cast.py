@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from polars_tpu.kernels.fastmath import div_any, floordiv_any, mod_any
 import numpy as np
 
 from polars_tpu import datatypes as dt
@@ -26,7 +28,7 @@ def _tu_convert(values: jax.Array, src: str, dst: str) -> jax.Array:
     a, b = _TU_FACTOR[src], _TU_FACTOR[dst]
     if b > a:
         return values * (b // a)
-    return jnp.floor_divide(values, a // b)
+    return floordiv_any(values, a // b)
 
 
 def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
@@ -95,7 +97,7 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
         return v.with_(values=v.values.astype(jnp.int64) * mult, dtype=target)
     if sn == "Datetime" and tn == "Date":
         per_day = _TU_FACTOR[src.time_unit] * 86_400
-        return v.with_(values=jnp.floor_divide(v.values, per_day).astype(jnp.int32), dtype=target)
+        return v.with_(values=floordiv_any(v.values, per_day).astype(jnp.int32), dtype=target)
     if sn == "Datetime" and tn == "Datetime":
         return v.with_(values=_tu_convert(v.values, src.time_unit, target.time_unit), dtype=target)
     if sn == "Duration" and tn == "Duration":
@@ -108,11 +110,11 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
         return v.with_(values=v.values.astype(jnp.int64), dtype=target)
     if sn == "Decimal" and target.is_float():
         np_dtype = jnp.dtype(dt.dtype_to_numpy(target))
-        return v.with_(values=v.values.astype(np_dtype) / (10.0 ** src.scale), dtype=target)
+        return v.with_(values=v.values.astype(np_dtype) * (10.0 ** (-src.scale)), dtype=target)
     if sn == "Decimal" and target.is_integer():
         np_dtype = jnp.dtype(dt.dtype_to_numpy(target))
         return v.with_(
-            values=jnp.floor_divide(v.values, 10 ** src.scale).astype(np_dtype), dtype=target
+            values=floordiv_any(v.values, 10 ** src.scale).astype(np_dtype), dtype=target
         )
     if src.is_numeric() and tn == "Decimal":
         scaled = v.values.astype(jnp.float64) * (10.0 ** target.scale)
@@ -120,7 +122,7 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
     if sn == "Decimal" and tn == "Decimal":
         if target.scale >= src.scale:
             return v.with_(values=v.values * (10 ** (target.scale - src.scale)), dtype=target)
-        return v.with_(values=jnp.floor_divide(v.values, 10 ** (src.scale - target.scale)), dtype=target)
+        return v.with_(values=floordiv_any(v.values, 10 ** (src.scale - target.scale)), dtype=target)
     if (src.is_numeric() or sn == "Boolean") and (target.is_numeric() or tn == "Boolean"):
         if tn == "Boolean":
             return v.with_(values=v.values != 0, dtype=target)

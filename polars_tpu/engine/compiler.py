@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from polars_tpu.kernels.fastmath import div_any, floordiv_any, mod_any
 import numpy as np
 
 from polars_tpu import datatypes as dt
@@ -224,7 +226,7 @@ def _arith(op: str, a: Val, b: Val, out_dt: dt.DataType):
             work = dt.Datetime("us")
             av, bv = _temporal_pair(a, b, work)
             values = av + bv if op == "+" else av - bv
-            values = jnp.floor_divide(values, 86_400_000_000).astype(jnp.int32)
+            values = floordiv_any(values, 86_400_000_000).astype(jnp.int32)
         else:
             av, bv = _temporal_pair(a, b, out_dt)
             values = av + bv if op == "+" else av - bv
@@ -235,7 +237,7 @@ def _arith(op: str, a: Val, b: Val, out_dt: dt.DataType):
         if op == "*":
             values = (av * bv).astype(jnp.int64) if bn != "Duration" else av * bv
         else:
-            values = jnp.floor_divide(av, jnp.maximum(bv, 1)).astype(jnp.int64)
+            values = floordiv_any(av, jnp.maximum(bv, 1)).astype(jnp.int64)
             validity = combine_validity(validity, b.values != 0)
         return a, b, values, validity
 
@@ -253,19 +255,19 @@ def _arith(op: str, a: Val, b: Val, out_dt: dt.DataType):
     elif op == "*":
         values = av * bv
     elif op == "/":
-        values = av / bv
+        values = div_any(av, bv) if st.is_float() or out_dt.is_float() else av / bv
     elif op == "//":
         if st.is_float():
-            values = jnp.floor(av / bv)
+            values = jnp.floor(div_any(av, bv))
             validity = validity
         else:
-            values = jnp.floor_divide(av, jnp.where(bv == 0, jnp.ones((), bv.dtype), bv))
+            values = floordiv_any(av, jnp.where(bv == 0, jnp.ones((), bv.dtype), bv))
             validity = combine_validity(validity, bv != 0)
     elif op == "%":
         if st.is_float():
-            values = jnp.mod(av, bv)
+            values = mod_any(av, bv)
         else:
-            values = jnp.mod(av, jnp.where(bv == 0, jnp.ones((), bv.dtype), bv))
+            values = mod_any(av, jnp.where(bv == 0, jnp.ones((), bv.dtype), bv))
             validity = combine_validity(validity, bv != 0)
     elif op == "**":
         if out_dt.is_integer():
@@ -302,10 +304,10 @@ def _temporal_pair(a: Val, b: Val, out_dt: dt.DataType):
                 return x
             if f[target_unit] > f[src]:
                 return x * (f[target_unit] // f[src])
-            return jnp.floor_divide(x, f[src] // f[target_unit])
+            return floordiv_any(x, f[src] // f[target_unit])
         if n == "Time":
             f = {"ms": 1_000_000, "us": 1_000, "ns": 1}[target_unit]
-            return jnp.floor_divide(x, f)
+            return floordiv_any(x, f)
         return x
 
     return to_unit(a), to_unit(b)
@@ -516,7 +518,7 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
             s = jnp.exp(G.seg_sum(logs, data_mask, gids, cap))
             negs = G.seg_count(data_mask & (x < 0), gids, cap)
             zeros = G.seg_count(data_mask & (x == 0), gids, cap)
-            sign = jnp.where(negs % 2 == 1, -1.0, 1.0)
+            sign = jnp.where((negs & 1) == 1, -1.0, 1.0)
             p = jnp.where(zeros > 0, 0.0, s * sign)
             return Val(p, None, out_dt, None, dom)
         # integer product: iterative doubling over sorted segments is overkill;
@@ -526,7 +528,7 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         s = jnp.exp(G.seg_sum(logs, data_mask, gids, cap))
         negs = G.seg_count(data_mask & (fx < 0), gids, cap)
         zeros = G.seg_count(data_mask & (fx == 0), gids, cap)
-        sign = jnp.where(negs % 2 == 1, -1.0, 1.0)
+        sign = jnp.where((negs & 1) == 1, -1.0, 1.0)
         p = jnp.where(zeros > 0, 0.0, jnp.round(s) * sign)
         return Val(p.astype(jnp.int64), None, dt.Int64(), None, dom)
     if kind in ("min", "max"):
@@ -595,15 +597,16 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         mean, has = G.seg_mean(acc, data_mask, gids, cap)
         c = G.seg_count(data_mask, gids, cap).astype(jnp.float64)
         d = acc - mean[gids]
-        m2 = G.seg_sum(jnp.where(data_mask, d * d, 0.0), data_mask, gids, cap) / jnp.maximum(c, 1)
-        m3 = G.seg_sum(jnp.where(data_mask, d**3, 0.0), data_mask, gids, cap) / jnp.maximum(c, 1)
-        m4 = G.seg_sum(jnp.where(data_mask, d**4, 0.0), data_mask, gids, cap) / jnp.maximum(c, 1)
+        cinv = div_any(1.0, jnp.maximum(c, 1))
+        m2 = G.seg_sum(jnp.where(data_mask, d * d, 0.0), data_mask, gids, cap) * cinv
+        m3 = G.seg_sum(jnp.where(data_mask, d**3, 0.0), data_mask, gids, cap) * cinv
+        m4 = G.seg_sum(jnp.where(data_mask, d**4, 0.0), data_mask, gids, cap) * cinv
         if kind == "skew":
-            out = m3 / jnp.maximum(m2, 1e-300) ** 1.5
+            out = div_any(m3, jnp.maximum(m2, 1e-300) ** 1.5)
             if not node.opt("bias", True):
-                out = out * jnp.sqrt(c * (c - 1)) / jnp.maximum(c - 2, 1)
+                out = out * jnp.sqrt(c * (c - 1)) * div_any(1.0, jnp.maximum(c - 2, 1))
             return Val(out, has, dt.Float64(), None, dom)
-        g2 = m4 / jnp.maximum(m2 * m2, 1e-300)
+        g2 = div_any(m4, jnp.maximum(m2 * m2, 1e-300))
         if node.opt("fisher", True):
             g2 = g2 - 3.0
         return Val(g2, has, dt.Float64(), None, dom)

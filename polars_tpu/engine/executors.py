@@ -197,7 +197,7 @@ def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
         if offset < 0:
             start = jnp.maximum(total + offset, 0)
         else:
-            start = jnp.minimum(jnp.int64(offset), total)
+            start = jnp.minimum(jnp.asarray(offset, jnp.int64), total)
         if node.length is None:
             stop = total
         else:
@@ -547,7 +547,7 @@ def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
     i_meta: list = []
     for node_a, v, m in sum_jobs:
         if node_a.kind in ("count", "len"):
-            i_cols.append(jnp.where(m, jnp.int64(1), jnp.int64(0)))
+            i_cols.append(m.astype(jnp.int64))
             i_meta.append((node_a, "count", len(i_cols) - 1))
         elif node_a.kind == "mean":
             f_cols.append(jnp.where(m, v.values.astype(jnp.float64), 0.0))
@@ -557,7 +557,7 @@ def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
             f_cols.append(jnp.where(m, v.values.astype(jnp.float64), 0.0))
             f_meta.append((node_a, "sum", len(f_cols) - 1))
         else:  # exact integer/bool/temporal sums in i64
-            i_cols.append(jnp.where(m, v.values.astype(jnp.int64), jnp.int64(0)))
+            i_cols.append(jnp.where(m, v.values.astype(jnp.int64), 0))
             i_meta.append((node_a, "sum", len(i_cols) - 1))
 
     def _finish_sum(node_a, vals, v_dt):

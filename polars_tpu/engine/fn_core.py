@@ -9,6 +9,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from polars_tpu.kernels.fastmath import div_any, floordiv_const, mod_const
+
+_div = div_any
 import numpy as np
 
 from polars_tpu import datatypes as dt
@@ -40,7 +44,7 @@ for _n, _f in [
     ("sinh", jnp.sinh), ("cosh", jnp.cosh), ("tanh", jnp.tanh),
     ("arcsinh", jnp.arcsinh), ("arccosh", jnp.arccosh), ("arctanh", jnp.arctanh),
     ("degrees", jnp.degrees), ("radians", jnp.radians),
-    ("cot", lambda x: 1.0 / jnp.tan(x)),
+    ("cot", lambda x: _div(1.0, jnp.tan(x))),
 ]:
     _unary_float(_n, _f)
 
@@ -50,7 +54,7 @@ def _log(ctx, args, opts):
     v = args[0]
     x, out_dt = _float_vals(v)
     base = opts.get("base")
-    out = jnp.log(x) if base is None else jnp.log(x) / np.log(base)
+    out = jnp.log(x) if base is None else jnp.log(x) * float(1.0 / np.log(base))
     return Val(out, v.validity, out_dt, None, v.domain)
 
 
@@ -75,7 +79,7 @@ def _round(ctx, args, opts):
     f = 10.0 ** d
     # polars rounds half away from zero
     x = v.values * f
-    out = jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5) / f
+    out = jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5) * (1.0 / f)
     return v.with_(values=out.astype(v.values.dtype))
 
 
@@ -414,7 +418,7 @@ def _mean_h(ctx, args, opts):
         c = valid.astype(jnp.float64)
         acc = x if acc is None else acc + x
         cnt = c if cnt is None else cnt + c
-    out = acc / jnp.maximum(cnt, 1.0)
+    out = _div(acc, jnp.maximum(cnt, 1.0))
     validity = cnt > 0
     dom = ROW if any(a.domain == ROW for a in args) else args[0].domain
     return Val(out, validity, dt.Float64(), None, dom)
@@ -463,7 +467,7 @@ def _hash(ctx, args, opts):
 
     v = args[0]
     h = hash_column(v.values, v.validity, opts.get("seed", 0))
-    return Val(h, None, dt.UInt64(), None, v.domain)
+    return Val(h.astype(jnp.uint64), None, dt.UInt64(), None, v.domain)
 
 
 @register("replace", lambda dts, opts: dts[0])
@@ -537,10 +541,10 @@ def _replace_strict(ctx, args, opts):
         for o, nw in zip(olds, news):
             hit = _match_old(v, o)
             if nw is not None:
-                values = jnp.where(hit, jnp.int32(code_of[str(nw)]), values)
+                values = jnp.where(hit, code_of[str(nw)], values)
             matched = matched | hit
         if default is not None:
-            values = jnp.where(matched, values, jnp.int32(code_of[str(default)]))
+            values = jnp.where(matched, values, code_of[str(default)])
             validity = v.validity
         else:
             validity = matched if v.validity is None else (matched & v.validity)
@@ -570,7 +574,7 @@ def _match_old(v: Val, o):
         return ~v.validity
     if v.table is not None:
         code = v.table.find(str(o))
-        hit = v.values == jnp.int32(code)
+        hit = v.values == code
     else:
         hit = v.values == jnp.asarray(o, v.values.dtype)
     if v.validity is not None:
@@ -662,7 +666,7 @@ def _make_datetime(ctx, args, opts):
         if i < 3:
             out = out + r.values.astype(jnp.int64) * scales[i]
         else:
-            out = out + (r.values.astype(jnp.int64) * mult) // 1_000_000
+            out = out + floordiv_const(r.values.astype(jnp.int64) * mult, 1_000_000)
     validity = combine_validity(*[a.validity for a in args])
     dom = ROW if any(a.domain == ROW for a in args) else args[0].domain
     return Val(out, validity, dt.Datetime(tu), None, dom)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from polars_tpu.kernels.fastmath import div_any, floordiv_const, mod_const
+
 from polars_tpu import datatypes as dt
 from polars_tpu.engine.common import GROUP, ROW, Val, combine_validity
 from polars_tpu.engine.registry import BOOL, FLOAT, SAME, register
@@ -26,7 +28,7 @@ def _group_order(ctx):
 
     n = g.gids.shape[0]
     # masked rows sort last via a sentinel gid (capacity <= n < 2^31 - 1)
-    key = jnp.where(ctx.rowmask, g.gids, jnp.int32(2**31 - 1))
+    key = jnp.where(ctx.rowmask, g.gids, 2**31 - 1)
     words = [key] + (g.order_words or [])
     perm = stable_argsort_words(words)
     return perm, g.gids[perm]
@@ -149,7 +151,7 @@ def _pct_change(ctx, args, opts):
         prev_valid = jnp.roll(valid_arr, n_sh)
         seg_src = jnp.roll(seg, n_sh)
         ok = (iota >= n_sh) & (seg_src == seg) & prev_valid & valid_arr & (prev != 0)
-        return jnp.where(ok, x / prev - 1.0, 0.0), ok
+        return jnp.where(ok, div_any(x, prev) - 1.0, 0.0), ok
 
     out = _apply_in_group_order(ctx, v, fn)
     return out.with_(dtype=dt.Float32() if acc == jnp.float32 else dt.Float64())
@@ -279,7 +281,7 @@ def _reverse(ctx, args, opts):
     from polars_tpu.kernels.argsort import stable_argsort_words
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    key = jnp.where(mask, seg, jnp.int32(2**31 - 1))
+    key = jnp.where(mask, seg, 2**31 - 1)
     perm = stable_argsort_words([key])
     seg_s = seg[perm]
     mask_s = mask[perm]
@@ -388,7 +390,7 @@ def _interpolate(ctx, args, opts):
         has_next = next_i >= 0
         p = jnp.maximum(prev_i, 0)
         q = jnp.maximum(next_i, 0)
-        frac = jnp.where(q > p, (iota - p) / jnp.maximum(q - p, 1), 0.0)
+        frac = jnp.where(q > p, div_any((iota - p).astype(jnp.float64), jnp.maximum(q - p, 1).astype(jnp.float64)), 0.0)
         interp = x[p] + (x[q] - x[p]) * frac
         out = jnp.where(valid, x, interp)
         ok = valid | (has_prev & has_next)
@@ -438,7 +440,7 @@ def _rank(ctx, args, opts):
                 dense = jnp.cumsum(newval.astype(jnp.int32))
                 rank_sorted = dense.astype(jnp.float64)
             else:  # average
-                rank_sorted = (run_start + run_end).astype(jnp.float64) / 2.0
+                rank_sorted = (run_start + run_end).astype(jnp.float64) * 0.5
     out = jnp.zeros((n,), jnp.float64).at[perm].set(rank_sorted)
     validity = v.validity
     if method == "average":
@@ -457,8 +459,8 @@ def _arg_sort(ctx, args, opts):
     if v.validity is None:
         null_rank = jnp.ones((n,), jnp.int8)
     else:
-        null_rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
-    null_rank = jnp.where(ctx.rowmask, null_rank, jnp.int8(3))
+        null_rank = jnp.where(v.validity, 1, 2 if nulls_last else 0).astype(jnp.int8)
+    null_rank = jnp.where(ctx.rowmask, null_rank, 3)
     words = [null_rank, *key_words(v.values, v.dtype, descending=descending)]
     perm = stable_argsort_words(words)
     return Val(perm.astype(jnp.uint32), None, dt.UInt32(), None, ROW)
@@ -493,7 +495,7 @@ def _rolling(kind: str, dtype_rule):
         if kind == "sum":
             out = jnp.sum(jnp.where(ms, vs, 0.0), axis=0)
         elif kind == "mean":
-            out = jnp.sum(jnp.where(ms, vs, 0.0), axis=0) / jnp.maximum(cnt, 1)
+            out = div_any(jnp.sum(jnp.where(ms, vs, 0.0), axis=0), jnp.maximum(cnt, 1).astype(acc_t))
         elif kind == "min":
             out = jnp.min(jnp.where(ms, vs, jnp.inf), axis=0)
         elif kind == "max":
@@ -501,9 +503,9 @@ def _rolling(kind: str, dtype_rule):
         elif kind in ("std", "var"):
             ddof = opts.get("ddof", 1)
             s = jnp.sum(jnp.where(ms, vs, 0.0), axis=0)
-            mean = s / jnp.maximum(cnt, 1)
+            mean = div_any(s, jnp.maximum(cnt, 1).astype(acc_t))
             d2 = jnp.sum(jnp.where(ms, (vs - mean) ** 2, 0.0), axis=0)
-            out = d2 / jnp.maximum(cnt - ddof, 1)
+            out = div_any(d2, jnp.maximum(cnt - ddof, 1).astype(acc_t))
             if kind == "std":
                 out = jnp.sqrt(out)
         ok = cnt >= min_samples
@@ -550,7 +552,7 @@ def _ewm_mean(ctx, args, opts):
     adjust = opts.get("adjust", True)
     x = v.values.astype(jnp.float64)
     valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
-    a = jnp.float64(alpha)
+    a = float(alpha)
 
     if adjust:
         # y_t = sum_{i<=t} (1-a)^(t-i) x_i / sum (1-a)^(t-i) over valid
@@ -570,7 +572,7 @@ def _ewm_mean(ctx, args, opts):
 
         num, _ = jax.lax.associative_scan(comb, (xi, decay))
         wsum, _ = jax.lax.associative_scan(comb, (valid.astype(jnp.float64), decay))
-        out = num / jnp.maximum(wsum, 1e-300)
+        out = div_any(num, jnp.maximum(wsum, 1e-300))
         ok = wsum > 0
     else:
         def comb(c1, c2):
@@ -583,7 +585,7 @@ def _ewm_mean(ctx, args, opts):
         y, _ = jax.lax.associative_scan(comb, (contrib, factor))
         # first valid value seeds with full weight: correct by renormalizing
         wsum, _ = jax.lax.associative_scan(comb, (jnp.where(valid, a, 0.0), factor))
-        out = y / jnp.maximum(wsum, 1e-300)
+        out = div_any(y, jnp.maximum(wsum, 1e-300))
         ok = wsum > 0
     return Val(out, ok & valid if v.validity is not None else ok, dt.Float64(), None, ROW)
 
@@ -609,7 +611,7 @@ def _fill_null_with_strategy(ctx, args, opts):
             x = v.values.astype(jnp.float64)
             s = jnp.sum(jnp.where(mask, x, 0.0))
             c = jnp.sum(mask.astype(jnp.float64))
-            fillv = (s / jnp.maximum(c, 1.0)).astype(v.values.dtype)
+            fillv = div_any(s, jnp.maximum(c, 1.0)).astype(v.values.dtype)
         elif strategy == "min":
             fillv = jnp.min(jnp.where(mask, v.values, _pos_inf(v.values.dtype)))
         else:
@@ -676,17 +678,17 @@ def _rolling_order(kind: str):
         vs = jnp.stack(cols)
         mm = jnp.stack(ms)
         cnt = jnp.sum(mm, axis=0)
-        big = jnp.float64(jnp.inf)
+        big = jnp.inf
         masked = jnp.where(mm, vs, big)
         svals = jnp.sort(masked, axis=0)
         k = jnp.maximum(cnt - 1, 0)
         if kind == "median":
-            lo_i = (cnt - 1) // 2
-            hi_i = cnt // 2
+            lo_i = floordiv_const(jnp.maximum(cnt - 1, 0), 2)
+            hi_i = floordiv_const(cnt, 2)
             rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
             lo = svals[jnp.clip(lo_i, 0, w - 1), rows]
             hi = svals[jnp.clip(hi_i, 0, w - 1), rows]
-            out = (lo + hi) / 2.0
+            out = (lo + hi) * 0.5
         ok = cnt >= min_samples
         return Val(out, ok, dt.Float64(), None, ROW)
 

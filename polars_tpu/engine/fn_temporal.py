@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from polars_tpu.kernels.fastmath import div_any, floordiv_any, floordiv_const, mod_any, mod_const
+
 from polars_tpu import datatypes as dt
 from polars_tpu.engine.common import Val
 from polars_tpu.engine.registry import BOOL, register
@@ -19,7 +21,7 @@ def _days_of(v: Val) -> jnp.ndarray:
         return v.values.astype(jnp.int64)
     if name == "Datetime":
         per_day = _TU[v.dtype.time_unit] * 86_400
-        return jnp.floor_divide(v.values, per_day)
+        return floordiv_any(v.values, per_day)
     raise InvalidOperationError(f"expected Date/Datetime, got {v.dtype!r}")
 
 
@@ -28,7 +30,7 @@ def _time_part(v: Val) -> tuple[jnp.ndarray, int]:
     name = type(v.dtype).__name__
     if name == "Datetime":
         per_day = _TU[v.dtype.time_unit] * 86_400
-        return jnp.mod(v.values, per_day), _TU[v.dtype.time_unit]
+        return mod_any(v.values, per_day), _TU[v.dtype.time_unit]
     if name == "Time":
         return v.values, 1_000_000_000
     if name == "Duration":
@@ -48,7 +50,7 @@ def _simple(name, out_dt, fn):
 _simple("year", dt.Int32(), lambda v: T.civil_from_days(_days_of(v))[0])
 _simple("month", dt.Int8(), lambda v: T.civil_from_days(_days_of(v))[1])
 _simple("day", dt.Int8(), lambda v: T.civil_from_days(_days_of(v))[2])
-_simple("quarter", dt.Int8(), lambda v: ((T.civil_from_days(_days_of(v))[1].astype(jnp.int32) - 1) // 3 + 1).astype(jnp.int8))
+_simple("quarter", dt.Int8(), lambda v: (floordiv_const(T.civil_from_days(_days_of(v))[1].astype(jnp.int32) - 1, 3) + 1).astype(jnp.int8))
 _simple("weekday", dt.Int8(), lambda v: T.weekday_from_days(_days_of(v)))
 _simple("week", dt.Int8(), lambda v: T.iso_week(_days_of(v)))
 _simple("iso_year", dt.Int32(), lambda v: T.iso_year(_days_of(v)))
@@ -64,14 +66,14 @@ _simple(
 def _hour(ctx, args, opts):
     v = args[0]
     t, per_s = _time_part(v)
-    return Val(jnp.floor_divide(t, per_s * 3600).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
+    return Val(floordiv_any(t, per_s * 3600).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
 
 
 @register("dt.minute", dt.Int8())
 def _minute(ctx, args, opts):
     v = args[0]
     t, per_s = _time_part(v)
-    return Val((jnp.floor_divide(t, per_s * 60) % 60).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
+    return Val((floordiv_any(t, per_s * 60) % 60).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
 
 
 @register("dt.second", lambda dts, opts: dt.Float64() if opts.get("fractional") else dt.Int8())
@@ -79,16 +81,16 @@ def _second(ctx, args, opts):
     v = args[0]
     t, per_s = _time_part(v)
     if opts.get("fractional"):
-        out = (jnp.mod(t, per_s * 60).astype(jnp.float64)) / per_s
+        out = (mod_any(t, per_s * 60).astype(jnp.float64)) / per_s
         return Val(out, v.validity, dt.Float64(), None, v.domain)
-    return Val((jnp.floor_divide(t, per_s) % 60).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
+    return Val((floordiv_any(t, per_s) % 60).astype(jnp.int8), v.validity, dt.Int8(), None, v.domain)
 
 
 @register("dt.millisecond", dt.Int32())
 def _millisecond(ctx, args, opts):
     v = args[0]
     t, per_s = _time_part(v)
-    frac = jnp.mod(t, per_s)
+    frac = mod_any(t, per_s)
     out = frac * 1_000 // per_s if per_s >= 1_000 else frac * (1_000 // per_s)
     return Val(out.astype(jnp.int32), v.validity, dt.Int32(), None, v.domain)
 
@@ -97,7 +99,7 @@ def _millisecond(ctx, args, opts):
 def _microsecond(ctx, args, opts):
     v = args[0]
     t, per_s = _time_part(v)
-    frac = jnp.mod(t, per_s)
+    frac = mod_any(t, per_s)
     out = frac * 1_000_000 // per_s if per_s >= 1_000_000 else frac * (1_000_000 // per_s)
     return Val(out.astype(jnp.int32), v.validity, dt.Int32(), None, v.domain)
 
@@ -106,7 +108,7 @@ def _microsecond(ctx, args, opts):
 def _nanosecond(ctx, args, opts):
     v = args[0]
     t, per_s = _time_part(v)
-    frac = jnp.mod(t, per_s)
+    frac = mod_any(t, per_s)
     out = frac * (1_000_000_000 // per_s)
     return Val(out.astype(jnp.int32), v.validity, dt.Int32(), None, v.domain)
 
@@ -145,11 +147,11 @@ def _timestamp(ctx, args, opts):
         src = _TU[v.dtype.time_unit]
         x = v.values.astype(jnp.int64)
         if tu == "d":
-            out = jnp.floor_divide(x, src * 86_400)
+            out = floordiv_any(x, src * 86_400)
         elif per >= src:
             out = x * (per // src)
         else:
-            out = jnp.floor_divide(x, src // per)
+            out = floordiv_any(x, src // per)
     return Val(out, v.validity, dt.Int64(), None, v.domain)
 
 
@@ -168,7 +170,7 @@ def _cast_time_unit(ctx, args, opts):
     src = _TU[v.dtype.time_unit]
     dst = _TU[tu]
     x = v.values
-    out = x * (dst // src) if dst >= src else jnp.floor_divide(x, src // dst)
+    out = x * (dst // src) if dst >= src else floordiv_any(x, src // dst)
     new = dt.Datetime(tu) if isinstance(v.dtype, dt.Datetime) else dt.Duration(tu)
     return Val(out, v.validity, new, None, v.domain)
 
@@ -188,7 +190,7 @@ def _total(ctx, args, opts):
     if unit in ("ms", "us", "ns") and _TU[v.dtype.time_unit] < {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]:
         mul = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit] // per_s
         return Val(x * mul, v.validity, dt.Int64(), None, v.domain)
-    out = jnp.where(x < 0, -jnp.floor_divide(-x, div), jnp.floor_divide(x, div))
+    out = jnp.where(x < 0, -floordiv_any(-x, div), floordiv_any(x, div))
     return Val(out, v.validity, dt.Int64(), None, v.domain)
 
 
@@ -217,19 +219,19 @@ def _truncate(ctx, args, opts):
             step = n * (7 if unit == "w" else 1)
             off = 4 if unit == "w" else 0  # 1970-01-01 is a Thursday; weeks start Monday
             x = v.values.astype(jnp.int64) + (3 if unit == "w" else 0)
-            out = (jnp.floor_divide(x, step) * step - (3 if unit == "w" else 0)).astype(jnp.int32)
+            out = (floordiv_any(x, step) * step - (3 if unit == "w" else 0)).astype(jnp.int32)
             return v.with_(values=out)
         if unit in ("mo", "q", "y"):
             y, m, _ = T.civil_from_days(v.values.astype(jnp.int64))
             if unit == "y":
                 m2 = jnp.ones_like(m, jnp.int64)
-                y2 = (y.astype(jnp.int64) // n) * n if n > 1 else y.astype(jnp.int64)
+                y2 = floordiv_const(y.astype(jnp.int64), n) * n if n > 1 else y.astype(jnp.int64)
             else:
                 months = y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1)
                 step = n * (3 if unit == "q" else 1)
-                months = (months // step) * step
-                y2 = months // 12
-                m2 = months % 12 + 1
+                months = floordiv_any(months, step) * step
+                y2 = floordiv_const(months, 12)
+                m2 = mod_const(months, 12) + 1
             out = T.days_from_civil(y2, m2, jnp.ones_like(m2))
             return v.with_(values=out)
         raise InvalidOperationError(f"cannot truncate Date by {unit!r}")
@@ -237,11 +239,11 @@ def _truncate(ctx, args, opts):
         per_us = _TU[v.dtype.time_unit] // 1_000_000 or 1
         if unit in _UNIT_TICKS_US and _UNIT_TICKS_US[unit] > 0:
             step = n * _UNIT_TICKS_US[unit] * per_us
-            out = jnp.floor_divide(v.values, step) * step
+            out = floordiv_any(v.values, step) * step
             return v.with_(values=out)
         if unit in ("mo", "q", "y"):
             per_day = _TU[v.dtype.time_unit] * 86_400
-            days = jnp.floor_divide(v.values, per_day)
+            days = floordiv_any(v.values, per_day)
             y, m, _ = T.civil_from_days(days)
             if unit == "y":
                 m2 = jnp.ones_like(m, jnp.int64)
@@ -249,9 +251,9 @@ def _truncate(ctx, args, opts):
             else:
                 months = y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1)
                 step = n * (3 if unit == "q" else 1)
-                months = (months // step) * step
-                y2 = months // 12
-                m2 = months % 12 + 1
+                months = floordiv_any(months, step) * step
+                y2 = floordiv_const(months, 12)
+                m2 = mod_const(months, 12) + 1
             out_days = T.days_from_civil(y2, m2, jnp.ones_like(m2))
             return v.with_(values=out_days.astype(jnp.int64) * per_day)
     raise InvalidOperationError(f"cannot truncate {v.dtype!r}")
@@ -272,7 +274,7 @@ def _month_end(ctx, args, opts):
     if isinstance(v.dtype, dt.Date):
         return v.with_(values=out_days)
     per_day = _TU[v.dtype.time_unit] * 86_400
-    return v.with_(values=out_days.astype(jnp.int64) * per_day + jnp.mod(v.values, per_day))
+    return v.with_(values=out_days.astype(jnp.int64) * per_day + mod_any(v.values, per_day))
 
 
 @register("dt.offset_by", lambda dts, opts: dts[0])
@@ -286,19 +288,19 @@ def _offset_by(ctx, args, opts):
         days = _days_of(v)
         y, m, d = T.civil_from_days(days)
         months = y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1) + months_off
-        y2 = jnp.floor_divide(months, 12)
-        m2 = jnp.mod(months, 12) + 1
+        y2 = floordiv_any(months, 12)
+        m2 = mod_any(months, 12) + 1
         dim = T.days_in_month(y2, m2)
         d2 = jnp.minimum(d.astype(jnp.int64), dim.astype(jnp.int64))
         out_days = T.days_from_civil(y2, m2, d2)
         if isinstance(v.dtype, dt.Date):
             return v.with_(values=out_days)
         per_day = _TU[v.dtype.time_unit] * 86_400
-        return v.with_(values=out_days.astype(jnp.int64) * per_day + jnp.mod(v.values, per_day))
+        return v.with_(values=out_days.astype(jnp.int64) * per_day + mod_any(v.values, per_day))
     if isinstance(v.dtype, dt.Date):
         step = n * (7 if unit == "w" else 1)
         if unit in ("d", "w"):
-            return v.with_(values=v.values + jnp.int32(step))
+            return v.with_(values=v.values + step)
         raise InvalidOperationError("sub-day offsets on Date")
     per_us = _TU[v.dtype.time_unit] // 1_000_000 or 1
     step = n * _UNIT_TICKS_US[unit] * per_us
@@ -312,11 +314,11 @@ def _dt_round(ctx, args, opts):
     if isinstance(v.dtype, dt.Datetime) and unit in _UNIT_TICKS_US and _UNIT_TICKS_US[unit] > 0:
         per_us = _TU[v.dtype.time_unit] // 1_000_000 or 1
         step = n * _UNIT_TICKS_US[unit] * per_us
-        out = jnp.floor_divide(v.values + step // 2, step) * step
+        out = floordiv_any(v.values + step // 2, step) * step
         return v.with_(values=out)
     if isinstance(v.dtype, dt.Date) and unit in ("d", "w"):
         step = n * (7 if unit == "w" else 1)
-        out = (jnp.floor_divide(v.values.astype(jnp.int64) + step // 2, step) * step).astype(jnp.int32)
+        out = (floordiv_any(v.values.astype(jnp.int64) + step // 2, step) * step).astype(jnp.int32)
         return v.with_(values=out)
     raise InvalidOperationError(f"dt.round by {unit!r} unsupported")
 

@@ -64,7 +64,7 @@ def dense_group_ctx(keys: list[Val], rowmask: jax.Array, sizes: list[int]) -> Gr
         code = k.values.astype(jnp.int32) + 1  # 0 reserved for null
         if k.validity is not None:
             code = jnp.where(k.validity, code, 0)
-        gid = gid * jnp.int32(size + 1) + jnp.clip(code, 0, size)
+        gid = gid * (size + 1) + jnp.clip(code, 0, size)
         cap *= size + 1
     # mark which dense slots are occupied, then rank them to dense gids
     occupied = jnp.zeros((cap,), bool).at[gid].max(rowmask, mode="drop")
@@ -125,7 +125,7 @@ def reorder_by_first_occurrence(ctx: GroupCtx, rowmask: jax.Array) -> GroupCtx:
     """Renumber groups by first appearance (maintain_order=True semantics)."""
     n = ctx.gids.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    big = jnp.int32(2**31 - 1)
+    big = 2**31 - 1
     first_row = (
         jnp.full((ctx.capacity,), big, jnp.int32)
         .at[ctx.gids]
@@ -193,7 +193,7 @@ def seg_first_idx(mask: jax.Array, gids: jax.Array, cap: int) -> tuple[jax.Array
     """(row index of first masked row per group, has_any mask)."""
     n = gids.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    big = jnp.int32(2**31 - 1)
+    big = 2**31 - 1
     idx = (
         jnp.full((cap,), big, jnp.int32)
         .at[gids]
@@ -216,10 +216,12 @@ def seg_last_idx(mask: jax.Array, gids: jax.Array, cap: int) -> tuple[jax.Array,
 
 
 def seg_mean(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int):
+    from polars_tpu.kernels.fastmath import div_any
+
     acc_t = jnp.float64 if values.dtype != jnp.float32 else jnp.float32
     s = seg_sum(values.astype(acc_t), mask, gids, cap)
     c = seg_count(mask, gids, cap)
-    return s / jnp.maximum(c, 1).astype(acc_t), c > 0
+    return div_any(s, jnp.maximum(c, 1).astype(acc_t)), c > 0
 
 
 def seg_var(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int, ddof: int):
@@ -233,7 +235,9 @@ def seg_var(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int, ddof:
     c = seg_count(mask, gids, cap)
     denom = c - ddof
     ok = denom > 0
-    return ss / jnp.maximum(denom, 1).astype(acc_t), ok & has
+    from polars_tpu.kernels.fastmath import div_any
+
+    return div_any(ss, jnp.maximum(denom, 1).astype(acc_t)), ok & has
 
 
 def seg_nunique(values: jax.Array, validity: jax.Array | None, mask: jax.Array, gids: jax.Array, cap: int, dtype: dt.DataType) -> jax.Array:
@@ -246,7 +250,7 @@ def seg_nunique(values: jax.Array, validity: jax.Array | None, mask: jax.Array, 
 
     n = gids.shape[0]
     invalid = jnp.zeros((n,), jnp.int8) if validity is None else (~validity).astype(jnp.int8)
-    big_g = jnp.int32(cap + 1)
+    big_g = cap + 1
     g = jnp.where(mask, gids, big_g)  # masked rows sort last
     words = [g, invalid, *key_words(values, dtype)]
     perm = stable_argsort_words(words)
@@ -268,7 +272,7 @@ def seg_quantile(
     from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
     n = gids.shape[0]
-    big_g = jnp.int32(cap + 1)
+    big_g = cap + 1
     g = jnp.where(mask, gids, big_g)
     words = [g, *key_words(values, dt.Float64())]
     perm = stable_argsort_words(words)
@@ -290,7 +294,7 @@ def seg_quantile(
     elif interpolation == "midpoint":
         lo = vals_sorted[jnp.clip(offsets + jnp.floor(pos).astype(jnp.int64), 0, n - 1)].astype(jnp.float64)
         hi = vals_sorted[jnp.clip(offsets + jnp.ceil(pos).astype(jnp.int64), 0, n - 1)].astype(jnp.float64)
-        out = (lo + hi) / 2
+        out = (lo + hi) * 0.5
     else:  # linear
         lo_i = jnp.floor(pos).astype(jnp.int64)
         frac = pos - lo_i

@@ -22,6 +22,7 @@ from polars_tpu.core.column import Column
 from polars_tpu.core.frame import DataFrame
 from polars_tpu.engine.common import Val
 from polars_tpu.errors import InvalidOperationError
+from polars_tpu.kernels.fastmath import floordiv_const, mod_const
 from polars_tpu.kernels.hashing import combine_hashes, hash_column
 from polars_tpu.kernels.rowencode import total_order_key
 from polars_tpu.utils import strtable
@@ -151,11 +152,11 @@ def join_frames(
     def build_probe(lk, lmask, rk, rmask, lrowmask):
         from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
-        big = jnp.int64(0x7FFFFFFFFFFFFFFF)
-        rk_m = jnp.where(rmask, rk, big)
+        big = 0x7FFFFFFFFFFFFFFF
+        rk_m = jnp.where(rmask, rk.astype(jnp.int64), big)
         sperm = stable_argsort_words(key_words(rk_m, dt.Int64()))
         sk = rk_m[sperm]
-        lk_m = jnp.where(lmask, lk, big - 1)
+        lk_m = jnp.where(lmask, lk.astype(jnp.int64), big - 1)
         lo = jnp.searchsorted(sk, lk_m, side="left")
         hi = jnp.searchsorted(sk, lk_m, side="right")
         matches = jnp.where(lmask, hi - lo, 0)
@@ -255,10 +256,10 @@ def join_frames(
     if how == "full":
         @jax.jit
         def right_unmatched(lk, lmask, rk, rmask):
-            big = jnp.int64(0x7FFFFFFFFFFFFFFF)
-            lk_m = jnp.where(lmask, lk, big)
+            big = 0x7FFFFFFFFFFFFFFF
+            lk_m = jnp.where(lmask, lk.astype(jnp.int64), big)
             slk = _sort_i64_single(lk_m)
-            lo = jnp.searchsorted(slk, rk, side="left")
+            lo = jnp.searchsorted(slk, rk.astype(jnp.int64), side="left")
             hi = jnp.searchsorted(slk, rk, side="right")
             return rmask & ((hi - lo) == 0), rrowmask & ~rmask
 
@@ -331,8 +332,8 @@ def _cross_join(left: DataFrame, right: DataFrame, suffix: str, out_schema) -> D
     total = nl * nr
     size = padded_size(max(total, 1))
     k = jnp.arange(size, dtype=jnp.int64)
-    li = (k // max(nr, 1)).astype(jnp.int32)
-    ri = (k % max(nr, 1)).astype(jnp.int32)
+    li = floordiv_const(k, max(nr, 1)).astype(jnp.int32)
+    ri = mod_const(k, max(nr, 1)).astype(jnp.int32)
     left_names = set(left.columns)
     cols = []
     for c in left._columns:
@@ -378,7 +379,7 @@ def asof_join_frames(
     def match(lk, rk, rmask):
         from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
-        rk_m = jnp.where(rmask, rk, big)
+        rk_m = jnp.where(rmask, rk.astype(jnp.int64), big)
         kw = key_words(rk_m, dt.Int64()) if rk_m.dtype == jnp.int64 else key_words(rk_m, dt.Float64())
         sperm = stable_argsort_words(kw)
         sk = rk_m[sperm]

@@ -26,9 +26,9 @@ def sort_words_for_key(
     if v.validity is None:
         rank = jnp.ones((n,), jnp.int8)
     else:
-        rank = jnp.where(v.validity, jnp.int8(1), jnp.int8(2 if nulls_last else 0))
+        rank = jnp.where(v.validity, 1, 2 if nulls_last else 0).astype(jnp.int8)
     if rowmask is not None:
-        rank = jnp.where(rowmask, rank, jnp.int8(3))
+        rank = jnp.where(rowmask, rank, 3)
     return [rank, *key_words(v.values, v.dtype, descending=desc)]
 
 
@@ -48,7 +48,7 @@ def sort_perm(
         first = False
     if not key_vals:
         n = rowmask.shape[0]
-        words = [jnp.where(rowmask, jnp.int32(0), jnp.int32(1))]
+        words = [(~rowmask).astype(jnp.int8)]
     return stable_argsort_words(words)
 
 

@@ -32,7 +32,7 @@ _I32_MIN = -0x80000000
 def _f32_word(x: jax.Array) -> jax.Array:
     """f32 -> order-preserving i32 (32-bit bitcast is supported)."""
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-    neg_key = jnp.bitwise_not(bits) + jnp.int32(_I32_MIN)
+    neg_key = jnp.bitwise_not(bits) + _I32_MIN
     return jnp.where(bits < 0, neg_key, bits)
 
 
@@ -52,18 +52,18 @@ def key_words(values: jax.Array, dtype: dt.DataType, *, descending: bool = False
         neg = values < 0
         is_zero = (v == 0) & ~inf & ~nan
         m, e = _frexp_ladder(jnp.abs(v))
-        e = jnp.where(is_zero, jnp.int32(-4000), e)
-        e = jnp.where(inf, jnp.int32(4000), e)
+        e = jnp.where(is_zero, -4000, e)
+        e = jnp.where(inf, 4000, e)
         # class: 0 = negatives, 1 = zero, 2 = positives, 3 = NaN (greatest)
-        cls = jnp.where(nan, jnp.int32(3), jnp.where(neg, jnp.int32(0), jnp.int32(2)))
-        cls = jnp.where(is_zero, jnp.int32(1), cls)
-        e_adj = jnp.where(neg, -e, e) + jnp.int32(4096)  # [0, 8192)
-        cls_exp = (cls * jnp.int32(8192) + jnp.where(cls == 1, jnp.int32(0), e_adj)).astype(jnp.uint16)
-        mm = m * jnp.float64(1 << 52)  # m in [1,2): exact integer in [2^52, 2^53)
-        mm = jnp.where(nan | inf | is_zero, jnp.float64(0), mm)
-        m_hi_f = jnp.floor(mm / jnp.float64(1 << 32))
+        cls = jnp.where(nan, 3, jnp.where(neg, 0, 2)).astype(jnp.int32)
+        cls = jnp.where(is_zero, 1, cls)
+        e_adj = jnp.where(neg, -e, e) + 4096  # [0, 8192)
+        cls_exp = (cls * 8192 + jnp.where(cls == 1, 0, e_adj)).astype(jnp.uint16)
+        mm = m * float(1 << 52)  # m in [1,2): exact integer in [2^52, 2^53)
+        mm = jnp.where(nan | inf | is_zero, 0.0, mm)
+        m_hi_f = jnp.floor(mm * 2.0**-32)  # exact pow2 scaling
         m_hi = m_hi_f.astype(jnp.int32)  # 21 bits
-        m_lo = (mm - m_hi_f * jnp.float64(1 << 32) - jnp.float64(1 << 31)).astype(jnp.int32)
+        m_lo = (mm - m_hi_f * float(1 << 32) - float(1 << 31)).astype(jnp.int32)
         m_hi = jnp.where(neg, jnp.bitwise_not(m_hi), m_hi)
         m_lo = jnp.where(neg, jnp.bitwise_not(m_lo), m_lo)
         words = [cls_exp, m_hi, m_lo]
@@ -81,7 +81,7 @@ def key_words(values: jax.Array, dtype: dt.DataType, *, descending: bool = False
     elif d == jnp.uint32:
         words = [(values.astype(jnp.int64) + _I32_MIN).astype(jnp.int32)]
     elif d == jnp.uint64:
-        s = (values - jnp.uint64(0x8000000000000000)).astype(jnp.int64)
+        s = (values - (1 << 62) - (1 << 62)).astype(jnp.int64)  # -2^63 mod 2^64 (literal split: weak ints cap at 2^63-1)
         words = _i64_words(s)
     else:  # int64 family
         words = _i64_words(values.astype(jnp.int64))
@@ -98,16 +98,16 @@ def _frexp_ladder(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     m = a
     e = jnp.zeros(a.shape, jnp.int32)
     # pre-scale subnormals: the greedy ladder shifts at most 1023 exponents
-    sub = (m > 0) & (m < jnp.float64(2.0) ** (-1000))
-    m = jnp.where(sub, m * (jnp.float64(2.0) ** 64), m)
+    sub = (m > 0) & (m < 2.0**-1000)
+    m = jnp.where(sub, m * 2.0**64, m)
     e = jnp.where(sub, e - 64, e)
     for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-        up = jnp.float64(2.0) ** k
-        down = jnp.float64(2.0) ** (-k)
+        up = 2.0**k
+        down = 2.0 ** (-k)
         hi = m >= up
         m = jnp.where(hi, m * down, m)
         e = jnp.where(hi, e + k, e)
-        lo = (m < (jnp.float64(2.0) ** (1 - k))) & (m > 0)
+        lo = (m < 2.0 ** (1 - k)) & (m > 0)
         m = jnp.where(lo, m * up, m)
         e = jnp.where(lo, e - k, e)
     return m, e
@@ -115,7 +115,7 @@ def _frexp_ladder(a: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _i64_words(x: jax.Array) -> list[jax.Array]:
     hi = (x >> 32).astype(jnp.int32)
-    lo = ((x & jnp.int64(0xFFFFFFFF)) + jnp.int64(_I32_MIN)).astype(jnp.int32)
+    lo = ((x & 0xFFFFFFFF) + _I32_MIN).astype(jnp.int32)
     return [hi, lo]
 
 
@@ -146,14 +146,14 @@ def stable_argsort_words(words: list[jax.Array]) -> jax.Array:
             wp = w32 if perm is None else w32[perm]
             packed = (wp.astype(jnp.int64) << 32) | iota64
             sp = jax.lax.sort(packed, dimension=0)
-            pos = (sp & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+            pos = (sp & 0xFFFFFFFF).astype(jnp.int32)
             perm = pos if perm is None else perm[pos]
         return perm if perm is not None else iota64.astype(jnp.int32)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     pos_f = iota.astype(jnp.float64)
     perm = None
-    _SHIFT = jnp.float64(1 << 36)
+    _SHIFT = float(1 << 36)
 
     # rank words (small nonnegative ranges) take one pass; general i32 words
     # split into two 16-bit digit passes
@@ -168,15 +168,16 @@ def stable_argsort_words(words: list[jax.Array]) -> jax.Array:
         if small:
             digits = [jnp.maximum(w32, 0)]
         else:
-            u = w32.astype(jnp.float64) - jnp.float64(_I32_MIN)  # [0, 2^32)
-            lo16 = jnp.mod(u, 65536.0)
-            hi16 = jnp.floor(u / 65536.0)
+            u = w32.astype(jnp.float64) - float(_I32_MIN)  # [0, 2^32)
+            hi16 = jnp.floor(u * 2.0**-16)  # exact pow2 scaling
+            lo16 = u - hi16 * 65536.0
             digits = [lo16, hi16]
         for digit in digits:
             d = digit if perm is None else digit[perm]
             packed = d.astype(jnp.float64) * _SHIFT + pos_f
             sp = jax.lax.sort(packed, dimension=0)
-            pos = jnp.mod(sp, _SHIFT).astype(jnp.int32)
+            hi = jnp.floor(sp * 2.0**-36)  # exact pow2 scaling
+            pos = (sp - hi * _SHIFT).astype(jnp.int32)
             perm = pos if perm is None else perm[pos]
     return perm if perm is not None else iota
 

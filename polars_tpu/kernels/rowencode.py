@@ -41,7 +41,7 @@ def total_order_key(values: jax.Array, dtype: dt.DataType) -> jax.Array:
         return values.astype(jnp.int64)
     if values.dtype == jnp.uint64:
         # shift into signed order-preserving range
-        return (values - jnp.uint64(0x8000000000000000)).astype(jnp.int64)
+        return (values - (1 << 62) - (1 << 62)).astype(jnp.int64)
     return values  # signed ints already totally ordered
 
 
@@ -103,7 +103,7 @@ def pack_keys_64(
     for k, v, w in zip(keys, validities, widths):
         k64 = k.astype(jnp.int64)
         # bias signed value into unsigned range of width w
-        k64 = k64 + (jnp.int64(1) << (w - 1))
+        k64 = k64 + (1 << (w - 1))
         slot = jnp.where(v, k64 + 1, 0) if v is not None else k64 + 1
         out = (out << (w + 1)) | slot
     return out

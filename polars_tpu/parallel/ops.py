@@ -65,8 +65,8 @@ def _bucketize(keys, payload_cols, mask, n_parts: int, cap: int):
     n = keys.shape[0]
     from polars_tpu.kernels.argsort import stable_argsort_words
 
-    h = splitmix64(keys.astype(jnp.uint64))
-    part = jnp.where(mask, partition_of(h, n_parts), jnp.int32(n_parts))
+    h = splitmix64(keys.astype(jnp.int64))
+    part = jnp.where(mask, partition_of(h, n_parts), n_parts)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     perm = stable_argsort_words([part])
     part_s = part[perm]
@@ -149,7 +149,7 @@ def dist_join_inner(mesh, lk, lvals, lmask, rk, rvals, rmask, cap_per_bucket: in
         import polars_tpu.datatypes as pdt
 
         nr = grk.shape[0]
-        big = jnp.int64(0x7FFFFFFFFFFFFFFF)
+        big = 0x7FFFFFFFFFFFFFFF
         rk_m = jnp.where(grm, grk.astype(jnp.int64), big)
         sperm = stable_argsort_words(key_words(rk_m, pdt.Int64()))
         sk = rk_m[sperm]

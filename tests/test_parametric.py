@@ -30,7 +30,10 @@ def test_sum_matches_numpy(s):
     vals = [v for v in s.to_list() if v is not None]
     got = s.sum()
     exp = float(np.sum(vals)) if vals else 0.0
-    assert abs(got - exp) <= 1e-9 * max(1.0, abs(exp))
+    if np.isinf(exp) or np.isnan(exp):
+        assert got == exp or (np.isnan(got) and np.isnan(exp))
+    else:
+        assert abs(got - exp) <= 1e-9 * max(1.0, abs(exp))
 
 
 @given(s=series_strategy("Int64", max_size=30, allow_null=False))
