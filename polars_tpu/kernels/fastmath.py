@@ -21,6 +21,13 @@ def _recip_seed(a32: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(_MAGIC - bits, jnp.float32)
 
 
+def _signbit64(y: jax.Array) -> jax.Array:
+    """Sign bit of f64 (incl. -0.0) without ``jnp.signbit`` — its f64 lowering
+    bitcasts through s64, unimplemented on this backend's x64 rewriter. The
+    f64->f32 cast preserves the sign of zero; 32-bit bitcasts are supported."""
+    return jax.lax.bitcast_convert_type(y.astype(jnp.float32), jnp.int32) < 0
+
+
 def recip64(y: jax.Array) -> jax.Array:
     """1/y for f64 y without a division op."""
     a = jnp.abs(y)
@@ -29,9 +36,10 @@ def recip64(y: jax.Array) -> jax.Array:
     r = _recip_seed(a32).astype(jnp.float64)
     for _ in range(4):
         r = r * (2.0 - a * r)
-    r = jnp.where(jnp.signbit(y), -r, r)
+    neg = _signbit64(y)
+    r = jnp.where(neg, -r, r)
     # IEEE edges
-    r = jnp.where(y == 0, jnp.where(jnp.signbit(y), -jnp.inf, jnp.inf), r)
+    r = jnp.where(y == 0, jnp.where(neg, -jnp.inf, jnp.inf), r)
     r = jnp.where(jnp.isinf(y), jnp.where(y > 0, 0.0, -0.0), r)
     r = jnp.where(jnp.isnan(y), jnp.nan, r)
     return r
