@@ -411,11 +411,10 @@ class DataFrame:
         return self.gather(np.arange(self._height - 1, -1, -1))
 
     def gather(self, indices: Any) -> DataFrame:
-        from polars_tpu.engine.gather import gather_column
+        from polars_tpu.engine.gather import gather_frame
 
         idx = np.asarray(indices)
-        cols = [gather_column(c, idx) for c in self._columns]
-        return DataFrame._from_columns(cols, len(idx))
+        return DataFrame._from_columns(gather_frame(self._columns, idx), len(idx))
 
     def gather_every(self, n: int, offset: int = 0) -> DataFrame:
         return self.gather(np.arange(offset, self._height, n))

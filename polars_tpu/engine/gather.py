@@ -38,3 +38,37 @@ def gather_column(col: Column, indices: np.ndarray) -> Column:
         dve = jnp.asarray(ve)
         validity = dve if validity is None else (validity & dve)
     return Column(col.name, col.dtype, Buffer(values, validity, m), col.table)
+
+def gather_frame(cols: list[Column], indices: np.ndarray) -> list[Column]:
+    """Gather every column of a frame in ONE device dispatch (per-column
+    eager gathers cost ~25ms each once dispatch is degraded — see CLAUDE.md
+    poison note)."""
+    if not cols:
+        return []
+    n = cols[0].buffer.length
+    idx = np.asarray(indices)
+    if idx.dtype == object:
+        validity_extra = np.array([i is not None for i in idx], bool)
+        idx = np.array([0 if i is None else i for i in idx], np.int64)
+    else:
+        validity_extra = None
+        idx = idx.astype(np.int64)
+    neg = idx < 0
+    if neg.any():
+        idx = np.where(neg, idx + n, idx)
+    if ((idx < 0) | (idx >= n)).any() and n > 0:
+        bad = idx[(idx < 0) | (idx >= n)][0]
+        raise OutOfBoundsError(f"gather index {bad} out of bounds for length {n}")
+    m = len(idx)
+    size = padded_size(m)
+    pad_idx = np.zeros(size, np.int64)
+    pad_idx[:m] = idx
+    didx = jnp.asarray(pad_idx)
+    extra = None
+    if validity_extra is not None:
+        ve = np.ones(size, bool)
+        ve[:m] = validity_extra
+        extra = jnp.asarray(ve)
+    from polars_tpu.engine.join import _gather_side
+
+    return _gather_side(cols, didx, extra, m)

@@ -12,6 +12,8 @@ host sync (the count pass), mirroring the reference's build/probe barrier.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,6 +94,56 @@ def _side_keys(
     return h.astype(jnp.int64), mask, True
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _gather_side_jit(idx, arrays, extra_valid, has_validity, size, use_extra, out_len):
+    """Gather ALL of one side's output columns in a single dispatch.
+
+    Per-column eager gathers cost one ~25ms dispatch each once the process has
+    done any device->host readback (see CLAUDE.md poison note); batching the
+    whole side into one program makes join assembly 2 dispatches total.
+    ``arrays`` = value arrays then validity arrays (for cols where
+    ``has_validity``); statics: the validity layout, output size, and whether
+    ``extra_valid`` applies."""
+    nv = len(has_validity)
+    vals = arrays[:nv]
+    vlds = arrays[nv:]
+    rm = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).squeeze(-1) < out_len
+    outs = []
+    vi = 0
+    for i, hv in enumerate(has_validity):
+        a = vals[i]
+        safe = jnp.clip(idx, 0, a.shape[0] - 1)
+        g = a[safe]
+        g = g[:size] if g.shape[0] >= size else pad_to(g, size)
+        v = None
+        if hv:
+            v = vlds[vi][safe]
+            v = v[:size] if v.shape[0] >= size else pad_to(v, size)
+            vi += 1
+        if use_extra:
+            ev = extra_valid[:size] if extra_valid.shape[0] >= size else pad_to(extra_valid, size)
+            v = ev if v is None else (v & ev)
+        if v is not None:
+            v = v & rm
+        outs.append((g, v))
+    return tuple(outs)
+
+
+def _gather_side(cols, idx, extra_valid, out_len):
+    """Columns for one join side via one batched dispatch."""
+    size = padded_size(out_len)
+    arrays = [c.buffer.values for c in cols]
+    has_validity = tuple(c.buffer.validity is not None for c in cols)
+    arrays += [c.buffer.validity for c in cols if c.buffer.validity is not None]
+    use_extra = extra_valid is not None
+    dummy = idx if extra_valid is None else extra_valid
+    outs = _gather_side_jit(idx, tuple(arrays), dummy, has_validity, size, use_extra, out_len)
+    return [
+        Column(c.name, c.dtype, Buffer(g, v, out_len), c.table)
+        for c, (g, v) in zip(cols, outs)
+    ]
+
+
 def _gather_col(col: Column, idx: jax.Array, valid: jax.Array | None, out_len: int) -> Column:
     size = padded_size(out_len)
     buf = col.buffer
@@ -115,6 +167,77 @@ def _sort_i64_single(x: jax.Array) -> jax.Array:
     from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
     return x[stable_argsort_words(key_words(x, dt.Int64()))]
+
+def _build_probe(lk, lmask, rk, rmask, lrowmask, emit_unmatched_left):
+    """Sort build side by key word, binary-search probes, count matches.
+
+    Shared trace for the count and expand passes; ``emit_unmatched_left`` is a
+    static (left/full joins emit one output row per unmatched probe row)."""
+    from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
+    big = 0x7FFFFFFFFFFFFFFF
+    rk_m = jnp.where(rmask, rk.astype(jnp.int64), big)
+    sperm = stable_argsort_words(key_words(rk_m, dt.Int64()))
+    sk = rk_m[sperm]
+    lk_m = jnp.where(lmask, lk.astype(jnp.int64), big - 1)
+    lo = jnp.searchsorted(sk, lk_m, side="left")
+    hi = jnp.searchsorted(sk, lk_m, side="right")
+    matches = jnp.where(lmask, hi - lo, 0)
+    if emit_unmatched_left:
+        counts = jnp.where(lrowmask, jnp.maximum(matches, 1), 0)
+    else:
+        counts = matches
+    return sk, sperm, lo, matches, counts
+
+
+@functools.lru_cache(maxsize=None)
+def _count_jit(emit_unmatched_left: bool):
+    """Module-level cached jit: re-traced only per (flag, shape) combination,
+    NOT per join call (per-call ``@jax.jit`` closures defeated jit caching and
+    re-traced every ``collect``)."""
+
+    def fn(lk, lmask, rk, rmask, lrowmask):
+        _, _, _, matches, counts = _build_probe(lk, lmask, rk, rmask, lrowmask, emit_unmatched_left)
+        return jnp.sum(counts), matches
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_jit(emit_unmatched_left: bool, size: int):
+    def fn(lk, lmask, rk, rmask, lrowmask):
+        nl = lk.shape[0]
+        nr = rk.shape[0]
+        sk, sperm, lo, matches, counts = _build_probe(lk, lmask, rk, rmask, lrowmask, emit_unmatched_left)
+        offsets = jnp.cumsum(counts)  # inclusive
+        k = jax.lax.broadcasted_iota(jnp.int64, (size, 1), 0).squeeze(-1)
+        probe_row = jnp.searchsorted(offsets, k, side="right").astype(jnp.int32)
+        probe_row_c = jnp.clip(probe_row, 0, nl - 1)
+        start = offsets[probe_row_c] - counts[probe_row_c]
+        j = k - start
+        matched = matches[probe_row_c] > 0
+        build_pos = jnp.clip(lo[probe_row_c] + j, 0, nr - 1).astype(jnp.int32)
+        build_row = sperm[build_pos]
+        in_range = k < offsets[nl - 1]
+        right_valid = matched & in_range
+        out_left = probe_row_c
+        out_right = jnp.where(right_valid, build_row, 0)
+        pair_ok = in_range
+        return out_left, out_right, right_valid, pair_ok, sk
+
+    return jax.jit(fn)
+
+
+@jax.jit
+def _right_unmatched_jit(lk, lmask, rk, rmask, rrowmask):
+    big = 0x7FFFFFFFFFFFFFFF
+    lk_m = jnp.where(lmask, lk.astype(jnp.int64), big)
+    slk = _sort_i64_single(lk_m)
+    rk64 = rk.astype(jnp.int64)
+    lo = jnp.searchsorted(slk, rk64, side="left")
+    hi = jnp.searchsorted(slk, rk64, side="right")
+    return rmask & ((hi - lo) == 0), rrowmask & ~rmask
+
 
 def join_frames(
     left: DataFrame,
@@ -149,30 +272,10 @@ def join_frames(
 
     emit_unmatched_left = how in ("left", "full")
 
-    def build_probe(lk, lmask, rk, rmask, lrowmask):
-        from polars_tpu.kernels.argsort import key_words, stable_argsort_words
-
-        big = 0x7FFFFFFFFFFFFFFF
-        rk_m = jnp.where(rmask, rk.astype(jnp.int64), big)
-        sperm = stable_argsort_words(key_words(rk_m, dt.Int64()))
-        sk = rk_m[sperm]
-        lk_m = jnp.where(lmask, lk.astype(jnp.int64), big - 1)
-        lo = jnp.searchsorted(sk, lk_m, side="left")
-        hi = jnp.searchsorted(sk, lk_m, side="right")
-        matches = jnp.where(lmask, hi - lo, 0)
-        if emit_unmatched_left:
-            counts = jnp.where(lrowmask, jnp.maximum(matches, 1), 0)
-        else:
-            counts = matches
-        return sk, sperm, lo, matches, counts
-
     lrowmask = row_mask(nl, left.height)
     rrowmask = row_mask(nr, right.height)
 
-    @jax.jit
-    def count_fn(lk, lmask, rk, rmask, lrowmask):
-        _, _, _, matches, counts = build_probe(lk, lmask, rk, rmask, lrowmask)
-        return jnp.sum(counts), matches
+    count_fn = _count_jit(emit_unmatched_left)
 
     total, matches_arr = count_fn(lk, lmask, rk, rmask, lrowmask)
 
@@ -187,25 +290,7 @@ def join_frames(
         cap_full = cap + right.height  # upper bound incl. unmatched right
     size = padded_size(max(cap if how != "full" else cap + right.height, 1))
 
-    @jax.jit
-    def expand_fn(lk, lmask, rk, rmask, lrowmask):
-        sk, sperm, lo, matches, counts = build_probe(lk, lmask, rk, rmask, lrowmask)
-        offsets = jnp.cumsum(counts)  # inclusive
-        k = jax.lax.broadcasted_iota(jnp.int64, (size, 1), 0).squeeze(-1)
-        probe_row = jnp.searchsorted(offsets, k, side="right").astype(jnp.int32)
-        probe_row_c = jnp.clip(probe_row, 0, nl - 1)
-        start = offsets[probe_row_c] - counts[probe_row_c]
-        j = k - start
-        matched = matches[probe_row_c] > 0
-        build_pos = jnp.clip(lo[probe_row_c] + j, 0, nr - 1).astype(jnp.int32)
-        build_row = sperm[build_pos]
-        in_range = k < offsets[nl - 1]
-        right_valid = matched & in_range
-        out_left = probe_row_c
-        out_right = jnp.where(right_valid, build_row, 0)
-        pair_ok = in_range
-        return out_left, out_right, right_valid, pair_ok, sk
-
+    expand_fn = _expand_jit(emit_unmatched_left, size)
     out_left, out_right, right_valid, pair_ok, _ = expand_fn(lk, lmask, rk, rmask, lrowmask)
 
     if needs_verify and cap > 0:
@@ -224,6 +309,10 @@ def join_frames(
             li = np.clip(ol, 0, len(la) - 1) if len(la) else ol * 0
             ri = np.clip(orr, 0, len(ra) - 1) if len(ra) else orr * 0
             same = la[li] == ra[ri]
+            if la.dtype.kind == "f":
+                # polars joins use total equality: NaN matches NaN
+                # (hash_column canonicalizes NaN, so candidates reach here)
+                same = same | (np.isnan(la[li]) & np.isnan(ra[ri]))
             if lval is not None:
                 lnull = ~lval[li]
             else:
@@ -254,16 +343,7 @@ def join_frames(
     # full join: append unmatched right rows
     extra_right_idx = None
     if how == "full":
-        @jax.jit
-        def right_unmatched(lk, lmask, rk, rmask):
-            big = 0x7FFFFFFFFFFFFFFF
-            lk_m = jnp.where(lmask, lk.astype(jnp.int64), big)
-            slk = _sort_i64_single(lk_m)
-            lo = jnp.searchsorted(slk, rk.astype(jnp.int64), side="left")
-            hi = jnp.searchsorted(slk, rk, side="right")
-            return rmask & ((hi - lo) == 0), rrowmask & ~rmask
-
-        unmatched, nullkey_right = right_unmatched(lk, lmask, rk, rmask)
+        unmatched, nullkey_right = _right_unmatched_jit(lk, lmask, rk, rmask, rrowmask)
         un_np = np.nonzero(np.asarray(unmatched | nullkey_right)[: right.height])[0]
         extra_right_idx = un_np
         out_len = cap + len(un_np)
@@ -275,16 +355,11 @@ def join_frames(
         do_coalesce = how in ("inner", "left", "right")
     right_keys = list(right_key_names)
 
-    cols: list[Column] = []
-    lvalid = None
-    for c in left._columns:
-        col = _gather_col(c, out_left, lvalid, cap)
-        cols.append(col)
-    for c in right._columns:
-        if do_coalesce and c.name in right_keys and how != "full":
-            continue
+    cols: list[Column] = list(_gather_side(left._columns, out_left, None, cap))
+    r_todo = [c for c in right._columns if not (do_coalesce and c.name in right_keys and how != "full")]
+    r_gathered = _gather_side(r_todo, out_right, right_valid, cap) if r_todo else []
+    for c, col in zip(r_todo, r_gathered):
         name = c.name + suffix if c.name in left_names else c.name
-        col = _gather_col(c, out_right, right_valid, cap)
         if do_coalesce and c.name in right_keys and how == "full":
             # coalesce keys: fill from left where right null
             li = right_keys.index(c.name)
@@ -363,24 +438,22 @@ def _reorder_right(
     return DataFrame._from_columns(out_cols, flipped.height)
 
 
-def asof_join_frames(
-    left: DataFrame, right: DataFrame, left_on: str, right_on: str,
-    strategy: str, suffix: str, tolerance, out_schema,
-) -> DataFrame:
-    lcol = left._get(left_on)
-    rcol = right._get(right_on)
-    lk = lcol.buffer.values.astype(jnp.int64) if not lcol.dtype.is_float() else lcol.buffer.values
-    rk = rcol.buffer.values.astype(jnp.int64) if not rcol.dtype.is_float() else rcol.buffer.values
-    nr = rcol.buffer.padded
-    rmask = row_mask(nr, right.height)
-    big = jnp.asarray(np.iinfo(np.int64).max, lk.dtype) if lk.dtype == jnp.int64 else jnp.asarray(np.inf, lk.dtype)
+@functools.lru_cache(maxsize=None)
+def _asof_match_jit(strategy: str, tolerance: float | None):
+    """Cached asof matcher (strategy/tolerance are statics). The sentinel for
+    masked build rows is computed inside the trace from python literals —
+    closing over an eagerly created device array would poison dispatch."""
 
-    @jax.jit
     def match(lk, rk, rmask):
         from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
-        rk_m = jnp.where(rmask, rk.astype(jnp.int64), big)
-        kw = key_words(rk_m, dt.Int64()) if rk_m.dtype == jnp.int64 else key_words(rk_m, dt.Float64())
+        nr = rk.shape[0]
+        if rk.dtype == jnp.int64:
+            rk_m = jnp.where(rmask, rk, 0x7FFFFFFFFFFFFFFF)
+            kw = key_words(rk_m, dt.Int64())
+        else:
+            rk_m = jnp.where(rmask, rk, jnp.inf)
+            kw = key_words(rk_m, dt.Float64())
         sperm = stable_argsort_words(kw)
         sk = rk_m[sperm]
         pos_right = jnp.searchsorted(sk, lk, side="right")
@@ -402,11 +475,24 @@ def asof_join_frames(
             ok = (pos_right - 1 >= 0) | (pos_left < n_valid)
         idxc = jnp.clip(idx, 0, nr - 1)
         if tolerance is not None:
-            tol = jnp.asarray(tolerance, lk.dtype)
-            ok = ok & (jnp.abs(lk - sk[idxc]) <= tol)
+            ok = ok & (jnp.abs(lk - sk[idxc]) <= tolerance)
         return sperm[idxc], ok
 
-    ridx, ok = match(lk, rk, rmask)
+    return jax.jit(match)
+
+
+def asof_join_frames(
+    left: DataFrame, right: DataFrame, left_on: str, right_on: str,
+    strategy: str, suffix: str, tolerance, out_schema,
+) -> DataFrame:
+    lcol = left._get(left_on)
+    rcol = right._get(right_on)
+    lk = lcol.buffer.values.astype(jnp.int64) if not lcol.dtype.is_float() else lcol.buffer.values
+    rk = rcol.buffer.values.astype(jnp.int64) if not rcol.dtype.is_float() else rcol.buffer.values
+    nr = rcol.buffer.padded
+    rmask = row_mask(nr, right.height)
+
+    ridx, ok = _asof_match_jit(strategy, None if tolerance is None else float(tolerance))(lk, rk, rmask)
     if lcol.buffer.validity is not None:
         ok = ok & lcol.buffer.validity
     cols = list(left._columns)

@@ -127,17 +127,30 @@ def pack_rank_words(ranks: list[jax.Array]) -> jax.Array:
     return out
 
 
+import os
+
+_FORCE_RADIX = bool(os.environ.get("POLARS_TPU_RADIX_SORT"))
+
+
 def stable_argsort_words(words: list[jax.Array]) -> jax.Array:
     """Stable argsort by lexicographic word order (most-significant first).
 
-    TPU path: LSD radix with 16-bit digits packed alongside the row position
-    into EXACT-INTEGER f64 carriers (digit * 2^36 + position, both < 2^52), so
-    every pass is a single-operand f64 sort — the only sort shape this
-    backend's runtime executes cleanly. CPU path: one i64-packed pass per
-    word.
+    Default: ONE variadic ``lax.sort`` over all words plus an iota tiebreak
+    (num_keys covers every operand, so the result is a stable lexicographic
+    argsort — the in-register analogue of polars-row's memcmp rows). Round-1
+    probing initially blamed variadic sorts for a permanent ~25ms dispatch
+    degradation; deeper probing showed the real trigger is device->host
+    readback (see CLAUDE.md), and variadic sorts are clean — so the
+    radix-pass fallback below (POLARS_TPU_RADIX_SORT=1) is kept only as an
+    escape hatch.
     """
     flat0: list[jax.Array] = [w[0] if isinstance(w, tuple) else w for w in words]
     n = flat0[0].shape[0]
+    if not _FORCE_RADIX:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        ops = [w.astype(jnp.int32) if w.dtype != jnp.int32 else w for w in flat0]
+        out = jax.lax.sort([*ops, iota], dimension=0, num_keys=len(ops) + 1)
+        return out[-1]
     if jax.default_backend() != "tpu":
         iota64 = jax.lax.broadcasted_iota(jnp.int64, (n, 1), 0).squeeze(-1)
         perm = None

@@ -1,10 +1,14 @@
-"""Division-free f64 arithmetic.
+"""Division-free f64/i64 arithmetic (escape hatch; native ops by default).
 
-f64 division on this TPU backend permanently degrades the runtime's dispatch
-path (~25ms added to every subsequent device sync — measured; see CLAUDE.md).
-``div64`` replaces it: a magic-constant reciprocal seed (32-bit bitcast trick,
-exact for powers of two) refined by four Newton-Raphson steps in f64 — ~1e-16
-relative error, IEEE edge cases patched explicitly. All mul/sub ops.
+Round-1 probing attributed a permanent ~25ms-per-dispatch degradation to
+hardware division on this TPU backend; deeper probing traced the real cause
+to device->host readback (see CLAUDE.md), and native division is clean. The
+division-free implementations here — ``div64`` (magic-constant reciprocal
+seed + Newton + Dekker-compensated quotient correction, bit-exact IEEE on
+random testing), ``floordiv64``/``mod64`` (f64 reciprocal + exact integer
+residual refinement, exact on the full i64 range) — are retained behind
+POLARS_TPU_SOFT_DIV=1, and the ``*_any``/``*_const`` dispatchers below are
+the engine-wide division entry points either way.
 """
 
 from __future__ import annotations
@@ -12,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_MAGIC = 0x7EF311C3  # 2 * 0x3F800000 + tuning: reciprocal seed (python int: jnp scalar constants poison dispatch)
+_MAGIC = 0x7EF311C3  # 2 * 0x3F800000 + tuning: reciprocal seed
 
 
 def _recip_seed(a32: jax.Array) -> jax.Array:
@@ -46,9 +50,15 @@ def recip64(y: jax.Array) -> jax.Array:
 
 
 def _on_tpu() -> bool:
-    # trace-time check: only the TPU runtime has the poisonous dispatch path;
-    # CPU (tests / virtual meshes) uses native ops for bit-exact IEEE results
-    return jax.default_backend() == "tpu"
+    """Round-1 probing blamed hardware division for a permanent dispatch
+    degradation; the real trigger turned out to be device->host readback (see
+    CLAUDE.md), and native division is clean. The division-free
+    implementations below are kept (they are exact and validated) behind
+    POLARS_TPU_SOFT_DIV=1 as an escape hatch; by default all dispatchers use
+    native ops on every backend."""
+    import os
+
+    return jax.default_backend() == "tpu" and bool(os.environ.get("POLARS_TPU_SOFT_DIV"))
 
 
 def _twoprod(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -87,15 +97,15 @@ def div64(x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def div_any(x: jax.Array, y: jax.Array):
-    """Division dispatch: f64 on TPU goes through div64 (hardware f64 divide
-    poisons dispatch there); everything else divides natively."""
+    """Division dispatch: native `/` unless POLARS_TPU_SOFT_DIV forces the
+    division-free f64 path."""
     if jnp.result_type(x, y) == jnp.float64 and _on_tpu():
         return div64(x, y)
     return x / y
 
 
 def floordiv64(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Integer floor division without hardware divide (also poisonous here).
+    """Integer floor division without hardware divide.
 
     f64 reciprocal approximation + exact integer residual refinement: each
     round shrinks the error by ~2^50, so three rounds cover the full i64
@@ -149,8 +159,7 @@ def mod_const(x: jax.Array, d: int) -> jax.Array:
 
 
 def floordiv_any(x: jax.Array, y: jax.Array):
-    """Floor-division dispatch avoiding poisonous hardware divides (TPU);
-    native `//` on other backends."""
+    """Floor-division dispatch: native `//` unless POLARS_TPU_SOFT_DIV."""
     rt = jnp.result_type(x, y)
     if jnp.dtype(rt).kind in ("i", "u"):
         if not _on_tpu():
