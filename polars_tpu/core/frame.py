@@ -588,14 +588,32 @@ class DataFrame:
 
     # -- output conversion --------------------------------------------------------------------
 
+    def _prefetch_host(self) -> None:
+        """Fetch every column's device buffers to host in ONE batched
+        device_get (async copies overlap, then each array's host-value cache
+        is warm, so the per-column np.asarray calls below transfer nothing).
+        Per-column reads would each pay a ~26ms tunnel round trip once the
+        process has done any device->host readback — see CLAUDE.md §1."""
+        import jax
+
+        arrs = []
+        for c in self._columns:
+            arrs.append(c.buffer.values)
+            if c.buffer.validity is not None:
+                arrs.append(c.buffer.validity)
+        if arrs:
+            jax.device_get(arrs)
+
     def to_dict(self, *, as_series: bool = True) -> dict:
         if as_series:
             from polars_tpu.core.series import Series
 
             return {c.name: Series._from_column(c) for c in self._columns}
+        self._prefetch_host()
         return {c.name: c.to_pylist() for c in self._columns}
 
     def to_dicts(self) -> list[dict]:
+        self._prefetch_host()
         lists = [(c.name, c.to_pylist()) for c in self._columns]
         return [
             {name: vals[i] for name, vals in lists} for i in range(self._height)
@@ -604,6 +622,7 @@ class DataFrame:
     def rows(self, *, named: bool = False) -> list:
         if named:
             return self.to_dicts()
+        self._prefetch_host()
         lists = [c.to_pylist() for c in self._columns]
         return [tuple(vals[i] for vals in lists) for i in range(self._height)]
 
@@ -624,6 +643,7 @@ class DataFrame:
         return rows[0]
 
     def to_numpy(self, *, structured: bool = False) -> np.ndarray:
+        self._prefetch_host()
         arrs = [c.to_numpy() for c in self._columns]
         if structured:
             dtypes = [(c.name, a.dtype if a.dtype != object else object) for c, a in zip(self._columns, arrs)]
@@ -636,11 +656,13 @@ class DataFrame:
         return np.column_stack(arrs) if len(arrs) > 1 else arrs[0].reshape(-1, 1)
 
     def to_pandas(self) -> Any:
+        self._prefetch_host()
         import pandas as pd
 
         return pd.DataFrame({c.name: c.to_numpy() for c in self._columns})
 
     def to_arrow(self) -> Any:
+        self._prefetch_host()
         import pyarrow as pa
 
         arrays = {}

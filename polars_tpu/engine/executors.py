@@ -769,11 +769,12 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> Dat
 
             perm = stable_argsort_words([(~tt.rowmask).astype(jnp.int8)])
             count = jnp.sum(tt.rowmask.astype(jnp.int32))
+            rm_sorted = tt.rowmask[perm]  # True on exactly the first `count` rows
             outs = []
             for name in out_names:
                 v = tt.cols[name]
                 outs.append(v.values[perm])
-                outs.append(v.validity[perm] if v.validity is not None else None)
+                outs.append((v.validity[perm] & rm_sorted) if v.validity is not None else None)
             return outs, count
 
         jfn = jax.jit(traced)
@@ -792,6 +793,9 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> Dat
         leaf_args.append(args)
     lit_args = [literal_host_value(ln) for ln in lit_nodes]
     outs, count = jfn(leaf_args, lit_args)
+    # exactly ONE synchronization here (a scalar: ~26ms tunnel round trip once
+    # any readback has happened — CLAUDE.md §1). Output buffers stay on device;
+    # host materialization batches them in one device_get (frame._prefetch_host)
     n = int(count)
     size = padded_size(n)
 
@@ -800,10 +804,12 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> Dat
     for name in out_names:
         values = next(it)
         validity = next(it)
-        values = values[:size] if values.shape[0] >= size else pad_to(values, size)
-        if validity is not None:
-            validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
-            validity = validity & row_mask(size, n)
+        if values.shape[0] != size:
+            # shrink (or grow) to the canonical padded size; this allocates
+            # new device arrays, so only hit when the row count changed class
+            values = values[:size] if values.shape[0] >= size else pad_to(values, size)
+            if validity is not None:
+                validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
         cols.append(
             Column(name, out_schema[name], Buffer(values, validity, n), captured_tables.get(name))
         )

@@ -294,7 +294,15 @@ def join_frames(
     out_left, out_right, right_valid, pair_ok, _ = expand_fn(lk, lmask, rk, rmask, lrowmask)
 
     if needs_verify and cap > 0:
-        # verify candidate pairs on actual key columns (hash collisions)
+        # verify candidate pairs on actual key columns (hash collisions);
+        # batch every readback into one device_get (one tunnel round trip)
+        fetch = [pair_ok, right_valid, out_left, out_right]
+        for lc, rc in zip(lkey_cols, rkey_cols):
+            for b in (lc.buffer, rc.buffer):
+                fetch.append(b.values)
+                if b.validity is not None:
+                    fetch.append(b.validity)
+        jax.device_get(fetch)
         ok = np.asarray(pair_ok).copy()
         lv = np.asarray(right_valid)
         ol = np.asarray(out_left)
