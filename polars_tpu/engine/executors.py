@@ -730,6 +730,11 @@ def _args_to_ttable(df: DataFrame, args_iter) -> TTable:
 def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> DataFrame:
     """Trace/execute one fused segment rooted at ``node`` with materialized
     barrier inputs ``leaf_dfs``."""
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("POLARS_TPU_TIME"))
+    _t0 = _time.perf_counter()
     leaf_ids = [id(n) for n, _ in leaf_dfs]
     lit_nodes: list[E.ELiteral] = []  # literals are baked as constants
     out_schema = node_schema(node)
@@ -792,11 +797,22 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> Dat
         args, _ = _df_to_arrays(df)
         leaf_args.append(args)
     lit_args = [literal_host_value(ln) for ln in lit_nodes]
+    if _timing:
+        _t1 = _time.perf_counter()
     outs, count = jfn(leaf_args, lit_args)
     # exactly ONE synchronization here (a scalar: ~26ms tunnel round trip once
     # any readback has happened — CLAUDE.md §1). Output buffers stay on device;
     # host materialization batches them in one device_get (frame._prefetch_host)
+    if _timing:
+        _t2 = _time.perf_counter()
     n = int(count)
+    if _timing:
+        _t3 = _time.perf_counter()
+        print(
+            f"[seg {type(node).__name__}] setup {(_t1-_t0)*1e3:.1f}ms "
+            f"dispatch {(_t2-_t1)*1e3:.1f}ms count-sync {(_t3-_t2)*1e3:.1f}ms",
+            flush=True,
+        )
     size = padded_size(n)
 
     cols = []

@@ -318,8 +318,31 @@ class LazyFrame:
         keys = tuple(parse_into_expr_list(list(by), named_by))
         return LazyGroupBy(self, keys, maintain_order)
 
-    def group_by_dynamic(self, *args: Any, **kwargs: Any):
-        raise NotImplementedError("group_by_dynamic pending temporal windows")
+    def group_by_dynamic(
+        self,
+        index_column: Any,
+        *,
+        every: str,
+        period: str | None = None,
+        offset: str | None = None,
+        include_boundaries: bool = False,
+        closed: str = "left",
+        label: str = "left",
+        group_by: Any = None,
+        start_by: str = "window",
+    ) -> LazyGroupByDynamic:
+        """Temporal/integer window group-by (reference: polars-time
+        group_by_dynamic). Desugars into window-start arithmetic + the fused
+        group_by engine; overlapping windows (period > every) replicate rows
+        into ceil(period/every) shifted frames (static fan-out, jit-friendly)."""
+        idx = parse_into_expr(index_column)
+        name = E.output_name(idx)
+        if not name:
+            raise InvalidOperationError("group_by_dynamic needs a named index column")
+        gb = tuple(parse_into_expr_list(list(group_by) if isinstance(group_by, (list, tuple)) else [group_by])) if group_by is not None else ()
+        return LazyGroupByDynamic(
+            self, name, every, period, offset, include_boundaries, closed, label, gb, start_by
+        )
 
     def rolling(self, *args: Any, **kwargs: Any):
         raise NotImplementedError("rolling group-by pending temporal windows")
@@ -611,3 +634,155 @@ class LazyGroupBy:
 
     def all(self) -> LazyFrame:
         raise NotImplementedError("group_by().all() requires List dtype")
+
+class LazyGroupByDynamic:
+    """Builder returned by LazyFrame.group_by_dynamic (polars-time analogue)."""
+
+    __slots__ = (
+        "_lf", "_index", "_every", "_period", "_offset",
+        "_boundaries", "_closed", "_label", "_group_by", "_start_by",
+    )
+
+    def __init__(self, lf, index, every, period, offset, boundaries, closed, label, group_by, start_by):
+        self._lf = lf
+        self._index = index
+        self._every = every
+        self._period = period
+        self._offset = offset
+        self._boundaries = boundaries
+        self._closed = closed
+        self._label = label
+        self._group_by = group_by
+        self._start_by = start_by
+
+    @staticmethod
+    def _ticks(interval: str, idx_dtype) -> int:
+        """Interval -> integer ticks in the index column's own unit."""
+        import re as _re
+
+        total = 0
+        pos = 0
+        for m in _re.finditer(r"(\d+)(ns|us|ms|s|mo|m|h|d|w|q|y|i)", interval):
+            if m.start() != pos:
+                raise InvalidOperationError(f"unsupported interval {interval!r}")
+            pos = m.end()
+            n, unit = int(m.group(1)), m.group(2)
+            if unit == "i":
+                total += n
+                continue
+            if unit in ("mo", "q", "y"):
+                raise InvalidOperationError("calendar intervals handled separately")
+            us = {"ns": 1e-3, "us": 1, "ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+                  "h": 3_600_000_000, "d": 86_400_000_000, "w": 604_800_000_000}[unit]
+            tn = type(idx_dtype).__name__
+            if tn == "Date":
+                if us % 86_400_000_000:
+                    raise InvalidOperationError(f"sub-day interval {interval!r} on Date index")
+                total += n * int(us // 86_400_000_000)
+            elif tn == "Datetime":
+                per_us = {"ms": 1e-3, "us": 1, "ns": 1e3}[idx_dtype.time_unit]
+                total += int(n * us * per_us)
+            elif tn == "Time":
+                total += int(n * us * 1e3)
+            else:
+                raise InvalidOperationError(f"interval {interval!r} on integer index needs 'i' units")
+        if pos != len(interval) or total <= 0:
+            raise InvalidOperationError(f"unsupported interval {interval!r}")
+        return total
+
+    def agg(self, *aggs: Any, **named_aggs: Any) -> LazyFrame:
+        import math
+
+        import polars_tpu as pl
+
+        agg_nodes = list(parse_into_expr_list(list(aggs), named_aggs))
+        name = self._index
+        schema = self._lf.schema
+        idx_dtype = schema[name]
+        tn = type(idx_dtype).__name__
+        gb = list(self._group_by)
+        gb_names = [E.output_name(k) for k in gb]
+        every = self._every
+
+        import re as _re
+        calendar = bool(_re.search(r"\d+(mo|q|y)", every))
+        ws_name = "__dyn_ws"
+        if calendar:
+            if self._period not in (None, every) or self._offset or self._start_by != "window" or self._closed != "left":
+                raise InvalidOperationError(
+                    "calendar intervals support only tumbling left-closed windows from the epoch grid"
+                )
+            ws = pl.col(name).dt.truncate(every)
+            lf = self._lf.with_columns(ws.alias(ws_name))
+            upper = pl.col(ws_name).dt.offset_by(every)
+        else:
+            ev = self._ticks(every, idx_dtype)
+            per = self._ticks(self._period, idx_dtype) if self._period else ev
+            t = pl.col(name).cast(dt.Int64())
+            if self._start_by == "datapoint":
+                off = t.min()
+            elif self._offset:
+                neg = self._offset.startswith("-")
+                off = pl.lit(
+                    (-1 if neg else 1) * self._ticks(self._offset.lstrip("-"), idx_dtype),
+                    dtype=dt.Int64(),
+                )
+            else:
+                off = pl.lit(0, dtype=dt.Int64())
+            shifted = t - off
+            min_shift = t.min() - off
+            if self._closed == "right":
+                base = ((shifted - 1) // ev) * ev
+                first_ws = ((min_shift - 1) // ev) * ev
+                in_win = lambda ws_e: (shifted > ws_e) & (shifted <= ws_e + per)  # noqa: E731
+            else:
+                base = (shifted // ev) * ev
+                first_ws = (min_shift // ev) * ev
+                in_win = lambda ws_e: (shifted >= ws_e) & (shifted < ws_e + per)  # noqa: E731
+            k = max(1, math.ceil(per / ev))
+            frames = []
+            for r in range(k):
+                ws_e = base - r * ev
+                fr = self._lf.with_columns((ws_e + off).cast(dt.Int64()).alias(ws_name))
+                if not (r == 0 and per == ev):
+                    # polars emits no window earlier than the first datapoint's
+                    # grid slot (reference: polars-time group_by_windows)
+                    fr = fr.filter(in_win(ws_e) & (ws_e >= first_ws))
+                frames.append(fr)
+            if len(frames) == 1:
+                lf = frames[0]
+            else:
+                from polars_tpu.functions.eager import concat
+
+                lf = concat(frames, how="vertical")
+            upper = (pl.col(ws_name) + per).cast(idx_dtype)
+
+        grouped = lf.group_by(*gb_names, pl.col(ws_name), maintain_order=False)
+        full_aggs = list(agg_nodes)
+        if self._label == "datapoint":
+            full_aggs.insert(0, pl.col(name).first().alias("__dyn_label"))
+        agged = grouped.agg(*full_aggs)
+        out = agged.sort([*gb_names, ws_name])
+
+        ws_col = pl.col(ws_name) if calendar else pl.col(ws_name).cast(idx_dtype)
+        posts = []
+        if self._label == "left":
+            posts.append(ws_col.alias(name))
+        elif self._label == "right":
+            if calendar:
+                posts.append(pl.col(ws_name).dt.offset_by(every).alias(name))
+            else:
+                posts.append((pl.col(ws_name) + ev).cast(idx_dtype).alias(name))
+        elif self._label == "datapoint":
+            posts.append(pl.col("__dyn_label").alias(name))
+        if self._boundaries:
+            posts.append(ws_col.alias("_lower_boundary"))
+            posts.append(upper.alias("_upper_boundary"))
+        out = out.with_columns(posts)
+        order = [*gb_names]
+        if self._boundaries:
+            order += ["_lower_boundary", "_upper_boundary"]
+        order.append(name)
+        order += [n for n in out.collect_schema().names() if n not in (*order, ws_name, "__dyn_label")]
+        return out.select(order)
+
