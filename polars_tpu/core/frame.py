@@ -210,6 +210,16 @@ class DataFrame:
 
         return GroupBy(self, by, named_by, maintain_order=maintain_order)
 
+    def rolling(self, index_column: Any, **kwargs: Any):
+        """Eager wrapper over LazyFrame.rolling (agg() collects)."""
+        lazy_r = self.lazy().rolling(index_column, **kwargs)
+
+        class _Eager:
+            def agg(self, *aggs: Any, **named: Any):
+                return lazy_r.agg(*aggs, **named).collect()
+
+        return _Eager()
+
     def group_by_dynamic(self, index_column: Any, **kwargs: Any):
         """Eager wrapper over LazyFrame.group_by_dynamic (agg() collects)."""
         lazy_gb = self.lazy().group_by_dynamic(index_column, **kwargs)

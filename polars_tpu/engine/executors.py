@@ -805,7 +805,14 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> Dat
     # host materialization batches them in one device_get (frame._prefetch_host)
     if _timing:
         _t2 = _time.perf_counter()
-    n = int(count)
+    if _os.environ.get("POLARS_TPU_NO_SYNC"):
+        # timing/diagnostic mode: block without any readback (a readback
+        # permanently flips the runtime into slow sync mode — CLAUDE.md §1);
+        # row counts are WRONG (padded) in this mode.
+        jax.block_until_ready([o for o in outs if o is not None])
+        n = outs[0].shape[0] if outs else 0
+    else:
+        n = int(count)
     if _timing:
         _t3 = _time.perf_counter()
         print(

@@ -344,8 +344,27 @@ class LazyFrame:
             self, name, every, period, offset, include_boundaries, closed, label, gb, start_by
         )
 
-    def rolling(self, *args: Any, **kwargs: Any):
-        raise NotImplementedError("rolling group-by pending temporal windows")
+    def rolling(
+        self,
+        index_column: Any,
+        *,
+        period: str,
+        offset: str | None = None,
+        closed: str = "right",
+        group_by: Any = None,
+    ) -> LazyRolling:
+        """Per-row time-window group-by (reference: polars-time rolling).
+
+        Windows are (t+offset, t+offset+period] per row (closed='right'
+        default); aggregation happens via searchsorted bounds + prefix sums in
+        one traced program — see engine/rolling.py."""
+        idx = parse_into_expr(index_column)
+        name = E.output_name(idx)
+        if not name:
+            raise InvalidOperationError("rolling needs a named index column")
+        gb = list(group_by) if isinstance(group_by, (list, tuple)) else ([group_by] if group_by is not None else [])
+        gb_names = [g if isinstance(g, str) else E.output_name(parse_into_expr(g)) for g in gb]
+        return LazyRolling(self, name, period, offset, closed, gb_names)
 
     # -- joins ----------------------------------------------------------------------
 
@@ -785,4 +804,61 @@ class LazyGroupByDynamic:
         order.append(name)
         order += [n for n in out.collect_schema().names() if n not in (*order, ws_name, "__dyn_label")]
         return out.select(order)
+
+class LazyRolling:
+    """Builder for LazyFrame.rolling — supports simple column aggregations
+    (sum/mean/count/len/min/max/first/last/var/std)."""
+
+    __slots__ = ("_lf", "_index", "_period", "_offset", "_closed", "_gb")
+
+    def __init__(self, lf, index, period, offset, closed, gb):
+        self._lf = lf
+        self._index = index
+        self._period = period
+        self._offset = offset
+        self._closed = closed
+        self._gb = gb
+
+    def agg(self, *aggs: Any, **named_aggs: Any) -> LazyFrame:
+        from polars_tpu.engine.rolling import rolling_frames
+
+        nodes = parse_into_expr_list(list(aggs), named_aggs)
+        df = self._lf.collect()
+        schema = df.schema
+        ticks = LazyGroupByDynamic._ticks
+        idx_dt = schema[self._index]
+        per = ticks(self._period, idx_dt)
+        if self._offset is None:
+            off = -per
+        else:
+            o = self._offset
+            off = (-1 if o.startswith("-") else 1) * ticks(o.lstrip("-"), idx_dt)
+        specs = []
+        for node in nodes:
+            out_name = E.output_name(node)
+            inner = node
+            while isinstance(inner, E.EAlias):
+                inner = inner.input
+            if isinstance(inner, E.EAgg) and isinstance(inner.input, E.EColumn):
+                src, kind = inner.input.name, inner.kind
+            elif isinstance(inner, E.EFunction) and inner.name == "len":
+                src, kind = self._index, "len"
+            else:
+                raise InvalidOperationError(
+                    "rolling().agg supports simple column aggregations "
+                    "(sum/mean/count/len/min/max/first/last/var/std)"
+                )
+            if kind == "count":
+                out_dt = dt.UInt32()
+            elif kind == "len":
+                out_dt = dt.UInt32()
+            elif kind in ("first", "last"):
+                out_dt = schema[src]
+            elif kind in ("sum",):
+                out_dt = schema[src] if schema[src].is_float() else dt.Float64()
+            else:
+                out_dt = dt.Float64()
+            specs.append((src, kind, out_name, out_dt))
+        out = rolling_frames(df, self._index, per, off, self._closed, self._gb, specs)
+        return out.lazy()
 
