@@ -727,7 +727,7 @@ def _args_to_ttable(df: DataFrame, args_iter) -> TTable:
     return TTable(cols, mask, padded)
 
 
-def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> DataFrame:
+def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, sync: bool = True) -> DataFrame:
     """Trace/execute one fused segment rooted at ``node`` with materialized
     barrier inputs ``leaf_dfs``."""
     import os as _os
@@ -805,11 +805,12 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]]) -> Dat
     # host materialization batches them in one device_get (frame._prefetch_host)
     if _timing:
         _t2 = _time.perf_counter()
-    if _os.environ.get("POLARS_TPU_NO_SYNC"):
-        # timing/diagnostic mode: block without any readback (a readback
-        # permanently flips the runtime into slow sync mode — CLAUDE.md §1);
-        # row counts are WRONG (padded) in this mode.
-        jax.block_until_ready([o for o in outs if o is not None])
+    if not sync or _os.environ.get("POLARS_TPU_NO_SYNC"):
+        # execute-only mode: block until device completion WITHOUT any
+        # readback (a readback permanently flips this runtime into slow
+        # sync mode — CLAUDE.md §1). Row counts are the padded upper bound;
+        # callers (LazyFrame.execute) discard the frame.
+        jax.block_until_ready([count, *[o for o in outs if o is not None]])
         n = outs[0].shape[0] if outs else 0
     else:
         n = int(count)

@@ -28,7 +28,7 @@ _SPECIAL_FNS = {
 }
 
 
-def execute_plan(node: L.LNode) -> DataFrame:
+def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
     if isinstance(node, L.LDataFrameScan):
         df = node.df
         if node.projection is not None:
@@ -91,7 +91,7 @@ def execute_plan(node: L.LNode) -> DataFrame:
                         leaves.append((i, seen[id(i)]))
 
         collect(node)
-        return run_segment(node, leaves)
+        return run_segment(node, leaves, sync=sync)
 
     raise InvalidOperationError(f"cannot execute {type(node).__name__}")
 

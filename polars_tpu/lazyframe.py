@@ -92,6 +92,20 @@ class LazyFrame:
             return collect_distributed(node, mesh=kwargs.get("mesh"))
         return execute_plan(node)
 
+    def execute(self) -> None:
+        """Run the plan to completion ON DEVICE without any host readback.
+
+        On this platform the first device->host readback permanently switches
+        the runtime into a slow synchronous dispatch mode (CLAUDE.md §1);
+        ``execute()`` lets pipelines (and benchmarks) run at full device speed
+        — fetch results with ``collect()`` when the session is done timing.
+        Plans whose barriers require host sizing (joins, host aggs) still
+        synchronize internally."""
+        from polars_tpu.engine.run import execute_plan
+        from polars_tpu.plan.optimizer import optimize
+
+        execute_plan(optimize(self._node), sync=False)
+
     def fetch(self, n_rows: int = 500, **kwargs: Any) -> DataFrame:
         return self.limit(n_rows).collect(**kwargs)
 
