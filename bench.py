@@ -91,6 +91,19 @@ def main() -> None:
         log(f"Q6 device-complete steady-state: {(time.perf_counter()-t0)*1000:.2f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"Q6 failed: {e}")
+    try:
+        orders_c = pl.DataFrame(raw["orders"])
+        customer_c = pl.DataFrame(raw["customer"])
+        q3c = pdsh.q3(customer_c, orders_c, lineitem)
+        q3c.execute()
+        ts3 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q3c.execute()
+            ts3.append(time.perf_counter() - t0)
+        log(f"Q3 device-complete steady-state: {min(ts3)*1000:.2f} ms (fused m:1 joins)")
+    except Exception as e:  # noqa: BLE001
+        log(f"Q3 execute failed: {e}")
 
     # ---- readback phase (flips the runtime into sync mode) ----
     t0 = time.perf_counter()
@@ -101,7 +114,7 @@ def main() -> None:
     e2e = time.perf_counter() - t0
     log(f"Q1 end-to-end collect in degraded sync mode: {e2e*1000:.1f} ms")
 
-    # join-heavy Q3 needs host-sized barriers -> runs in sync mode
+    # Q3: 3-way join pipeline — fuses end-to-end via the m:1/1:m traced join
     try:
         orders = pl.DataFrame(raw["orders"])
         customer = pl.DataFrame(raw["customer"])
@@ -109,7 +122,7 @@ def main() -> None:
         q3.collect()
         t0 = time.perf_counter()
         q3.collect()
-        log(f"Q3 steady-state (sync mode): {(time.perf_counter()-t0)*1000:.1f} ms")
+        log(f"Q3 end-to-end (sync mode): {(time.perf_counter()-t0)*1000:.1f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"Q3 failed: {e}")
 

@@ -61,7 +61,19 @@ class TTable:
 _FUSABLE = (
     L.LFilter, L.LSelect, L.LWithColumns, L.LSlice, L.LDistinct, L.LSort,
     L.LGroupBy, L.LRename, L.LDrop, L.LWithRowIndex, L.LUnion, L.LHConcat,
+    L.LJoin,
 )
+
+
+def _join_fusable(node: L.LJoin) -> bool:
+    """m:1/1:1 joins (and inner 1:m, flipped) have statically-sized outputs,
+    so they trace into the segment — no host sizing barrier (see
+    engine/join_traced.py)."""
+    if node.validate in ("m:1", "1:1"):
+        return node.how in ("inner", "left", "semi", "anti")
+    if node.validate == "1:m":
+        return node.how == "inner"
+    return False
 
 HOST_FNS = {"concat_str", "dt.to_string", "cat.get_categories"}
 
@@ -88,6 +100,8 @@ def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
 
 def _is_fusable(node: L.LNode) -> bool:
     if not isinstance(node, _FUSABLE):
+        return False
+    if isinstance(node, L.LJoin) and not _join_fusable(node):
         return False
     try:
         in_schemas = [node_schema(i) for i in node.inputs()]
@@ -125,6 +139,7 @@ class _TraceCtx:
     def __init__(self, leaf_tables: dict[int, TTable], literals: dict[E.ELiteral, jax.Array]):
         self.leaf_tables = leaf_tables  # id(node) -> TTable
         self.literals = literals
+        self.flags: list[jax.Array] = []  # in-trace validation failures
 
 
 def _eval_ctx(tt: TTable, literals: dict) -> EvalCtx:
@@ -142,6 +157,21 @@ def _eval_ctx(tt: TTable, literals: dict) -> EvalCtx:
 def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
     if id(node) in tc.leaf_tables:
         return tc.leaf_tables[id(node)]
+
+    if isinstance(node, L.LJoin):
+        from polars_tpu.engine.join_traced import trace_join
+
+        tt_l = trace_node(node.input_left, tc)
+        tt_r = trace_node(node.input_right, tc)
+
+        def eval_key(e, tt):
+            exprs = expand_exprs((e,), tt.schema())
+            return eval_expr(exprs[0], _eval_ctx(tt, tc.literals))
+
+        cols, rowmask, bad = trace_join(node, tt_l, tt_r, eval_key)
+        tc.flags.append(bad)
+        padded = rowmask.shape[0]
+        return TTable(cols, rowmask, padded)
 
     if isinstance(node, L.LFilter):
         tt = trace_node(node.input, tc)
@@ -774,6 +804,10 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
 
             perm = stable_argsort_words([(~tt.rowmask).astype(jnp.int8)])
             count = jnp.sum(tt.rowmask.astype(jnp.int32))
+            for _flag in tc.flags:
+                # validation failures (e.g. a violated m:1 join hint) ride the
+                # count channel as a negated value — no extra sync
+                count = jnp.where(_flag, -(count + 1), count)
             rm_sorted = tt.rowmask[perm]  # True on exactly the first `count` rows
             outs = []
             for name in out_names:
@@ -814,6 +848,13 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
         n = outs[0].shape[0] if outs else 0
     else:
         n = int(count)
+        if n < 0:
+            from polars_tpu.errors import ComputeError
+
+            raise ComputeError(
+                "join validation failed: keys do not satisfy the declared "
+                "m:1/1:1/1:m cardinality"
+            )
     if _timing:
         _t3 = _time.perf_counter()
         print(

@@ -43,7 +43,11 @@ def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
         return execute_scan(node)
 
     if isinstance(node, L.LJoin):
-        return _exec_join(node)
+        from polars_tpu.engine.executors import _join_fusable
+
+        if not _join_fusable(node):
+            return _exec_join(node)
+        # m:1/1:1/(inner)1:m joins fuse into the segment below
 
     if isinstance(node, L.LJoinWhere):
         return _exec_join_where(node)

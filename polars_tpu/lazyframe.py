@@ -416,7 +416,7 @@ class LazyFrame:
         return self._wrap(
             L.LJoin(
                 self._node, other._node, lo, ro, how, suffix, nulls_equal,
-                coalesce, maintain_order or "none",
+                coalesce, maintain_order or "none", validate,
             )
         )
 

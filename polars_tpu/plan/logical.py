@@ -122,6 +122,7 @@ class LJoin(LNode):
     nulls_equal: bool = False
     coalesce: bool | None = None
     maintain_order: str = "none"
+    validate: str = "m:m"  # m:1/1:1 unlock the fused (in-segment) join path
 
     def inputs(self) -> tuple[LNode, ...]:
         return (self.input_left, self.input_right)

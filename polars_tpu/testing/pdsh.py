@@ -176,9 +176,9 @@ def q3(customer, orders, lineitem):
     return (
         customer.lazy()
         .filter(pl.col("c_mktsegment") == "BUILDING")
-        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey")
+        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey", validate="1:m")
         .filter(pl.col("o_orderdate") < d)
-        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey")
+        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey", validate="1:m")
         .filter(pl.col("l_shipdate") > d)
         .group_by("o_orderkey", "o_orderdate", "o_shippriority")
         .agg(revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum())
@@ -220,18 +220,19 @@ def q5(customer, orders, lineitem, supplier, nation, region):
     return (
         region.lazy()
         .filter(pl.col("r_name") == "ASIA")
-        .join(nation.lazy(), left_on="r_regionkey", right_on="n_regionkey")
-        .join(customer.lazy(), left_on="n_nationkey", right_on="c_nationkey")
-        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey")
+        .join(nation.lazy(), left_on="r_regionkey", right_on="n_regionkey", validate="1:m")
+        .join(customer.lazy(), left_on="n_nationkey", right_on="c_nationkey", validate="1:m")
+        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey", validate="1:m")
         .filter(
             (pl.col("o_orderdate") >= dtm.date(1994, 1, 1))
             & (pl.col("o_orderdate") < dtm.date(1995, 1, 1))
         )
-        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey")
+        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey", validate="1:m")
         .join(
             supplier.lazy(),
             left_on=["l_suppkey", "n_nationkey"],
             right_on=["s_suppkey", "s_nationkey"],
+            validate="m:1",
         )
         .group_by("n_name")
         .agg(revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum())
@@ -259,14 +260,14 @@ def q10(customer, orders, lineitem, nation):
 
     return (
         customer.lazy()
-        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey")
+        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey", validate="1:m")
         .filter(
             (pl.col("o_orderdate") >= dtm.date(1993, 10, 1))
             & (pl.col("o_orderdate") < dtm.date(1994, 1, 1))
         )
-        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey")
+        .join(lineitem.lazy(), left_on="o_orderkey", right_on="l_orderkey", validate="1:m")
         .filter(pl.col("l_returnflag") == "R")
-        .join(nation.lazy(), left_on="c_nationkey", right_on="n_nationkey")
+        .join(nation.lazy(), left_on="c_nationkey", right_on="n_nationkey", validate="m:1")
         .group_by(
             "c_custkey", "c_name", "c_acctbal", "c_phone", "n_name", "c_address", "c_comment"
         )
@@ -292,7 +293,7 @@ def q12(orders, lineitem):
             & (pl.col("l_receiptdate") >= dtm.date(1994, 1, 1))
             & (pl.col("l_receiptdate") < dtm.date(1995, 1, 1))
         )
-        .join(orders.lazy(), left_on="l_orderkey", right_on="o_orderkey")
+        .join(orders.lazy(), left_on="l_orderkey", right_on="o_orderkey", validate="m:1")
         .group_by("l_shipmode")
         .agg(
             high_line_count=(
@@ -315,7 +316,7 @@ def q14(lineitem, part):
             (pl.col("l_shipdate") >= dtm.date(1995, 9, 1))
             & (pl.col("l_shipdate") < dtm.date(1995, 10, 1))
         )
-        .join(part.lazy(), left_on="l_partkey", right_on="p_partkey")
+        .join(part.lazy(), left_on="l_partkey", right_on="p_partkey", validate="m:1")
         .select(
             promo_revenue=(
                 100.0
@@ -332,7 +333,7 @@ def q14(lineitem, part):
 def q19(lineitem, part):
     import polars_tpu as pl
 
-    j = lineitem.lazy().join(part.lazy(), left_on="l_partkey", right_on="p_partkey")
+    j = lineitem.lazy().join(part.lazy(), left_on="l_partkey", right_on="p_partkey", validate="m:1")
     cond = (
         (
             (pl.col("p_container").is_in(["SM CASE"]))
@@ -371,12 +372,13 @@ def q18(customer, orders, lineitem, threshold=300):
     )
     return (
         orders.lazy()
-        .join(big_orders, left_on="o_orderkey", right_on="l_orderkey", how="semi")
-        .join(customer.lazy(), left_on="o_custkey", right_on="c_custkey")
+        .join(big_orders, left_on="o_orderkey", right_on="l_orderkey", how="semi", validate="m:1")
+        .join(customer.lazy(), left_on="o_custkey", right_on="c_custkey", validate="m:1")
         .join(
             lineitem.lazy().group_by("l_orderkey").agg(col_qty=pl.col("l_quantity").sum()),
             left_on="o_orderkey",
             right_on="l_orderkey",
+            validate="m:1",
         )
         .select("c_name", pl.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate", "o_totalprice", "col_qty")
         .sort(["o_totalprice", "o_orderdate"], descending=[True, False])
