@@ -44,7 +44,7 @@ class Column:
     == lexicographic order, see utils/strtable.py).
     """
 
-    __slots__ = ("name", "dtype", "buffer", "table", "sorted_flag")
+    __slots__ = ("name", "dtype", "buffer", "table", "sorted_flag", "child")
 
     def __init__(
         self,
@@ -53,12 +53,18 @@ class Column:
         buffer: Buffer,
         table: strtable.StringTable | None = None,
         sorted_flag: int = UNSORTED,
+        child: "Column | None" = None,
     ) -> None:
         self.name = name
         self.dtype = dtype
         self.buffer = buffer
         self.table = table
         self.sorted_flag = sorted_flag
+        # List columns: ``buffer`` holds int64 packed (start << 32) | length
+        # into the flat ``child`` column — rows stay gather/permute-safe
+        # without touching child storage (Arrow-offsets re-designed for a
+        # world where rows are permuted on device constantly)
+        self.child = child
         if _needs_table(dtype) and table is None:
             self.table = strtable.empty_table()
 
@@ -109,10 +115,10 @@ class Column:
         return self.buffer.null_count()
 
     def rename(self, name: str) -> Column:
-        return Column(name, self.dtype, self.buffer, self.table, self.sorted_flag)
+        return Column(name, self.dtype, self.buffer, self.table, self.sorted_flag, self.child)
 
     def with_buffer(self, buffer: Buffer, *, sorted_flag: int = UNSORTED) -> Column:
-        return Column(self.name, self.dtype, buffer, self.table, sorted_flag)
+        return Column(self.name, self.dtype, buffer, self.table, sorted_flag, self.child)
 
     # -- host conversion ---------------------------------------------------------
 
@@ -156,6 +162,16 @@ class Column:
         return out
 
     def to_pylist(self) -> list:
+        if isinstance(self.dtype, dt.List):
+            packed, validity = self.buffer.to_numpy()
+            starts = (packed >> 32).tolist()
+            lens = (packed & 0xFFFFFFFF).tolist()
+            childl = self.child.to_pylist() if self.child is not None else []
+            ok = [True] * len(starts) if validity is None else validity.tolist()
+            return [
+                childl[s : s + l] if good else None
+                for s, l, good in zip(starts, lens, ok)
+            ]
         # NaN is a VALUE for float columns (distinct from null) — use validity
         if isinstance(self.dtype, dt.FloatType):
             vals, validity = self.buffer.to_numpy()
@@ -306,6 +322,24 @@ def _from_pylist(
     if isinstance(logical, dt.Null):
         buf = Buffer.from_numpy(np.zeros(n, np.int32), np.zeros(n, bool) if n else None)
         return Column(name, logical, buf)
+
+    if isinstance(logical, dt.List):
+        flat: list = []
+        starts = np.zeros(n, np.int64)
+        lens = np.zeros(n, np.int64)
+        pos = 0
+        for i, v in enumerate(seq):
+            if v is None:
+                continue
+            vv = list(v)
+            starts[i] = pos
+            lens[i] = len(vv)
+            flat.extend(vv)
+            pos += len(vv)
+        child = Column.from_values("", flat, logical.inner, strict=strict)
+        packed = (starts << 32) | lens
+        buf = Buffer.from_numpy(packed, validity if has_null else None)
+        return Column(name, logical, buf, None, UNSORTED, child)
 
     if _needs_table(logical):
         codes, val2, table = strtable.encode_strings(np.asarray(seq, dtype=object))

@@ -437,6 +437,17 @@ def _ns_property(ns_name: str, ns_cls_path: tuple[str, str]):
     return property(getter)
 
 
+def _series_explode(self):
+    from polars_tpu.core.frame import DataFrame
+
+    df = DataFrame._from_columns([self._column], len(self))
+    return Series._from_column(df.explode(self.name)._columns[0])
+
+
+Series.explode = _series_explode
+
+
 Series.str = _ns_property("str", ("polars_tpu.core.series_ns", "SeriesStringNamespace"))
 Series.dt = _ns_property("dt", ("polars_tpu.core.series_ns", "SeriesDateTimeNamespace"))
 Series.cat = _ns_property("cat", ("polars_tpu.core.series_ns", "SeriesCatNamespace"))
+Series.list = _ns_property("list", ("polars_tpu.core.series_ns", "SeriesListNamespace"))

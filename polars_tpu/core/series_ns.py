@@ -32,6 +32,10 @@ class SeriesDateTimeNamespace(_SeriesNamespace):
     _expr_ns = "dt"
 
 
+class SeriesListNamespace(_SeriesNamespace):
+    _expr_ns = "list"
+
+
 class SeriesCatNamespace(_SeriesNamespace):
     _expr_ns = "cat"
 

@@ -28,6 +28,10 @@ class Val:
     dtype: dt.DataType
     table: StringTable | None = None
     domain: str = ROW
+    # List columns: host-side reference to the flat child Column; the traced
+    # values are the packed (start<<32|len) pairs, which are position-
+    # independent — row ops permute them freely without touching the child.
+    child: Any = None
 
     def with_(self, **kw: Any) -> Val:
         return replace(self, **kw)

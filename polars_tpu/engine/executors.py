@@ -75,7 +75,12 @@ def _join_fusable(node: L.LJoin) -> bool:
         return node.how == "inner"
     return False
 
-HOST_FNS = {"concat_str", "dt.to_string", "cat.get_categories"}
+HOST_FNS = {
+    "concat_str", "dt.to_string", "cat.get_categories",
+    "list.len", "list.sum", "list.mean", "list.min", "list.max", "list.get",
+    "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
+    "explode", "str.split",
+}
 
 
 def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
@@ -751,7 +756,7 @@ def _args_to_ttable(df: DataFrame, args_iter) -> TTable:
     for c in df._columns:
         values = next(args_iter)
         validity = next(args_iter) if c.buffer.validity is not None else None
-        cols[c.name] = Val(values, validity, c.dtype, c.table, ROW)
+        cols[c.name] = Val(values, validity, c.dtype, c.table, ROW, getattr(c, "child", None))
     length = next(args_iter)
     mask = row_mask(padded, length)
     return TTable(cols, mask, padded)
@@ -774,6 +779,7 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
         _segment_key(node, leaf_ids),
         tuple(_table_sig(df) for _, df in leaf_dfs),
     )
+    captured_children: dict[str, Any] = {}
 
     entry = _JIT_CACHE.get(key)
     if entry is None:
@@ -799,6 +805,8 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
             tt = trace_node(node, tc)
             for name, v in tt.cols.items():
                 captured_tables[name] = v.table
+                if v.child is not None:
+                    captured_children[name] = v.child
             # compact: valid rows first (stable single-word radix pass)
             from polars_tpu.kernels.argsort import stable_argsort_words
 
@@ -817,14 +825,14 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
             return outs, count
 
         jfn = jax.jit(traced)
-        entry = (jfn, captured_tables)
+        entry = (jfn, captured_tables, captured_children)
         _JIT_CACHE[key] = entry
         if verbose():
             print(
                 f"[polars_tpu] compiling segment {type(node).__name__} "
                 f"key_hash={hash(key) & 0xFFFFFFFF:x}"
             )
-    jfn, captured_tables = entry
+    jfn, captured_tables, captured_children = entry
 
     leaf_args = []
     for _, df in leaf_dfs:
@@ -876,6 +884,9 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
             if validity is not None:
                 validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
         cols.append(
-            Column(name, out_schema[name], Buffer(values, validity, n), captured_tables.get(name))
+            Column(
+                name, out_schema[name], Buffer(values, validity, n),
+                captured_tables.get(name), 0, captured_children.get(name),
+            )
         )
     return DataFrame._from_columns(cols, n)

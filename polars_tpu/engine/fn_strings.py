@@ -341,9 +341,11 @@ def _decode(ctx, args, opts):
     raise InvalidOperationError(f"unknown encoding {enc!r}")
 
 
-@register("str.split", SAME, elementwise=False)
+@register("str.split", lambda dts, opts: dt.List(dt.String()), elementwise=False)
 def _split(ctx, args, opts):
-    raise InvalidOperationError("str.split produces List dtype; pending nested layout")
+    # handled on the host path (engine/run._eval_generator); lists cannot be
+    # BUILT inside a trace (data-dependent child length)
+    raise InvalidOperationError("str.split is a host op (routed via special select)")
 
 
 @register("str.extract_all", SAME, elementwise=False)

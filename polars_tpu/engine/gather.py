@@ -37,7 +37,7 @@ def gather_column(col: Column, indices: np.ndarray) -> Column:
         ve[:m] = validity_extra
         dve = jnp.asarray(ve)
         validity = dve if validity is None else (validity & dve)
-    return Column(col.name, col.dtype, Buffer(values, validity, m), col.table)
+    return Column(col.name, col.dtype, Buffer(values, validity, m), col.table, 0, getattr(col, "child", None))
 
 def gather_frame(cols: list[Column], indices: np.ndarray) -> list[Column]:
     """Gather every column of a frame in ONE device dispatch (per-column

@@ -139,7 +139,7 @@ def _gather_side(cols, idx, extra_valid, out_len):
     dummy = idx if extra_valid is None else extra_valid
     outs = _gather_side_jit(idx, tuple(arrays), dummy, has_validity, size, use_extra, out_len)
     return [
-        Column(c.name, c.dtype, Buffer(g, v, out_len), c.table)
+        Column(c.name, c.dtype, Buffer(g, v, out_len), c.table, 0, getattr(c, "child", None))
         for c, (g, v) in zip(cols, outs)
     ]
 
@@ -156,7 +156,7 @@ def _gather_col(col: Column, idx: jax.Array, valid: jax.Array | None, out_len: i
     if validity is not None:
         validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
         validity = validity & row_mask(size, out_len)
-    return Column(col.name, col.dtype, Buffer(values, validity, out_len), col.table)
+    return Column(col.name, col.dtype, Buffer(values, validity, out_len), col.table, 0, getattr(col, "child", None))
 
 
 

@@ -25,6 +25,9 @@ from polars_tpu.plan.schema_resolve import expand_exprs, node_schema
 _SPECIAL_FNS = {
     "int_range", "repeat_value", "date_range", "datetime_range", "arg_where",
     "gather_every", "unique", "unique_counts", "cat.get_categories",
+    "list.len", "list.sum", "list.mean", "list.min", "list.max", "list.get",
+    "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
+    "explode", "str.split",
 }
 
 
@@ -70,7 +73,7 @@ def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
         return _exec_unpivot(node)
 
     if isinstance(node, L.LExplode):
-        raise InvalidOperationError("explode requires List columns (pending nested layout)")
+        return _exec_explode(node)
 
     if isinstance(node, (L.LSelect, L.LWithColumns)) and _needs_special(node):
         return _exec_special_select(node)
@@ -331,6 +334,9 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
     if isinstance(e, E.EAlias):
         return _eval_special_expr(df, e.input, schema).rename(e.name)
 
+    if isinstance(e, E.EColumn):
+        return df._get(e.name)
+
     if isinstance(e, E.ESeriesLit):
         return e.column
 
@@ -377,6 +383,50 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         if len(vals) != 1:
             raise ComputeError("range bounds must be scalar")
         return vals[0]
+
+    if e.name == "str.split":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        by = e.opt("by", " ")
+        inclusive = e.opt("inclusive", False)
+        vals = col.to_pylist()
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+            elif inclusive:
+                parts = v.split(by)
+                out.append([p + by for p in parts[:-1]] + [parts[-1]])
+            else:
+                out.append(v.split(by))
+        return Column.from_values(col.name, out, dt.List(dt.String()))
+
+    if e.name.startswith("list.") or e.name == "explode":
+        from polars_tpu.ops import list_ops as LO
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        kind = e.name.split(".", 1)[-1]
+        if e.name == "explode":
+            flat, _parent = LO.explode_column(col)
+            return flat
+        if kind == "len":
+            return LO.list_len(col)
+        if kind in ("sum", "mean", "min", "max"):
+            return LO.list_agg(col, kind)
+        if kind == "get":
+            return LO.list_get(col, int(e.opt("index", 0)))
+        if kind == "contains":
+            item = e.inputs[1]
+            val = item.value if isinstance(item, E.ELiteral) else item
+            return LO.list_contains(col, val)
+        if kind == "join":
+            return LO.list_join(col, e.opt("separator", "-"), e.opt("ignore_nulls", True))
+        if kind == "sort":
+            return LO.list_sort(col, e.opt("descending", False))
+        if kind == "reverse":
+            return LO.list_reverse(col)
+        if kind == "unique":
+            return LO.list_unique(col, e.opt("maintain_order", False))
+        raise InvalidOperationError(f"unsupported list op {e.name!r}")
 
     if e.name == "int_range":
         start = scalar_of(e.inputs[0])
@@ -533,8 +583,12 @@ def _exec_groupby_host_aggs(node: L.LGroupBy) -> DataFrame:
                 items = [v for v in buckets[kr] if v is not None]
                 out_vals.append(Counter(items).most_common(1)[0][0] if items else None)
             extra_cols.append(Column.from_values(name, out_vals, in_col.dtype if in_col.table is None else dt.String()))
+        elif agg_node.kind == "implode":
+            out_vals = [buckets[kr] for kr in key_rows]
+            inner_dt = in_col.dtype
+            extra_cols.append(Column.from_values(name, out_vals, dt.List(inner_dt)))
         else:
-            raise InvalidOperationError("implode pending List dtype")
+            raise InvalidOperationError(f"unsupported host agg {agg_node.kind!r}")
     cols = list(base._columns) + extra_cols
     # restore requested column order (keys, then aggs in original order)
     want = key_names + [E.output_name(a) or "literal" for a in aggs]
@@ -628,6 +682,28 @@ def _exec_asof(node: L.LAsofJoin) -> DataFrame:
         left, right, lon, ron, node.strategy, node.suffix, node.tolerance,
         node_schema(node),
     )
+
+
+def _exec_explode(node: L.LExplode) -> DataFrame:
+    from polars_tpu.engine.gather import gather_frame
+    from polars_tpu.ops.list_ops import explode_column
+
+    df = execute_plan(node.input)
+    flats = {}
+    parent = None
+    for name in node.columns:
+        flat, par = explode_column(df._get(name))
+        if parent is not None and len(par) != len(parent):
+            raise ComputeError("exploded columns must have matching list lengths")
+        parent = par
+        flats[name] = flat
+    if parent is None:
+        return df
+    others = [c for c in df._columns if c.name not in flats]
+    gathered = gather_frame(others, parent) if others else []
+    by_name = {c.name: c for c in gathered}
+    cols = [flats.get(c.name, by_name.get(c.name)) for c in df._columns]
+    return DataFrame._from_columns(cols, len(parent))
 
 
 def _exec_unpivot(node: L.LUnpivot) -> DataFrame:

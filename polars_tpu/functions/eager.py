@@ -22,6 +22,12 @@ def concat_series(series_list: list) -> Any:
 def _concat_columns(cols: list[Column], name: str) -> Column:
     from polars_tpu.ops.cast import cast_column
 
+    if any(isinstance(c.dtype, dt.List) for c in cols):
+        # lists: rebuild via host values (children differ per input frame)
+        vals = [v for c in cols for v in c.to_pylist()]
+        target = cols[0].dtype
+        return Column.from_values(name, vals, target)
+
     # supercast to a common dtype
     target = cols[0].dtype
     for c in cols[1:]:

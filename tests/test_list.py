@@ -1,0 +1,88 @@
+"""List dtype: storage, namespace ops, explode, implode.
+
+Reference semantics: polars-ops chunked_array/list/ + py-polars list tests.
+"""
+
+import polars_tpu as pl
+
+
+def test_ingest_roundtrip():
+    s = pl.Series("a", [[1, 2], [3], None, [], [4, 5, 6]])
+    assert "List" in str(s.dtype)
+    assert s.to_list() == [[1, 2], [3], None, [], [4, 5, 6]]
+
+
+def test_row_ops_preserve_lists():
+    df = pl.DataFrame({"k": [1, 2, 3, 4], "lst": [[1, 2], [3], None, [4, 5, 6]]})
+    assert df.lazy().filter(pl.col("k") >= 2).collect()["lst"].to_list() == [[3], None, [4, 5, 6]]
+    assert df.lazy().sort("k", descending=True).collect()["lst"].to_list() == [[4, 5, 6], None, [3], [1, 2]]
+    assert df.gather([3, 0])["lst"].to_list() == [[4, 5, 6], [1, 2]]
+    assert df.head(2)["lst"].to_list() == [[1, 2], [3]]
+
+
+def test_list_namespace():
+    df = pl.DataFrame({"lst": [[1, 2], [3], None, [], [4, 5, 6]]})
+    out = df.select(
+        pl.col("lst").list.len().alias("n"),
+        pl.col("lst").list.sum().alias("sum"),
+        pl.col("lst").list.mean().alias("mean"),
+        pl.col("lst").list.min().alias("lo"),
+        pl.col("lst").list.max().alias("hi"),
+        pl.col("lst").list.first().alias("f"),
+        pl.col("lst").list.last().alias("l"),
+        pl.col("lst").list.contains(3).alias("has3"),
+    )
+    assert out["n"].to_list() == [2, 1, None, 0, 3]
+    assert out["sum"].to_list() == [3, 3, None, 0, 15]
+    assert out["mean"].to_list() == [1.5, 3.0, None, None, 5.0]
+    assert out["lo"].to_list() == [1, 3, None, None, 4]
+    assert out["hi"].to_list() == [2, 3, None, None, 6]
+    assert out["f"].to_list() == [1, 3, None, None, 4]
+    assert out["l"].to_list() == [2, 3, None, None, 6]
+    assert out["has3"].to_list() == [False, True, None, False, False]
+
+
+def test_list_strings_and_transforms():
+    df = pl.DataFrame({"s": [["a", "b"], ["c"], None, []]})
+    assert df.select(pl.col("s").list.join("-"))["s"].to_list() == ["a-b", "c", None, ""]
+    s = pl.Series("x", [[3, 1, 2], None, [5, 5]])
+    assert s.list.sort().to_list() == [[1, 2, 3], None, [5, 5]]
+    assert s.list.sort(descending=True).to_list() == [[3, 2, 1], None, [5, 5]]
+    assert s.list.reverse().to_list() == [[2, 1, 3], None, [5, 5]]
+    assert s.list.unique().to_list() == [[1, 2, 3], None, [5]]
+    assert s.list.get(1).to_list() == [1, None, 5]
+
+
+def test_explode():
+    df = pl.DataFrame({"k": [1, 2, 3, 4], "lst": [[10, 20], [30], None, []]})
+    out = df.explode("lst")
+    assert out["k"].to_list() == [1, 1, 2, 3, 4]
+    assert out["lst"].to_list() == [10, 20, 30, None, None]
+    s = pl.Series("x", [[1, 2], [], [3]])
+    assert s.explode().to_list() == [1, 2, None, 3]
+
+
+def test_explode_strings():
+    df = pl.DataFrame({"s": [["a", "b"], ["c"]]})
+    assert df.explode("s")["s"].to_list() == ["a", "b", "c"]
+
+
+def test_implode_group_agg():
+    df = pl.DataFrame({"g": ["a", "b", "a", "a", "b"], "v": [1, 2, 3, 4, 5]})
+    out = df.group_by("g").agg(pl.col("v").implode().alias("vs")).sort("g")
+    assert out["vs"].to_list() == [[1, 3, 4], [2, 5]]
+    back = out.explode("vs").sort("vs")
+    assert back["vs"].to_list() == [1, 2, 3, 4, 5]
+
+
+def test_concat_lists_vertical():
+    a = pl.DataFrame({"l": [[1], [2, 3]]})
+    b = pl.DataFrame({"l": [[4, 5]]})
+    assert pl.concat([a, b])["l"].to_list() == [[1], [2, 3], [4, 5]]
+
+
+def test_lazy_explode():
+    df = pl.DataFrame({"k": ["x", "y"], "lst": [[1, 2, 3], [4]]})
+    out = df.lazy().explode("lst").filter(pl.col("lst") > 1).collect()
+    assert out["k"].to_list() == ["x", "x", "y"]
+    assert out["lst"].to_list() == [2, 3, 4]
