@@ -162,6 +162,14 @@ class Column:
         return out
 
     def to_pylist(self) -> list:
+        if isinstance(self.dtype, dt.Struct):
+            ids, validity = self.buffer.to_numpy()
+            field_lists = {c.name: c.to_pylist() for c in (self.child or [])}
+            ok = [True] * len(ids) if validity is None else validity.tolist()
+            return [
+                {k: v[i] for k, v in field_lists.items()} if good else None
+                for i, good in zip(ids.tolist(), ok)
+            ]
         if isinstance(self.dtype, dt.List):
             packed, validity = self.buffer.to_numpy()
             starts = (packed >> 32).tolist()
@@ -275,6 +283,8 @@ def _infer_pylist_dtype(seq: list, *, strict: bool = True) -> dt.DataType:
             has.add("time")
         elif isinstance(v, bytes):
             has.add("binary")
+        elif isinstance(v, dict):
+            has.add("struct")
         elif isinstance(v, (list, tuple, np.ndarray)):
             has.add("list")
         elif isinstance(v, (np.integer,)):
@@ -306,6 +316,17 @@ def _infer_pylist_dtype(seq: list, *, strict: bool = True) -> dt.DataType:
     if has == {"list"}:
         inner_vals = [x for v in seq if v is not None for x in v]
         return dt.List(_infer_pylist_dtype(inner_vals))
+    if has == {"struct"}:
+        names: list = []
+        for v in seq:
+            if v is not None:
+                for k in v:
+                    if k not in names:
+                        names.append(k)
+        return dt.Struct([
+            (k, _infer_pylist_dtype([v.get(k) for v in seq if v is not None]))
+            for k in names
+        ])
     if not strict and has <= {"str", "int", "float", "bool"}:
         return dt.String()
     raise InvalidOperationError(f"cannot infer dtype from values with kinds {sorted(has)}")
@@ -322,6 +343,16 @@ def _from_pylist(
     if isinstance(logical, dt.Null):
         buf = Buffer.from_numpy(np.zeros(n, np.int32), np.zeros(n, bool) if n else None)
         return Column(name, logical, buf)
+
+    if isinstance(logical, dt.Struct):
+        fields = []
+        for f in logical.fields:
+            fields.append(
+                Column.from_values(f.name, [None if v is None else v.get(f.name) for v in seq], f.dtype)
+            )
+        ids = np.arange(n, dtype=np.int64)
+        buf = Buffer.from_numpy(ids, validity if has_null else None)
+        return Column(name, logical, buf, None, UNSORTED, fields)
 
     if isinstance(logical, dt.List):
         flat: list = []

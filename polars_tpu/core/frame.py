@@ -210,6 +210,38 @@ class DataFrame:
 
         return GroupBy(self, by, named_by, maintain_order=maintain_order)
 
+    def unnest(self, columns: Any, *more: Any) -> DataFrame:
+        """Expand Struct columns into their fields (reference: DataFrame.unnest)."""
+        from polars_tpu.core.frame import _flatten_names
+        from polars_tpu.engine.gather import gather_column
+
+        names = set(_flatten_names([columns, *more]))
+        cols: list = []
+        for c in self._columns:
+            if c.name in names:
+                import numpy as np
+
+                from polars_tpu import datatypes as dtypes
+
+                if not isinstance(c.dtype, dtypes.Struct):
+                    raise InvalidOperationError(f"unnest needs Struct columns, got {c.dtype!r}")
+                ids, validity = c.buffer.to_numpy()
+                for f in c.child or []:
+                    g = gather_column(f, ids)
+                    if validity is not None:
+                        import jax.numpy as jnp
+
+                        from polars_tpu.core.buffer import Buffer, pad_to, padded_size
+
+                        m = pad_to(jnp.asarray(validity), padded_size(len(ids)))
+                        v = g.buffer.validity
+                        v = m if v is None else (v & m)
+                        g = type(g)(g.name, g.dtype, Buffer(g.buffer.values, v, g.buffer.length), g.table, 0, getattr(g, "child", None))
+                    cols.append(g)
+            else:
+                cols.append(c)
+        return DataFrame._from_columns(cols, self._height)
+
     def rolling(self, index_column: Any, **kwargs: Any):
         """Eager wrapper over LazyFrame.rolling (agg() collects)."""
         lazy_r = self.lazy().rolling(index_column, **kwargs)

@@ -451,3 +451,4 @@ Series.str = _ns_property("str", ("polars_tpu.core.series_ns", "SeriesStringName
 Series.dt = _ns_property("dt", ("polars_tpu.core.series_ns", "SeriesDateTimeNamespace"))
 Series.cat = _ns_property("cat", ("polars_tpu.core.series_ns", "SeriesCatNamespace"))
 Series.list = _ns_property("list", ("polars_tpu.core.series_ns", "SeriesListNamespace"))
+Series.struct = _ns_property("struct", ("polars_tpu.core.series_ns", "SeriesStructNamespace"))

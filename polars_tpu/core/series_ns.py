@@ -36,6 +36,14 @@ class SeriesListNamespace(_SeriesNamespace):
     _expr_ns = "list"
 
 
+class SeriesStructNamespace(_SeriesNamespace):
+    _expr_ns = "struct"
+
+    @property
+    def fields(self):
+        return [c.name for c in (self._s._column.child or [])]
+
+
 class SeriesCatNamespace(_SeriesNamespace):
     _expr_ns = "cat"
 

@@ -79,7 +79,7 @@ HOST_FNS = {
     "concat_str", "dt.to_string", "cat.get_categories",
     "list.len", "list.sum", "list.mean", "list.min", "list.max", "list.get",
     "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
-    "explode", "str.split",
+    "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
 }
 
 

@@ -407,8 +407,6 @@ def _rank(ctx, args, opts):
     v = _row_domain(ctx, args[0])
     method = opts.get("method", "average")
     descending = opts.get("descending", False)
-    if ctx.groups is not None:
-        raise InvalidOperationError("rank().over() pending segmented rank")
     from polars_tpu.kernels.argsort import (
         boundaries_from_words,
         key_words,
@@ -418,29 +416,45 @@ def _rank(ctx, args, opts):
     n = v.values.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     oob = ~ctx.rowmask | (jnp.zeros((n,), bool) if v.validity is None else ~v.validity)
-    words = [oob.astype(jnp.int8), *key_words(v.values, v.dtype, descending=descending)]
+    grouped = ctx.groups is not None
+    gid_words = []
+    if grouped:
+        # segmented rank: group id is the leading sort word, ranks restart at
+        # each group (reference: rank inside WindowExpr partitions)
+        gid_words = [jnp.where(ctx.rowmask, ctx.groups.gids, 2**31 - 1)]
+    words = [oob.astype(jnp.int8), *gid_words, *key_words(v.values, v.dtype, descending=descending)]
     perm = stable_argsort_words(words)
-    s_oob = oob[perm].astype(jnp.int8)
     pos = iota + 1  # 1-based rank in sorted order
-    first_pos = iota == 0
     newval = boundaries_from_words(words, perm)
-    # ordinal rank
+    if grouped:
+        sg = gid_words[0][perm]
+        grp_change = (iota == 0) | (sg != jnp.roll(sg, 1))
+        grp_start = jax.lax.associative_scan(jnp.maximum, jnp.where(grp_change, pos, 0))
+    else:
+        grp_start = jnp.ones((n,), jnp.int32)
+    local = lambda p: (p - grp_start + 1).astype(jnp.float64)  # noqa: E731
     if method == "ordinal":
-        rank_sorted = pos.astype(jnp.float64)
+        rank_sorted = local(pos)
     else:
         run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(newval, pos, 0))
         if method == "min":
-            rank_sorted = run_start.astype(jnp.float64)
+            rank_sorted = local(run_start)
         else:
             run_len = jnp.zeros((n,), jnp.int32).at[run_start - 1].add(1)
             run_end = run_start + run_len[run_start - 1] - 1
             if method == "max":
-                rank_sorted = run_end.astype(jnp.float64)
+                rank_sorted = local(run_end)
             elif method == "dense":
                 dense = jnp.cumsum(newval.astype(jnp.int32))
-                rank_sorted = dense.astype(jnp.float64)
+                if grouped:
+                    dense_at_start = jax.lax.associative_scan(
+                        jnp.maximum, jnp.where(grp_change, dense, 0)
+                    )
+                    rank_sorted = (dense - dense_at_start + 1).astype(jnp.float64)
+                else:
+                    rank_sorted = dense.astype(jnp.float64)
             else:  # average
-                rank_sorted = (run_start + run_end).astype(jnp.float64) * 0.5
+                rank_sorted = (local(run_start) + local(run_end)) * 0.5
     out = jnp.zeros((n,), jnp.float64).at[perm].set(rank_sorted)
     validity = v.validity
     if method == "average":

@@ -82,6 +82,7 @@ def _ensure_loaded() -> None:
         return
     _LOADED = True
     import polars_tpu.engine.fn_core  # noqa: F401
+    import polars_tpu.engine.fn_nested  # noqa: F401
     import polars_tpu.engine.fn_position  # noqa: F401
     import polars_tpu.engine.fn_strings  # noqa: F401
     import polars_tpu.engine.fn_temporal  # noqa: F401

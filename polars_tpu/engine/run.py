@@ -14,6 +14,7 @@ from typing import Any
 import numpy as np
 
 from polars_tpu import datatypes as dt
+from polars_tpu.core.buffer import Buffer
 from polars_tpu.core.column import Column
 from polars_tpu.core.frame import DataFrame
 from polars_tpu.engine.executors import _expr_needs_host, _is_fusable, run_segment
@@ -27,7 +28,8 @@ _SPECIAL_FNS = {
     "gather_every", "unique", "unique_counts", "cat.get_categories",
     "list.len", "list.sum", "list.mean", "list.min", "list.max", "list.get",
     "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
-    "explode", "str.split",
+    "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
+    "unnest",
 }
 
 
@@ -383,6 +385,43 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         if len(vals) != 1:
             raise ComputeError("range bounds must be scalar")
         return vals[0]
+
+    if e.name == "as_struct":
+        cols = [_eval_special_expr(df, i, schema) for i in e.inputs]
+        n = len(cols[0]) if cols else df.height
+        fields = dt.Struct([(c.name, c.dtype) for c in cols])
+        import numpy as _np
+
+        ids = Buffer.from_numpy(_np.arange(n, dtype=_np.int64), None)
+        return Column("struct", fields, ids, None, 0, list(cols))
+
+    if e.name == "struct.field":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        want = e.opt("name")
+        field = next((c for c in (col.child or []) if c.name == want), None)
+        if field is None:
+            raise ComputeError(f"struct has no field {want!r}")
+        from polars_tpu.engine.gather import gather_column
+
+        ids, validity = col.buffer.to_numpy()
+        out = gather_column(field, ids).rename(want)
+        if validity is not None:
+            import jax.numpy as _jnp
+
+            from polars_tpu.core.buffer import pad_to, padded_size
+
+            v = out.buffer.validity
+            m = pad_to(_jnp.asarray(validity), padded_size(len(ids)))
+            v = m if v is None else (v & m)
+            out = Column(out.name, out.dtype, Buffer(out.buffer.values, v, out.buffer.length), out.table, 0, getattr(out, "child", None))
+        return out
+
+    if e.name == "struct.rename_fields":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        names = list(e.opt("names"))
+        kids = [c.rename(n) for c, n in zip(col.child or [], names)]
+        fields = dt.Struct([(c.name, c.dtype) for c in kids])
+        return Column(col.name, fields, col.buffer, None, 0, kids)
 
     if e.name == "str.split":
         col = _eval_special_expr(df, e.inputs[0], schema)

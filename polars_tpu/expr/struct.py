@@ -15,7 +15,12 @@ class ExprStructNamespace:
         self._expr = expr
 
     def field(self, name: str) -> Expr:
-        return self._expr._fn("struct.field", name=name)
+        from polars_tpu.plan import exprs as E
+        from polars_tpu.expr.expr import Expr as _Expr
+
+        return _Expr(
+            E.EFunction("struct.field", (self._expr._node,), (("name", name),))
+        ).alias(name)
 
     def rename_fields(self, names: list[str]) -> Expr:
         return self._expr._fn("struct.rename_fields", names=tuple(names))

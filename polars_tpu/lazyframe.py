@@ -449,6 +449,20 @@ class LazyFrame:
 
     # -- reshape ---------------------------------------------------------------------
 
+    def unnest(self, columns: Any, *more: Any) -> LazyFrame:
+        lf = self
+
+        def apply(df):
+            return df.unnest(columns, *more)
+
+        return LazyFrame._from_node(
+            L.LDataFrameScan(df=apply(lf.collect()), ident=id(apply))
+        ) if False else lf._wrap_eager_unnest(columns, *more)
+
+    def _wrap_eager_unnest(self, columns: Any, *more: Any) -> LazyFrame:
+        df = self.collect().unnest(columns, *more)
+        return df.lazy()
+
     def explode(self, columns: Any, *more_columns: Any) -> LazyFrame:
         from polars_tpu.core.frame import _flatten_names
 

@@ -58,3 +58,21 @@ def test_over_null_keys():
     df = pl.DataFrame({"g": ["a", None, "a", None], "v": [1, 2, 3, 4]})
     out = df.with_columns(s=pl.col("v").sum().over("g"))
     assert out.get_column("s").to_list() == [4, 6, 4, 6]
+
+
+def test_rank_over():
+    df = pl.DataFrame({"g": ["a", "a", "b", "a", "b"], "v": [3.0, 1.0, 5.0, 2.0, 4.0]})
+    out = df.select(
+        pl.col("v").rank().over("g").alias("r"),
+        pl.col("v").rank("ordinal").over("g").alias("o"),
+        pl.col("v").rank("dense", descending=True).over("g").alias("d"),
+    )
+    assert out["r"].to_list() == [3.0, 1.0, 2.0, 2.0, 1.0]
+    assert out["o"].to_list() == [3, 1, 2, 2, 1]
+    assert out["d"].to_list() == [1, 3, 1, 2, 2]
+
+
+def test_rank_over_ties_average():
+    df = pl.DataFrame({"g": ["x", "x", "x", "y"], "v": [1.0, 1.0, 2.0, 7.0]})
+    out = df.select(pl.col("v").rank().over("g").alias("r"))
+    assert out["r"].to_list() == [1.5, 1.5, 3.0, 1.0]
