@@ -127,9 +127,14 @@ def generate_pdsh(scale: float = 0.01, seed: int = 42) -> dict:
         "p_retailprice": np.round(rng.uniform(900.0, 2000.0, n_part), 2),
         "p_comment": np.asarray([f"part comment {i % 131}" for i in range(n_part)], object),
     }
+    # (ps_partkey, ps_suppkey) is a primary key in TPC-H: each part gets 4
+    # DISTINCT suppliers (spec's supplier rotation formula)
+    _ps_base = rng.integers(0, n_supp, n_part)
+    _ps_step = max(n_supp // 4, 1)
+    _ps_supp = ((_ps_base[:, None] + np.arange(4)[None, :] * _ps_step) % n_supp + 1).reshape(-1)
     partsupp = {
         "ps_partkey": np.repeat(np.arange(1, n_part + 1, dtype=np.int64), 4),
-        "ps_suppkey": rng.integers(1, n_supp + 1, n_psupp).astype(np.int64),
+        "ps_suppkey": _ps_supp.astype(np.int64),
         "ps_availqty": rng.integers(1, 10000, n_psupp).astype(np.int64),
         "ps_supplycost": np.round(rng.uniform(1.0, 1000.0, n_psupp), 2),
         "ps_comment": np.asarray([f"ps comment {i % 199}" for i in range(n_psupp)], object),
@@ -384,3 +389,304 @@ def q18(customer, orders, lineitem, threshold=300):
         .sort(["o_totalprice", "o_orderdate"], descending=[True, False])
         .head(100)
     )
+
+def q2(region, nation, supplier, partsupp, part, size=15, type_suffix="BRASS", region_name="EUROPE"):
+    import polars_tpu as pl
+
+    eligible = (
+        part.lazy()
+        .filter((pl.col("p_size") == size) & pl.col("p_type").str.ends_with(type_suffix))
+        .join(partsupp.lazy(), left_on="p_partkey", right_on="ps_partkey", validate="1:m")
+        .join(supplier.lazy(), left_on="ps_suppkey", right_on="s_suppkey", validate="m:1")
+        .join(nation.lazy(), left_on="s_nationkey", right_on="n_nationkey", validate="m:1")
+        .join(region.lazy().filter(pl.col("r_name") == region_name),
+              left_on="n_regionkey", right_on="r_regionkey", validate="m:1")
+    )
+    min_cost = eligible.group_by("p_partkey").agg(pl.col("ps_supplycost").min().alias("__min_cost"))
+    return (
+        eligible.join(min_cost, on="p_partkey", validate="m:1")
+        .filter(pl.col("ps_supplycost") == pl.col("__min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_mfgr",
+            "s_address", "s_phone", "s_comment",
+        )
+        .sort(["s_acctbal", "n_name", "s_name", "p_partkey"], descending=[True, False, False, False])
+        .head(100)
+    )
+
+
+def q7(customer, orders, lineitem, supplier, nation, n1="FRANCE", n2="GERMANY"):
+    import polars_tpu as pl
+
+    na = nation.lazy().filter(pl.col("n_name").is_in([n1, n2]))
+    return (
+        lineitem.lazy()
+        .filter(
+            (pl.col("l_shipdate") >= dtm.date(1995, 1, 1))
+            & (pl.col("l_shipdate") <= dtm.date(1996, 12, 31))
+        )
+        .join(orders.lazy(), left_on="l_orderkey", right_on="o_orderkey", validate="m:1")
+        .join(customer.lazy(), left_on="o_custkey", right_on="c_custkey", validate="m:1")
+        .join(na.select(pl.col("n_nationkey"), pl.col("n_name").alias("cust_nation")),
+              left_on="c_nationkey", right_on="n_nationkey")
+        .join(supplier.lazy(), left_on="l_suppkey", right_on="s_suppkey", validate="m:1")
+        .join(na.select(pl.col("n_nationkey"), pl.col("n_name").alias("supp_nation")),
+              left_on="s_nationkey", right_on="n_nationkey")
+        .filter(
+            ((pl.col("supp_nation") == n1) & (pl.col("cust_nation") == n2))
+            | ((pl.col("supp_nation") == n2) & (pl.col("cust_nation") == n1))
+        )
+        .with_columns(
+            pl.col("l_shipdate").dt.year().alias("l_year"),
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("volume"),
+        )
+        .group_by("supp_nation", "cust_nation", "l_year")
+        .agg(revenue=pl.col("volume").sum())
+        .sort(["supp_nation", "cust_nation", "l_year"])
+    )
+
+
+def q8(region, nation, customer, orders, lineitem, supplier, part,
+       nation_name="BRAZIL", region_name="AMERICA", ptype="ECONOMY ANODIZED STEEL"):
+    import polars_tpu as pl
+
+    return (
+        part.lazy()
+        .filter(pl.col("p_type") == ptype)
+        .join(lineitem.lazy(), left_on="p_partkey", right_on="l_partkey", validate="1:m")
+        .join(supplier.lazy(), left_on="l_suppkey", right_on="s_suppkey", validate="m:1")
+        .join(orders.lazy(), left_on="l_orderkey", right_on="o_orderkey", validate="m:1")
+        .filter(
+            (pl.col("o_orderdate") >= dtm.date(1995, 1, 1))
+            & (pl.col("o_orderdate") <= dtm.date(1996, 12, 31))
+        )
+        .join(customer.lazy(), left_on="o_custkey", right_on="c_custkey", validate="m:1")
+        .join(nation.lazy().select(pl.col("n_nationkey"), pl.col("n_regionkey")),
+              left_on="c_nationkey", right_on="n_nationkey", validate="m:1")
+        .join(region.lazy().filter(pl.col("r_name") == region_name),
+              left_on="n_regionkey", right_on="r_regionkey", validate="m:1")
+        .join(nation.lazy().select(pl.col("n_nationkey"), pl.col("n_name").alias("supp_nation")),
+              left_on="s_nationkey", right_on="n_nationkey", validate="m:1")
+        .with_columns(
+            pl.col("o_orderdate").dt.year().alias("o_year"),
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("volume"),
+        )
+        .group_by("o_year")
+        .agg(
+            (
+                pl.when(pl.col("supp_nation") == nation_name)
+                .then(pl.col("volume"))
+                .otherwise(0.0)
+                .sum()
+                / pl.col("volume").sum()
+            ).alias("mkt_share")
+        )
+        .sort("o_year")
+    )
+
+
+def q9(nation, orders, lineitem, supplier, part, partsupp, color="green"):
+    import polars_tpu as pl
+
+    return (
+        part.lazy()
+        .filter(pl.col("p_name").str.contains(color))
+        .join(lineitem.lazy(), left_on="p_partkey", right_on="l_partkey", validate="1:m")
+        .join(supplier.lazy(), left_on="l_suppkey", right_on="s_suppkey", validate="m:1")
+        .join(
+            partsupp.lazy(),
+            left_on=["p_partkey", "l_suppkey"],
+            right_on=["ps_partkey", "ps_suppkey"],
+            validate="m:1",
+        )
+        .join(orders.lazy(), left_on="l_orderkey", right_on="o_orderkey", validate="m:1")
+        .join(nation.lazy(), left_on="s_nationkey", right_on="n_nationkey", validate="m:1")
+        .with_columns(
+            pl.col("o_orderdate").dt.year().alias("o_year"),
+            (
+                pl.col("l_extendedprice") * (1 - pl.col("l_discount"))
+                - pl.col("ps_supplycost") * pl.col("l_quantity")
+            ).alias("amount"),
+        )
+        .group_by(pl.col("n_name").alias("nation"), "o_year")
+        .agg(sum_profit=pl.col("amount").sum())
+        .sort(["nation", "o_year"], descending=[False, True])
+    )
+
+
+def q11(nation, supplier, partsupp, nation_name="GERMANY", fraction=0.0001):
+    import polars_tpu as pl
+
+    base = (
+        partsupp.lazy()
+        .join(supplier.lazy(), left_on="ps_suppkey", right_on="s_suppkey", validate="m:1")
+        .join(nation.lazy().filter(pl.col("n_name") == nation_name),
+              left_on="s_nationkey", right_on="n_nationkey", validate="m:1")
+        .with_columns((pl.col("ps_supplycost") * pl.col("ps_availqty")).alias("value"))
+    )
+    return (
+        base.group_by("ps_partkey")
+        .agg(value=pl.col("value").sum())
+        .join(base.select(pl.col("value").sum().alias("__total") * fraction), how="cross")
+        .filter(pl.col("value") > pl.col("__total"))
+        .select("ps_partkey", "value")
+        .sort(["value", "ps_partkey"], descending=[True, False])
+    )
+
+
+def q13(customer, orders, word1="special", word2="requests"):
+    import polars_tpu as pl
+
+    o = orders.lazy().filter(
+        ~pl.col("o_comment").str.contains(f"{word1}.*{word2}")
+    )
+    return (
+        customer.lazy()
+        .join(o, left_on="c_custkey", right_on="o_custkey", how="left")
+        .group_by("c_custkey")
+        .agg(c_count=pl.col("o_orderkey").count())
+        .group_by("c_count")
+        .agg(custdist=pl.len())
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+def q15(lineitem, supplier, start=dtm.date(1996, 1, 1)):
+    import polars_tpu as pl
+
+    end = dtm.date(1996, 4, 1)
+    revenue = (
+        lineitem.lazy()
+        .filter((pl.col("l_shipdate") >= start) & (pl.col("l_shipdate") < end))
+        .group_by(pl.col("l_suppkey").alias("supplier_no"))
+        .agg(total_revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum())
+    )
+    return (
+        revenue.join(
+            revenue.select(pl.col("total_revenue").max().alias("__max")), how="cross"
+        )
+        .filter(pl.col("total_revenue") == pl.col("__max"))
+        .join(supplier.lazy(), left_on="supplier_no", right_on="s_suppkey")
+        .select("s_suppkey" if False else "supplier_no", "s_name", "s_address", "s_phone", "total_revenue")
+        .sort("supplier_no")
+    )
+
+
+def q16(supplier, partsupp, part, brand="Brand#44", ptype="STANDARD", sizes=(49, 14, 23, 45, 19, 3, 36, 9)):
+    import polars_tpu as pl
+
+    bad_supp = supplier.lazy().filter(
+        pl.col("s_comment").str.contains("Customer.*Complaints")
+    )
+    return (
+        part.lazy()
+        .filter(
+            (pl.col("p_brand") != brand)
+            & ~pl.col("p_type").str.starts_with(ptype)
+            & pl.col("p_size").is_in(list(sizes))
+        )
+        .join(partsupp.lazy(), left_on="p_partkey", right_on="ps_partkey", validate="1:m")
+        .join(bad_supp, left_on="ps_suppkey", right_on="s_suppkey", how="anti", validate="m:1")
+        .group_by("p_brand", "p_type", "p_size")
+        .agg(supplier_cnt=pl.col("ps_suppkey").n_unique())
+        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"], descending=[True, False, False, False])
+    )
+
+
+def q17(lineitem, part, brand="Brand#11", container="SM CASE"):
+    import polars_tpu as pl
+
+    eligible = (
+        part.lazy()
+        .filter((pl.col("p_brand") == brand) & (pl.col("p_container") == container))
+        .join(lineitem.lazy(), left_on="p_partkey", right_on="l_partkey", validate="1:m")
+    )
+    avg_qty = eligible.group_by("p_partkey").agg(
+        (0.2 * pl.col("l_quantity").mean()).alias("__limit")
+    )
+    return (
+        eligible.join(avg_qty, on="p_partkey", validate="m:1")
+        .filter(pl.col("l_quantity") < pl.col("__limit"))
+        .select((pl.col("l_extendedprice").sum() / 7.0).alias("avg_yearly"))
+    )
+
+
+def q20(nation, supplier, partsupp, part, lineitem, color="forest",
+        start=dtm.date(1994, 1, 1), nation_name="CANADA"):
+    import polars_tpu as pl
+
+    end = dtm.date(1995, 1, 1)
+    shipped = (
+        lineitem.lazy()
+        .filter((pl.col("l_shipdate") >= start) & (pl.col("l_shipdate") < end))
+        .group_by("l_partkey", "l_suppkey")
+        .agg((0.5 * pl.col("l_quantity").sum()).alias("__half"))
+    )
+    qualifying_ps = (
+        partsupp.lazy()
+        .join(part.lazy().filter(pl.col("p_name").str.starts_with(color)),
+              left_on="ps_partkey", right_on="p_partkey", how="semi", validate="m:1")
+        .join(shipped, left_on=["ps_partkey", "ps_suppkey"], right_on=["l_partkey", "l_suppkey"], validate="m:1")
+        .filter(pl.col("ps_availqty") > pl.col("__half"))
+    )
+    return (
+        supplier.lazy()
+        .join(qualifying_ps, left_on="s_suppkey", right_on="ps_suppkey", how="semi")
+        .join(nation.lazy().filter(pl.col("n_name") == nation_name),
+              left_on="s_nationkey", right_on="n_nationkey", validate="m:1")
+        .select("s_name", "s_address")
+        .sort("s_name")
+    )
+
+
+def q21(nation, supplier, lineitem, orders, nation_name="SAUDI ARABIA"):
+    import polars_tpu as pl
+
+    late = pl.col("l_receiptdate") > pl.col("l_commitdate")
+    li = lineitem.lazy().select("l_orderkey", "l_suppkey", late.alias("__late"))
+    n_supp = li.group_by("l_orderkey").agg(
+        pl.col("l_suppkey").n_unique().alias("__n_supp"),
+    )
+    late_supp = (
+        li.filter(pl.col("__late"))
+        .group_by("l_orderkey")
+        .agg(
+            pl.col("l_suppkey").n_unique().alias("__n_late"),
+            pl.col("l_suppkey").first().alias("__late_supp"),
+        )
+    )
+    return (
+        lineitem.lazy()
+        .filter(late)
+        .join(orders.lazy().filter(pl.col("o_orderstatus") == "F"),
+              left_on="l_orderkey", right_on="o_orderkey", validate="m:1")
+        .join(n_supp, on="l_orderkey", validate="m:1")
+        .join(late_supp, on="l_orderkey", validate="m:1")
+        .filter((pl.col("__n_supp") > 1) & (pl.col("__n_late") == 1))
+        .join(supplier.lazy(), left_on="l_suppkey", right_on="s_suppkey", validate="m:1")
+        .join(nation.lazy().filter(pl.col("n_name") == nation_name),
+              left_on="s_nationkey", right_on="n_nationkey", validate="m:1")
+        .group_by("s_name")
+        .agg(numwait=pl.len())
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .head(100)
+    )
+
+
+def q22(customer, orders, codes=("13", "31", "23", "29", "30", "18", "17")):
+    import polars_tpu as pl
+
+    cust = customer.lazy().with_columns(pl.col("c_phone").str.slice(0, 2).alias("cntrycode"))
+    eligible = cust.filter(pl.col("cntrycode").is_in(list(codes)))
+    avg_bal = eligible.filter(pl.col("c_acctbal") > 0.0).select(
+        pl.col("c_acctbal").mean().alias("__avg")
+    )
+    return (
+        eligible.join(avg_bal, how="cross")
+        .filter(pl.col("c_acctbal") > pl.col("__avg"))
+        .join(orders.lazy(), left_on="c_custkey", right_on="o_custkey", how="anti")
+        .group_by("cntrycode")
+        .agg(numcust=pl.len(), totacctbal=pl.col("c_acctbal").sum())
+        .sort("cntrycode")
+    )
+
