@@ -205,6 +205,170 @@ class DataFrame:
             .collect()
         )
 
+
+    # -- py-polars parity batch (round 1) -------------------------------------
+
+    def shift(self, n: int = 1, *, fill_value: Any = None) -> DataFrame:
+        import polars_tpu as pl
+
+        return self.select(pl.all().shift(n, fill_value=fill_value))
+
+    def interpolate(self) -> DataFrame:
+        import polars_tpu as pl
+
+        return self.select(pl.all().interpolate())
+
+    def product(self) -> DataFrame:
+        import polars_tpu as pl
+
+        return self.select(pl.all().product())
+
+    def sum_horizontal(self, *, ignore_nulls: bool = True):
+        import polars_tpu as pl
+        from polars_tpu.core.series import Series
+
+        out = self.select(pl.sum_horizontal(pl.all()).alias("sum"))
+        return Series._from_column(out._columns[0])
+
+    def mean_horizontal(self, *, ignore_nulls: bool = True):
+        import polars_tpu as pl
+        from polars_tpu.core.series import Series
+
+        out = self.select(pl.mean_horizontal(pl.all()).alias("mean"))
+        return Series._from_column(out._columns[0])
+
+    def min_horizontal(self):
+        import polars_tpu as pl
+        from polars_tpu.core.series import Series
+
+        out = self.select(pl.min_horizontal(pl.all()).alias("min"))
+        return Series._from_column(out._columns[0])
+
+    def max_horizontal(self):
+        import polars_tpu as pl
+        from polars_tpu.core.series import Series
+
+        out = self.select(pl.max_horizontal(pl.all()).alias("max"))
+        return Series._from_column(out._columns[0])
+
+    def is_duplicated(self):
+        import polars_tpu as pl
+        from polars_tpu.core.series import Series
+
+        out = self.select((pl.len().over(self.columns) > 1).alias("dup"))
+        return Series._from_column(out._columns[0])
+
+    def is_unique(self):
+        import polars_tpu as pl
+        from polars_tpu.core.series import Series
+
+        out = self.select((pl.len().over(self.columns) == 1).alias("uniq"))
+        return Series._from_column(out._columns[0])
+
+    def drop_nans(self, subset: Any = None) -> DataFrame:
+        import polars_tpu as pl
+
+        names = _flatten_names([subset]) if subset is not None else [
+            c.name for c in self._columns if c.dtype.is_float()
+        ]
+        if not names:
+            return self
+        pred = None
+        for n in names:
+            p = ~pl.col(n).is_nan()
+            pred = p if pred is None else (pred & p)
+        return self.filter(pred)
+
+    def approx_n_unique(self) -> DataFrame:
+        import polars_tpu as pl
+
+        return self.select(pl.all().n_unique())
+
+    def pipe(self, function: Any, *args: Any, **kwargs: Any):
+        return function(self, *args, **kwargs)
+
+    def melt(self, id_vars: Any = None, value_vars: Any = None,
+             variable_name: str | None = None, value_name: str | None = None) -> DataFrame:
+        return self.unpivot(
+            on=value_vars, index=id_vars,
+            variable_name=variable_name or "variable", value_name=value_name or "value",
+        )
+
+    def set_sorted(self, column: str, *, descending: bool = False) -> DataFrame:
+        out = DataFrame._from_columns(list(self._columns), self._height)
+        return out
+
+    def collect_schema(self):
+        return self.schema
+
+    def fold(self, operation: Any):
+        from polars_tpu.core.series import Series
+
+        acc = Series._from_column(self._columns[0])
+        for c in self._columns[1:]:
+            acc = operation(acc, Series._from_column(c))
+        return acc.rename(self._columns[0].name)
+
+    def hash_rows(self, seed: int = 0, **kwargs: Any):
+        import polars_tpu as pl
+        from polars_tpu.core.series import Series
+
+        h = None
+        for c in self.columns:
+            e = pl.col(c).hash(seed=seed)
+            h = e if h is None else (h ^ e)
+        out = self.select(h.alias("hash"))
+        return Series._from_column(out._columns[0])
+
+    def iter_columns(self):
+        from polars_tpu.core.series import Series
+
+        for c in self._columns:
+            yield Series._from_column(c)
+
+    def iter_slices(self, n_rows: int = 10000):
+        for off in range(0, self._height, n_rows):
+            yield self.slice(off, n_rows)
+
+    def to_dummies(self, columns: Any = None, *, separator: str = "_", drop_first: bool = False) -> DataFrame:
+        names = _flatten_names([columns]) if columns is not None else [
+            c.name for c in self._columns
+        ]
+        cols: list = []
+        for c in self._columns:
+            if c.name not in names:
+                cols.append(c)
+                continue
+            from polars_tpu.core.series import Series
+
+            vals = c.to_pylist()
+            uniq = sorted({v for v in vals if v is not None}, key=lambda x: (str(type(x)), x))
+            if drop_first:
+                uniq = uniq[1:]
+            for u in uniq:
+                cols.append(
+                    Column.from_values(
+                        f"{c.name}{separator}{u}", [int(v == u) for v in vals], dt.UInt8()
+                    )
+                )
+        return DataFrame._from_columns(cols, self._height)
+
+    def corr(self, **kwargs: Any) -> DataFrame:
+        import numpy as np
+
+        arrs = [c.to_numpy().astype(np.float64) for c in self._columns]
+        mat = np.corrcoef(np.vstack(arrs)) if len(arrs) > 1 else np.ones((1, 1))
+        return DataFrame({c.name: mat[i] for i, c in enumerate(self._columns)})
+
+    def sql(self, query: str, *, table_name: str = "self") -> DataFrame:
+        from polars_tpu.sql.context import SQLContext
+
+        ctx = SQLContext(frames={table_name: self})
+        out = ctx.execute(query)
+        from polars_tpu.lazyframe import LazyFrame
+
+        return out.collect() if isinstance(out, LazyFrame) else out
+
     def group_by(self, *by: Any, maintain_order: bool = False, **named_by: Any):
         from polars_tpu.groupby import GroupBy
 

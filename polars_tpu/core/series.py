@@ -437,6 +437,34 @@ def _ns_property(ns_name: str, ns_cls_path: tuple[str, str]):
     return property(getter)
 
 
+_EXPR_DELEGATED_AGGS = {
+    "dot", "nan_max", "nan_min", "bitwise_and", "bitwise_or", "bitwise_xor",
+    "approx_n_unique", "has_nulls", "lower_bound", "upper_bound", "index_of",
+}
+
+
+def _series_getattr(self, name: str):
+    """Fallback: any Expr method not explicitly implemented on Series runs
+    through the expression engine (py-polars parity without 120 wrappers)."""
+    if name.startswith("_"):
+        raise AttributeError(name)
+    from polars_tpu.expr.expr import Expr
+
+    if not hasattr(Expr, name):
+        raise AttributeError(f"'Series' object has no attribute {name!r}")
+
+    def method(*args, **kwargs):
+        e = getattr(self._expr(), name)(*args, **kwargs)
+        if name in _EXPR_DELEGATED_AGGS:
+            return self._scalar(e)
+        return self._select(e)
+
+    return method
+
+
+Series.__getattr__ = _series_getattr
+
+
 def _series_explode(self):
     from polars_tpu.core.frame import DataFrame
 

@@ -589,7 +589,37 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
             return Val(out.astype(jnp.int64), has, out_dt, None, dom)
         return Val(out.astype(jnp.dtype(dt.dtype_to_numpy(out_dt))), has, out_dt, None, dom)
     if kind == "mode":
-        raise InvalidOperationError("mode is not yet supported in group context")
+        # sort by (gid, value); the mode of each gid is the longest equal-run
+        # (ties -> smallest value, polars' convention for a single mode)
+        from polars_tpu.kernels.argsort import (
+            boundaries_from_words,
+            key_words,
+            stable_argsort_words,
+        )
+
+        n = v.values.shape[0]
+        logn = int(np.log2(n))
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        invalid = ~data_mask
+        words = [invalid.astype(jnp.int8), jnp.where(data_mask, gids, 2**31 - 1),
+                 *key_words(v.values, v.dtype)]
+        perm = stable_argsort_words(words)
+        newval = boundaries_from_words(words, perm)
+        pos = iota
+        run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(newval, pos, 0))
+        run_len = jnp.zeros((n,), jnp.int32).at[run_start].add(1)[run_start]
+        valid_s = data_mask[perm]
+        score = run_len.astype(jnp.int64) * n + (n - 1 - run_start).astype(jnp.int64)
+        best = (
+            jnp.full((cap,), -1, jnp.int64)
+            .at[jnp.where(valid_s, gids[perm], cap)]
+            .max(jnp.where(valid_s, score, -1), mode="drop")
+        )
+        best_start = n - 1 - (best & (n - 1)).astype(jnp.int32)
+        winner_row = perm[jnp.clip(best_start, 0, n - 1)]
+        out = v.values[winner_row]
+        has = best >= 0
+        return Val(out, has, v.dtype, v.table, dom)
     if kind in ("corr", "cov"):
         raise InvalidOperationError("corr/cov pending pack_pair support")
     if kind in ("skew", "kurtosis"):

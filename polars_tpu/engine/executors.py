@@ -80,6 +80,7 @@ HOST_FNS = {
     "list.len", "list.sum", "list.mean", "list.min", "list.max", "list.get",
     "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
+    "sample", "shuffle", "arg_where_self", "rle",
 }
 
 

@@ -806,3 +806,60 @@ def _qcut(ctx, args, opts):
     codes = lut[idx]
     table = strtable.StringTable(np.asarray(uniq, object), sorted_order=True)
     return Val(codes, v.validity, dt.Categorical(), table, v.domain)
+
+@register("rle_id", dt.UInt32(), elementwise=False)
+def _rle_id(ctx, args, opts):
+    """Run id per row (0-based, increments when value or validity changes)."""
+    v = args[0]
+    n = v.values.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    prev = jnp.roll(v.values, 1)
+    change = (v.values != prev) | (iota == 0)
+    if v.validity is not None:
+        pv = jnp.roll(v.validity, 1)
+        change = change | (v.validity != pv)
+        change = jnp.where(~v.validity & ~pv & (iota != 0), False, change)
+    # padding rows must not perturb ids of valid rows before them
+    change = change & ctx.rowmask
+    ids = jnp.cumsum(change.astype(jnp.uint32)) - 1
+    return Val(ids.astype(jnp.uint32), None, dt.UInt32(), None, v.domain)
+
+
+@register("round_sig_figs", lambda dts, opts: dts[0], elementwise=True)
+def _round_sig_figs(ctx, args, opts):
+    v = args[0]
+    d = int(opts["digits"])
+    x = v.values.astype(jnp.float64)
+    mag = jnp.floor(jnp.log10(jnp.maximum(jnp.abs(x), 1e-300)))
+    scale = 10.0 ** (d - 1 - mag)
+    out = jnp.round(x * scale) / jnp.maximum(scale, 1e-300)
+    out = jnp.where(x == 0, 0.0, out)
+    np_d = jnp.dtype(dt.dtype_to_numpy(v.dtype)) if v.dtype.is_float() else jnp.float64
+    return Val(out.astype(np_d), v.validity, v.dtype if v.dtype.is_float() else dt.Float64(), None, v.domain)
+
+
+@register("lower_bound", lambda dts, opts: dts[0], elementwise=False)
+def _lower_bound(ctx, args, opts):
+    v = args[0]
+    import numpy as _np
+
+    np_d = dt.dtype_to_numpy(v.dtype)
+    if v.dtype.is_float():
+        val = -_np.inf
+    else:
+        val = _np.iinfo(np_d).min
+    return Val(jnp.asarray(val, jnp.dtype(np_d)), None, v.dtype, None, "scalar")
+
+
+@register("upper_bound", lambda dts, opts: dts[0], elementwise=False)
+def _upper_bound(ctx, args, opts):
+    v = args[0]
+    import numpy as _np
+
+    np_d = dt.dtype_to_numpy(v.dtype)
+    if v.dtype.is_float():
+        val = _np.inf
+    else:
+        val = _np.iinfo(np_d).max
+    return Val(jnp.asarray(val, jnp.dtype(np_d)), None, v.dtype, None, "scalar")
+

@@ -68,3 +68,15 @@ def _field_dt(dts, opts):
 register("as_struct", _struct_dt, elementwise=False)(_host("as_struct"))
 register("struct.field", _field_dt, elementwise=False)(_host("struct.field"))
 register("struct.rename_fields", _same, elementwise=False)(_host("struct.rename_fields"))
+
+
+register("sample", _same, elementwise=False)(_host("sample"))
+register("shuffle", _same, elementwise=False)(_host("shuffle"))
+register("arg_where_self", dt.UInt32(), elementwise=False)(_host("arg_where_self"))
+
+
+def _rle_dt(dts, opts):
+    return dt.Struct([("len", dt.UInt32()), ("value", dts[0])])
+
+
+register("rle", _rle_dt, elementwise=False)(_host("rle"))

@@ -29,7 +29,7 @@ _SPECIAL_FNS = {
     "list.len", "list.sum", "list.mean", "list.min", "list.max", "list.get",
     "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
-    "unnest",
+    "unnest", "sample", "shuffle", "arg_where_self", "rle",
 }
 
 
@@ -385,6 +385,44 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         if len(vals) != 1:
             raise ComputeError("range bounds must be scalar")
         return vals[0]
+
+    if e.name in ("sample", "shuffle"):
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        rng = np.random.default_rng(e.opt("seed"))
+        n_rows = len(col)
+        if e.name == "shuffle":
+            idx = rng.permutation(n_rows)
+        else:
+            n = e.opt("n")
+            frac = e.opt("fraction")
+            k = int(round(frac * n_rows)) if frac is not None else (int(n) if n is not None else 1)
+            idx = rng.choice(n_rows, size=k, replace=bool(e.opt("with_replacement", False)))
+            if not e.opt("shuffle", False) and not e.opt("with_replacement", False):
+                idx = np.sort(idx)
+        from polars_tpu.engine.gather import gather_column
+
+        return gather_column(col, idx)
+
+    if e.name == "arg_where_self":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        vals, validity = col.buffer.to_numpy()
+        mask = vals.astype(bool)
+        if validity is not None:
+            mask = mask & validity
+        return Column.from_values(col.name, np.nonzero(mask)[0].astype(np.uint32), dt.UInt32())
+
+    if e.name == "rle":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        vals = col.to_pylist()
+        runs = []
+        for v in vals:
+            if runs and runs[-1]["value"] == v:
+                runs[-1]["len"] += 1
+            else:
+                runs.append({"len": 1, "value": v})
+        return Column.from_values(
+            col.name, runs, dt.Struct([("len", dt.UInt32()), ("value", col.dtype)])
+        )
 
     if e.name == "as_struct":
         cols = [_eval_special_expr(df, i, schema) for i in e.inputs]

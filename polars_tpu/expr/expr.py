@@ -803,6 +803,87 @@ class Expr:
     def least_squares(self, *args):
         raise NotImplementedError
 
+
+    # -- py-polars parity batch (round 1) ---------------------------------------
+
+    def neg(self) -> Expr:
+        return -self
+
+    def has_nulls(self) -> Expr:
+        return self.null_count() > 0
+
+    def is_empty(self) -> Expr:
+        return self.len() == 0
+
+    def nan_max(self) -> Expr:
+        import polars_tpu as pl
+
+        return pl.when(self.is_nan().any()).then(float("nan")).otherwise(self.max())
+
+    def nan_min(self) -> Expr:
+        import polars_tpu as pl
+
+        return pl.when(self.is_nan().any()).then(float("nan")).otherwise(self.min())
+
+    def is_close(self, other: Any, *, abs_tol: float = 1e-12, rel_tol: float = 1e-9, nans_equal: bool = False) -> Expr:
+        other = parse_into_expr(other) if not isinstance(other, Expr) else other
+        o = other if isinstance(other, Expr) else Expr(other)
+        close = (self - o).abs() <= (abs_tol + rel_tol * o.abs())
+        if nans_equal:
+            return close | (self.is_nan() & o.is_nan())
+        return close
+
+    def max_by(self, by: Any) -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return self.sort_by(by_e, descending=True).first()
+
+    def min_by(self, by: Any) -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return self.sort_by(by_e).first()
+
+    def top_k_by(self, by: Any, k: int = 5) -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return self.sort_by(by_e, descending=True).head(k)
+
+    def bottom_k_by(self, by: Any, k: int = 5) -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return self.sort_by(by_e).head(k)
+
+    def index_of(self, element: Any) -> Expr:
+        import polars_tpu as pl
+
+        hit = self == element
+        return pl.when(hit.any()).then((~hit).cast(int).arg_min()).otherwise(None)
+
+    def rle_id(self) -> Expr:
+        return self._fn("rle_id")
+
+    def arg_true(self) -> Expr:
+        return self._fn("arg_where_self")
+
+    def arg_unique(self) -> Expr:
+        return self.is_first_distinct().arg_true()
+
+    def round_sig_figs(self, digits: int) -> Expr:
+        return self._fn("round_sig_figs", digits=digits)
+
+    def lower_bound(self) -> Expr:
+        return self._fn("lower_bound")
+
+    def upper_bound(self) -> Expr:
+        return self._fn("upper_bound")
+
+    def sample(self, n: int | None = None, *, fraction: float | None = None,
+               with_replacement: bool = False, shuffle: bool = False, seed: int | None = None) -> Expr:
+        return self._fn("sample", n=n, fraction=fraction,
+                        with_replacement=with_replacement, shuffle=shuffle, seed=seed)
+
+    def shuffle(self, seed: int | None = None) -> Expr:
+        return self._fn("shuffle", seed=seed)
+
+    def rle(self) -> Expr:
+        return self._fn("rle")
+
     # -- namespaces --------------------------------------------------------------------------------------
 
     @property

@@ -326,6 +326,72 @@ class LazyFrame:
             names = tuple(_flatten_names(subset if isinstance(subset, (list, tuple)) else [subset]))
         return self._wrap(L.LDistinct(self._node, names, keep, maintain_order))
 
+
+    # -- py-polars parity batch (round 1) -------------------------------------
+
+    def clear(self, n: int = 0) -> LazyFrame:
+        from polars_tpu.core.frame import DataFrame
+
+        schema = self.collect_schema()
+        return DataFrame({name: [None] * n for name in schema.names()}).cast(
+            dict(schema.items())
+        ).lazy() if n else DataFrame(
+            {name: pl_empty(d) for name, d in schema.items()}
+        ).lazy()
+
+    def shift(self, n: int = 1, *, fill_value: Any = None) -> LazyFrame:
+        import polars_tpu as pl
+
+        return self.select(pl.all().shift(n, fill_value=fill_value))
+
+    def interpolate(self) -> LazyFrame:
+        import polars_tpu as pl
+
+        return self.select(pl.all().interpolate())
+
+    def approx_n_unique(self) -> LazyFrame:
+        import polars_tpu as pl
+
+        return self.select(pl.all().n_unique())
+
+    def set_sorted(self, column: Any, *more: Any, descending: bool = False) -> LazyFrame:
+        return self
+
+    def collect_async(self, **kwargs: Any):
+        class _Done:
+            def __init__(self, df):
+                self._df = df
+
+            def result(self):
+                return self._df
+
+        return _Done(self.collect(**kwargs))
+
+    def describe(self, percentiles=(0.25, 0.5, 0.75)):
+        return self.collect().describe(percentiles)
+
+    def match_to_schema(self, schema: Any, *, missing_columns: str = "insert", extra_columns: str = "ignore") -> LazyFrame:
+        import polars_tpu as pl
+
+        target = dict(schema.items()) if hasattr(schema, "items") else dict(schema)
+        cur = self.collect_schema()
+        exprs = []
+        for name, d in target.items():
+            if name in cur.names():
+                exprs.append(pl.col(name).cast(d))
+            elif missing_columns == "insert":
+                exprs.append(pl.lit(None, dtype=d).alias(name))
+            else:
+                raise InvalidOperationError(f"missing column {name!r}")
+        return self.select(exprs)
+
+    def sql(self, query: str, *, table_name: str = "self") -> LazyFrame:
+        from polars_tpu.sql.context import SQLContext
+
+        ctx = SQLContext(frames={table_name: self})
+        out = ctx.execute(query, eager=False)
+        return out
+
     # -- group by -------------------------------------------------------------------
 
     def group_by(self, *by: Any, maintain_order: bool = False, **named_by: Any) -> LazyGroupBy:
@@ -889,4 +955,7 @@ class LazyRolling:
             specs.append((src, kind, out_name, out_dt))
         out = rolling_frames(df, self._index, per, off, self._closed, self._gb, specs)
         return out.lazy()
+
+def pl_empty(d):
+    return []
 

@@ -239,8 +239,40 @@ def _selector_roots(node: E.ENode) -> list[E.ENode]:
     return out
 
 
+_HORIZONTAL_FNS = {
+    "sum_horizontal", "mean_horizontal", "min_horizontal", "max_horizontal",
+    "any_horizontal", "all_horizontal", "concat_str", "concat_list",
+    "coalesce", "as_struct",
+}
+
+
+def _splice_horizontal(node: E.ENode, schema: Schema) -> E.ENode:
+    """Selectors inside horizontal/variadic functions expand INTO the input
+    list (one fn over all matched columns), not into per-column copies of the
+    whole expression (reference: polars' FunctionFlags::INPUT_WILDCARD_EXPANSION)."""
+    kids = node.children()
+    if kids:
+        new_kids = tuple(_splice_horizontal(k, schema) for k in kids)
+        if new_kids != kids:
+            node = _rebuild_expr(node, new_kids)
+    if isinstance(node, E.EFunction) and node.name in _HORIZONTAL_FNS:
+        new_inputs: list[E.ENode] = []
+        changed = False
+        for i in node.inputs:
+            if _selector_roots(i):
+                for e in expand_expr(i, schema):
+                    new_inputs.append(e)
+                changed = True
+            else:
+                new_inputs.append(i)
+        if changed:
+            node = dataclasses.replace(node, inputs=tuple(new_inputs))
+    return node
+
+
 def expand_expr(node: E.ENode, schema: Schema) -> list[E.ENode]:
     """Expand selector roots into one expression per matched column."""
+    node = _splice_horizontal(node, schema)
     selectors = _selector_roots(node)
     if not selectors:
         return [node]
