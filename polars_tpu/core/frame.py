@@ -360,6 +360,23 @@ class DataFrame:
         mat = np.corrcoef(np.vstack(arrs)) if len(arrs) > 1 else np.ones((1, 1))
         return DataFrame({c.name: mat[i] for i, c in enumerate(self._columns)})
 
+    def to_jax(self, return_type: str = "dict", *, dtype: Any = None):
+        """Export as jax arrays (reference: py-polars ml/jax export). The
+        columns are ALREADY device arrays — this is zero-copy."""
+        if return_type == "dict":
+            return {c.name: c.buffer.values[: self._height] for c in self._columns}
+        import jax.numpy as jnp
+
+        return jnp.stack([c.buffer.values[: self._height].astype(jnp.float32) for c in self._columns], axis=1)
+
+    def to_torch(self, return_type: str = "dict"):
+        """Export to torch (host copy; reference: py-polars ml/torch)."""
+        import torch
+
+        if return_type == "dict":
+            return {c.name: torch.from_numpy(np.array(c.to_numpy(), copy=True)) for c in self._columns}
+        return torch.from_numpy(np.array(self.to_numpy(), dtype=np.float32, copy=True))
+
     def sql(self, query: str, *, table_name: str = "self") -> DataFrame:
         from polars_tpu.sql.context import SQLContext
 
