@@ -522,6 +522,20 @@ def _rolling(kind: str, dtype_rule):
             out = div_any(d2, jnp.maximum(cnt - ddof, 1).astype(acc_t))
             if kind == "std":
                 out = jnp.sqrt(out)
+        elif kind in ("skew", "kurtosis"):
+            c = jnp.maximum(cnt, 1).astype(acc_t)
+            mean = div_any(jnp.sum(jnp.where(ms, vs, 0.0), axis=0), c)
+            d = jnp.where(ms, vs - mean, 0.0)
+            m2 = div_any(jnp.sum(d**2, axis=0), c)
+            if kind == "skew":
+                m3 = div_any(jnp.sum(d**3, axis=0), c)
+                out = div_any(m3, jnp.maximum(m2, 1e-300) ** 1.5)
+                if not opts.get("bias", True):
+                    cc = c
+                    out = out * jnp.sqrt(cc * (cc - 1)) * div_any(1.0, jnp.maximum(cc - 2, 1))
+            else:
+                m4 = div_any(jnp.sum(d**4, axis=0), c)
+                out = div_any(m4, jnp.maximum(m2, 1e-300) ** 2) - 3.0
         ok = cnt >= min_samples
         if kind in ("sum",) and v.dtype.is_integer():
             return Val(out.astype(v.values.dtype), ok, v.dtype, None, ROW)
@@ -544,6 +558,8 @@ _rolling("min", SAME)
 _rolling("max", SAME)
 _rolling("std", FLOAT)
 _rolling("var", FLOAT)
+_rolling("skew", FLOAT)
+_rolling("kurtosis", FLOAT)
 
 
 @register("ewm_mean", FLOAT, elementwise=False)
@@ -696,13 +712,41 @@ def _rolling_order(kind: str):
         masked = jnp.where(mm, vs, big)
         svals = jnp.sort(masked, axis=0)
         k = jnp.maximum(cnt - 1, 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         if kind == "median":
             lo_i = floordiv_const(jnp.maximum(cnt - 1, 0), 2)
             hi_i = floordiv_const(cnt, 2)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
             lo = svals[jnp.clip(lo_i, 0, w - 1), rows]
             hi = svals[jnp.clip(hi_i, 0, w - 1), rows]
             out = (lo + hi) * 0.5
+        elif kind == "quantile":
+            q = float(opts.get("quantile", 0.5))
+            interp = opts.get("interpolation", "nearest")
+            posf = q * jnp.maximum(cnt - 1, 0).astype(jnp.float64)
+            if interp == "linear":
+                lo_i = jnp.floor(posf).astype(jnp.int32)
+                hi_i = jnp.ceil(posf).astype(jnp.int32)
+                frac = posf - jnp.floor(posf)
+                lo = svals[jnp.clip(lo_i, 0, w - 1), rows]
+                hi = svals[jnp.clip(hi_i, 0, w - 1), rows]
+                out = lo + frac * (hi - lo)
+            elif interp in ("lower",):
+                out = svals[jnp.clip(jnp.floor(posf).astype(jnp.int32), 0, w - 1), rows]
+            elif interp in ("higher",):
+                out = svals[jnp.clip(jnp.ceil(posf).astype(jnp.int32), 0, w - 1), rows]
+            elif interp == "midpoint":
+                lo = svals[jnp.clip(jnp.floor(posf).astype(jnp.int32), 0, w - 1), rows]
+                hi = svals[jnp.clip(jnp.ceil(posf).astype(jnp.int32), 0, w - 1), rows]
+                out = (lo + hi) * 0.5
+            else:  # nearest
+                out = svals[jnp.clip(jnp.round(posf).astype(jnp.int32), 0, w - 1), rows]
+        elif kind == "rank":
+            # rank of the CURRENT value within its trailing window (1-based,
+            # method="average" over ties, matching polars rolling_rank default)
+            cur = acc
+            less = jnp.sum(jnp.where(mm, (vs < cur[None, :]), False), axis=0)
+            eq = jnp.sum(jnp.where(mm, (vs == cur[None, :]), False), axis=0)
+            out = less.astype(jnp.float64) + (eq.astype(jnp.float64) + 1.0) * 0.5
         ok = cnt >= min_samples
         return Val(out, ok, dt.Float64(), None, ROW)
 
@@ -710,6 +754,8 @@ def _rolling_order(kind: str):
 
 
 _rolling_order("median")
+_rolling_order("quantile")
+_rolling_order("rank")
 
 
 @register("ewm_std", FLOAT, elementwise=False)

@@ -581,6 +581,18 @@ class Expr:
     def rolling_median(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
         return self._fn("rolling_median", window_size=window_size, min_samples=min_samples)
 
+    def rolling_quantile(self, quantile: float, interpolation: str = "nearest", window_size: int = 2, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
+        return self._fn("rolling_quantile", window_size=window_size, quantile=quantile, interpolation=interpolation, min_samples=min_samples)
+
+    def rolling_rank(self, window_size: int, *, method: str = "average", descending: bool = False, seed: int | None = None, min_samples: int | None = None) -> Expr:
+        return self._fn("rolling_rank", window_size=window_size, method=method, min_samples=min_samples)
+
+    def rolling_skew(self, window_size: int, *, bias: bool = True, min_samples: int | None = None, center: bool = False) -> Expr:
+        return self._fn("rolling_skew", window_size=window_size, bias=bias, min_samples=min_samples, center=center)
+
+    def rolling_kurtosis(self, window_size: int, *, fisher: bool = True, bias: bool = True, min_samples: int | None = None, center: bool = False) -> Expr:
+        return self._fn("rolling_kurtosis", window_size=window_size, fisher=fisher, bias=bias, min_samples=min_samples, center=center)
+
     def ewm_std(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False, bias: bool = False) -> Expr:
         return self._fn("ewm_std", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
 
