@@ -492,21 +492,66 @@ def _asof_match_jit(strategy: str, tolerance: float | None):
 def asof_join_frames(
     left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     strategy: str, suffix: str, tolerance, out_schema,
+    by_left: list[str] | None = None, by_right: list[str] | None = None,
 ) -> DataFrame:
     lcol = left._get(left_on)
     rcol = right._get(right_on)
     lk = lcol.buffer.values.astype(jnp.int64) if not lcol.dtype.is_float() else lcol.buffer.values
     rk = rcol.buffer.values.astype(jnp.int64) if not rcol.dtype.is_float() else rcol.buffer.values
+    nl = lcol.buffer.padded
     nr = rcol.buffer.padded
+    lmask = row_mask(nl, left.height)
     rmask = row_mask(nr, right.height)
 
+    gl = gr = None
+    if by_left:
+        # grouped asof: fold the group key into a composite sort key
+        # gid * K + (t - tmin); within-group time deltas are preserved, so the
+        # tolerance check still measures time (cross-group deltas >= K > tol).
+        lkey_cols = [left._get(n) for n in by_left]
+        rkey_cols = [right._get(n) for n in by_right]
+        gl_h, lmask2, _ = _side_keys(lkey_cols, rkey_cols, False)
+        gr_h, rmask2, _ = _side_keys(rkey_cols, lkey_cols, False)
+        lmask = lmask & lmask2
+        rmask = rmask & rmask2
+        # rank-compress hashes against the sorted right-side key set
+        sorted_gr = _sort_i64_single(jnp.where(rmask, gr_h, 0x7FFFFFFFFFFFFFFF))
+        gl = jnp.searchsorted(sorted_gr, gl_h).astype(jnp.int64)
+        gr = jnp.searchsorted(sorted_gr, gr_h).astype(jnp.int64)
+        # ONE host sync for the time span (barrier-level; sizes the composite)
+        lk64 = lk.astype(jnp.int64)
+        rk64 = rk.astype(jnp.int64)
+        stats = jax.device_get([
+            jnp.min(jnp.where(lmask, lk64, jnp.iinfo(jnp.int64).max)),
+            jnp.max(jnp.where(lmask, lk64, jnp.iinfo(jnp.int64).min)),
+            jnp.min(jnp.where(rmask, rk64, jnp.iinfo(jnp.int64).max)),
+            jnp.max(jnp.where(rmask, rk64, jnp.iinfo(jnp.int64).min)),
+        ])
+        tmin = min(int(stats[0]), int(stats[2]))
+        tmax = max(int(stats[1]), int(stats[3]))
+        span = max(tmax - tmin, 0)
+        tol_i = int(tolerance) if tolerance is not None else 0
+        K = span + 2 * abs(tol_i) + 4
+        n_groups = nr + 2
+        if K and n_groups * K >= (1 << 62):
+            raise InvalidOperationError(
+                "asof join `by`: time span times group count exceeds the "
+                "composite key range; pre-partition the frames instead"
+            )
+        lk = jnp.where(lmask, gl * K + (lk64 - tmin), jnp.int64(0))
+        rk = jnp.where(rmask, gr * K + (rk64 - tmin), jnp.int64(0))
+
     ridx, ok = _asof_match_jit(strategy, None if tolerance is None else float(tolerance))(lk, rk, rmask)
+    if by_left:
+        # reject matches that crossed a group boundary (window endpoints)
+        ok = ok & (gr[ridx] == gl) & lmask
     if lcol.buffer.validity is not None:
         ok = ok & lcol.buffer.validity
     cols = list(left._columns)
     lnames = set(left.columns)
+    skip = {right_on, *(by_right or [])}
     for c in right._columns:
-        if c.name == right_on:
+        if c.name in skip:
             continue
         name = c.name + suffix if c.name in lnames else c.name
         cols.append(_gather_col(c, ridx, ok, left.height).rename(name))

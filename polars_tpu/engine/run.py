@@ -724,9 +724,69 @@ def _exec_join(node: L.LJoin) -> DataFrame:
 
 
 def _exec_join_where(node: L.LJoinWhere) -> DataFrame:
-    # round-1 strategy: cross join then filter (the reference lowers join_where
-    # into equi + iejoin parts at dsl->ir, polars-plan/src/plans/conversion/
-    # dsl_to_ir/join.rs:455 — TODO: split equi conjuncts out for hash-join speed)
+    """Split conjunctive equality predicates into a hash join; remaining
+    inequality predicates filter the (much smaller) equi output (reference:
+    the dsl->ir join_where lowering, polars-plan/src/plans/conversion/
+    dsl_to_ir/join.rs:455). Falls back to cross+filter when no equi
+    conjunct exists."""
+    ls = node_schema(node.input_left)
+    rs = node_schema(node.input_right)
+
+    def origin(e: E.ENode) -> str:
+        names = {n.name for n in E.walk(e) if isinstance(n, E.EColumn)}
+        in_l = names & set(ls.names())
+        in_r = names & set(rs.names())
+        if in_l and not in_r:
+            return "left"
+        if in_r and not in_l:
+            return "right"
+        return "mixed"
+
+    equi_l: list[E.ENode] = []
+    equi_r: list[E.ENode] = []
+    rest: list[E.ENode] = []
+    for pred in node.predicates:
+        if isinstance(pred, E.EBinary) and pred.op == "==":
+            ol, orr = origin(pred.left), origin(pred.right)
+            if ol == "left" and orr == "right":
+                equi_l.append(pred.left)
+                equi_r.append(pred.right)
+                continue
+            if ol == "right" and orr == "left":
+                equi_l.append(pred.right)
+                equi_r.append(pred.left)
+                continue
+        rest.append(pred)
+
+    if equi_l:
+        j = L.LJoin(
+            node.input_left, node.input_right, tuple(equi_l), tuple(equi_r),
+            "inner", node.suffix, False, False, "none",
+        )
+        out = execute_plan(j)
+        if not rest:
+            return out
+        # rename right-side refs in remaining predicates if suffixed
+        lnames = set(ls.names())
+
+        def fix(e: E.ENode) -> E.ENode:
+            if isinstance(e, E.EColumn):
+                if e.name in lnames or e.name in out.columns:
+                    return e
+                return E.EColumn(e.name + node.suffix)
+            kids = e.children()
+            if not kids:
+                return e
+            from polars_tpu.plan.schema_resolve import _rebuild_expr
+
+            return _rebuild_expr(e, tuple(fix(k) for k in kids))
+
+        filt = L.LFilter(
+            L.LDataFrameScan(df=out, ident=id(out)),
+            _and_all(tuple(fix(p) for p in rest)),
+        )
+        return execute_plan(filt)
+
     cross = L.LJoin(
         node.input_left, node.input_right, (), (), "cross", node.suffix, False, False, "none"
     )
@@ -750,14 +810,13 @@ def _exec_asof(node: L.LAsofJoin) -> DataFrame:
 
     left = execute_plan(node.input_left)
     right = execute_plan(node.input_right)
-    if node.by_left:
-        raise InvalidOperationError("asof join with `by` pending")
     lon = E.output_name(node.left_on)
     ron = E.output_name(node.right_on)
-    # asof requires sorted left? polars requires sorted keys; we sort right internally
+    by_l = [E.output_name(e) for e in node.by_left] or None
+    by_r = [E.output_name(e) for e in node.by_right] or None
     return asof_join_frames(
         left, right, lon, ron, node.strategy, node.suffix, node.tolerance,
-        node_schema(node),
+        node_schema(node), by_l, by_r,
     )
 
 

@@ -166,3 +166,31 @@ def test_merge_sorted():
     b = pl.DataFrame({"t": [2, 3, 6], "s": ["b2", "b3", "b6"]})
     out = a.merge_sorted(b, "t")
     assert out.get_column("t").to_list() == [1, 2, 3, 3, 5, 6]
+
+
+def test_asof_join_by():
+    trades = pl.DataFrame({
+        "sym": ["A", "A", "B", "B", "A"],
+        "t": [3, 7, 2, 9, 1],
+        "qty": [10, 20, 30, 40, 50],
+    })
+    quotes = pl.DataFrame({
+        "sym": ["A", "A", "B", "B"],
+        "t": [2, 6, 1, 8],
+        "px": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = trades.lazy().join_asof(quotes.lazy(), on="t", by="sym").collect()
+    assert out["px"].to_list() == [1.0, 2.0, 3.0, 4.0, None]
+    fwd = trades.lazy().join_asof(quotes.lazy(), on="t", by="sym", strategy="forward").collect()
+    assert fwd["px"].to_list() == [2.0, None, 4.0, None, 1.0]
+    tol = trades.lazy().join_asof(quotes.lazy(), on="t", by="sym", tolerance=1).collect()
+    assert tol["px"].to_list() == [1.0, 2.0, 3.0, 4.0, None]
+
+
+def test_join_where_equi_split():
+    east = pl.DataFrame({"id": [100, 101, 102], "dur": [120, 140, 160], "ecores": [2, 8, 4]})
+    west = pl.DataFrame({"t_id": [404, 498, 676, 742], "time": [90, 130, 150, 170], "wcores": [4, 2, 1, 4]})
+    out = east.join_where(west, pl.col("ecores") == pl.col("wcores"), pl.col("dur") < pl.col("time"))
+    assert sorted((r["id"], r["t_id"]) for r in out.to_dicts()) == [(100, 498), (102, 742)]
+    out2 = east.join_where(west, pl.col("dur") < pl.col("time"))
+    assert out2.height == 6
