@@ -162,6 +162,16 @@ class Column:
         return out
 
     def to_pylist(self) -> list:
+        if isinstance(self.dtype, dt.Array):
+            packed, validity = self.buffer.to_numpy()
+            starts = (packed >> 32).tolist()
+            lens = (packed & 0xFFFFFFFF).tolist()
+            childl = self.child.to_pylist() if self.child is not None else []
+            ok = [True] * len(starts) if validity is None else validity.tolist()
+            return [
+                childl[st : st + ln] if good else None
+                for st, ln, good in zip(starts, lens, ok)
+            ]
         if isinstance(self.dtype, dt.Struct):
             ids, validity = self.buffer.to_numpy()
             field_lists = {c.name: c.to_pylist() for c in (self.child or [])}
@@ -353,6 +363,28 @@ def _from_pylist(
         ids = np.arange(n, dtype=np.int64)
         buf = Buffer.from_numpy(ids, validity if has_null else None)
         return Column(name, logical, buf, None, UNSORTED, fields)
+
+    if isinstance(logical, dt.Array):
+        size = logical.size
+        for v in seq:
+            if v is not None and len(v) != size:
+                raise InvalidOperationError(
+                    f"Array column expects lists of length {size}, got {len(v)}"
+                )
+        flat = [x for v in seq if v is not None for x in v]
+        child = Column.from_values("", flat, logical.inner, strict=strict)
+        starts = np.zeros(n, np.int64)
+        lens = np.zeros(n, np.int64)
+        pos = 0
+        for i, v in enumerate(seq):
+            if v is None:
+                continue
+            starts[i] = pos
+            lens[i] = size
+            pos += size
+        packed = (starts << 32) | lens
+        buf = Buffer.from_numpy(packed, validity if has_null else None)
+        return Column(name, logical, buf, None, UNSORTED, child)
 
     if isinstance(logical, dt.List):
         flat: list = []

@@ -480,3 +480,5 @@ Series.dt = _ns_property("dt", ("polars_tpu.core.series_ns", "SeriesDateTimeName
 Series.cat = _ns_property("cat", ("polars_tpu.core.series_ns", "SeriesCatNamespace"))
 Series.list = _ns_property("list", ("polars_tpu.core.series_ns", "SeriesListNamespace"))
 Series.struct = _ns_property("struct", ("polars_tpu.core.series_ns", "SeriesStructNamespace"))
+Series.bin = _ns_property("bin", ("polars_tpu.core.series_ns", "SeriesBinaryNamespace"))
+Series.arr = _ns_property("arr", ("polars_tpu.core.series_ns", "SeriesArrayNamespace"))

@@ -44,6 +44,14 @@ class SeriesStructNamespace(_SeriesNamespace):
         return [c.name for c in (self._s._column.child or [])]
 
 
+class SeriesArrayNamespace(_SeriesNamespace):
+    _expr_ns = "arr"
+
+
+class SeriesBinaryNamespace(_SeriesNamespace):
+    _expr_ns = "bin"
+
+
 class SeriesCatNamespace(_SeriesNamespace):
     _expr_ns = "cat"
 

@@ -356,3 +356,80 @@ def _extract_all(ctx, args, opts):
 @register("cat.get_categories", dt.String(), elementwise=False)
 def _get_categories(ctx, args, opts):
     raise InvalidOperationError("cat.get_categories is materialized by the executor")
+
+# -- binary namespace (reference: polars-ops chunked_array/binary) -------------
+
+
+def _as_bytes(u):
+    return u if isinstance(u, (bytes, bytearray)) else str(u).encode()
+
+
+@register("bin.contains", BOOL)
+def _bin_contains(ctx, args, opts):
+    v = _require_str(args[0])
+    lit = _as_bytes(opts["literal"])
+    return _lut_op(v, lambda s: lit in _as_bytes(s), dt.Boolean())
+
+
+@register("bin.starts_with", BOOL)
+def _bin_starts_with(ctx, args, opts):
+    v = _require_str(args[0])
+    lit = _as_bytes(opts["prefix"])
+    return _lut_op(v, lambda s: _as_bytes(s).startswith(lit), dt.Boolean())
+
+
+@register("bin.ends_with", BOOL)
+def _bin_ends_with(ctx, args, opts):
+    v = _require_str(args[0])
+    lit = _as_bytes(opts["suffix"])
+    return _lut_op(v, lambda s: _as_bytes(s).endswith(lit), dt.Boolean())
+
+
+@register("bin.size", dt.UInt32())
+def _bin_size(ctx, args, opts):
+    v = _require_str(args[0])
+    return _lut_op(v, lambda s: len(_as_bytes(s)), dt.UInt32())
+
+
+def _table_transform(v: Val, fn, out_dtype):
+    """Host transform over table uniques -> NEW dictionary column."""
+    from polars_tpu.utils import strtable
+
+    uniques = [fn(u) for u in v.table.values]
+    codes_np, _, table = strtable.encode_strings(np.asarray(uniques, object))
+    lut = jnp.asarray(codes_np if len(codes_np) else np.zeros(1, np.int32))
+    out = lut[jnp.clip(v.values, 0, max(len(uniques) - 1, 0))]
+    return Val(out, v.validity, out_dtype, table, v.domain)
+
+
+@register("bin.encode", lambda dts, opts: dt.String())
+def _bin_encode(ctx, args, opts):
+    import base64
+    import binascii
+
+    v = _require_str(args[0])
+    enc = opts["encoding"]
+    if enc == "hex":
+        fn = lambda s: binascii.hexlify(_as_bytes(s)).decode()  # noqa: E731
+    elif enc == "base64":
+        fn = lambda s: base64.b64encode(_as_bytes(s)).decode()  # noqa: E731
+    else:
+        raise InvalidOperationError(f"unknown encoding {enc!r}")
+    return _table_transform(v, fn, dt.String())
+
+
+@register("bin.decode", lambda dts, opts: dt.Binary())
+def _bin_decode(ctx, args, opts):
+    import base64
+    import binascii
+
+    v = _require_str(args[0])
+    enc = opts["encoding"]
+    if enc == "hex":
+        fn = lambda s: binascii.unhexlify(str(s))  # noqa: E731
+    elif enc == "base64":
+        fn = lambda s: base64.b64decode(str(s))  # noqa: E731
+    else:
+        raise InvalidOperationError(f"unknown encoding {enc!r}")
+    return _table_transform(v, fn, dt.Binary())
+

@@ -930,9 +930,9 @@ class Expr:
 
     @property
     def bin(self):
-        from polars_tpu.expr.string import ExprStringNamespace
+        from polars_tpu.expr.binary import ExprBinaryNamespace
 
-        return ExprStringNamespace(self)
+        return ExprBinaryNamespace(self)
 
     @property
     def struct(self):

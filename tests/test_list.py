@@ -86,3 +86,21 @@ def test_lazy_explode():
     out = df.lazy().explode("lst").filter(pl.col("lst") > 1).collect()
     assert out["k"].to_list() == ["x", "x", "y"]
     assert out["lst"].to_list() == [2, 3, 4]
+
+
+def test_binary_namespace():
+    s = pl.Series("b", [b"abc", b"xyz", None])
+    assert s.bin.contains(b"b").to_list() == [True, False, None]
+    assert s.bin.starts_with(b"ab").to_list() == [True, False, None]
+    assert s.bin.ends_with(b"z").to_list() == [False, True, None]
+    assert s.bin.size().to_list() == [3, 3, None]
+    assert s.bin.encode("hex").to_list() == ["616263", "78797a", None]
+    assert s.bin.encode("base64").to_list()[0] == "YWJj"
+
+
+def test_array_dtype():
+    s = pl.Series("a", [[1, 2], [3, 4], None], dtype=pl.Array(pl.Int64, 2))
+    assert s.to_list() == [[1, 2], [3, 4], None]
+    assert s.arr.sum().to_list() == [3, 7, None]
+    df = pl.DataFrame({"a": s, "k": [1, 2, 3]})
+    assert df.lazy().sort("k", descending=True).collect()["a"].to_list() == [None, [3, 4], [1, 2]]
