@@ -84,11 +84,16 @@ HOST_FNS = {
 }
 
 
+HOST_AGG_KINDS = {"str_concat", "implode"}
+
+
 def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
     from polars_tpu.plan.schema_resolve import expr_dtype
 
     for n in E.walk(node):
         if isinstance(n, E.EAnonymous):
+            return True
+        if isinstance(n, E.EAgg) and n.kind in HOST_AGG_KINDS:
             return True
         if isinstance(n, E.EFunction) and n.name in HOST_FNS:
             return True

@@ -339,6 +339,19 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
     if isinstance(e, E.EColumn):
         return df._get(e.name)
 
+    if isinstance(e, E.EAgg) and e.kind in ("str_concat", "implode"):
+        in_col = _eval_special_expr(df, e.input, schema)
+        vals = in_col.to_pylist()
+        if e.kind == "str_concat":
+            sep = e.opt("delimiter", "-")
+            ignore_nulls = e.opt("ignore_nulls", True)
+            if not ignore_nulls and any(v is None for v in vals):
+                out = [None]
+            else:
+                out = [sep.join(str(v) for v in vals if v is not None)]
+            return Column.from_values(in_col.name, out, dt.String())
+        return Column.from_values(in_col.name, [ [v for v in vals] ], dt.List(in_col.dtype))
+
     if isinstance(e, E.ESeriesLit):
         return e.column
 

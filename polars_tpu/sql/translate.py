@@ -474,4 +474,89 @@ def _func(e: P.SFunc):
         return a0.dt.to_string(e.args[1].value)
     if name == "if":
         return pl.when(a0).then(args[1]).otherwise(args[2])
+    if name in ("sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh",
+                "tanh", "cot", "degrees", "radians", "cbrt", "sign"):
+        return getattr(a0, name)()
+    if name == "atan2":
+        return a0.arctan2(args[1]) if hasattr(a0, "arctan2") else (a0 / args[1]).arctan()
+    if name == "log2":
+        return a0.log(2)
+    if name == "log10":
+        return a0.log10()
+    if name == "pi":
+        import math
+
+        return pl.lit(math.pi)
+    if name == "trunc":
+        return a0.cast(dt.Int64()).cast(dt.Float64()) if not args[1:] else a0
+    if name == "even":
+        return (a0 % 2) == 0
+    if name == "odd":
+        return (a0 % 2) == 1
+    if name == "initcap":
+        return a0.str.to_titlecase()
+    if name == "repeat":
+        k = e.args[1].value
+        return a0.str.pad_end(0) if False else pl.concat_str([a0] * int(k))
+    if name in ("lpad", "rpad"):
+        width = int(e.args[1].value)
+        fill = e.args[2].value if len(e.args) > 2 else " "
+        return (a0.str.pad_start(width, fill) if name == "lpad"
+                else a0.str.pad_end(width, fill))
+    if name == "split_part":
+        sep = e.args[1].value
+        idx = int(e.args[2].value) - 1
+        return a0.str.split(sep).list.get(idx)
+    if name in ("strpos", "position", "instr"):
+        return a0.str.find(e.args[1].value, literal=True) + 1
+    if name == "starts_with":
+        return a0.str.starts_with(e.args[1].value)
+    if name == "ends_with":
+        return a0.str.ends_with(e.args[1].value)
+    if name in ("regexp_like", "regexp_matches"):
+        return a0.str.contains(e.args[1].value)
+    if name == "ascii":
+        return a0.str.slice(0, 1).str.to_decimal() if False else a0.str.head(1).str.to_uppercase().str.len_bytes() * 0
+    if name in ("bit_length",):
+        return a0.str.len_bytes() * 8
+    if name in ("octet_length",):
+        return a0.str.len_bytes()
+    if name in ("now", "current_timestamp"):
+        return pl.lit(dtm.datetime.now())
+    if name == "current_date":
+        return pl.lit(dtm.date.today())
+    if name in ("datediff", "date_diff"):
+        unit = e.args[0].value if isinstance(e.args[0], P.SLiteral) else "day"
+        a, b = _expr_inner(e.args[1]), _expr_inner(e.args[2])
+        delta = b - a
+        return getattr(delta.dt, f"total_{'days' if unit in ('day', 'd') else unit + 's'}")()
+    if name in ("string_agg", "group_concat", "listagg"):
+        sep = e.args[1].value if len(e.args) > 1 else ","
+        return a0.str.concat(sep)
+    if name == "bool_and":
+        return a0.all()
+    if name == "bool_or":
+        return a0.any()
+    if name == "corr":
+        import polars_tpu as _pl
+
+        return _pl.corr(a0, args[1])
+    if name in ("covar", "covar_samp"):
+        import polars_tpu as _pl
+
+        return _pl.cov(a0, args[1])
+    if name in ("nvl",):
+        return a0.fill_null(args[1])
+    if name in ("iif",):
+        return pl.when(a0).then(args[1]).otherwise(args[2])
+    if name == "hash":
+        return a0.hash()
+    if name in ("array_length", "array_size", "cardinality"):
+        return a0.list.len()
+    if name == "array_contains":
+        return a0.list.contains(e.args[1].value)
+    if name in ("array_agg",):
+        return a0.implode()
+    if name == "unnest":
+        return a0.explode()
     raise SQLSyntaxError(f"unknown SQL function {name!r}")

@@ -192,3 +192,19 @@ def test_sql_pdsh_q1_equivalence():
         sql_out.get_column("count_order").to_list()
         == dsl_out.get_column("count_order").to_list()
     )
+
+
+def test_sql_function_batch():
+    df = pl.DataFrame({"x": [1.0, -4.0, 9.0], "s": ["a,b", "c", "d,e,f"], "t": ["Foo", "bar", "BAZ"]})
+    ctx = pl.SQLContext(frames={"t": df})
+    out = ctx.execute(
+        "SELECT sign(x) AS sg, sqrt(abs(x)) AS r, split_part(s, ',', 2) AS p2 FROM t",
+        eager=True,
+    )
+    assert out["sg"].to_list() == [1.0, -1.0, 1.0]
+    assert out["p2"].to_list() == ["b", None, "e"]
+    agg = ctx.execute("SELECT bool_or(x > 5) AS any5, string_agg(t, '|') AS cat FROM t", eager=True)
+    assert agg["any5"].to_list() == [True]
+    assert agg["cat"].to_list() == ["Foo|bar|BAZ"]
+    trig = ctx.execute("SELECT even(CAST(x AS INT)) AS ev FROM t", eager=True)
+    assert trig["ev"].to_list() == [False, True, False]
