@@ -81,6 +81,9 @@ HOST_FNS = {
     "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
     "sample", "shuffle", "arg_where_self", "rle",
+    "rolling_sum_by", "rolling_mean_by", "rolling_min_by", "rolling_max_by",
+    "rolling_std_by", "rolling_var_by", "rolling_first_by", "rolling_last_by",
+    "rolling_count_by",
 }
 
 

@@ -80,3 +80,12 @@ def _rle_dt(dts, opts):
 
 
 register("rle", _rle_dt, elementwise=False)(_host("rle"))
+
+
+def _float_dt(dts, opts):
+    return dt.Float64()
+
+
+for _kind in ("sum", "mean", "min", "max", "std", "var", "first", "last", "count"):
+    rule = _same if _kind in ("sum", "min", "max", "first", "last") else _float_dt
+    register(f"rolling_{_kind}_by", rule, elementwise=False)(_host(f"rolling_{_kind}_by"))

@@ -120,14 +120,12 @@ def _rolling_jit(period: int, offset: int, closed: str, kinds: tuple, has_gid: b
                 outs.append((out, ok))
             else:
                 raise InvalidOperationError(f"rolling agg {kind!r} unsupported")
-        # back to original row order
-        inv = jnp.zeros((n,), jnp.int32).at[perm].set(
-            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        )
+        # lo/hi were queried with the UNSORTED per-row keys, so every output
+        # is already in original row order — no inverse permutation needed
         final = []
         for out, ok in outs:
-            final.append(out[inv])
-            final.append(ok[inv] if ok is not None else None)
+            final.append(out)
+            final.append(ok)
         return final
 
     return jax.jit(fn)

@@ -30,6 +30,9 @@ _SPECIAL_FNS = {
     "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
     "unnest", "sample", "shuffle", "arg_where_self", "rle",
+    "rolling_sum_by", "rolling_mean_by", "rolling_min_by", "rolling_max_by",
+    "rolling_std_by", "rolling_var_by", "rolling_first_by", "rolling_last_by",
+    "rolling_count_by",
 }
 
 
@@ -398,6 +401,25 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         if len(vals) != 1:
             raise ComputeError("range bounds must be scalar")
         return vals[0]
+
+    if e.name.startswith("rolling_") and e.name.endswith("_by"):
+        from polars_tpu.engine.rolling import rolling_frames
+        from polars_tpu.lazyframe import LazyGroupByDynamic
+
+        kind = e.name[len("rolling_"):-len("_by")]
+        val_col = _eval_special_expr(df, e.inputs[0], schema).rename("__val")
+        by_col = _eval_special_expr(df, e.inputs[1], schema).rename("__by")
+        tmp = DataFrame._from_columns([by_col, val_col], len(by_col))
+        per = LazyGroupByDynamic._ticks(e.opt("window_size"), by_col.dtype)
+        out_dt = val_col.dtype if kind in ("sum", "min", "max", "first", "last") else dt.Float64()
+        if kind == "count":
+            out_dt = dt.UInt32()
+        res = rolling_frames(
+            tmp, "__by", per, -per, e.opt("closed", "right"), [],
+            [("__val", kind, "__out", out_dt)],
+        )
+        # rolling_frames already restores the input row order
+        return res._get("__out")
 
     if e.name in ("sample", "shuffle"):
         col = _eval_special_expr(df, e.inputs[0], schema)

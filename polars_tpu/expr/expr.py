@@ -581,6 +581,31 @@ class Expr:
     def rolling_median(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
         return self._fn("rolling_median", window_size=window_size, min_samples=min_samples)
 
+    def _rolling_by(self, kind: str, by: Any, window_size: str, min_samples: int, closed: str) -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return Expr(E.EFunction(
+            f"rolling_{kind}_by", (self._node, by_e._node),
+            (("window_size", window_size), ("min_samples", min_samples), ("closed", closed)),
+        ))
+
+    def rolling_sum_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right") -> Expr:
+        return self._rolling_by("sum", by, window_size, min_samples, closed)
+
+    def rolling_mean_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right") -> Expr:
+        return self._rolling_by("mean", by, window_size, min_samples, closed)
+
+    def rolling_min_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right") -> Expr:
+        return self._rolling_by("min", by, window_size, min_samples, closed)
+
+    def rolling_max_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right") -> Expr:
+        return self._rolling_by("max", by, window_size, min_samples, closed)
+
+    def rolling_std_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right", ddof: int = 1) -> Expr:
+        return self._rolling_by("std", by, window_size, min_samples, closed)
+
+    def rolling_var_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right", ddof: int = 1) -> Expr:
+        return self._rolling_by("var", by, window_size, min_samples, closed)
+
     def rolling_quantile(self, quantile: float, interpolation: str = "nearest", window_size: int = 2, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
         return self._fn("rolling_quantile", window_size=window_size, quantile=quantile, interpolation=interpolation, min_samples=min_samples)
 

@@ -55,3 +55,15 @@ def test_rolling_first_last():
         pl.col("v").first().alias("f"), pl.col("v").last().alias("l")).collect()
     assert out["f"].to_list() == [1.0, 1.0, 1.0, 3.0, 4.0]
     assert out["l"].to_list() == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_rolling_by_exprs():
+    df = pl.DataFrame({
+        "t": [dtm.datetime(2024, 1, 1, 0, m) for m in (0, 10, 20, 40, 50)],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = df.select(pl.col("v").rolling_sum_by("t", "25m").alias("s"))
+    assert out["s"].to_list() == [1.0, 3.0, 6.0, 7.0, 9.0]
+    shuffled = df.gather([3, 0, 4, 1, 2])
+    out2 = shuffled.select(pl.col("v").rolling_sum_by("t", "25m").alias("s"))
+    assert out2["s"].to_list() == [7.0, 1.0, 9.0, 3.0, 6.0]
