@@ -609,35 +609,38 @@ def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
         np_d = jnp.dtype(dt.dtype_to_numpy(out_dt))
         return Val(vals.astype(np_d), None, out_dt, None, GROUP)
 
+    # batch layout is (k, n) — NOT (n, k): TPU tiles the minor dimension to a
+    # multiple of 128, so (n, k) with k~10 would allocate 12.8x the HBM
+    # (observed: a 34GB request at SF10). With rows minor the tiling is exact.
     if f_cols:
-        stacked = jnp.stack(f_cols, axis=-1)
-        table = jnp.zeros((cap, stacked.shape[1]), jnp.float64).at[gctx.gids].add(
+        stacked = jnp.stack(f_cols, axis=0)  # (k, n)
+        table = jnp.zeros((len(f_cols), cap), jnp.float64).at[:, gctx.gids].add(
             stacked, mode="drop"
         )
         for meta in f_meta:
             node_a = meta[0]
             v = next(v for n_, v, _ in sum_jobs if n_ is node_a)
             if meta[1] == "mean":
-                s, c = table[:, meta[2]], table[:, meta[3]]
+                s, c = table[meta[2]], table[meta[3]]
                 out_dt = _agg_out_dtype(node_a, v.dtype)
                 np_d = jnp.dtype(dt.dtype_to_numpy(out_dt))
                 out[node_a] = Val((s / jnp.maximum(c, 1.0)).astype(np_d), c > 0, out_dt, None, GROUP)
             else:
-                out[node_a] = _finish_sum(node_a, table[:, meta[2]], v.dtype)
+                out[node_a] = _finish_sum(node_a, table[meta[2]], v.dtype)
     if i_cols:
-        stacked = jnp.stack(i_cols, axis=-1)
-        table = jnp.zeros((cap, stacked.shape[1]), jnp.int64).at[gctx.gids].add(
+        stacked = jnp.stack(i_cols, axis=0)
+        table = jnp.zeros((len(i_cols), cap), jnp.int64).at[:, gctx.gids].add(
             stacked, mode="drop"
         )
         for meta in i_meta:
             node_a = meta[0]
             if meta[1] == "count":
                 out[node_a] = Val(
-                    table[:, meta[2]].astype(jnp.uint32), None, dt.UInt32(), None, GROUP
+                    table[meta[2]].astype(jnp.uint32), None, dt.UInt32(), None, GROUP
                 )
             else:
                 v = next(v for n_, v, _ in sum_jobs if n_ is node_a)
-                out[node_a] = _finish_sum(node_a, table[:, meta[2]], v.dtype)
+                out[node_a] = _finish_sum(node_a, table[meta[2]], v.dtype)
 
     # ---- min/max batches per (direction, physical dtype): exact ------------
     from collections import defaultdict
@@ -648,21 +651,21 @@ def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
     for (want_min, _dts), jobs in groups.items():
         ident = G._big(jobs[0][1].values.dtype) if want_min else G._small(jobs[0][1].values.dtype)
         stacked = jnp.stack(
-            [jnp.where(m, v.values, ident) for _, v, m in jobs], axis=-1
-        )
-        init = jnp.full((cap, stacked.shape[1]), ident, stacked.dtype)
+            [jnp.where(m, v.values, ident) for _, v, m in jobs], axis=0
+        )  # (k, n): rows minor for exact TPU tiling
+        init = jnp.full((len(jobs), cap), ident, stacked.dtype)
         table = (
-            init.at[gctx.gids].min(stacked, mode="drop")
+            init.at[:, gctx.gids].min(stacked, mode="drop")
             if want_min
-            else init.at[gctx.gids].max(stacked, mode="drop")
+            else init.at[:, gctx.gids].max(stacked, mode="drop")
         )
         has_tab = (
-            jnp.zeros((cap, stacked.shape[1]), bool)
-            .at[gctx.gids]
-            .max(jnp.stack([m for _, _, m in jobs], axis=-1), mode="drop")
+            jnp.zeros((len(jobs), cap), bool)
+            .at[:, gctx.gids]
+            .max(jnp.stack([m for _, _, m in jobs], axis=0), mode="drop")
         )
         for i, (node_a, v, m) in enumerate(jobs):
-            out[node_a] = Val(table[:, i], has_tab[:, i], v.dtype, v.table, GROUP)
+            out[node_a] = Val(table[i], has_tab[i], v.dtype, v.table, GROUP)
     return out
 
 
