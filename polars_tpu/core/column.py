@@ -44,7 +44,7 @@ class Column:
     == lexicographic order, see utils/strtable.py).
     """
 
-    __slots__ = ("name", "dtype", "buffer", "table", "sorted_flag", "child")
+    __slots__ = ("name", "dtype", "buffer", "table", "sorted_flag", "child", "_pt_token")
 
     def __init__(
         self,

@@ -30,7 +30,7 @@ if TYPE_CHECKING:
 class DataFrame:
     """A height-aligned collection of typed device columns."""
 
-    __slots__ = ("_columns", "_height")
+    __slots__ = ("_columns", "_height", "_pt_token")
 
     def __init__(
         self,

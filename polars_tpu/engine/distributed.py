@@ -18,6 +18,7 @@ from polars_tpu.core.frame import DataFrame
 from polars_tpu.engine.streaming import _decompose_aggs, _find_streamable_groupby, _replace_input
 from polars_tpu.plan import exprs as E
 from polars_tpu.plan import logical as L
+from polars_tpu.utils.tokens import obj_token
 
 
 def collect_distributed(node: L.LNode, mesh=None) -> DataFrame:
@@ -52,7 +53,7 @@ def collect_distributed(node: L.LNode, mesh=None) -> DataFrame:
 
     partials: list[DataFrame] = []
     for shard in shards:
-        sub = _replace_input(gb.input, source, L.LDataFrameScan(df=shard, ident=id(shard)))
+        sub = _replace_input(gb.input, source, L.LDataFrameScan(df=shard, ident=obj_token(shard)))
         partials.append(
             execute_plan(L.LGroupBy(sub, gb.keys, tuple(partial), False))
         )
@@ -63,7 +64,7 @@ def collect_distributed(node: L.LNode, mesh=None) -> DataFrame:
     key_names = [E.output_name(k) or "literal" for k in gb.keys]
     merged = execute_plan(
         L.LGroupBy(
-            L.LDataFrameScan(df=combined, ident=id(combined)),
+            L.LDataFrameScan(df=combined, ident=obj_token(combined)),
             tuple(E.EColumn(kn) for kn in key_names),
             tuple(merge),
             gb.maintain_order,
@@ -71,11 +72,11 @@ def collect_distributed(node: L.LNode, mesh=None) -> DataFrame:
     )
     out = execute_plan(
         L.LSelect(
-            L.LDataFrameScan(df=merged, ident=id(merged)),
+            L.LDataFrameScan(df=merged, ident=obj_token(merged)),
             tuple([E.EColumn(kn) for kn in key_names] + list(final)),
         )
     )
-    cur: L.LNode = L.LDataFrameScan(df=out, ident=id(out))
+    cur: L.LNode = L.LDataFrameScan(df=out, ident=obj_token(out))
     for nd in reversed(above):
         cur = L.rebuild(nd, (cur,))
     return execute_plan(cur)

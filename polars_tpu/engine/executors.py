@@ -654,12 +654,24 @@ def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
         ident = G._big(jobs[0][1].values.dtype) if want_min else G._small(jobs[0][1].values.dtype)
         for node_a, v, m in jobs:
             x = jnp.where(m, v.values, ident)
+            is_float = jnp.issubdtype(x.dtype, jnp.floating)
+            has_nan = None
+            if is_float:
+                # NaN-total-order semantics, mirroring seg_min/seg_max: NaN is
+                # greatest, so min skips NaN; max returns NaN iff any present
+                if not want_min:
+                    has_nan = jnp.zeros((cap,), bool).at[gctx.gids].max(
+                        m & jnp.isnan(v.values), mode="drop"
+                    )
+                x = jnp.where(jnp.isnan(x), ident, x)
             init = jnp.full((cap,), ident, x.dtype)
             tbl = (
                 init.at[gctx.gids].min(x, mode="drop")
                 if want_min
                 else init.at[gctx.gids].max(x, mode="drop")
             )
+            if has_nan is not None:
+                tbl = jnp.where(has_nan, jnp.asarray(jnp.nan, x.dtype), tbl)
             has = jnp.zeros((cap,), bool).at[gctx.gids].max(m, mode="drop")
             out[node_a] = Val(tbl, has, v.dtype, v.table, GROUP)
     return out
@@ -684,7 +696,7 @@ def _expr_key(node: E.ENode) -> tuple:
             col.buffer.padded,
             col.buffer.length,
             col.buffer.validity is not None,
-            id(col.table) if col.table is not None else 0,
+            col.table.ident if col.table is not None else 0,
         )
     if isinstance(node, E.EAnonymous):
         return ("anon", node.ident)
@@ -711,7 +723,7 @@ def _table_sig(df: DataFrame) -> tuple:
                 repr(c.dtype),
                 c.buffer.padded,
                 c.buffer.validity is not None,
-                id(c.table) if c.table is not None else 0,
+                c.table.ident if c.table is not None else 0,
             )
         )
     return (tuple(parts), padded_size(df.height) if df._columns else 128)

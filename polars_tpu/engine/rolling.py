@@ -26,20 +26,29 @@ _SUPPORTED = ("sum", "mean", "count", "len", "min", "max", "first", "last", "var
 
 @functools.lru_cache(maxsize=None)
 def _rolling_jit(period: int, offset: int, closed: str, kinds: tuple, has_gid: bool):
-    def fn(t, gid, valid, cols):
+    def fn(t, gid, valid, k_stride, cols):
         from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
         n = t.shape[0]
         t64 = t.astype(jnp.int64)
         tmin = jnp.min(jnp.where(valid, t64, jnp.iinfo(jnp.int64).max))
-        # composite key separates groups; invalid rows sort last
-        span = jnp.max(jnp.where(valid, t64, jnp.iinfo(jnp.int64).min)) - tmin
-        k_stride = span + 2 * abs(period) + abs(offset) + 4
-        g64 = gid.astype(jnp.int64) if has_gid else jnp.zeros((n,), jnp.int64)
-        g64 = jnp.where(valid, g64, jnp.int64(1) << 40)
-        key = g64 * k_stride + (jnp.where(valid, t64, tmin) - tmin)
-        perm = stable_argsort_words(key_words(key, dt.Int64()))
-        skey = key[perm]
+        tmin = jnp.where(jnp.any(valid), tmin, jnp.int64(0))
+        if has_gid:
+            g64 = jnp.where(valid, gid.astype(jnp.int64), 0)
+        else:
+            # ungrouped: k_stride unused (g64 == 0), key is just t - tmin
+            g64 = jnp.zeros((n,), jnp.int64)
+        # composite key separates groups. Invalid rows sort LAST via a
+        # dedicated leading sort word — a multiplied sentinel like
+        # (1<<40)*k_stride overflows int64 for realistic datetime spans and
+        # silently sorted padding FIRST (round-1 advisor finding).
+        key = g64 * k_stride + jnp.where(valid, t64 - tmin, 0)
+        invalid_w = (~valid).astype(jnp.int32)
+        perm = stable_argsort_words([invalid_w, *key_words(key, dt.Int64())])
+        nvalid = jnp.sum(valid.astype(jnp.int32))
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        # invalid slots (sorted to the tail) must not satisfy any range query
+        skey = jnp.where(iota < nvalid, key[perm], jnp.iinfo(jnp.int64).max)
 
         lo_q = key + offset
         hi_q = key + offset + period
@@ -56,12 +65,12 @@ def _rolling_jit(period: int, offset: int, closed: str, kinds: tuple, has_gid: b
             lo = jnp.searchsorted(skey, lo_q, side="right")
             hi = jnp.searchsorted(skey, hi_q, side="left")
 
-        nvalid = jnp.sum(valid.astype(jnp.int32))
         lo = jnp.clip(lo, 0, nvalid)
         hi = jnp.clip(hi, 0, nvalid)
 
         outs = []
-        for (kind,), (vals, vvalid) in zip(kinds, cols):
+        for (kind, min_samples, ddof), (vals, vvalid) in zip(kinds, cols):
+            minp = float(max(min_samples or 1, 1))
             sv = vals[perm]
             sm = (vvalid & valid)[perm] if vvalid is not None else valid[perm]
             x = jnp.where(sm, sv.astype(jnp.float64), 0.0)
@@ -70,7 +79,7 @@ def _rolling_jit(period: int, offset: int, closed: str, kinds: tuple, has_gid: b
                 ps = jnp.cumsum(c if kind == "count" else valid[perm].astype(jnp.float64))
                 out = ps[jnp.clip(hi - 1, 0, n - 1)] - jnp.where(lo > 0, ps[jnp.clip(lo - 1, 0, n - 1)], 0.0)
                 out = jnp.where(hi > lo, out, 0.0)
-                outs.append((out.astype(jnp.uint32), None))
+                outs.append((out.astype(jnp.uint32), valid))
                 continue
             psx = jnp.cumsum(x)
             psc = jnp.cumsum(c)
@@ -79,7 +88,7 @@ def _rolling_jit(period: int, offset: int, closed: str, kinds: tuple, has_gid: b
                 return jnp.where(hi > lo, s, 0.0)
             s = rng(psx)
             cnt = rng(psc)
-            ok = cnt > 0
+            ok = (cnt >= minp) & valid
             if kind == "sum":
                 outs.append((s, ok))
             elif kind == "mean":
@@ -88,12 +97,13 @@ def _rolling_jit(period: int, offset: int, closed: str, kinds: tuple, has_gid: b
                 ps2 = jnp.cumsum(jnp.where(sm, (sv.astype(jnp.float64)) ** 2, 0.0))
                 s2 = rng(ps2)
                 m = s / jnp.maximum(cnt, 1.0)
-                v = (s2 - cnt * m * m) / jnp.maximum(cnt - 1.0, 1.0)
+                dd = float(ddof if ddof is not None else 1)
+                v = (s2 - cnt * m * m) / jnp.maximum(cnt - dd, 1.0)
                 v = jnp.maximum(v, 0.0)
                 out = jnp.sqrt(v) if kind == "std" else v
-                outs.append((out, cnt > 1))
+                outs.append((out, ok & (cnt > dd)))
             elif kind in ("first", "last"):
-                pos = jnp.where(kind == "first", lo, hi - 1) if False else (lo if kind == "first" else hi - 1)
+                pos = lo if kind == "first" else hi - 1
                 pos = jnp.clip(pos, 0, n - 1)
                 outs.append((sv[pos], ok & sm[pos]))
             elif kind in ("min", "max"):
@@ -138,17 +148,19 @@ def rolling_frames(
     offset_ticks: int,
     closed: str,
     gb_names: list[str],
-    aggs: list[tuple[str, str, str, object]],  # (src col, kind, out name, out dtype)
+    aggs: list[tuple],  # (src col, kind, out name, out dtype[, min_samples[, ddof]])
 ) -> DataFrame:
+    aggs = [tuple(a) + (1, 1)[len(a) - 4 :] for a in aggs]  # default min_samples=1, ddof=1
     icol = df._get(index)
     n = icol.buffer.padded
     valid = row_mask(n, df.height)
     if icol.buffer.validity is not None:
         valid = valid & icol.buffer.validity
+    k_stride = jnp.int64(0)
     if gb_names:
-        from polars_tpu.engine.groupby import sorted_group_ctx  # noqa: F401
         # dense composite gid over dictionary codes when available, else rank via sort
         gid = jnp.zeros((n,), jnp.int64)
+        n_groups = 1
         for gname in gb_names:
             gcol = df._get(gname)
             if gcol.table is None:
@@ -157,21 +169,38 @@ def rolling_frames(
             if gcol.buffer.validity is not None:
                 codes = jnp.where(gcol.buffer.validity, codes, 0)
             gid = gid * (len(gcol.table.values) + 1) + codes
+            n_groups *= len(gcol.table.values) + 1
         has_gid = True
+        # composite-key stride sized host-side so the overflow GUARD can run
+        # (one barrier-level sync, same pattern as asof_join_frames' grouped
+        # composite-key-range check in engine/join.py)
+        t64 = icol.buffer.values.astype(jnp.int64)
+        stats = jax.device_get([
+            jnp.min(jnp.where(valid, t64, jnp.iinfo(jnp.int64).max)),
+            jnp.max(jnp.where(valid, t64, jnp.iinfo(jnp.int64).min)),
+        ])
+        span = max(int(stats[1]) - int(stats[0]), 0)
+        K = span + 2 * abs(period_ticks) + abs(offset_ticks) + 4
+        if n_groups * K >= (1 << 62):
+            raise InvalidOperationError(
+                "rolling group_by: time span times group count exceeds the "
+                "composite key range; pre-partition the frame instead"
+            )
+        k_stride = jnp.int64(K)
     else:
         gid = jnp.zeros((n,), jnp.int64)
         has_gid = False
 
-    kinds = tuple((kind,) for _, kind, _, _ in aggs)
+    kinds = tuple((kind, minp, ddof) for _, kind, _, _, minp, ddof in aggs)
     cols = tuple(
-        (df._get(src).buffer.values, df._get(src).buffer.validity) for src, _, _, _ in aggs
+        (df._get(src).buffer.values, df._get(src).buffer.validity) for src, *_ in aggs
     )
     jfn = _rolling_jit(period_ticks, offset_ticks, closed, kinds, has_gid)
-    flat = jfn(icol.buffer.values, gid, valid, cols)
+    flat = jfn(icol.buffer.values, gid, valid, k_stride, cols)
 
     out_cols = [c for c in df._columns if c.name in (*gb_names, index)]
     it = iter(flat)
-    for (_, kind, out_name, out_dtype) in aggs:
+    for (_, kind, out_name, out_dtype, _minp, _ddof) in aggs:
         values = next(it)
         ok = next(it)
         validity = ok if ok is not None else None

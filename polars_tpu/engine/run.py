@@ -8,6 +8,7 @@ per chain).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Any
 
@@ -22,6 +23,7 @@ from polars_tpu.errors import ComputeError, InvalidOperationError
 from polars_tpu.plan import exprs as E
 from polars_tpu.plan import logical as L
 from polars_tpu.plan.schema_resolve import expand_exprs, node_schema
+from polars_tpu.utils.tokens import obj_token
 
 _SPECIAL_FNS = {
     "int_range", "repeat_value", "date_range", "datetime_range", "arg_where",
@@ -36,7 +38,68 @@ _SPECIAL_FNS = {
 }
 
 
+# --- per-node profiling (NodeTimer analogue, polars-expr/src/state/node_timer.rs:19-40)
+# A sink is active during LazyFrame.profile() or when POLARS_TRACK_METRICS is
+# set; every executed plan node records a real (start, end) wall-time span,
+# with end taken after block_until_ready on the node's output buffers so device
+# time is attributed to the node that launched it. Spans are INCLUSIVE of the
+# node's inputs (pull-based recursion), like the reference's executor spans.
+_PROF_SINKS: list[list] = []
+
+
+@contextlib.contextmanager
+def profiling_session():
+    sink: list = []
+    _PROF_SINKS.append(sink)
+    try:
+        yield sink
+    finally:
+        _PROF_SINKS.remove(sink)
+
+
+def _prof_describe(node: L.LNode) -> str:
+    name = type(node).__name__
+    return name[1:] if name.startswith("L") else name
+
+
 def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
+    if _PROF_SINKS:
+        return _timed_execute(node, sync)
+    if _cfg_config().track_metrics:
+        import sys
+
+        with profiling_session() as sink:
+            out = _timed_execute(node, sync)
+            for name, t0, t1 in sorted(sink, key=lambda r: r[2] - r[1], reverse=True):
+                print(f"[metrics] {name}: {1e3 * (t1 - t0):.3f} ms", file=sys.stderr)
+        return out
+    return _execute_node(node, sync=sync)
+
+
+def _timed_execute(node: L.LNode, sync: bool) -> DataFrame:
+    import time
+
+    import jax
+
+    t0 = time.perf_counter()
+    out = _execute_node(node, sync=sync)
+    try:
+        jax.block_until_ready([c.buffer.values for c in out._columns])
+    except Exception:
+        pass
+    t1 = time.perf_counter()
+    for sink in _PROF_SINKS:
+        sink.append((_prof_describe(node), t0, t1))
+    return out
+
+
+def _cfg_config():
+    from polars_tpu.config import config
+
+    return config()
+
+
+def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
     if isinstance(node, L.LDataFrameScan):
         df = node.df
         if node.projection is not None:
@@ -150,7 +213,7 @@ def _groupby_needs_host(node: L.LGroupBy) -> bool:
 
 
 def _lit_node_for_column(col: Column) -> E.ENode:
-    return E.ESeriesLit(column=col, ident=id(col))
+    return E.ESeriesLit(column=col, ident=obj_token(col))
 
 
 def _hoist_host_exprs(
@@ -200,7 +263,7 @@ def _is_host_root(node: E.ENode, schema) -> bool:
 def _eval_subexpr(df: DataFrame, node: E.ENode) -> Column:
     """Evaluate an arbitrary (traceable) expression on df eagerly."""
     sub = L.LSelect(
-        L.LDataFrameScan(df=df, ident=id(df)),
+        L.LDataFrameScan(df=df, ident=obj_token(df)),
         (E.EAlias(node, "__tmp"),),
     )
     out = execute_plan(sub)
@@ -416,7 +479,7 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             out_dt = dt.UInt32()
         res = rolling_frames(
             tmp, "__by", per, -per, e.opt("closed", "right"), [],
-            [("__val", kind, "__out", out_dt)],
+            [("__val", kind, "__out", out_dt, e.opt("min_samples", 1), e.opt("ddof", 1))],
         )
         # rolling_frames already restores the input row order
         return res._get("__out")
@@ -651,7 +714,7 @@ def _exec_groupby_host_aggs(node: L.LGroupBy) -> DataFrame:
             traced_aggs.append(a)
     import polars_tpu as pl
 
-    scan = L.LDataFrameScan(df=df, ident=id(df))
+    scan = L.LDataFrameScan(df=df, ident=obj_token(df))
     base = execute_plan(
         L.LGroupBy(scan, keys, tuple(traced_aggs), node.maintain_order)
     )
@@ -714,7 +777,7 @@ def _exec_groupby_hosted(node: L.LGroupBy) -> DataFrame:
     keys, _ = _hoist_host_exprs(df, expand_exprs(node.keys, schema), schema)
     aggs, _ = _hoist_host_exprs(df, expand_exprs(node.aggs, schema), schema)
     new = L.LGroupBy(
-        L.LDataFrameScan(df=df, ident=id(df)), keys, aggs, node.maintain_order
+        L.LDataFrameScan(df=df, ident=obj_token(df)), keys, aggs, node.maintain_order
     )
     return execute_plan(new)
 
@@ -817,7 +880,7 @@ def _exec_join_where(node: L.LJoinWhere) -> DataFrame:
             return _rebuild_expr(e, tuple(fix(k) for k in kids))
 
         filt = L.LFilter(
-            L.LDataFrameScan(df=out, ident=id(out)),
+            L.LDataFrameScan(df=out, ident=obj_token(out)),
             _and_all(tuple(fix(p) for p in rest)),
         )
         return execute_plan(filt)
@@ -827,7 +890,7 @@ def _exec_join_where(node: L.LJoinWhere) -> DataFrame:
     )
     out = execute_plan(cross)
     filt = L.LFilter(
-        L.LDataFrameScan(df=out, ident=id(out)),
+        L.LDataFrameScan(df=out, ident=obj_token(out)),
         _and_all(node.predicates),
     )
     return execute_plan(filt)

@@ -25,6 +25,7 @@ from polars_tpu.core.frame import DataFrame
 from polars_tpu.errors import InvalidOperationError
 from polars_tpu.plan import exprs as E
 from polars_tpu.plan import logical as L
+from polars_tpu.utils.tokens import obj_token
 
 _DECOMPOSABLE = {"sum", "count", "len", "min", "max", "mean"}
 
@@ -110,7 +111,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
     import polars_tpu as pl
 
     for batch_df in iter_scan_batches(scan, batch_rows):
-        sub = _replace_input(gb.input, scan, L.LDataFrameScan(df=batch_df, ident=id(batch_df)))
+        sub = _replace_input(gb.input, scan, L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df)))
         pgb = L.LGroupBy(sub, gb.keys, tuple(partial), False)
         partials.append(execute_plan(pgb))
         if verbose():
@@ -124,7 +125,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
     key_names = [E.output_name(k) or "literal" for k in gb.keys]
     merged = execute_plan(
         L.LGroupBy(
-            L.LDataFrameScan(df=combined, ident=id(combined)),
+            L.LDataFrameScan(df=combined, ident=obj_token(combined)),
             tuple(E.EColumn(n) for n in key_names),
             tuple(merge),
             gb.maintain_order,
@@ -132,10 +133,10 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
     )
     final_exprs = [E.EColumn(n) for n in key_names] + list(final)
     out = execute_plan(
-        L.LSelect(L.LDataFrameScan(df=merged, ident=id(merged)), tuple(final_exprs))
+        L.LSelect(L.LDataFrameScan(df=merged, ident=obj_token(merged)), tuple(final_exprs))
     )
     # run remaining plan above the group-by
-    cur: L.LNode = L.LDataFrameScan(df=out, ident=id(out))
+    cur: L.LNode = L.LDataFrameScan(df=out, ident=obj_token(out))
     for n in reversed(above):
         cur = L.rebuild(n, (cur,))
     return execute_plan(cur)

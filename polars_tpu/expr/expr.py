@@ -14,6 +14,7 @@ import numpy as np
 from polars_tpu import datatypes as dt
 from polars_tpu.errors import InvalidOperationError
 from polars_tpu.plan import exprs as E
+from polars_tpu.utils.tokens import obj_token
 
 
 def parse_into_expr(value: Any, *, str_as_lit: bool = False) -> E.ENode:
@@ -27,10 +28,10 @@ def parse_into_expr(value: Any, *, str_as_lit: bool = False) -> E.ENode:
     from polars_tpu.core.series import Series
 
     if isinstance(value, Series):
-        return E.ESeriesLit(column=value._column, ident=id(value._column))
+        return E.ESeriesLit(column=value._column, ident=obj_token(value._column))
     if isinstance(value, (list, tuple, np.ndarray)):
         s = Series("literal", list(value))
-        return E.ESeriesLit(column=s._column, ident=id(s._column))
+        return E.ESeriesLit(column=s._column, ident=obj_token(s._column))
     if isinstance(value, _pydt.datetime):
         return E.ELiteral(value.isoformat(), dt.Datetime("us"))
     if isinstance(value, _pydt.date):
@@ -581,11 +582,11 @@ class Expr:
     def rolling_median(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
         return self._fn("rolling_median", window_size=window_size, min_samples=min_samples)
 
-    def _rolling_by(self, kind: str, by: Any, window_size: str, min_samples: int, closed: str) -> Expr:
+    def _rolling_by(self, kind: str, by: Any, window_size: str, min_samples: int, closed: str, ddof: int = 1) -> Expr:
         by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
         return Expr(E.EFunction(
             f"rolling_{kind}_by", (self._node, by_e._node),
-            (("window_size", window_size), ("min_samples", min_samples), ("closed", closed)),
+            (("window_size", window_size), ("min_samples", min_samples), ("closed", closed), ("ddof", ddof)),
         ))
 
     def rolling_sum_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right") -> Expr:
@@ -601,10 +602,10 @@ class Expr:
         return self._rolling_by("max", by, window_size, min_samples, closed)
 
     def rolling_std_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right", ddof: int = 1) -> Expr:
-        return self._rolling_by("std", by, window_size, min_samples, closed)
+        return self._rolling_by("std", by, window_size, min_samples, closed, ddof)
 
     def rolling_var_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right", ddof: int = 1) -> Expr:
-        return self._rolling_by("var", by, window_size, min_samples, closed)
+        return self._rolling_by("var", by, window_size, min_samples, closed, ddof)
 
     def rolling_quantile(self, quantile: float, interpolation: str = "nearest", window_size: int = 2, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
         return self._fn("rolling_quantile", window_size=window_size, quantile=quantile, interpolation=interpolation, min_samples=min_samples)
@@ -748,7 +749,7 @@ class Expr:
                 (self._node,),
                 function=function,
                 return_dtype=dt.parse_into_dtype(return_dtype) if return_dtype is not None else None,
-                ident=id(function),
+                ident=obj_token(function),
             )
         )
 
@@ -769,7 +770,7 @@ class Expr:
                 (self._node,),
                 function=batch_fn,
                 return_dtype=dt.parse_into_dtype(return_dtype) if return_dtype is not None else None,
-                ident=id(function),
+                ident=obj_token(function),
             )
         )
 

@@ -8,6 +8,7 @@ from typing import Any, Iterable
 from polars_tpu import datatypes as dt
 from polars_tpu.expr.expr import Expr, parse_into_expr, parse_into_expr_list
 from polars_tpu.plan import exprs as E
+from polars_tpu.utils.tokens import obj_token
 
 # module-level len()/all()/any()/... shadow the builtins below
 _len, _all, _any = len, all, any
@@ -41,7 +42,7 @@ def lit(value: Any, dtype: Any = None, *, allow_object: bool = False) -> Expr:
     from polars_tpu.core.series import Series
 
     if isinstance(value, Series):
-        node = E.ESeriesLit(column=value._column, ident=id(value._column))
+        node = E.ESeriesLit(column=value._column, ident=obj_token(value._column))
         if dtype is not None:
             return Expr(E.ECast(node, dt.parse_into_dtype(dtype), True))
         return Expr(node)
@@ -56,12 +57,12 @@ def lit(value: Any, dtype: Any = None, *, allow_object: bool = False) -> Expr:
         return Expr(E.ELiteral(us, dt.Duration("us")))
     if isinstance(value, (list, tuple)):
         s = Series("literal", list(value))
-        return Expr(E.ESeriesLit(column=s._column, ident=id(s._column)))
+        return Expr(E.ESeriesLit(column=s._column, ident=obj_token(s._column)))
     import numpy as np
 
     if isinstance(value, np.ndarray):
         s = Series("literal", value)
-        return Expr(E.ESeriesLit(column=s._column, ident=id(s._column)))
+        return Expr(E.ESeriesLit(column=s._column, ident=obj_token(s._column)))
     if isinstance(value, np.generic):
         value = value.item()
         if dtype is None:

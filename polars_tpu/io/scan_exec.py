@@ -17,6 +17,7 @@ from polars_tpu.core.frame import DataFrame
 from polars_tpu.errors import ComputeError
 from polars_tpu.plan import exprs as E
 from polars_tpu.plan import logical as L
+from polars_tpu.utils.tokens import obj_token
 
 
 def _read_csv_arrow(path: str, options: dict, n_rows: int | None = None):
@@ -189,7 +190,7 @@ def execute_scan(node: L.LScan) -> DataFrame:
         from polars_tpu.engine.run import execute_plan
 
         df = execute_plan(
-            L.LFilter(L.LDataFrameScan(df=df, ident=id(df)), node.predicate)
+            L.LFilter(L.LDataFrameScan(df=df, ident=obj_token(df)), node.predicate)
         )
     return df
 
@@ -242,5 +243,5 @@ def _apply_scan_extras(node: L.LScan, df: DataFrame, *, row_index_done: bool) ->
     if node.predicate is not None:
         from polars_tpu.engine.run import execute_plan
 
-        df = execute_plan(L.LFilter(L.LDataFrameScan(df=df, ident=id(df)), node.predicate))
+        df = execute_plan(L.LFilter(L.LDataFrameScan(df=df, ident=obj_token(df)), node.predicate))
     return df

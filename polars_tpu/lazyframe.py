@@ -14,6 +14,7 @@ from polars_tpu.expr.expr import Expr, parse_into_expr, parse_into_expr_list
 from polars_tpu.plan import exprs as E
 from polars_tpu.plan import logical as L
 from polars_tpu.plan.schema_resolve import node_schema
+from polars_tpu.utils.tokens import obj_token
 
 
 class LazyFrame:
@@ -26,7 +27,7 @@ class LazyFrame:
             df = data
         else:
             df = DataFrame(data, schema=schema, **kwargs)
-        self._node = L.LDataFrameScan(df=df, ident=id(df))
+        self._node = L.LDataFrameScan(df=df, ident=obj_token(df))
 
     @classmethod
     def _from_node(cls, node: L.LNode) -> LazyFrame:
@@ -36,7 +37,7 @@ class LazyFrame:
 
     @classmethod
     def _from_df(cls, df: DataFrame) -> LazyFrame:
-        return cls._from_node(L.LDataFrameScan(df=df, ident=id(df)))
+        return cls._from_node(L.LDataFrameScan(df=df, ident=obj_token(df)))
 
     def _wrap(self, node: L.LNode) -> LazyFrame:
         return LazyFrame._from_node(node)
@@ -110,20 +111,34 @@ class LazyFrame:
         return self.limit(n_rows).collect(**kwargs)
 
     def profile(self, **kwargs: Any):
+        """Execute the plan recording REAL per-node wall times (reference:
+        NodeTimer, polars-expr/src/state/node_timer.rs:19-40).
+
+        Each executed plan node contributes a measured (start, end) span in
+        microseconds relative to query start; end is taken after
+        ``block_until_ready`` on the node's outputs, so device time lands on
+        the node that launched it. Spans are inclusive of the node's inputs
+        (pull-based recursion). Profiling synchronizes per node, so the total
+        can exceed an unprofiled ``collect``.
+        """
         import time
 
-        t0 = time.perf_counter()
-        from polars_tpu.engine.run import execute_plan
+        from polars_tpu.engine.run import execute_plan, profiling_session
         from polars_tpu.plan.optimizer import optimize
 
+        t0 = time.perf_counter()
         node = optimize(self._node)
-        out = execute_plan(node)
-        elapsed_us = (time.perf_counter() - t0) * 1e6
-        timings = DataFrame({
-            "node": ["optimization", "full query"],
-            "start": [0, 0],
-            "end": [int(elapsed_us * 0.05), int(elapsed_us)],
-        })
+        t_opt = time.perf_counter()
+        with profiling_session() as sink:
+            out = execute_plan(node)
+        names = ["optimization"]
+        starts = [0]
+        ends = [int((t_opt - t0) * 1e6)]
+        for name, s, e in sorted(sink, key=lambda r: (r[1], r[2])):
+            names.append(name)
+            starts.append(int((s - t0) * 1e6))
+            ends.append(int((e - t0) * 1e6))
+        timings = DataFrame({"node": names, "start": starts, "end": ends})
         return out, timings
 
     def lazy(self) -> LazyFrame:
@@ -522,7 +537,7 @@ class LazyFrame:
             return df.unnest(columns, *more)
 
         return LazyFrame._from_node(
-            L.LDataFrameScan(df=apply(lf.collect()), ident=id(apply))
+            L.LDataFrameScan(df=apply(lf.collect()), ident=obj_token(apply))
         ) if False else lf._wrap_eager_unnest(columns, *more)
 
     def _wrap_eager_unnest(self, columns: Any, *more: Any) -> LazyFrame:
@@ -595,7 +610,7 @@ class LazyFrame:
 
     def map_batches(self, function, *, schema: Any = None, streamable: bool = False, validate_output_schema: bool = True, **kwargs: Any) -> LazyFrame:
         return self._wrap(
-            L.LMapFunction(self._node, function=function, ident=id(function))
+            L.LMapFunction(self._node, function=function, ident=obj_token(function))
         )
 
     # -- frame-level aggregation shortcuts ----------------------------------------------

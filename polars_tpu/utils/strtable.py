@@ -13,7 +13,14 @@ dictionary-only design the north star mandates.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
+
+# process-monotonic identity tokens: unlike id(), never reused after GC, so
+# jit-cache keys built from them cannot silently hit a stale entry whose
+# captured tables belong to a dead object (round-1 verdict weak #4)
+_NEXT_IDENT = itertools.count(1)
 
 
 class StringTable:
@@ -23,13 +30,14 @@ class StringTable:
     order, so device-side sort/comparison on codes matches string semantics.
     """
 
-    __slots__ = ("values", "sorted_order", "_lookup")
+    __slots__ = ("values", "sorted_order", "_lookup", "ident")
 
     def __init__(self, values: np.ndarray, *, sorted_order: bool = False) -> None:
         vals = np.asarray(values, dtype=object)
         self.values = vals
         self.sorted_order = sorted_order
         self._lookup: dict | None = None
+        self.ident = next(_NEXT_IDENT)
 
     def __len__(self) -> int:
         return len(self.values)
@@ -38,9 +46,10 @@ class StringTable:
         return f"StringTable(n={len(self.values)}, sorted={self.sorted_order})"
 
     # identity-based hashing: tables are immutable, so identity equality is
-    # sound for jit cache keys (a rebuilt-but-equal table only costs a recompile)
+    # sound for jit cache keys (a rebuilt-but-equal table only costs a recompile);
+    # the monotonic ident (not id()) keeps keys unique across GC
     def __hash__(self) -> int:
-        return id(self)
+        return self.ident
 
     def __eq__(self, other: object) -> bool:
         return self is other

@@ -224,3 +224,49 @@ def test_large_groupby_vs_pandas(rng):
     np.testing.assert_allclose(out.get_column("s").to_list(), exp["sum"].to_numpy(), rtol=1e-9)
     np.testing.assert_allclose(out.get_column("mn").to_list(), exp["min"].to_numpy())
     assert out.get_column("c").to_list() == exp["count"].tolist()
+
+
+def test_batched_minmax_nan_handling():
+    # round-1 advisor (medium): with >=3 batched aggs, float min over a group
+    # containing NaN returned NaN (identical query unbatched returned 1.0)
+    df = pl.DataFrame({
+        "k": ["a", "a", "b"],
+        "x": [float("nan"), 1.0, 2.0],
+    })
+    out = (
+        df.lazy()
+        .group_by("k")
+        .agg(
+            pl.col("x").min().alias("lo"),
+            pl.col("x").max().alias("hi"),
+            pl.col("x").sum().alias("s"),
+            pl.len().alias("n"),
+        )
+        .sort("k")
+        .collect()
+    )
+    import math
+
+    assert out["lo"].to_list()[0] == 1.0  # min skips NaN (NaN greatest)
+    assert math.isnan(out["hi"].to_list()[0])  # max returns NaN if present
+    assert out["lo"].to_list()[1] == 2.0
+
+
+def test_jit_cache_not_keyed_on_reused_id():
+    # round-1 verdict weak #4: id()-keyed cache entries could survive GC and
+    # serve stale captured string tables for structurally-equal plans
+    import gc
+
+    def run(strings):
+        df = pl.DataFrame({"k": strings, "v": [1, 2, 3]})
+        return df.lazy().group_by("k").agg(pl.col("v").sum()).sort("k").collect()
+
+    out1 = run(["x", "y", "x"])
+    assert out1["k"].to_list() == ["x", "y"]
+    del out1
+    gc.collect()
+    for i in range(8):
+        out = run([f"p{i}", f"q{i}", f"p{i}"])
+        assert out["k"].to_list() == [f"p{i}", f"q{i}"], out["k"].to_list()
+        del out
+        gc.collect()

@@ -27,13 +27,30 @@ def test_sort_matches_python(s):
 @given(s=series_strategy("Float64", max_size=30))
 @_settings
 def test_sum_matches_numpy(s):
+    import math
+
     vals = [v for v in s.to_list() if v is not None]
     got = s.sum()
     exp = float(np.sum(vals)) if vals else 0.0
     if np.isinf(exp) or np.isnan(exp):
         assert got == exp or (np.isnan(got) and np.isnan(exp))
+        return
+    # summation order differs (numpy pairwise vs engine sequential); when
+    # intermediate partial sums overflow-cancel near f64 max the results
+    # legitimately diverge — compare against the exact fsum with a tolerance
+    # scaled by the largest term's ulp instead
+    scale = max((abs(v) for v in vals if not math.isinf(v)), default=1.0)
+    try:
+        exact = math.fsum(vals)
+    except OverflowError:
+        return
+    tol = max(1e-9 * max(1.0, abs(exact)), 32 * np.spacing(max(scale, 1.0)) * len(vals))
+    if np.isinf(got):
+        # a different summation order can overflow transiently; only valid
+        # when terms actually reach the overflow region
+        assert scale >= 1e292
     else:
-        assert abs(got - exp) <= 1e-9 * max(1.0, abs(exp))
+        assert abs(got - exact) <= tol
 
 
 @given(s=series_strategy("Int64", max_size=30, allow_null=False))

@@ -67,3 +67,59 @@ def test_rolling_by_exprs():
     shuffled = df.gather([3, 0, 4, 1, 2])
     out2 = shuffled.select(pl.col("v").rolling_sum_by("t", "25m").alias("s"))
     assert out2["s"].to_list() == [7.0, 1.0, 9.0, 3.0, 6.0]
+
+
+def test_rolling_by_long_span_no_overflow():
+    # round-1 advisor (high): the (1<<40)*k_stride invalid-row sentinel
+    # overflowed int64 for a 30-day us span, returning all nulls
+    days = list(range(30))
+    df = pl.DataFrame({
+        "ts": [dtm.datetime(2024, 1, 1) + dtm.timedelta(days=d) for d in days],
+        "v": [float(d) for d in days],
+    })
+    out = df.lazy().select(
+        pl.col("v").rolling_sum_by("ts", "3d").alias("s")
+    ).collect()
+    got = out["s"].to_list()
+    assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 3.0
+    assert got[10] == 8.0 + 9.0 + 10.0
+
+
+def test_rolling_by_window_larger_than_span():
+    # '1h' window over 50 minutes of data must NOT be all nulls
+    df = _df()
+    out = df.lazy().select(pl.col("v").rolling_sum_by("ts", "1h").alias("s")).collect()
+    assert out["s"].to_list() == [1.0, 3.0, 6.0, 10.0, 15.0]
+
+
+def test_rolling_by_min_samples():
+    df = _df()
+    out = df.lazy().select(
+        pl.col("v").rolling_sum_by("ts", "25m", min_samples=3).alias("s")
+    ).collect()
+    # windows: sizes 1,2,3,2,2 -> only the third has >= 3 samples
+    assert out["s"].to_list() == [None, None, 6.0, None, None]
+
+
+def test_rolling_by_ddof():
+    df = _df()
+    v1 = df.lazy().select(
+        pl.col("v").rolling_var_by("ts", "25m", ddof=0).alias("s")
+    ).collect()["s"].to_list()
+    v2 = df.lazy().select(
+        pl.col("v").rolling_var_by("ts", "25m", ddof=1).alias("s")
+    ).collect()["s"].to_list()
+    # third window holds [1,2,3]: population var 2/3, sample var 1.0
+    assert abs(v1[2] - 2.0 / 3.0) < 1e-12
+    assert abs(v2[2] - 1.0) < 1e-12
+
+
+def test_rolling_by_null_index_rows():
+    df = pl.DataFrame({
+        "ts": [dtm.datetime(2024, 1, 1, 0, m) if m is not None else None for m in (0, 10, None, 40, 50)],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = df.lazy().select(pl.col("v").rolling_sum_by("ts", "25m").alias("s")).collect()
+    got = out["s"].to_list()
+    assert got[2] is None  # null index -> null output
+    assert got[0] == 1.0 and got[1] == 3.0
