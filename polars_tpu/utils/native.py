@@ -23,8 +23,14 @@ def _build() -> Path:
     src = _REPO / "native" / "polars_tpu_native.cpp"
     out_dir = _REPO / "native" / "build"
     out_dir.mkdir(exist_ok=True)
-    so = out_dir / "libpolars_tpu_native.so"
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+    # key the artifact on the source CONTENT hash, not mtime: -march=native
+    # binaries must never be loaded on a machine they weren't built on
+    # (git checkout mtimes are arbitrary; build/ is gitignored)
+    import hashlib
+
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    so = out_dir / f"libpolars_tpu_native-{digest}.so"
+    if so.exists():
         return so
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
