@@ -46,6 +46,9 @@ class _GlobalConfig:
         self.engine_affinity: str = os.environ.get("POLARS_ENGINE_AFFINITY", "")
         # Number of partitions for distributed shuffle ops (0 = #devices)
         self.shuffle_partitions: int = _env_int("POLARS_TPU_SHUFFLE_PARTITIONS", 0)
+        # SPMD joins: build sides at or below this many padded global rows are
+        # broadcast (all_gather) instead of hash-shuffled
+        self.broadcast_join_rows: int = _env_int("POLARS_TPU_BROADCAST_JOIN_ROWS", 1 << 21)
         # Formatting
         self.fmt_max_rows: int = _env_int("POLARS_FMT_MAX_ROWS", 10)
         self.fmt_max_cols: int = _env_int("POLARS_FMT_MAX_COLS", 8)

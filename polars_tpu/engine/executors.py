@@ -68,11 +68,23 @@ _FUSABLE = (
 def _join_fusable(node: L.LJoin) -> bool:
     """m:1/1:1 joins (and inner 1:m, flipped) have statically-sized outputs,
     so they trace into the segment — no host sizing barrier (see
-    engine/join_traced.py)."""
+    engine/join_traced.py). Semi/anti joins are ALWAYS statically sized
+    (output ⊆ left rows), so they fuse too when the key comparison is exact
+    (single non-float key: the in-trace matcher verifies only the first
+    candidate of a hash run, which is only sound for exact key words)."""
     if node.validate in ("m:1", "1:1"):
         return node.how in ("inner", "left", "semi", "anti")
     if node.validate == "1:m":
         return node.how == "inner"
+    if node.how in ("semi", "anti") and len(node.left_on) == 1 and not node.nulls_equal:
+        from polars_tpu.plan.schema_resolve import expr_dtype
+
+        try:
+            lt = expr_dtype(node.left_on[0], node_schema(node.input_left))
+            rt = expr_dtype(node.right_on[0], node_schema(node.input_right))
+        except Exception:
+            return False
+        return not lt.is_float() and not rt.is_float()
     return False
 
 HOST_FNS = {

@@ -146,7 +146,11 @@ def trace_join(node, tt_l, tt_r, eval_key):
             matched = matched & _values_equal(lv, rv_g, rvalid_g, lv.validity, nulls_equal)
 
     # m:1 validation: any matched probe key whose build run is longer than 1
-    bad = jnp.any(matched & ((hi - lo) > 1))
+    # (skipped for unvalidated semi/anti fusion, where multiplicity is fine)
+    if node.validate in ("m:1", "1:1", "1:m"):
+        bad = jnp.any(matched & ((hi - lo) > 1))
+    else:
+        bad = jnp.zeros((), bool)
     if node.validate == "1:1" and node.how in ("inner", "left"):
         # also no two probe rows may share a matched build row
         hitcount = jnp.zeros((nr,), jnp.int32).at[jnp.where(matched, cand, nr - 1)].add(

@@ -1,0 +1,510 @@
+"""True SPMD execution of query plans over a ``jax.sharding.Mesh``.
+
+The distributed executor (SURVEY.md §2.13, §7 step 6): leaf tables are
+row-sharded across the mesh's "shards" axis, and the WHOLE dist-traceable
+subtree — filter/map chains, fused m:1/1:1 equi-joins, and group-bys —
+compiles to ONE ``shard_map``-traced XLA program whose inter-chip exchange
+is explicit collectives:
+
+- group-by:  local pre-aggregation (combiner) -> hash-partitioned
+  ``all_to_all`` shuffle of the PARTIAL tables -> local merge. This is the
+  two-tier pattern of the reference's streaming group-by
+  (polars-stream/src/nodes/group_by.rs:252-498 combine_locals), and it
+  absorbs key skew structurally: a hot key contributes at most one partial
+  row per shard, so no salted repartition is needed on this path. Aggs
+  outside the decomposable set shuffle raw rows instead and rely on the
+  lossless-capacity retry (the OOC analogue).
+- join: build side broadcast via ``all_gather`` when small (skew-immune,
+  d-times less traffic), else both sides hash-shuffled with the SAME
+  consistent partitioner (HashPartitioner analogue,
+  polars-utils/src/hashing.rs:72-99) and joined locally with the ordinary
+  in-segment join (engine/join_traced.py) — the partitioned build/probe of
+  polars-stream/src/nodes/joins/equi_join.rs:403-790.
+
+Shuffles send fixed-capacity buckets; a psum'd overflow flag rides back with
+the row count (ONE host sync per segment) and triggers a retry at lossless
+capacity, so results are never silently truncated.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from polars_tpu import datatypes as dt
+from polars_tpu.core.buffer import Buffer, pad_to, padded_size, row_mask
+from polars_tpu.core.column import Column
+from polars_tpu.core.frame import DataFrame
+from polars_tpu.engine.common import ROW, Val
+from polars_tpu.engine.compiler import eval_expr
+from polars_tpu.engine.executors import (
+    TTable,
+    _TraceCtx,
+    _eval_ctx,
+    _is_fusable,
+    _join_fusable,
+    _segment_key,
+    _table_sig,
+    _trace_groupby,
+    _trace_select,
+    trace_node,
+)
+from polars_tpu.errors import ComputeError, InvalidOperationError
+from polars_tpu.kernels.argsort import stable_argsort_words
+from polars_tpu.kernels.hashing import hash_column, combine_hashes, partition_of
+from polars_tpu.parallel.mesh import AXIS, make_mesh
+from polars_tpu.plan import exprs as E
+from polars_tpu.plan import logical as L
+from polars_tpu.plan.schema_resolve import expand_exprs, node_schema
+from polars_tpu.utils.tokens import obj_token
+
+_DIST_CHAIN = (L.LFilter, L.LSelect, L.LWithColumns, L.LRename, L.LDrop)
+
+def _broadcast_rows() -> int:
+    """Build sides at or below this many (padded) global rows are broadcast
+    (all_gather) instead of shuffled — LOPSIDED build-side choice analogue."""
+    from polars_tpu.config import config
+
+    return config().broadcast_join_rows
+
+
+# ---------------------------------------------------------------------------
+# plan classification
+# ---------------------------------------------------------------------------
+
+
+def _classify(node: L.LNode, leaves: list[L.LNode], counters: dict) -> None:
+    """Walk the dist-traceable region under ``node``; nodes outside it become
+    leaves (materialized by the single-chip engine, then sharded)."""
+    if isinstance(node, (L.LDataFrameScan, L.LScan)):
+        leaves.append(node)
+        return
+    if isinstance(node, L.LJoin) and _join_fusable(node) and _is_fusable(node):
+        counters["reductions"] += 1
+        _classify(node.input_left, leaves, counters)
+        _classify(node.input_right, leaves, counters)
+        return
+    if isinstance(node, L.LGroupBy) and _is_fusable(node) and not node.maintain_order:
+        counters["reductions"] += 1
+        _classify(node.input, leaves, counters)
+        return
+    if isinstance(node, _DIST_CHAIN) and _is_fusable(node):
+        _classify(node.inputs()[0], leaves, counters)
+        return
+    leaves.append(node)
+
+
+def _find_dist_root(node: L.LNode) -> tuple[L.LNode, list[L.LNode], list[L.LNode]] | None:
+    """Topmost spine node whose subtree contains a distributable reduction.
+    Returns (root, nodes_above_root, leaf_nodes) or None."""
+    above: list[L.LNode] = []
+    cur = node
+    while True:
+        leaves: list[L.LNode] = []
+        counters = {"reductions": 0}
+        _classify(cur, leaves, counters)
+        if counters["reductions"] > 0 and all(l is not cur for l in leaves):
+            return cur, above, leaves
+        ins = cur.inputs()
+        if len(ins) != 1:
+            return None
+        above.append(cur)
+        cur = ins[0]
+
+
+# ---------------------------------------------------------------------------
+# in-trace shuffle primitive
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_ttable(tt: TTable, h: jax.Array, d: int, cap: int) -> tuple[TTable, jax.Array]:
+    """Hash-partitioned all_to_all of a per-shard table block.
+
+    ``h``: int64 row hash (consistent across shards). Each local row goes to
+    shard ``partition_of(h, d)``; rows beyond ``cap`` per destination bucket
+    are dropped and flagged (overflow -> host retries at lossless capacity).
+    Returns (shuffled local TTable with ``d*cap`` rows, overflow int32).
+    """
+    n = tt.padded
+    part = jnp.where(tt.rowmask, partition_of(h, d), d)
+    perm = stable_argsort_words([part])
+    part_s = part[perm]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    counts = jnp.zeros((d + 1,), jnp.int32).at[part_s].add(1, mode="drop")
+    offsets = jnp.cumsum(counts) - counts
+    rank = iota - offsets[jnp.clip(part_s, 0, d)]
+    overflow = jnp.any((part_s < d) & (rank >= cap))
+    ok = (part_s < d) & (rank < cap)
+    tgt = jnp.where(ok, part_s * cap + jnp.clip(rank, 0, cap - 1), d * cap)
+
+    def send(col, fill=None):
+        src = col[perm]
+        init = jnp.zeros((d * cap + 1,), col.dtype)
+        buck = init.at[tgt].set(src)[: d * cap].reshape(d, cap)
+        return jax.lax.all_to_all(buck, AXIS, 0, 0).reshape(-1)
+
+    new_mask = (
+        jnp.zeros((d * cap + 1,), bool).at[tgt].set(ok)[: d * cap].reshape(d, cap)
+    )
+    new_mask = jax.lax.all_to_all(new_mask, AXIS, 0, 0).reshape(-1)
+
+    cols: dict[str, Val] = {}
+    for name, v in tt.cols.items():
+        values = send(v.values)
+        validity = None if v.validity is None else send(v.validity)
+        cols[name] = Val(values, validity, v.dtype, v.table, ROW, v.child)
+    ofl = jax.lax.psum(overflow.astype(jnp.int32), AXIS)
+    return TTable(cols, new_mask, d * cap), ofl
+
+
+def _gather_ttable(tt: TTable) -> TTable:
+    """all_gather a per-shard block into the full (replicated) table."""
+    cols: dict[str, Val] = {}
+    for name, v in tt.cols.items():
+        values = jax.lax.all_gather(v.values, AXIS, axis=0, tiled=True)
+        validity = (
+            None
+            if v.validity is None
+            else jax.lax.all_gather(v.validity, AXIS, axis=0, tiled=True)
+        )
+        cols[name] = Val(values, validity, v.dtype, v.table, ROW, v.child)
+    mask = jax.lax.all_gather(tt.rowmask, AXIS, axis=0, tiled=True)
+    return TTable(cols, mask, mask.shape[0])
+
+
+def _shuffle_cap(rows_in: int, d: int, lossless: bool) -> int:
+    """Per-destination bucket capacity. Default: 2x the uniform share (skew
+    slack); lossless: the full local row count (a shard cannot send more)."""
+    if lossless:
+        return rows_in
+    return max(128, padded_size(-(-rows_in * 2 // d)))
+
+
+# ---------------------------------------------------------------------------
+# distributed operators (traced)
+# ---------------------------------------------------------------------------
+
+
+def _group_key_hash(tt: TTable, key_exprs, tc: _TraceCtx) -> tuple[jax.Array, list]:
+    ctx = _eval_ctx(tt, tc.literals)
+    vals = []
+    for k in key_exprs:
+        exprs = expand_exprs((k,), tt.schema())
+        vals.append(eval_expr(exprs[0], ctx))
+    h = None
+    for v in vals:
+        hc = hash_column(v.values, v.validity, 11)
+        h = hc if h is None else combine_hashes(h, hc)
+    return h, vals
+
+
+def _dist_groupby(node: L.LGroupBy, tt: TTable, tc: _TraceCtx, d: int, lossless: bool):
+    """Distributed group-by: pre-agg + shuffle partials + merge when the aggs
+    decompose; otherwise shuffle raw rows and group locally."""
+    from polars_tpu.engine.streaming import _decompose_aggs
+
+    key_names = [E.output_name(k) or "literal" for k in node.keys]
+    dec = _decompose_aggs(node.aggs)
+    if dec is not None:
+        partial, merge, final = dec
+        pnode = L.LGroupBy(node.input, node.keys, tuple(partial), False)
+        tt_p = _trace_groupby(tt, pnode, tc)
+        h, _ = _group_key_hash(tt_p, tuple(E.EColumn(k) for k in key_names), tc)
+        cap = _shuffle_cap(tt_p.padded, d, lossless)
+        tt_s, ofl = _shuffle_ttable(tt_p, h, d, cap)
+        mnode = L.LGroupBy(
+            node.input, tuple(E.EColumn(k) for k in key_names), tuple(merge), False
+        )
+        tt_m = _trace_groupby(tt_s, mnode, tc)
+        sel = tuple([E.EColumn(k) for k in key_names] + list(final))
+        tt_f = _trace_select(tt_m, sel, tc, keep_input=False)
+        # _trace_select with a full-length select keeps the group rowmask
+        return TTable(tt_f.cols, tt_m.rowmask, tt_m.padded), ofl
+
+    # general aggs: shuffle raw rows so each shard owns whole groups
+    h, _ = _group_key_hash(tt, node.keys, tc)
+    cap = _shuffle_cap(tt.padded, d, lossless)
+    tt_s, ofl = _shuffle_ttable(tt, h, d, cap)
+    tt_g = _trace_groupby(tt_s, node, tc)
+    return tt_g, ofl
+
+
+def _join_side_hash(keys_self: list[Val], keys_other: list[Val]) -> jax.Array:
+    """Side-symmetric shuffle hash: equal keys on either side hash equal."""
+    from polars_tpu.engine.join_traced import _key_word_traced
+
+    h = None
+    for v, o in zip(keys_self, keys_other):
+        w, valid, _exact = _key_word_traced(v, o)
+        hc = hash_column(w, valid, 11)
+        h = hc if h is None else combine_hashes(h, hc)
+    return h
+
+
+def _dist_join(node: L.LJoin, tt_l: TTable, tt_r: TTable, tc: _TraceCtx, d: int, lossless: bool):
+    from polars_tpu.engine.join_traced import trace_join
+
+    def eval_key(e, tt):
+        exprs = expand_exprs((e,), tt.schema())
+        return eval_expr(exprs[0], _eval_ctx(tt, tc.literals))
+
+    flip = node.validate == "1:m"
+    tt_build = tt_l if flip else tt_r
+
+    ofl = jnp.zeros((), jnp.int32)
+    if tt_build.padded * d <= _broadcast_rows():
+        # broadcast join: gather the (unique-key) build side everywhere, keep
+        # the probe side sharded — no probe movement, immune to key skew
+        if flip:
+            tt_l = _gather_ttable(tt_l)
+        else:
+            tt_r = _gather_ttable(tt_r)
+    else:
+        lkeys = [eval_key(e, tt_l) for e in node.left_on]
+        rkeys = [eval_key(e, tt_r) for e in node.right_on]
+        lh = _join_side_hash(lkeys, rkeys)
+        rh = _join_side_hash(rkeys, lkeys)
+        cap_l = _shuffle_cap(tt_l.padded, d, lossless)
+        cap_r = _shuffle_cap(tt_r.padded, d, lossless)
+        tt_l, ofl_l = _shuffle_ttable(tt_l, lh, d, cap_l)
+        tt_r, ofl_r = _shuffle_ttable(tt_r, rh, d, cap_r)
+        ofl = ofl_l + ofl_r
+
+    cols, rowmask, bad = trace_join(node, tt_l, tt_r, eval_key)
+    tc.flags.append(bad)
+    return TTable(cols, rowmask, rowmask.shape[0]), ofl
+
+
+def _trace_dist(node: L.LNode, tc: _TraceCtx, d: int, lossless: bool, ofl_acc: list):
+    if id(node) in tc.leaf_tables:
+        return tc.leaf_tables[id(node)]
+    if isinstance(node, L.LJoin):
+        tt_l = _trace_dist(node.input_left, tc, d, lossless, ofl_acc)
+        tt_r = _trace_dist(node.input_right, tc, d, lossless, ofl_acc)
+        tt, ofl = _dist_join(node, tt_l, tt_r, tc, d, lossless)
+        ofl_acc.append(ofl)
+        tc.leaf_tables[id(node)] = tt
+        return tt
+    if isinstance(node, L.LGroupBy):
+        tt_in = _trace_dist(node.input, tc, d, lossless, ofl_acc)
+        tt, ofl = _dist_groupby(node, tt_in, tc, d, lossless)
+        ofl_acc.append(ofl)
+        tc.leaf_tables[id(node)] = tt
+        return tt
+    # chain op: compute inputs distributed, register them as leaves, and let
+    # the ordinary single-shard tracer handle this one node locally
+    for i in node.inputs():
+        tc.leaf_tables[id(i)] = _trace_dist(i, tc, d, lossless, ofl_acc)
+    tt = trace_node(node, tc)
+    tc.leaf_tables[id(node)] = tt
+    return tt
+
+
+# ---------------------------------------------------------------------------
+# segment runner
+# ---------------------------------------------------------------------------
+
+_SPMD_JIT_CACHE: dict[tuple, Any] = {}
+
+# test hook: when True, each run stores its lowered StableHLO text here so
+# tests can assert the collective structure (all_to_all / all_gather present)
+CAPTURE_HLO = False
+LAST_LOWERED: str | None = None
+
+
+def _shard_leaf(df: DataFrame, mesh, d: int) -> tuple[list, int]:
+    """Pad a leaf DataFrame's arrays to d*per rows and place them row-sharded.
+    Returns (flat arg list, per-shard rows)."""
+    per = max(128, padded_size(-(-max(df.height, 1) // d)))
+    total = per * d
+    sharding = NamedSharding(mesh, P(AXIS))
+    args = []
+    for c in df._columns:
+        args.append(jax.device_put(pad_to(c.buffer.values, total), sharding))
+        if c.buffer.validity is not None:
+            args.append(jax.device_put(pad_to(c.buffer.validity, total), sharding))
+    return args, per
+
+
+def run_spmd_segment(
+    root: L.LNode,
+    leaf_dfs: list[tuple[L.LNode, DataFrame]],
+    mesh,
+    *,
+    lossless: bool = False,
+    sync: bool = True,
+) -> DataFrame:
+    d = int(mesh.devices.size)
+    out_schema = node_schema(root)
+    out_names = out_schema.names()
+    leaf_ids = [id(n) for n, _ in leaf_dfs]
+
+    sharded = []
+    pers = []
+    for _, df in leaf_dfs:
+        args, per = _shard_leaf(df, mesh, d)
+        sharded.append(args)
+        pers.append(per)
+
+    key = (
+        "spmd",
+        d,
+        lossless,
+        tuple(pers),
+        _segment_key(root, leaf_ids),
+        tuple(_table_sig(df) for _, df in leaf_dfs),
+    )
+    entry = _SPMD_JIT_CACHE.get(key)
+    if entry is None:
+        captured_tables: dict[str, Any] = {}
+        captured_children: dict[str, Any] = {}
+        leaf_meta = [
+            (lnode, [(c.name, c.dtype, c.table, c.buffer.validity is not None, getattr(c, "child", None)) for c in df._columns])
+            for lnode, df in leaf_dfs
+        ]
+
+        def traced(leaf_args: list, heights: list):
+            def local_fn(*flat):
+                n_h = len(leaf_meta)
+                flat, hts = flat[:-n_h], flat[-n_h:]
+                it = iter(flat)
+                leaf_tables: dict[int, TTable] = {}
+                ax = jax.lax.axis_index(AXIS)
+                for (lnode, colmeta), per, height in zip(leaf_meta, pers, hts):
+                    cols: dict[str, Val] = {}
+                    for (name, dtype, table, has_valid, child) in colmeta:
+                        values = next(it)
+                        validity = next(it) if has_valid else None
+                        cols[name] = Val(values, validity, dtype, table, ROW, child)
+                    iota = jax.lax.broadcasted_iota(jnp.int32, (per, 1), 0).squeeze(-1)
+                    mask = (iota + ax * per) < height
+                    leaf_tables[id(lnode)] = TTable(cols, mask, per)
+                tc = _TraceCtx(leaf_tables, {})
+                ofl_acc: list = []
+                tt = _trace_dist(root, tc, d, lossless, ofl_acc)
+                for name, v in tt.cols.items():
+                    captured_tables[name] = v.table
+                    if v.child is not None:
+                        captured_children[name] = v.child
+                outs = []
+                for name in out_names:
+                    v = tt.cols[name]
+                    outs.append(v.values)
+                    outs.append(
+                        v.validity if v.validity is not None else jnp.ones((tt.padded,), bool)
+                    )
+                bad = jnp.zeros((), bool)
+                for f in tc.flags:
+                    bad = bad | f
+                bad = jax.lax.psum(bad.astype(jnp.int32), AXIS)
+                ofl = jnp.zeros((), jnp.int32)
+                for o in ofl_acc:
+                    ofl = ofl + o
+                return tuple(outs), tt.rowmask, bad, ofl
+
+            flat_in = [a for args in leaf_args for a in args]
+            sm = shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=tuple(P(AXIS) for _ in flat_in) + tuple(P() for _ in heights),
+                out_specs=(
+                    tuple(P(AXIS) for _ in range(2 * len(out_names))),
+                    P(AXIS),
+                    P(),
+                    P(),
+                ),
+                check_vma=False,
+            )
+            outs, rm, bad, ofl = sm(*flat_in, *heights)
+            # global compaction: valid rows first (one stable radix pass), the
+            # same single-sync protocol as run_segment
+            perm = stable_argsort_words([(~rm).astype(jnp.int8)])
+            count = jnp.sum(rm.astype(jnp.int32))
+            count = jnp.where(bad > 0, -(count + 1), count)
+            rm_sorted = rm[perm]
+            final = []
+            for i in range(len(out_names)):
+                final.append(outs[2 * i][perm])
+                final.append(outs[2 * i + 1][perm] & rm_sorted)
+            return final, count, ofl
+
+        jfn = jax.jit(traced)
+        entry = (jfn, captured_tables, captured_children)
+        _SPMD_JIT_CACHE[key] = entry
+    jfn, captured_tables, captured_children = entry
+
+    heights = [jnp.int32(df.height) for _, df in leaf_dfs]
+    if CAPTURE_HLO:
+        global LAST_LOWERED
+        LAST_LOWERED = jfn.lower(sharded, heights).as_text()
+    outs, count, ofl = jfn(sharded, heights)
+    if not sync:
+        jax.block_until_ready([count, ofl, *outs])
+        n = outs[0].shape[0] if outs else 0
+        of_i = 0
+    else:
+        n_arr, of_arr = jax.device_get([count, ofl])
+        n, of_i = int(n_arr), int(of_arr)
+    if of_i > 0:
+        if lossless:
+            raise ComputeError("distributed shuffle overflowed at lossless capacity")
+        return run_spmd_segment(root, leaf_dfs, mesh, lossless=True, sync=sync)
+    if n < 0:
+        raise ComputeError(
+            "join validation failed: keys do not satisfy the declared "
+            "m:1/1:1/1:m cardinality"
+        )
+    size = padded_size(n)
+    cols = []
+    it = iter(outs)
+    for name in out_names:
+        values = next(it)
+        validity = next(it)
+        if values.shape[0] != size:
+            values = values[:size] if values.shape[0] >= size else pad_to(values, size)
+            validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
+        cols.append(
+            Column(
+                name, out_schema[name], Buffer(values, validity, n),
+                captured_tables.get(name), 0, captured_children.get(name),
+            )
+        )
+    return DataFrame._from_columns(cols, n)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def collect_spmd(node: L.LNode, mesh=None, *, sync: bool = True) -> DataFrame:
+    """Execute ``node`` with the SPMD engine where the plan shape allows;
+    single-chip for the rest (the InMemoryMap fallback pattern)."""
+    from polars_tpu.engine.run import execute_plan
+
+    if mesh is None:
+        mesh = make_mesh()
+    d = int(mesh.devices.size)
+    if d <= 1:
+        return execute_plan(node)
+    found = _find_dist_root(node)
+    if found is None:
+        return execute_plan(node)
+    root, above, leaf_nodes = found
+    leaf_dfs: list[tuple[L.LNode, DataFrame]] = []
+    seen: set[int] = set()
+    for ln in leaf_nodes:
+        if id(ln) in seen:
+            continue
+        seen.add(id(ln))
+        leaf_dfs.append((ln, execute_plan(ln)))
+    out = run_spmd_segment(root, leaf_dfs, mesh, sync=sync)
+    cur: L.LNode = L.LDataFrameScan(df=out, ident=obj_token(out))
+    for nd in reversed(above):
+        cur = L.rebuild(nd, (cur,))
+    return execute_plan(cur)

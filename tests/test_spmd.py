@@ -1,0 +1,160 @@
+"""SPMD engine tests on the 8-device virtual CPU mesh (round-2 verdict #1:
+distributed execution of REAL query plans — oracle-exact results, all_to_all
+in the compiled program, skew absorbed by pre-aggregation)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import polars_tpu as pl
+from polars_tpu.engine import spmd
+from polars_tpu.testing import pdsh
+
+
+def _cmp(lf, **kw):
+    exp = lf.collect()
+    got = lf.collect(engine="distributed")
+    pd.testing.assert_frame_equal(
+        got.to_pandas().reset_index(drop=True),
+        exp.to_pandas().reset_index(drop=True),
+        **kw,
+    )
+    return got
+
+
+@pytest.fixture(scope="module")
+def facts(rng_mod):
+    n = 6000
+    return pl.DataFrame({
+        "k": rng_mod.integers(0, 97, n),
+        "s": np.asarray(["a", "b", "c", "d"], object)[rng_mod.integers(0, 4, n)],
+        "v": rng_mod.normal(size=n),
+        "w": rng_mod.integers(0, 1000, n),
+    })
+
+
+@pytest.fixture(scope="module")
+def rng_mod():
+    return np.random.default_rng(1234)
+
+
+def test_dist_groupby_decomposable(facts):
+    _cmp(
+        facts.lazy()
+        .filter(pl.col("v") > -1.0)
+        .group_by("k")
+        .agg(
+            s=pl.col("v").sum(), m=pl.col("v").mean(), n=pl.len(),
+            lo=pl.col("v").min(), hi=pl.col("v").max(),
+        )
+        .sort("k")
+    )
+
+
+def test_dist_groupby_string_keys(facts):
+    _cmp(facts.lazy().group_by("s", "k").agg(t=pl.col("v").sum()).sort("s", "k"))
+
+
+def test_dist_groupby_nondecomposable(facts):
+    # median/n_unique force the raw-row shuffle path
+    _cmp(
+        facts.lazy().group_by("s").agg(
+            md=pl.col("v").median(), nu=pl.col("k").n_unique()
+        ).sort("s")
+    )
+
+
+def test_dist_join_broadcast_and_groupby(facts, rng_mod):
+    dim = pl.DataFrame({"k": np.arange(97), "name": [f"g{i}" for i in range(97)]})
+    _cmp(
+        facts.lazy()
+        .join(dim.lazy(), on="k", validate="m:1")
+        .group_by("name")
+        .agg(t=(pl.col("v") * 2).sum())
+        .sort("name")
+    )
+
+
+def test_dist_join_shuffle_path(facts, monkeypatch):
+    from polars_tpu.config import config
+
+    monkeypatch.setattr(config(), "broadcast_join_rows", 0)
+    dim = pl.DataFrame({"k": np.arange(97), "f": np.linspace(0, 1, 97)})
+    _cmp(
+        facts.lazy()
+        .join(dim.lazy(), on="k", validate="m:1")
+        .group_by("k")
+        .agg(t=(pl.col("v") * pl.col("f")).sum())
+        .sort("k")
+    )
+
+
+def test_dist_shuffle_overflow_retry(facts, monkeypatch):
+    # lossy capacity of 2 rows/bucket must overflow and trigger the lossless
+    # retry, still producing exact results
+    orig = spmd._shuffle_cap
+    monkeypatch.setattr(
+        spmd, "_shuffle_cap", lambda rows, d, lossless: rows if lossless else 2
+    )
+    _cmp(facts.lazy().group_by("s").agg(md=pl.col("v").median()).sort("s"))
+    monkeypatch.setattr(spmd, "_shuffle_cap", orig)
+
+
+def test_dist_skewed_keys(rng_mod):
+    # zipf-skewed keys: the pre-agg path bounds per-key shuffle traffic to one
+    # partial row per shard, so no capacity blowup
+    n = 20000
+    k = np.minimum(rng_mod.zipf(1.2, n), 1000).astype(np.int64)
+    df = pl.DataFrame({"k": k, "v": rng_mod.normal(size=n)})
+    _cmp(df.lazy().group_by("k").agg(s=pl.col("v").sum(), c=pl.len()).sort("k"))
+
+
+def test_hlo_contains_all_to_all(facts, monkeypatch):
+    monkeypatch.setattr(spmd, "CAPTURE_HLO", True)
+    spmd._SPMD_JIT_CACHE.clear()
+    lf = facts.lazy().group_by("w").agg(s=pl.col("v").sum()).sort("w")
+    _cmp(lf)
+    text = spmd.LAST_LOWERED
+    assert text is not None
+    assert "all_to_all" in text, "distributed group-by must shuffle via all_to_all"
+
+
+def test_hlo_broadcast_join_contains_all_gather(facts, monkeypatch):
+    monkeypatch.setattr(spmd, "CAPTURE_HLO", True)
+    spmd._SPMD_JIT_CACHE.clear()
+    dim = pl.DataFrame({"k": np.arange(97), "name": [f"g{i}" for i in range(97)]})
+    lf = (
+        facts.lazy().join(dim.lazy(), on="k", validate="m:1")
+        .group_by("name").agg(t=pl.col("v").sum()).sort("name")
+    )
+    _cmp(lf)
+    assert "all_gather" in spmd.LAST_LOWERED
+
+
+# -- PDS-H through the SPMD engine (verdict #1 done-when) ---------------------
+
+
+@pytest.fixture(scope="module")
+def pdsh_frames():
+    raw = pdsh.generate_pdsh(scale=0.004, seed=11)
+    return {name: pl.DataFrame(tbl) for name, tbl in raw.items()}
+
+
+def test_pdsh_q1_distributed(pdsh_frames):
+    _cmp(pdsh.q1(pdsh_frames["lineitem"]))
+
+
+def test_pdsh_q3_distributed(pdsh_frames):
+    _cmp(
+        pdsh.q3(
+            pdsh_frames["customer"], pdsh_frames["orders"], pdsh_frames["lineitem"]
+        )
+    )
+
+
+def test_pdsh_q4_distributed(pdsh_frames):
+    _cmp(pdsh.q4(pdsh_frames["orders"], pdsh_frames["lineitem"]))
+
+
+def test_pdsh_q6_distributed(pdsh_frames):
+    _cmp(pdsh.q6(pdsh_frames["lineitem"]))
