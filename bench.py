@@ -1,37 +1,207 @@
-"""PDS-H benchmark on the real chip.
+"""PDS-H benchmark on the real chip — SF10 (BASELINE.json north-star config).
 
-Primary metric: lineitem rows/s on PDS-H Q1 (scan -> filter -> hash aggregate
--> sort), the BASELINE.json headline config. vs_baseline compares against
-pandas running the identical query on this host (the only runnable stand-in
-for the reference CPU engine — reference polars is Rust source only here; see
-BASELINE.md).
+Phases (each separately timed, progress on stderr):
+  1. datagen (cached as parquet under /tmp/polars_tpu_bench)
+  2. scan: parquet -> host decode -> device ingest (projection-pruned)
+  3. device-complete Q1/Q3/Q4 steady-state (LazyFrame.execute(): the query
+     runs to COMPLETION on device with zero readback — CLAUDE.md §1 explains
+     why readback must be deferred)
+  4. HBM roofline: triad microbench + per-operator effective bandwidth
+     (filter / hash-agg scatter / join gather / radix sort)
+  5. readback + validation + pandas oracle baseline
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+BENCH_DIR = Path(os.environ.get("POLARS_TPU_BENCH_DIR", "/tmp/polars_tpu_bench"))
+
+# columns each query touches (scan-level projection, like the reference's
+# projection pushdown into the parquet reader)
+Q1_COLS = [
+    "l_shipdate", "l_returnflag", "l_linestatus", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax",
+]
+Q3_LINE_COLS = ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+Q3_ORD_COLS = ["o_orderkey", "o_custkey", "o_orderdate", "o_shippriority"]
+Q3_CUST_COLS = ["c_custkey", "c_mktsegment"]
+Q4_ORD_COLS = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+Q4_LINE_COLS = ["l_orderkey", "l_commitdate", "l_receiptdate"]
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def pandas_q1(raw):
-    import pandas as pd
+def _gen_parquet(scale: float, seed: int) -> dict:
+    """Generate (or reuse cached) PDS-H tables as parquet files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    li = pd.DataFrame(raw["lineitem"])
+    from polars_tpu.testing import pdsh
+
+    d = BENCH_DIR / f"sf{scale}_seed{seed}"
+    meta = d / "done"
+    paths = {t: d / f"{t}.parquet" for t in ("lineitem", "orders", "customer")}
+    if meta.exists():
+        return paths
+    d.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
-    f = li[li["l_shipdate"] <= np.datetime64("1998-09-02")]
+    raw = pdsh.generate_pdsh(scale=scale, seed=seed)
+    log(f"datagen: {len(raw['lineitem']['l_orderkey'])} lineitem rows "
+        f"in {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    for t in paths:
+        cols = {}
+        for name, arr in raw[t].items():
+            if arr.dtype == object:
+                cols[name] = pa.array(arr.tolist(), pa.string()).dictionary_encode()
+            else:
+                cols[name] = pa.array(arr)
+        pq.write_table(pa.table(cols), paths[t], compression="zstd")
+    log(f"parquet write: {time.perf_counter()-t0:.1f}s")
+    meta.touch()
+    return paths
+
+
+def _scan(path, cols) -> tuple:
+    """Timed scan: parquet -> host decode -> device buffers (no readback)."""
+    import jax
+
+    from polars_tpu.io.scan_exec import execute_scan
+    from polars_tpu.plan import logical as L
+
+    t0 = time.perf_counter()
+    df = execute_scan(L.LScan(sources=(str(path),), fmt="parquet", options=(),
+                              projection=tuple(cols)))
+    jax.block_until_ready([c.buffer.values for c in df._columns])
+    return df, time.perf_counter() - t0
+
+
+def _steady(lf, n_warm=1, n_iter=5) -> float:
+    for _ in range(n_warm):
+        lf.execute()
+    times = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        lf.execute()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _bytes_of(df, cols) -> int:
+    total = 0
+    for c in df._columns:
+        if c.name in cols:
+            total += c.buffer.values.size * c.buffer.values.dtype.itemsize
+            if c.buffer.validity is not None:
+                total += c.buffer.validity.size
+    return total
+
+
+def _roofline_ops(n: int) -> dict:
+    """Measured HBM bandwidth: triad + the engine's hot op shapes.
+
+    Each op runs ``reps`` times inside one jit with an optimization_barrier
+    between reps — without the barrier XLA fuses the whole chain into a
+    single pass and the 'bandwidth' comes out several times above the HBM
+    roofline (observed 5.6 TB/s 'triad'). Min of 3 timed calls; no readback.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    reps = 8
+    out: dict = {}
+
+    def timeit(jfn, args, nbytes_per_rep):
+        r = jfn(*args)
+        jax.block_until_ready(r)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = jfn(*args)
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        return nbytes_per_rep * reps / best / 1e9
+
+    barrier = jax.lax.optimization_barrier
+
+    key_i64 = jnp.arange(n, dtype=jnp.int64) * 2654435761 % n
+    vals = jnp.arange(n, dtype=jnp.float64) * 0.5
+    gids = (key_i64 % 4096).astype(jnp.int32)
+    mask = (key_i64 & 7) != 0
+
+    @jax.jit
+    def triad(a, b):
+        for _ in range(reps):
+            a = barrier(b + 0.5 * a)
+        return a
+
+    # 2 reads + 1 write x 8B per rep
+    out["triad_gbps"] = timeit(triad, (vals, vals + 1), 24 * n)
+
+    @jax.jit
+    def filt(x, m):
+        for _ in range(reps):
+            x = barrier(jnp.where(m, x + 1.0, x))
+        return x
+
+    # read 8B + mask 1B + write 8B
+    out["filter_gbps"] = timeit(filt, (vals, mask), 17 * n)
+
+    @jax.jit
+    def scat(g, x):
+        acc = jnp.zeros((4096,), jnp.float64)
+        for _ in range(reps):
+            acc = acc + jnp.zeros((4096,), jnp.float64).at[g].add(x, mode="drop")
+            x, acc = barrier((x + 1.0, acc))
+        return acc
+
+    # read gid 4B + read val 8B (+rmw in a cache-resident table) per row
+    out["scatter_add_gbps"] = timeit(scat, (gids, vals), 20 * n)
+
+    perm = (key_i64 % n).astype(jnp.int32)
+
+    @jax.jit
+    def gath(x, p):
+        for _ in range(reps):
+            x = barrier(x[p] + 1.0)
+        return x
+
+    # read idx 4B + random-read 8B + write 8B
+    out["gather_gbps"] = timeit(gath, (vals, perm), 20 * n)
+
+    @jax.jit
+    def sortp(x):
+        for _ in range(reps):
+            x = barrier(jax.lax.sort(x) ^ 1)
+        return x
+
+    # one full sort per rep, modeled as one read + one write of the array
+    # (the internal sort does many passes; this is EFFECTIVE sort throughput)
+    out["sort_i64_gbps_effective"] = timeit(sortp, (key_i64,), 16 * n)
+    out["rows"] = n
+    return out
+
+
+def pandas_q1(line_pd):
+    t0 = time.perf_counter()
+    f = line_pd[line_pd["l_shipdate"] <= np.datetime64("1998-09-02")]
     disc_price = f["l_extendedprice"] * (1 - f["l_discount"])
     charge = disc_price * (1 + f["l_tax"])
     g = f.assign(disc_price=disc_price, charge=charge).groupby(
-        ["l_returnflag", "l_linestatus"], sort=True
+        ["l_returnflag", "l_linestatus"], sort=True, observed=True
     )
     out = g.agg(
         sum_qty=("l_quantity", "sum"),
@@ -43,104 +213,131 @@ def pandas_q1(raw):
         avg_disc=("l_discount", "mean"),
         count_order=("l_quantity", "count"),
     ).reset_index()
-    dt_s = time.perf_counter() - t0
-    return out, dt_s
+    return out, time.perf_counter() - t0
 
 
 def main() -> None:
     import polars_tpu as pl
     from polars_tpu.testing import pdsh
 
-    scale = float(__import__("os").environ.get("BENCH_SCALE", "1.0"))
-    log(f"generating PDS-H data at SF{scale}...")
-    t0 = time.perf_counter()
-    raw = pdsh.generate_pdsh(scale=scale, seed=42)
-    n_rows = len(raw["lineitem"]["l_orderkey"])
-    log(f"datagen: {n_rows} lineitem rows in {time.perf_counter()-t0:.1f}s")
+    scale = float(os.environ.get("BENCH_SCALE", "10.0"))
+    detail: dict = {"scale": scale}
+    paths = _gen_parquet(scale, seed=42)
 
-    t0 = time.perf_counter()
-    lineitem = pl.DataFrame(raw["lineitem"])
-    log(f"device ingest: {time.perf_counter()-t0:.1f}s")
-
-    q = pdsh.q1(lineitem)
-    # Methodology (see BASELINE.md + CLAUDE.md §1): on this platform the
-    # first device->host readback permanently switches the runtime into a
-    # ~26ms-per-sync slow mode and big programs degrade ~500x. So the timed
-    # region uses LazyFrame.execute() — the full query runs to COMPLETION on
-    # device (block_until_ready, no readback). Results are fetched and
-    # validated afterwards, and the degraded end-to-end collect() time is
-    # reported alongside.
-    t0 = time.perf_counter()
-    q.execute()
-    log(f"Q1 first run (compile+exec): {time.perf_counter()-t0:.2f}s")
-
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        q.execute()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    rows_per_s = n_rows / best
-    log(f"Q1 device-complete steady-state: {best*1000:.2f} ms -> {rows_per_s/1e6:.1f}M rows/s")
-
-    q6 = pdsh.q6(lineitem)
-    try:
-        q6.execute()
-        t0 = time.perf_counter()
-        q6.execute()
-        log(f"Q6 device-complete steady-state: {(time.perf_counter()-t0)*1000:.2f} ms")
-    except Exception as e:  # noqa: BLE001
-        log(f"Q6 failed: {e}")
-    try:
-        orders_c = pl.DataFrame(raw["orders"])
-        customer_c = pl.DataFrame(raw["customer"])
-        q3c = pdsh.q3(customer_c, orders_c, lineitem)
-        q3c.execute()
-        ts3 = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q3c.execute()
-            ts3.append(time.perf_counter() - t0)
-        log(f"Q3 device-complete steady-state: {min(ts3)*1000:.2f} ms (fused m:1 joins)")
-    except Exception as e:  # noqa: BLE001
-        log(f"Q3 execute failed: {e}")
-
-    # ---- readback phase (flips the runtime into sync mode) ----
-    t0 = time.perf_counter()
-    out = q.collect()
-    log(f"Q1 first full collect (incl. first-readback penalty): {time.perf_counter()-t0:.2f}s, {out.height} groups")
-    t0 = time.perf_counter()
-    out = q.collect()
-    e2e = time.perf_counter() - t0
-    log(f"Q1 end-to-end collect in degraded sync mode: {e2e*1000:.1f} ms")
-
-    # Q3: 3-way join pipeline — fuses end-to-end via the m:1/1:m traced join
-    try:
-        orders = pl.DataFrame(raw["orders"])
-        customer = pl.DataFrame(raw["customer"])
-        q3 = pdsh.q3(customer, orders, lineitem)
-        q3.collect()
-        t0 = time.perf_counter()
-        q3.collect()
-        log(f"Q3 end-to-end (sync mode): {(time.perf_counter()-t0)*1000:.1f} ms")
-    except Exception as e:  # noqa: BLE001
-        log(f"Q3 failed: {e}")
-
-    log("running pandas baseline...")
-    _, pandas_s = pandas_q1(raw)
-    log(f"pandas Q1: {pandas_s*1000:.1f} ms")
-
-    vs_baseline = pandas_s / best  # >1 means faster than the pandas oracle
-    print(
-        json.dumps(
-            {
-                "metric": "pdsh_q1_rows_per_s",
-                "value": round(rows_per_s, 1),
-                "unit": "rows/s",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
+    # ---- phase 2: scan (parquet -> device), projection-pruned --------------
+    scan_cols = sorted(set(Q1_COLS + Q3_LINE_COLS + Q4_LINE_COLS))
+    lineitem, t_scan_li = _scan(paths["lineitem"], scan_cols)
+    n_rows = lineitem.height
+    orders, t_scan_o = _scan(paths["orders"], sorted(set(Q3_ORD_COLS + Q4_ORD_COLS)))
+    customer, t_scan_c = _scan(paths["customer"], Q3_CUST_COLS)
+    t_scan = t_scan_li + t_scan_o + t_scan_c
+    scan_bytes = (
+        _bytes_of(lineitem, scan_cols)
+        + _bytes_of(orders, Q3_ORD_COLS + Q4_ORD_COLS)
+        + _bytes_of(customer, Q3_CUST_COLS)
     )
+    detail["scan"] = {
+        "s": round(t_scan, 2),
+        "gbps": round(scan_bytes / t_scan / 1e9, 3),
+        "lineitem_rows": n_rows,
+    }
+    log(f"scan: {n_rows} lineitem rows, {scan_bytes/1e9:.2f} GB in {t_scan:.1f}s")
+
+    # ---- phase 3: device-complete queries ----------------------------------
+    queries = {}
+    t0 = time.perf_counter()
+    q1 = pdsh.q1(lineitem)
+    best1 = None
+    try:
+        q1.execute()
+        log(f"Q1 first run (compile+exec): {time.perf_counter()-t0:.2f}s")
+        best1 = _steady(q1)
+        q1_bytes = _bytes_of(lineitem, Q1_COLS)
+        queries["q1"] = {
+            "ms": round(best1 * 1e3, 3),
+            "rows_per_s": round(n_rows / best1, 1),
+            "gbps": round(q1_bytes / best1 / 1e9, 2),
+        }
+        log(f"Q1 steady: {best1*1e3:.2f} ms  {n_rows/best1/1e6:.0f}M rows/s  "
+            f"{q1_bytes/best1/1e9:.0f} GB/s effective")
+    except Exception as e:  # noqa: BLE001
+        log(f"Q1 failed: {e}")
+
+    for name, lf, tables, colsets in (
+        ("q3", pdsh.q3(customer, orders, lineitem),
+         (customer, orders, lineitem), (Q3_CUST_COLS, Q3_ORD_COLS, Q3_LINE_COLS)),
+        ("q4", pdsh.q4(orders, lineitem),
+         (orders, lineitem), (Q4_ORD_COLS, Q4_LINE_COLS)),
+    ):
+        try:
+            t0 = time.perf_counter()
+            lf.execute()
+            log(f"{name} first run: {time.perf_counter()-t0:.2f}s")
+            best = _steady(lf, n_iter=3)
+            nbytes = sum(_bytes_of(t, c) for t, c in zip(tables, colsets))
+            queries[name] = {
+                "ms": round(best * 1e3, 3),
+                "rows_per_s": round(n_rows / best, 1),
+                "gbps": round(nbytes / best / 1e9, 2),
+            }
+            log(f"{name} steady: {best*1e3:.2f} ms  {nbytes/best/1e9:.0f} GB/s effective")
+        except Exception as e:  # noqa: BLE001
+            log(f"{name} failed: {e}")
+
+    # ---- phase 4: roofline --------------------------------------------------
+    try:
+        ops = _roofline_ops(min(1 << 24, max(1 << 20, n_rows)))
+        detail["ops"] = {k: round(v, 2) if isinstance(v, float) else v for k, v in ops.items()}
+        log(f"roofline ops: {detail['ops']}")
+        triad = ops["triad_gbps"]
+        for qn, q in queries.items():
+            q["pct_roofline"] = round(100.0 * q["gbps"] / triad, 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"roofline bench failed: {e}")
+    detail["queries"] = queries
+
+    # ---- phase 5: readback + validation + pandas ----------------------------
+    pandas_s = None
+    try:
+        t0 = time.perf_counter()
+        out = q1.collect()
+        log(f"Q1 first full collect (first-readback penalty): "
+            f"{time.perf_counter()-t0:.1f}s, {out.height} groups")
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        t0 = time.perf_counter()
+        line_pd = pq.read_table(paths["lineitem"], columns=Q1_COLS).to_pandas()
+        for c in ("l_returnflag", "l_linestatus"):
+            # plain str, not Categorical: categorical sort order follows the
+            # dictionary insertion order, not lexicographic
+            line_pd[c] = line_pd[c].astype(str)
+        log(f"pandas load: {time.perf_counter()-t0:.1f}s")
+        p_out, pandas_s = pandas_q1(line_pd)
+        log(f"pandas Q1: {pandas_s*1e3:.1f} ms")
+        ours = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+        theirs = p_out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "count_order"):
+            np.testing.assert_allclose(
+                ours[c].to_numpy(np.float64), theirs[c].to_numpy(np.float64), rtol=1e-9
+            )
+        log("Q1 validated against the pandas oracle")
+        detail["validated"] = True
+    except Exception as e:  # noqa: BLE001
+        log(f"validation/pandas phase failed: {e}")
+
+    if best1 is None:
+        print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
+                          "unit": "rows/s", "vs_baseline": 0.0}))
+        return
+    vs = round(pandas_s / best1, 3) if pandas_s else 0.0
+    print(json.dumps({
+        "metric": "pdsh_q1_rows_per_s",
+        "value": round(n_rows / best1, 1),
+        "unit": "rows/s",
+        "vs_baseline": vs,
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":

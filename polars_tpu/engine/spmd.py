@@ -81,6 +81,8 @@ def _broadcast_rows() -> int:
 def _classify(node: L.LNode, leaves: list[L.LNode], counters: dict) -> None:
     """Walk the dist-traceable region under ``node``; nodes outside it become
     leaves (materialized by the single-chip engine, then sharded)."""
+    from polars_tpu.engine.streaming import _decompose_aggs, _node_rowlocal
+
     if isinstance(node, (L.LDataFrameScan, L.LScan)):
         leaves.append(node)
         return
@@ -94,8 +96,14 @@ def _classify(node: L.LNode, leaves: list[L.LNode], counters: dict) -> None:
         _classify(node.input, leaves, counters)
         return
     if isinstance(node, _DIST_CHAIN) and _is_fusable(node):
-        _classify(node.inputs()[0], leaves, counters)
-        return
+        if _node_rowlocal(node):
+            _classify(node.inputs()[0], leaves, counters)
+            return
+        if isinstance(node, L.LSelect) and _decompose_aggs(node.expressions) is not None:
+            # decomposable ungrouped reduce (Q6/Q14-style aggregate select)
+            counters["reductions"] += 1
+            _classify(node.input, leaves, counters)
+            return
     leaves.append(node)
 
 
@@ -280,9 +288,31 @@ def _dist_join(node: L.LJoin, tt_l: TTable, tt_r: TTable, tc: _TraceCtx, d: int,
     return TTable(cols, rowmask, rowmask.shape[0]), ofl
 
 
+def _dist_reduce_select(node: L.LSelect, tt: TTable, tc: _TraceCtx):
+    """Distributed ungrouped reduce: per-shard partial aggregates, all_gather,
+    merge + finalize replicated; only shard 0 keeps the single output row."""
+    from polars_tpu.engine.streaming import _decompose_aggs
+
+    partial, merge, final = _decompose_aggs(node.expressions)
+    tt_p = _trace_select(tt, tuple(partial), tc, keep_input=False)
+    tt_g = _gather_ttable(tt_p)
+    tt_m = _trace_select(tt_g, tuple(merge), tc, keep_input=False)
+    tt_f = _trace_select(tt_m, tuple(final), tc, keep_input=False)
+    ax = jax.lax.axis_index(AXIS)
+    mask = tt_f.rowmask & (ax == 0)
+    return TTable(tt_f.cols, mask, tt_f.padded)
+
+
 def _trace_dist(node: L.LNode, tc: _TraceCtx, d: int, lossless: bool, ofl_acc: list):
+    from polars_tpu.engine.streaming import _node_rowlocal
+
     if id(node) in tc.leaf_tables:
         return tc.leaf_tables[id(node)]
+    if isinstance(node, L.LSelect) and not _node_rowlocal(node):
+        tt_in = _trace_dist(node.input, tc, d, lossless, ofl_acc)
+        tt = _dist_reduce_select(node, tt_in, tc)
+        tc.leaf_tables[id(node)] = tt
+        return tt
     if isinstance(node, L.LJoin):
         tt_l = _trace_dist(node.input_left, tc, d, lossless, ofl_acc)
         tt_r = _trace_dist(node.input_right, tc, d, lossless, ofl_acc)

@@ -1,22 +1,37 @@
-"""Streaming execution: larger-than-HBM scans via batch-wise partial
-aggregation.
+"""Streaming execution: larger-than-HBM plans via batch-wise processing.
 
-The polars-stream analogue (SURVEY.md §2.11): scans feed fixed-size batches
-("morsels") through the fused map/filter segment; GroupBy becomes per-batch
-partial aggregates (GroupedReduction update) combined at the end
-(combine_locals barrier, nodes/group_by.rs:252). Decomposition:
+The polars-stream analogue (SURVEY.md §2.11), generalized in round 2 beyond
+GroupBy-over-scan. The plan's spine — the path from the root to its LARGEST
+leaf — streams in fixed-size batches ("morsels") through the fused per-batch
+chain; the topmost stateful node on that spine becomes the TERMINAL combiner:
 
-    sum   -> sum of partial sums          count/len -> sum of partial counts
-    min   -> min of partial mins          max       -> max of partial maxes
-    mean  -> partial (sum, count) pair, finalized as sum/count
+- GroupBy, decomposable aggs (sum/count/len/min/max/mean/var/std): per-batch
+  partial aggregates merged at the end (GroupedReduction update + the
+  combine_locals barrier, polars-stream/src/nodes/group_by.rs:252).
+- GroupBy, general aggs (median/quantile/n_unique/...): per-batch chain
+  output narrowed to the key + agg input columns and accumulated through the
+  out-of-core host store (engine/ooc.py — spills under a budget), then one
+  final group-by.
+- Sort with limit (TopK): per-batch device top-k, final merge — streaming,
+  like the reference's TopK node.
+- Sort without limit: chain streams, rows accumulate in the host store, one
+  final in-memory sort — the reference's own design (sort lowers to
+  InMemoryMap over materialized input, to_graph.rs:589-624).
+- Distinct: per-batch distinct (keep first/last/any compose), final distinct
+  over the concatenated survivors; keep="none" skips the per-batch pass.
+- Slice/head: accumulate until offset+length rows exist, then STOP the scan
+  (early termination).
+- No stateful terminal: per-batch chain outputs concatenate (sink).
 
-Aggregations outside this set fall back to in-memory collect (the reference's
-InMemoryMap fallback pattern).
+Joins inside the streamed chain run per batch with the streamed side as the
+PROBE; build sides materialize exactly once (the build-resident /
+probe-streamed pattern, polars-stream/src/nodes/joins/equi_join.rs).
+Everything above the terminal runs in-memory on the (small) combined result
+— the InMemoryMap fallback pattern.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 from polars_tpu import datatypes as dt
@@ -27,36 +42,122 @@ from polars_tpu.plan import exprs as E
 from polars_tpu.plan import logical as L
 from polars_tpu.utils.tokens import obj_token
 
-_DECOMPOSABLE = {"sum", "count", "len", "min", "max", "mean"}
+_DECOMPOSABLE = {"sum", "count", "len", "min", "max", "mean", "var", "std"}
+
+_CHAIN = (L.LFilter, L.LSelect, L.LWithColumns, L.LRename, L.LDrop)
+_TERMINALS = (L.LGroupBy, L.LSort, L.LDistinct, L.LSlice)
 
 
-def _find_streamable_groupby(node: L.LNode):
-    """Locate GroupBy(fusable-chain(Scan)) in the plan; returns
-    (groupby_node, scan_node, path_from_groupby_down) or None."""
-    from polars_tpu.engine.executors import _is_fusable
+# ---------------------------------------------------------------------------
+# plan analysis
+# ---------------------------------------------------------------------------
 
-    # downstream nodes above the group-by are executed in-memory afterwards
-    cur = node
-    above: list[L.LNode] = []
-    while not isinstance(cur, L.LGroupBy):
-        inputs = cur.inputs()
-        if len(inputs) != 1 or not _is_fusable(cur):
-            return None
-        above.append(cur)
-        cur = inputs[0]
-    gb = cur
-    # below: fusable single-input chain ending at a scan
-    cur = gb.input
-    while not isinstance(cur, (L.LScan, L.LDataFrameScan)):
-        inputs = cur.inputs()
-        if len(inputs) != 1 or not _is_fusable(cur):
-            return None
-        cur = inputs[0]
-    return gb, cur, above
+
+def _leaf_rows(n: L.LNode) -> int:
+    if isinstance(n, L.LDataFrameScan):
+        return n.df.height
+    if isinstance(n, L.LScan):
+        if n.fmt == "parquet":
+            try:
+                import pyarrow.parquet as pq
+
+                return sum(pq.ParquetFile(p).metadata.num_rows for p in n.sources)
+            except Exception:  # noqa: BLE001
+                return 1 << 30
+        return 1 << 30  # unknown size: assume big (prefer streaming it)
+    return 0
+
+
+def _collect_leaves(n: L.LNode, out: list) -> None:
+    if isinstance(n, (L.LScan, L.LDataFrameScan)):
+        out.append(n)
+        return
+    for i in n.inputs():
+        _collect_leaves(i, out)
+
+
+def _path_to(root: L.LNode, leaf: L.LNode) -> list[L.LNode] | None:
+    if root is leaf:
+        return [root]
+    for i in root.inputs():
+        sub = _path_to(i, leaf)
+        if sub is not None:
+            return [root, *sub]
+    return None
+
+
+def _probe_input(j: L.LJoin) -> L.LNode:
+    """The side of a fused join whose rows stream (probe)."""
+    return j.input_right if j.validate == "1:m" else j.input_left
+
+
+def _node_rowlocal(n: L.LNode) -> bool:
+    """Per-batch-safe chain node: maps/filters whose exprs are elementwise
+    (the ExprCache.is_elementwise classification, lower_expr.rs:39-53).
+    Aggregating selects, windows, ranks etc. must NOT stream as chain nodes."""
+    if isinstance(n, (L.LRename, L.LDrop)):
+        return True
+    if isinstance(n, L.LFilter):
+        return E.is_elementwise(n.predicate)
+    if isinstance(n, (L.LSelect, L.LWithColumns)):
+        return all(E.is_elementwise(e) for e in n.exprs())
+    return False
+
+
+def _plan_stream(root: L.LNode):
+    """Returns (leaf, terminal | None, chain_top, above_root) or None.
+
+    ``chain_top`` is the per-batch-safe subplan fed to the terminal (the
+    terminal's spine input, or the root itself when no terminal exists).
+    """
+    from polars_tpu.engine.executors import _is_fusable, _join_fusable
+
+    leaves: list[L.LNode] = []
+    _collect_leaves(root, leaves)
+    if not leaves:
+        return None
+    leaf = max(leaves, key=_leaf_rows)
+    path = _path_to(root, leaf)
+    if path is None:
+        return None
+    # ascend from the leaf through per-batch-safe nodes
+    idx = len(path) - 1  # path[idx] == leaf
+    while idx > 0:
+        n = path[idx - 1]
+        if isinstance(n, _CHAIN) and _is_fusable(n) and _node_rowlocal(n):
+            idx -= 1
+            continue
+        if isinstance(n, L.LJoin) and _join_fusable(n) and _is_fusable(n) and _probe_input(n) is path[idx]:
+            idx -= 1
+            continue
+        break
+    chain_top = path[idx]
+    terminal = None
+    if idx > 0:
+        cand = path[idx - 1]
+        if isinstance(cand, L.LSlice) and (cand.offset < 0 or cand.length is None):
+            cand = None  # negative slices need the total count
+        if isinstance(cand, L.LSelect) and _decompose_aggs(cand.expressions) is None:
+            cand = None  # non-decomposable ungrouped reduce
+        if isinstance(cand, (*_TERMINALS, L.LSelect)):
+            terminal = cand
+    if terminal is None and idx > 0 and chain_top is leaf:
+        return None  # nothing streams (first node above the scan is stateful)
+    return leaf, terminal, chain_top, root
+
+
+# ---------------------------------------------------------------------------
+# agg decomposition (GroupedReduction partial/combine/finalize lifecycle)
+# ---------------------------------------------------------------------------
 
 
 def _decompose_aggs(aggs):
-    """Rewrite agg exprs into (partial_aggs, merge_aggs, final_exprs)."""
+    """Rewrite agg exprs into (partial_aggs, merge_aggs, final_exprs).
+
+    sum/count/len -> sum of partials; min/max -> min/max of partials;
+    mean -> (sum, count); var/std -> (sum, sum of squares, count) finalized
+    as (s2 - s^2/c) / (c - ddof) (the streaming engine's combine form; the
+    in-memory engine keeps its two-pass version for stability)."""
     import polars_tpu as pl
 
     partial: list[E.ENode] = []
@@ -74,10 +175,24 @@ def _decompose_aggs(aggs):
         if k == "mean":
             ps, pc = f"__p{idx}_s", f"__p{idx}_c"
             partial.append(E.EAlias(E.EAgg(base.input, "sum", ()), ps))
-            partial.append(E.EAlias(E.EAgg(base.input, "len" if False else "count", base.options), pc))
+            partial.append(E.EAlias(E.EAgg(base.input, "count", base.options), pc))
             merge.append(E.EAlias(E.EAgg(E.EColumn(ps), "sum", ()), ps))
             merge.append(E.EAlias(E.EAgg(E.EColumn(pc), "sum", ()), pc))
             final.append((pl.col(ps) / pl.col(pc)).alias(name)._node)
+        elif k in ("var", "std"):
+            ddof = base.opt("ddof", 1)
+            ps, p2, pc = f"__p{idx}_s", f"__p{idx}_2", f"__p{idx}_c"
+            sq = E.EBinary(base.input, "*", base.input)
+            partial.append(E.EAlias(E.EAgg(base.input, "sum", ()), ps))
+            partial.append(E.EAlias(E.EAgg(sq, "sum", ()), p2))
+            partial.append(E.EAlias(E.EAgg(base.input, "count", ()), pc))
+            for col in (ps, p2, pc):
+                merge.append(E.EAlias(E.EAgg(E.EColumn(col), "sum", ()), col))
+            c = pl.col(pc)
+            v = (pl.col(p2) - pl.col(ps) * pl.col(ps) / c) / (c - ddof)
+            v = pl.when(c > ddof).then(v).otherwise(None)
+            out_e = v.sqrt() if k == "std" else v
+            final.append(out_e.alias(name)._node)
         else:
             p = f"__p{idx}"
             partial.append(E.EAlias(E.EAgg(base.input, k, base.options), p))
@@ -91,55 +206,241 @@ def _decompose_aggs(aggs):
     return partial, merge, final
 
 
+def _expr_columns(nodes) -> set[str]:
+    out: set[str] = set()
+    for e in nodes:
+        for s in E.walk(e):
+            if isinstance(s, E.EColumn):
+                out.add(s.name)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+
+def _iter_batches(leaf: L.LNode, batch_rows: int):
+    if isinstance(leaf, L.LScan):
+        from polars_tpu.io.scan_exec import iter_scan_batches
+
+        yield from iter_scan_batches(leaf, batch_rows)
+    else:
+        df = leaf.df
+        for start in range(0, max(df.height, 1), batch_rows):
+            b = df.slice(start, batch_rows)
+            if b.height or df.height == 0:
+                yield b
+            if df.height == 0:
+                return
+
+
+def _freeze_build_sides(node: L.LNode, leaf: L.LNode, cache: dict) -> L.LNode:
+    """Materialize every join input NOT on the stream spine exactly once."""
+    from polars_tpu.engine.run import execute_plan
+
+    if node is leaf or isinstance(node, (L.LScan, L.LDataFrameScan)):
+        return node
+    if isinstance(node, L.LJoin):
+        probe = _probe_input(node)
+        new_inputs = []
+        for i in node.inputs():
+            if i is probe:
+                new_inputs.append(_freeze_build_sides(i, leaf, cache))
+            else:
+                if id(i) not in cache:
+                    df = execute_plan(i)
+                    cache[id(i)] = L.LDataFrameScan(df=df, ident=obj_token(df))
+                new_inputs.append(cache[id(i)])
+        return L.rebuild(node, tuple(new_inputs))
+    return L.rebuild(node, tuple(_freeze_build_sides(i, leaf, cache) for i in node.inputs()))
+
+
 def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFrame:
     """Execute with batch-streamed scans where the plan shape allows;
     otherwise fall back to the in-memory engine."""
+    from polars_tpu.engine.ooc import HostRunStore
     from polars_tpu.engine.run import execute_plan
-    from polars_tpu.io.scan_exec import iter_scan_batches
-
-    found = _find_streamable_groupby(node)
-    if found is None:
-        return execute_plan(node)
-    gb, scan, above = found
-    dec = _decompose_aggs(gb.aggs)
-    if dec is None or not isinstance(scan, L.LScan):
-        return execute_plan(node)
-    partial, merge, final = dec
-    batch_rows = batch_rows or config().ideal_batch_size
-
-    partials: list[DataFrame] = []
-    import polars_tpu as pl
-
-    for batch_df in iter_scan_batches(scan, batch_rows):
-        sub = _replace_input(gb.input, scan, L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df)))
-        pgb = L.LGroupBy(sub, gb.keys, tuple(partial), False)
-        partials.append(execute_plan(pgb))
-        if verbose():
-            print(f"[polars_tpu] streamed batch: {batch_df.height} rows -> {partials[-1].height} partial groups")
-
-    if not partials:
-        return execute_plan(node)
     from polars_tpu.functions.eager import concat
 
-    combined = concat(partials, how="vertical_relaxed") if len(partials) > 1 else partials[0]
-    key_names = [E.output_name(k) or "literal" for k in gb.keys]
-    merged = execute_plan(
-        L.LGroupBy(
-            L.LDataFrameScan(df=combined, ident=obj_token(combined)),
-            tuple(E.EColumn(n) for n in key_names),
-            tuple(merge),
-            gb.maintain_order,
+    plan = _plan_stream(node)
+    if plan is None:
+        return execute_plan(node)
+    leaf, terminal, chain_top, root = plan
+    batch_rows = batch_rows or config().ideal_batch_size
+
+    chain = _freeze_build_sides(chain_top, leaf, {})
+
+    def run_chain(batch_df: DataFrame) -> DataFrame:
+        sub = _replace_input(chain, leaf, L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df)))
+        return execute_plan(sub)
+
+    def splice(result: DataFrame, at: L.LNode) -> DataFrame:
+        """Substitute ``result`` for ``at`` in the full plan and finish
+        in-memory (everything above the terminal is small). Replacement is by
+        STRUCTURAL equality: the optimizer may have duplicated a shared
+        subplan (Q15-style self-joins), and a float aggregate recomputed
+        in-memory can differ in the last ulp from the streamed one — both
+        copies must see the identical streamed result."""
+        if at is root:
+            return result
+        rebuilt = _replace_equal(root, at, L.LDataFrameScan(df=result, ident=obj_token(result)))
+        return execute_plan(rebuilt)
+
+    import polars_tpu as pl  # noqa: F401
+
+    # ---- ungrouped reduce terminal (Q6-style aggregate select) --------------
+    if isinstance(terminal, L.LSelect):
+        partial, merge, final = _decompose_aggs(terminal.expressions)
+        partials = []
+        for batch_df in _iter_batches(leaf, batch_rows):
+            out = run_chain(batch_df)
+            partials.append(execute_plan(
+                L.LSelect(L.LDataFrameScan(df=out, ident=obj_token(out)), tuple(partial))
+            ))
+        if not partials:
+            return execute_plan(node)
+        combined = concat(partials, how="vertical_relaxed") if len(partials) > 1 else partials[0]
+        merged = execute_plan(
+            L.LSelect(L.LDataFrameScan(df=combined, ident=obj_token(combined)), tuple(merge))
         )
-    )
-    final_exprs = [E.EColumn(n) for n in key_names] + list(final)
-    out = execute_plan(
-        L.LSelect(L.LDataFrameScan(df=merged, ident=obj_token(merged)), tuple(final_exprs))
-    )
-    # run remaining plan above the group-by
-    cur: L.LNode = L.LDataFrameScan(df=out, ident=obj_token(out))
-    for n in reversed(above):
-        cur = L.rebuild(n, (cur,))
-    return execute_plan(cur)
+        out = execute_plan(
+            L.LSelect(L.LDataFrameScan(df=merged, ident=obj_token(merged)), tuple(final))
+        )
+        return splice(out, terminal)
+
+    # ---- GroupBy terminal ---------------------------------------------------
+    if isinstance(terminal, L.LGroupBy):
+        gb = terminal
+        dec = _decompose_aggs(gb.aggs)
+        key_names = [E.output_name(k) or "literal" for k in gb.keys]
+        if dec is not None:
+            partial, merge, final = dec
+            partials: list[DataFrame] = []
+            for batch_df in _iter_batches(leaf, batch_rows):
+                out = run_chain(batch_df)
+                sub = L.LGroupBy(
+                    L.LDataFrameScan(df=out, ident=obj_token(out)),
+                    gb.keys, tuple(partial), False,
+                )
+                partials.append(execute_plan(sub))
+                if verbose():
+                    print(f"[polars_tpu] streamed batch: {batch_df.height} rows -> "
+                          f"{partials[-1].height} partial groups")
+            if not partials:
+                return execute_plan(node)
+            combined = concat(partials, how="vertical_relaxed") if len(partials) > 1 else partials[0]
+            merged = execute_plan(
+                L.LGroupBy(
+                    L.LDataFrameScan(df=combined, ident=obj_token(combined)),
+                    tuple(E.EColumn(n) for n in key_names),
+                    tuple(merge),
+                    gb.maintain_order,
+                )
+            )
+            final_exprs = [E.EColumn(n) for n in key_names] + list(final)
+            out = execute_plan(
+                L.LSelect(L.LDataFrameScan(df=merged, ident=obj_token(merged)), tuple(final_exprs))
+            )
+            return splice(out, gb)
+
+        # general aggs: narrow each batch to the needed columns, accumulate
+        # through the OOC host store, one final group-by over the whole set
+        needed = _expr_columns((*gb.keys, *gb.aggs))
+        store = HostRunStore()
+        try:
+            for batch_df in _iter_batches(leaf, batch_rows):
+                out = run_chain(batch_df)
+                keep = [c for c in out.columns if c in needed] or out.columns[:1]
+                store.add(DataFrame._from_columns([out._get(c) for c in keep], out.height))
+            acc = store.to_frame()
+        finally:
+            store.close()
+        out = execute_plan(
+            L.LGroupBy(
+                L.LDataFrameScan(df=acc, ident=obj_token(acc)),
+                gb.keys, gb.aggs, gb.maintain_order,
+            )
+        )
+        return splice(out, gb)
+
+    # ---- Sort terminal ------------------------------------------------------
+    if isinstance(terminal, L.LSort):
+        st = terminal
+        if st.limit is not None:
+            # streaming TopK: per-batch device top-k, then merge
+            parts: list[DataFrame] = []
+            for batch_df in _iter_batches(leaf, batch_rows):
+                out = run_chain(batch_df)
+                parts.append(execute_plan(
+                    L.rebuild(st, (L.LDataFrameScan(df=out, ident=obj_token(out)),))
+                ))
+            if not parts:
+                return execute_plan(node)
+            combined = concat(parts, how="vertical_relaxed") if len(parts) > 1 else parts[0]
+            out = execute_plan(
+                L.rebuild(st, (L.LDataFrameScan(df=combined, ident=obj_token(combined)),))
+            )
+            return splice(out, st)
+        # full sort: stream the chain, accumulate rows out-of-core, one final
+        # in-memory sort (the reference's own lowering: sort -> InMemoryMap)
+        store = HostRunStore()
+        try:
+            for batch_df in _iter_batches(leaf, batch_rows):
+                store.add(run_chain(batch_df))
+            acc = store.to_frame()
+        finally:
+            store.close()
+        out = execute_plan(
+            L.rebuild(st, (L.LDataFrameScan(df=acc, ident=obj_token(acc)),))
+        )
+        return splice(out, st)
+
+    # ---- Distinct terminal --------------------------------------------------
+    if isinstance(terminal, L.LDistinct):
+        di = terminal
+        parts = []
+        for batch_df in _iter_batches(leaf, batch_rows):
+            out = run_chain(batch_df)
+            if di.keep != "none":  # per-batch reduction composes
+                out = execute_plan(
+                    L.rebuild(di, (L.LDataFrameScan(df=out, ident=obj_token(out)),))
+                )
+            parts.append(out)
+        if not parts:
+            return execute_plan(node)
+        combined = concat(parts, how="vertical_relaxed") if len(parts) > 1 else parts[0]
+        out = execute_plan(
+            L.rebuild(di, (L.LDataFrameScan(df=combined, ident=obj_token(combined)),))
+        )
+        return splice(out, di)
+
+    # ---- Slice/head terminal (early stop) -----------------------------------
+    if isinstance(terminal, L.LSlice):
+        sl = terminal
+        want = sl.offset + sl.length
+        parts = []
+        got = 0
+        for batch_df in _iter_batches(leaf, batch_rows):
+            out = run_chain(batch_df)
+            parts.append(out)
+            got += out.height
+            if got >= want:
+                break
+        if not parts:
+            return execute_plan(node)
+        combined = concat(parts, how="vertical_relaxed") if len(parts) > 1 else parts[0]
+        out = execute_plan(
+            L.rebuild(sl, (L.LDataFrameScan(df=combined, ident=obj_token(combined)),))
+        )
+        return splice(out, sl)
+
+    # ---- no terminal: the chain IS the query (sink) -------------------------
+    parts = [run_chain(b) for b in _iter_batches(leaf, batch_rows)]
+    if not parts:
+        return execute_plan(node)
+    combined = concat(parts, how="vertical_relaxed") if len(parts) > 1 else parts[0]
+    return splice(combined, chain_top)
 
 
 def _replace_input(node: L.LNode, target: L.LNode, replacement: L.LNode) -> L.LNode:
@@ -147,4 +448,17 @@ def _replace_input(node: L.LNode, target: L.LNode, replacement: L.LNode) -> L.LN
         return replacement
     inputs = node.inputs()
     new_inputs = tuple(_replace_input(i, target, replacement) for i in inputs)
-    return L.rebuild(node, new_inputs) if inputs else node
+    if new_inputs == inputs:
+        return node
+    return L.rebuild(node, new_inputs)
+
+
+def _replace_equal(node: L.LNode, target: L.LNode, replacement: L.LNode) -> L.LNode:
+    """Replace every occurrence structurally equal to ``target``."""
+    if node is target or node == target:
+        return replacement
+    inputs = node.inputs()
+    new_inputs = tuple(_replace_equal(i, target, replacement) for i in inputs)
+    if all(a is b for a, b in zip(new_inputs, inputs)):
+        return node
+    return L.rebuild(node, new_inputs)
