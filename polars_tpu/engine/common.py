@@ -22,15 +22,37 @@ SCALAR = "scalar"
 
 
 @dataclass
+class TracedChild:
+    """The flat child of a List (or Struct) column inside a trace.
+
+    The parent's traced values are packed (start<<32|len) pairs — position-
+    independent, so row ops permute them freely without touching the child.
+    ``values``/``validity``/``length`` are traced arrays fed as jit ARGUMENTS
+    (fresh per call — capturing the host Column was a silent stale-cache bug:
+    two frames with equal signatures but different child data shared one jit
+    entry). ``src`` is host provenance ``(leaf_pos, col_name)``: output list
+    columns reattach the CURRENT leaf's host child through it. Struct columns
+    carry ``src`` only (``values is None``) — their children are host-side
+    field Column lists."""
+
+    values: Any  # traced child values, or None (struct / provenance-only)
+    validity: Any  # traced bool validity or None
+    dtype: Any  # inner dtype
+    table: Any  # StringTable of the child, or None
+    length: Any  # traced int32 scalar — flat child element count
+    src: tuple  # (leaf_pos, col_name) host provenance
+    child: "TracedChild | None" = None  # nested lists
+
+
+@dataclass
 class Val:
     values: jax.Array
     validity: jax.Array | None  # bool, same shape, None = all valid
     dtype: dt.DataType
     table: StringTable | None = None
     domain: str = ROW
-    # List columns: host-side reference to the flat child Column; the traced
-    # values are the packed (start<<32|len) pairs, which are position-
-    # independent — row ops permute them freely without touching the child.
+    # List/Struct columns: TracedChild inside segment traces; the host child
+    # Column in eager contexts (ops/list_ops.py).
     child: Any = None
 
     def with_(self, **kw: Any) -> Val:
@@ -65,6 +87,11 @@ class EvalCtx:
     groups: GroupCtx | None = None
     # pre-fused aggregation results (EAgg node -> Val), see executors._batch_aggs
     precomputed: dict | None = None
+    # trace-time common-subexpression memo (structural ENode -> Val): repeated
+    # subtrees within one evaluation context trace ONCE (the reference's
+    # cse_expr pass, polars-plan/src/plans/optimizer/cse/; here it also cuts
+    # Python trace time — XLA would dedupe the HLO anyway, the trace wouldn't)
+    memo: dict | None = None
 
     def out_mask(self) -> jax.Array:
         """Validity domain mask for the produced frame."""

@@ -89,14 +89,54 @@ def _join_fusable(node: L.LJoin) -> bool:
 
 HOST_FNS = {
     "concat_str", "dt.to_string", "cat.get_categories",
-    "list.len", "list.sum", "list.mean", "list.min", "list.max", "list.get",
-    "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
+    "list.join", "list.sort", "list.unique", "list.reverse",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
     "sample", "shuffle", "arg_where_self", "rle",
-    "rolling_sum_by", "rolling_mean_by", "rolling_min_by", "rolling_max_by",
-    "rolling_std_by", "rolling_var_by", "rolling_first_by", "rolling_last_by",
-    "rolling_count_by",
 }
+# list.len/sum/mean/min/max/get/contains are TRACED since round 2
+# (engine/fn_nested.py) — prefix-sum range queries over the packed layout.
+
+
+def _is_column_ref(e: E.ENode) -> bool:
+    """True when ``e`` is a bare column reference (possibly aliased): only
+    those bind a traced child chain — lists born inside the expression (e.g.
+    a hoisted str.split series literal) have no child in the trace."""
+    while isinstance(e, (E.EAlias, E.EKeepName)):
+        e = e.input
+    return isinstance(e, E.EColumn)
+
+
+def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
+    """Fns that trace only for some input shapes/dtypes."""
+    from polars_tpu.plan.schema_resolve import expr_dtype
+
+    # list.len only reads the packed words (no child) — traces for ANY input
+    if n.name in (
+        "list.sum", "list.mean", "list.min", "list.max",
+        "list.get", "list.contains",
+    ) and not _is_column_ref(n.inputs[0]):
+        return True
+    if n.name == "list.contains":
+        # string children need dict-code translation of the needle; per-row
+        # (non-literal) needles need a child->parent map — both host for now
+        if len(n.inputs) > 1 and not isinstance(n.inputs[1], E.ELiteral):
+            return True
+        try:
+            d = expr_dtype(n.inputs[0], schema)
+        except Exception:
+            return True
+        inner = getattr(d, "inner", None)
+        return inner is None or not (inner.is_numeric() or isinstance(inner, dt.Boolean))
+    if n.name in ("list.sum", "list.mean", "list.min", "list.max", "list.get"):
+        try:
+            d = expr_dtype(n.inputs[0], schema)
+        except Exception:
+            return True
+        if not isinstance(d, dt.List):
+            return True  # Array etc. stay on the host path
+        if n.name == "list.get" and isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
+            return True  # nested gather keeps host semantics
+    return False
 
 
 HOST_AGG_KINDS = {"str_concat", "implode"}
@@ -110,7 +150,9 @@ def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
             return True
         if isinstance(n, E.EAgg) and n.kind in HOST_AGG_KINDS:
             return True
-        if isinstance(n, E.EFunction) and n.name in HOST_FNS:
+        if isinstance(n, E.EFunction) and (
+            n.name in HOST_FNS or _fn_conditionally_host(n, schema)
+        ):
             return True
         if isinstance(n, E.ECast):
             target = dt.parse_into_dtype(n.dtype)
@@ -177,6 +219,7 @@ def _eval_ctx(tt: TTable, literals: dict) -> EvalCtx:
         schema=tt.schema(),
         literals=literals,
         groups=None,
+        memo={},
     )
 
 
@@ -509,6 +552,7 @@ def _trace_groupby(tt: TTable, node: L.LGroupBy, tc: _TraceCtx) -> TTable:
         schema=schema,
         literals=tc.literals,
         groups=gctx,
+        memo={},
     )
     gctx_ctx.precomputed = _batch_aggs(aggs, gctx_ctx)
     for a in aggs:
@@ -726,6 +770,27 @@ def _expr_key(node: E.ENode) -> tuple:
     return base
 
 
+def _child_sig(child) -> tuple:
+    """STRUCTURAL signature of a column's child chain (List flat children).
+    Child DATA is a jit argument, so only shape/dtype/table identity matter."""
+    from polars_tpu.core.column import Column as _Col
+
+    sig: tuple = ()
+    while isinstance(child, _Col):
+        sig += (
+            repr(child.dtype),
+            child.buffer.padded,
+            child.buffer.validity is not None,
+            child.table.ident if child.table is not None else 0,
+        )
+        child = child.child
+    if isinstance(child, list):  # struct fields — host metadata, identity-keyed
+        from polars_tpu.utils.tokens import obj_token
+
+        sig += tuple(obj_token(f) for f in child)
+    return sig
+
+
 def _table_sig(df: DataFrame) -> tuple:
     parts = []
     for c in df._columns:
@@ -736,6 +801,7 @@ def _table_sig(df: DataFrame) -> tuple:
                 c.buffer.padded,
                 c.buffer.validity is not None,
                 c.table.ident if c.table is not None else 0,
+                _child_sig(getattr(c, "child", None)),
             )
         )
     return (tuple(parts), padded_size(df.height) if df._columns else 128)
@@ -772,23 +838,54 @@ _JIT_CACHE: dict[tuple, Any] = {}
 
 def _df_to_arrays(df: DataFrame) -> tuple[list, int]:
     """Flatten a DataFrame into jit arguments. Order: per column values
-    [+validity], then the length scalar."""
+    [+validity] [+flat child chain: values [+validity] + length, recursively],
+    then the frame length scalar."""
+    from polars_tpu.core.column import Column as _Col
+
     args: list = []
     for c in df._columns:
         args.append(c.buffer.values)
         if c.buffer.validity is not None:
             args.append(c.buffer.validity)
+        ch = getattr(c, "child", None)
+        while isinstance(ch, _Col):
+            args.append(ch.buffer.values)
+            if ch.buffer.validity is not None:
+                args.append(ch.buffer.validity)
+            args.append(np.int32(ch.buffer.length))
+            ch = ch.child
     args.append(np.int32(df.height))
     return args, padded_size(df.height) if df._columns else 128
 
 
-def _args_to_ttable(df: DataFrame, args_iter) -> TTable:
+def _args_to_ttable(df: DataFrame, args_iter, leaf_pos: int = -1) -> TTable:
+    from polars_tpu.core.column import Column as _Col
+    from polars_tpu.engine.common import TracedChild
+
     cols: dict[str, Val] = {}
     padded = padded_size(df.height) if df._columns else 128
     for c in df._columns:
         values = next(args_iter)
         validity = next(args_iter) if c.buffer.validity is not None else None
-        cols[c.name] = Val(values, validity, c.dtype, c.table, ROW, getattr(c, "child", None))
+        host_child = getattr(c, "child", None)
+        child = None
+        if isinstance(host_child, _Col):
+            # rebuild the traced child chain from the argument stream; src
+            # carries (leaf_pos, col_name, depth) so nested children resolve
+            chain = []
+            ch = host_child
+            while isinstance(ch, _Col):
+                cvals = next(args_iter)
+                cvalid = next(args_iter) if ch.buffer.validity is not None else None
+                clen = next(args_iter)
+                chain.append((cvals, cvalid, ch.dtype, ch.table, clen))
+                ch = ch.child
+            child = None
+            for depth, (cvals, cvalid, cdt, ctab, clen) in reversed(list(enumerate(chain))):
+                child = TracedChild(cvals, cvalid, cdt, ctab, clen, (leaf_pos, c.name, depth), child)
+        elif host_child is not None:  # struct fields: provenance only
+            child = TracedChild(None, None, None, None, None, (leaf_pos, c.name, 0), None)
+        cols[c.name] = Val(values, validity, c.dtype, c.table, ROW, child)
     length = next(args_iter)
     mask = row_mask(padded, length)
     return TTable(cols, mask, padded)
@@ -828,16 +925,23 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
         ]
 
         def traced(leaf_args: list, lit_args: list):
+            from polars_tpu.engine.common import TracedChild
+
             literals = {ln: a for ln, a in zip(lit_nodes, lit_args)}
             leaf_tables: dict[int, TTable] = {}
-            for (lnode, _df), args in zip(leaf_dfs, leaf_args):
+            for pos, ((lnode, _df), args) in enumerate(zip(leaf_dfs, leaf_args)):
                 it = iter(args)
-                leaf_tables[id(lnode)] = _args_to_ttable(_df, it)
+                leaf_tables[id(lnode)] = _args_to_ttable(_df, it, pos)
             tc = _TraceCtx(leaf_tables, literals)
             tt = trace_node(node, tc)
             for name, v in tt.cols.items():
                 captured_tables[name] = v.table
-                if v.child is not None:
+                if isinstance(v.child, TracedChild):
+                    # capture host PROVENANCE, not the trace-time child object:
+                    # the current call's leaf frames resolve it fresh (capturing
+                    # the Column was a silent stale-cache bug on sig-equal frames)
+                    captured_children[name] = ("src", *v.child.src)
+                elif v.child is not None:
                     captured_children[name] = v.child
             # compact: valid rows first (stable single-word radix pass)
             from polars_tpu.kernels.argsort import stable_argsort_words
@@ -915,10 +1019,17 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
             values = values[:size] if values.shape[0] >= size else pad_to(values, size)
             if validity is not None:
                 validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
+        child = captured_children.get(name)
+        if isinstance(child, tuple) and child and child[0] == "src":
+            # resolve provenance against THIS call's leaf frames
+            _, lpos, cname, depth = child
+            child = leaf_dfs[lpos][1]._get(cname).child
+            for _ in range(depth):
+                child = child.child
         cols.append(
             Column(
                 name, out_schema[name], Buffer(values, validity, n),
-                captured_tables.get(name), 0, captured_children.get(name),
+                captured_tables.get(name), 0, child,
             )
         )
     return DataFrame._from_columns(cols, n)

@@ -552,6 +552,57 @@ def _inb(n: int, shift: int) -> jax.Array:
     return iota < n - shift
 
 
+def _rolling_by(kind: str, dtype_rule):
+    """Traced time-window rolling (``rolling_{kind}_by``): windows located by
+    searchsorted over the sorted time key, prefix-sum range aggregations —
+    runs INSIDE the fused segment (reference: polars-time/src/windows/; the
+    round-1 host fallback cost one 26ms barrier per call on the real TPU)."""
+
+    @register(f"rolling_{kind}_by", dtype_rule, elementwise=False)
+    def _(ctx, args, opts):
+        from polars_tpu.engine.rolling import rolling_window_core
+
+        if ctx.groups is not None:
+            raise InvalidOperationError("rolling_*_by over groups pending")
+        v = _row_domain(ctx, args[0])
+        b = _row_domain(ctx, args[1])
+        if not (b.dtype.is_temporal() or b.dtype.is_integer()):
+            raise InvalidOperationError(
+                f"rolling_{kind}_by needs a temporal/integer 'by' column, got {b.dtype}"
+            )
+        from polars_tpu.lazyframe import LazyGroupByDynamic
+
+        ticks = LazyGroupByDynamic._ticks(opts["window_size"], b.dtype)
+        valid = ctx.rowmask if b.validity is None else (ctx.rowmask & b.validity)
+        n = b.values.shape[0]
+        kinds = ((kind, opts.get("min_samples") or 1, opts.get("ddof", 1)),)
+        ((out, ok),) = rolling_window_core(
+            b.values, jnp.zeros((n,), jnp.int64), valid, jnp.int64(0),
+            ((v.values, v.validity),),
+            period=ticks, offset=-ticks, closed=opts.get("closed") or "right",
+            kinds=kinds, has_gid=False,
+        )
+        if kind == "count":
+            return Val(out, ok, dt.UInt32(), None, ROW)
+        if kind in ("sum", "min", "max", "first", "last"):
+            return Val(out.astype(v.values.dtype), ok, v.dtype, None, ROW)
+        # mean/std/var follow the FLOAT rule (f32 in -> f32 out)
+        if isinstance(v.dtype, dt.Float32):
+            return Val(out.astype(jnp.float32), ok, dt.Float32(), None, ROW)
+        return Val(out, ok, dt.Float64(), None, ROW)
+
+
+def _rolling_by_count_dt(dts, opts):
+    return dt.UInt32()
+
+
+for _k in ("sum", "min", "max", "first", "last"):
+    _rolling_by(_k, SAME)
+for _k in ("mean", "std", "var"):
+    _rolling_by(_k, FLOAT)
+_rolling_by("count", _rolling_by_count_dt)
+
+
 _rolling("sum", SAME)
 _rolling("mean", FLOAT)
 _rolling("min", SAME)

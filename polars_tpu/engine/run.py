@@ -28,14 +28,26 @@ from polars_tpu.utils.tokens import obj_token
 _SPECIAL_FNS = {
     "int_range", "repeat_value", "date_range", "datetime_range", "arg_where",
     "gather_every", "unique", "unique_counts", "cat.get_categories",
-    "list.len", "list.sum", "list.mean", "list.min", "list.max", "list.get",
-    "list.contains", "list.join", "list.sort", "list.unique", "list.reverse",
+    "list.join", "list.sort", "list.unique", "list.reverse",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
     "unnest", "sample", "shuffle", "arg_where_self", "rle",
-    "rolling_sum_by", "rolling_mean_by", "rolling_min_by", "rolling_max_by",
-    "rolling_std_by", "rolling_var_by", "rolling_first_by", "rolling_last_by",
-    "rolling_count_by",
 }
+
+# list aggs that trace for primitive inner dtypes but keep the host path for
+# strings / nested inners / non-literal needles (executors._fn_conditionally_host)
+_COND_FNS = {"list.sum", "list.mean", "list.min", "list.max", "list.get", "list.contains"}
+
+
+def _is_special_fn(s: E.ENode, schema) -> bool:
+    if not isinstance(s, E.EFunction):
+        return False
+    if s.name in _SPECIAL_FNS:
+        return True
+    if s.name in _COND_FNS:
+        from polars_tpu.engine.executors import _fn_conditionally_host
+
+        return _fn_conditionally_host(s, schema)
+    return False
 
 
 # --- per-node profiling (NodeTimer analogue, polars-expr/src/state/node_timer.rs:19-40)
@@ -62,7 +74,30 @@ def _prof_describe(node: L.LNode) -> str:
     return name[1:] if name.startswith("L") else name
 
 
+# --- common-subplan memo (IR::Cache executor analogue) ----------------------
+# One dict per collect: LCache nodes (structural key) -> materialized frame.
+_PLAN_CACHES: list[dict] = []
+
+
+@contextlib.contextmanager
+def plan_cache_scope():
+    """Open a cache scope for one logical collect; nested scopes reuse the
+    outermost dict so streaming/distributed sub-executions share results."""
+    if _PLAN_CACHES:
+        yield _PLAN_CACHES[-1]
+        return
+    cache: dict = {}
+    _PLAN_CACHES.append(cache)
+    try:
+        yield cache
+    finally:
+        _PLAN_CACHES.remove(cache)
+
+
 def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
+    if not _PLAN_CACHES:
+        with plan_cache_scope():
+            return execute_plan(node, sync=sync)
     if _PROF_SINKS:
         return _timed_execute(node, sync)
     if _cfg_config().track_metrics:
@@ -100,6 +135,20 @@ def _cfg_config():
 
 
 def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
+    from polars_tpu.engine.cancel import check_cancel
+
+    check_cancel()  # cooperative cancellation/timeout at every plan barrier
+    if isinstance(node, L.LCache):
+        cache = _PLAN_CACHES[-1] if _PLAN_CACHES else None
+        if cache is not None:
+            hit = cache.get(node)
+            if hit is not None:
+                return hit
+        out = execute_plan(node.input, sync=sync)
+        if cache is not None:
+            cache[node] = out
+        return out
+
     if isinstance(node, L.LDataFrameScan):
         df = node.df
         if node.projection is not None:
@@ -192,7 +241,7 @@ def _needs_special(node: L.LNode) -> bool:
             for sub in E.walk(ex):
                 if isinstance(sub, E.ESlice):
                     return True
-                if isinstance(sub, E.EFunction) and sub.name in _SPECIAL_FNS:
+                if _is_special_fn(sub, schema):
                     return True
     return False
 
@@ -427,12 +476,12 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
         ln = e.length if e.length is not None else len(inner) - off
         return inner.with_buffer(inner.buffer.slice(off, ln))
 
-    if isinstance(e, E.EFunction) and e.name in _SPECIAL_FNS:
+    if isinstance(e, E.EFunction) and _is_special_fn(e, schema):
         return _eval_generator(df, e, schema)
 
     # otherwise traceable — check for nested special parts
     has_special = any(
-        isinstance(s, (E.ESlice,)) or (isinstance(s, E.EFunction) and s.name in _SPECIAL_FNS)
+        isinstance(s, (E.ESlice,)) or _is_special_fn(s, schema)
         for s in E.walk(e)
         if s is not e
     )
@@ -442,7 +491,7 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
         new_kids = []
         for k in kids:
             if any(
-                isinstance(s, E.ESlice) or (isinstance(s, E.EFunction) and s.name in _SPECIAL_FNS)
+                isinstance(s, E.ESlice) or _is_special_fn(s, schema)
                 for s in E.walk(k)
             ):
                 col = _eval_special_expr(df, k, schema)
@@ -464,25 +513,6 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         if len(vals) != 1:
             raise ComputeError("range bounds must be scalar")
         return vals[0]
-
-    if e.name.startswith("rolling_") and e.name.endswith("_by"):
-        from polars_tpu.engine.rolling import rolling_frames
-        from polars_tpu.lazyframe import LazyGroupByDynamic
-
-        kind = e.name[len("rolling_"):-len("_by")]
-        val_col = _eval_special_expr(df, e.inputs[0], schema).rename("__val")
-        by_col = _eval_special_expr(df, e.inputs[1], schema).rename("__by")
-        tmp = DataFrame._from_columns([by_col, val_col], len(by_col))
-        per = LazyGroupByDynamic._ticks(e.opt("window_size"), by_col.dtype)
-        out_dt = val_col.dtype if kind in ("sum", "min", "max", "first", "last") else dt.Float64()
-        if kind == "count":
-            out_dt = dt.UInt32()
-        res = rolling_frames(
-            tmp, "__by", per, -per, e.opt("closed", "right"), [],
-            [("__val", kind, "__out", out_dt, e.opt("min_samples", 1), e.opt("ddof", 1))],
-        )
-        # rolling_frames already restores the input row order
-        return res._get("__out")
 
     if e.name in ("sample", "shuffle"):
         col = _eval_special_expr(df, e.inputs[0], schema)

@@ -394,8 +394,10 @@ def run_spmd_segment(
         captured_tables: dict[str, Any] = {}
         captured_children: dict[str, Any] = {}
         leaf_meta = [
-            (lnode, [(c.name, c.dtype, c.table, c.buffer.validity is not None, getattr(c, "child", None)) for c in df._columns])
-            for lnode, df in leaf_dfs
+            (lnode, [(c.name, c.dtype, c.table, c.buffer.validity is not None,
+                      (pos, c.name, 0) if getattr(c, "child", None) is not None else None)
+                     for c in df._columns])
+            for pos, (lnode, df) in enumerate(leaf_dfs)
         ]
 
         def traced(leaf_args: list, heights: list):
@@ -405,11 +407,20 @@ def run_spmd_segment(
                 it = iter(flat)
                 leaf_tables: dict[int, TTable] = {}
                 ax = jax.lax.axis_index(AXIS)
+                from polars_tpu.engine.common import TracedChild
+
                 for (lnode, colmeta), per, height in zip(leaf_meta, pers, hts):
                     cols: dict[str, Val] = {}
-                    for (name, dtype, table, has_valid, child) in colmeta:
+                    for (name, dtype, table, has_valid, child_src) in colmeta:
                         values = next(it)
                         validity = next(it) if has_valid else None
+                        # provenance-only child: list/struct data stays host
+                        # (list COMPUTE is not dist-traceable yet; passthrough
+                        # reattaches the current call's leaf child)
+                        child = (
+                            TracedChild(None, None, None, None, None, child_src)
+                            if child_src is not None else None
+                        )
                         cols[name] = Val(values, validity, dtype, table, ROW, child)
                     iota = jax.lax.broadcasted_iota(jnp.int32, (per, 1), 0).squeeze(-1)
                     mask = (iota + ax * per) < height
@@ -419,7 +430,9 @@ def run_spmd_segment(
                 tt = _trace_dist(root, tc, d, lossless, ofl_acc)
                 for name, v in tt.cols.items():
                     captured_tables[name] = v.table
-                    if v.child is not None:
+                    if isinstance(v.child, TracedChild):
+                        captured_children[name] = ("src", *v.child.src)
+                    elif v.child is not None:
                         captured_children[name] = v.child
                 outs = []
                 for name in out_names:
@@ -498,10 +511,16 @@ def run_spmd_segment(
         if values.shape[0] != size:
             values = values[:size] if values.shape[0] >= size else pad_to(values, size)
             validity = validity[:size] if validity.shape[0] >= size else pad_to(validity, size)
+        child = captured_children.get(name)
+        if isinstance(child, tuple) and child and child[0] == "src":
+            _, lpos, cname, depth = child
+            child = leaf_dfs[lpos][1]._get(cname).child
+            for _ in range(depth):
+                child = child.child
         cols.append(
             Column(
                 name, out_schema[name], Buffer(values, validity, n),
-                captured_tables.get(name), 0, captured_children.get(name),
+                captured_tables.get(name), 0, child,
             )
         )
     return DataFrame._from_columns(cols, n)

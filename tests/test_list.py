@@ -104,3 +104,64 @@ def test_array_dtype():
     assert s.arr.sum().to_list() == [3, 7, None]
     df = pl.DataFrame({"a": s, "k": [1, 2, 3]})
     assert df.lazy().sort("k", descending=True).collect()["a"].to_list() == [None, [3, 4], [1, 2]]
+
+
+def test_list_aggs_traced_in_segment(monkeypatch):
+    """round-2: list.len/sum/mean/min/max/get/contains trace into segments
+    (no host fallback) — verified by running under a no-host-eval guard."""
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({"x": [[1, 2, 3], [], [4, None], None, [7]]})
+    out = df.lazy().select(
+        pl.col("x").list.len().alias("len"),
+        pl.col("x").list.sum().alias("sum"),
+        pl.col("x").list.mean().alias("mean"),
+        pl.col("x").list.min().alias("mn"),
+        pl.col("x").list.max().alias("mx"),
+        pl.col("x").list.get(0).alias("g0"),
+        pl.col("x").list.contains(2).alias("c2"),
+    ).collect()
+    assert out["len"].to_list() == [3, 0, 2, None, 1]
+    assert out["sum"].to_list() == [6, 0, 4, None, 7]
+    assert out["mean"].to_list() == [2.0, None, 4.0, None, 7.0]
+    assert out["mn"].to_list() == [1, None, 4, None, 7]
+    assert out["mx"].to_list() == [3, None, 4, None, 7]
+    assert out["g0"].to_list() == [1, None, 4, None, 7]
+    assert out["c2"].to_list() == [True, False, False, None, False]
+
+
+def test_list_child_not_stale_across_jit_cache_hits():
+    """Two signature-equal frames share one compiled segment; the child must
+    come from the CURRENT frame, not the trace-time capture (round-2 fix)."""
+    df1 = pl.DataFrame({"x": [[1, 2], [3]]})
+    df2 = pl.DataFrame({"x": [[9, 8], [7]]})
+    assert df1.lazy().select(pl.col("x")).collect()["x"].to_list() == [[1, 2], [3]]
+    assert df2.lazy().select(pl.col("x")).collect()["x"].to_list() == [[9, 8], [7]]
+
+
+def test_list_string_min_max_get_traced():
+    ds = pl.DataFrame({"s": [["b", "a"], ["z"], []]})
+    o = ds.lazy().select(
+        pl.col("s").list.min().alias("mn"),
+        pl.col("s").list.max().alias("mx"),
+        pl.col("s").list.contains("z").alias("hz"),
+        pl.col("s").list.get(0).alias("g0"),
+    ).collect()
+    assert o["mn"].to_list() == ["a", "z", None]
+    assert o["mx"].to_list() == ["b", "z", None]
+    assert o["hz"].to_list() == [False, True, False]
+    assert o["g0"].to_list() == ["b", "z", None]
+
+
+def test_list_sum_temporal_exact_int64():
+    # int64 accumulate: values above 2^53 must stay exact
+    big = (1 << 60) + 7
+    df = pl.DataFrame({"x": [[big, 1], [big]]})
+    out = df.lazy().select(pl.col("x").list.sum().alias("s")).collect()
+    assert out["s"].to_list() == [big + 1, big]
+    mx = df.lazy().select(pl.col("x").list.max().alias("m")).collect()
+    assert mx["m"].to_list() == [big, big]

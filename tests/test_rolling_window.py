@@ -123,3 +123,46 @@ def test_rolling_by_null_index_rows():
     got = out["s"].to_list()
     assert got[2] is None  # null index -> null output
     assert got[0] == 1.0 and got[1] == 3.0
+
+
+def test_rolling_by_fuses_into_one_segment(monkeypatch):
+    # round-1 verdict #6: rolling_*_by must run INSIDE the traced segment —
+    # filter -> rolling_mean_by -> agg is exactly ONE run_segment call
+    from polars_tpu.engine import executors, run
+
+    calls = []
+    orig = executors.run_segment
+
+    def counting(node, leaf_dfs, **kw):
+        calls.append(type(node).__name__)
+        return orig(node, leaf_dfs, **kw)
+
+    monkeypatch.setattr(executors, "run_segment", counting)
+    monkeypatch.setattr(run, "run_segment", counting)
+    df = _df()
+    out = (
+        df.lazy()
+        .filter(pl.col("v") > 0)
+        .select(pl.col("v").rolling_mean_by("ts", "25m").sum().alias("s"))
+        .collect()
+    )
+    assert len(calls) == 1, calls
+    assert abs(out["s"].to_list()[0] - (1.0 + 1.5 + 2.0 + 3.5 + 4.5)) < 1e-12
+
+
+def test_rolling_by_closed_variants_oracle():
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 80
+    t = np.sort(rng.integers(0, 40_000, n)).astype("datetime64[us]")
+    v = rng.normal(size=n)
+    df = pl.DataFrame({"t": t, "v": v})
+    for closed, pd_closed in (("right", "right"), ("left", "left"), ("both", "both"), ("none", "neither")):
+        out = df.lazy().select(
+            pl.col("v").rolling_sum_by("t", "5s", closed=closed).alias("s")
+        ).collect()["s"].to_list()
+        exp = pd.Series(v, index=pd.DatetimeIndex(t)).rolling("5s", closed=pd_closed, min_periods=1).sum()
+        got = np.array([np.nan if x is None else x for x in out])
+        assert np.allclose(got, exp.to_numpy(), equal_nan=True, rtol=1e-9), closed
