@@ -52,6 +52,25 @@ def eval_expr(node: E.ENode, ctx: EvalCtx) -> Val:
             ) from None
     if isinstance(node, E.ELiteral):
         return _eval_literal(node, ctx)
+    # trace-time CSE: structurally-equal subtrees evaluate once per context
+    # (sound: contexts are immutable during expression evaluation and every
+    # new evaluation environment — window/group — gets a fresh EvalCtx)
+    memo = ctx.memo
+    if memo is not None:
+        try:
+            hit = memo.get(node)
+        except TypeError:  # unhashable payload (list option etc.)
+            memo = None
+        else:
+            if hit is not None:
+                return hit
+    val = _eval_expr_uncached(node, ctx)
+    if memo is not None:
+        memo[node] = val
+    return val
+
+
+def _eval_expr_uncached(node: E.ENode, ctx: EvalCtx) -> Val:
     if isinstance(node, E.ESeriesLit):
         col = node.column
         values = col.buffer.values
@@ -678,6 +697,7 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
         schema=ctx.schema,
         literals=ctx.literals,
         groups=gctx,
+        memo={},
     )
     res = eval_expr(node.function, inner)
     if res.domain == GROUP:

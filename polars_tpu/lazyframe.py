@@ -82,16 +82,27 @@ class LazyFrame:
         from polars_tpu.engine.run import execute_plan
         from polars_tpu.plan.optimizer import optimize
 
+        from polars_tpu.engine.cancel import CancelToken, cancel_scope
+        from polars_tpu.engine.run import plan_cache_scope
+
+        token = kwargs.get("cancel_token")
+        deadline = (
+            CancelToken(timeout=float(kwargs["timeout"]))
+            if kwargs.get("timeout") is not None
+            else None
+        )
         node = self._node if no_optimization else optimize(self._node)
-        if engine == "streaming":
-            from polars_tpu.engine.streaming import collect_streaming
+        with cancel_scope(token), cancel_scope(deadline), plan_cache_scope():
+            # common subplans (LCache) run once per collect
+            if engine == "streaming":
+                from polars_tpu.engine.streaming import collect_streaming
 
-            return collect_streaming(node, batch_rows=kwargs.get("batch_rows"))
-        if engine == "distributed":
-            from polars_tpu.engine.distributed import collect_distributed
+                return collect_streaming(node, batch_rows=kwargs.get("batch_rows"))
+            if engine == "distributed":
+                from polars_tpu.engine.distributed import collect_distributed
 
-            return collect_distributed(node, mesh=kwargs.get("mesh"))
-        return execute_plan(node)
+                return collect_distributed(node, mesh=kwargs.get("mesh"))
+            return execute_plan(node)
 
     def execute(self) -> None:
         """Run the plan to completion ON DEVICE without any host readback.
@@ -109,6 +120,42 @@ class LazyFrame:
 
     def fetch(self, n_rows: int = 500, **kwargs: Any) -> DataFrame:
         return self.limit(n_rows).collect(**kwargs)
+
+    def serialize(self, file: Any = None, *, format: str = "json") -> str | None:
+        """Serialize the logical plan to a versioned JSON document
+        (reference: dsl/serializable_plan.rs; py-polars LazyFrame.serialize).
+        Plans containing python UDFs do not serialize."""
+        from polars_tpu.plan.serialize import serialize_plan
+
+        if format != "json":
+            raise InvalidOperationError(f"unsupported plan format {format!r}")
+        data = serialize_plan(self._node)
+        if file is None:
+            return data
+        if hasattr(file, "write"):
+            file.write(data)
+        else:
+            with open(file, "w") as f:
+                f.write(data)
+        return None
+
+    @classmethod
+    def deserialize(cls, source: Any, *, format: str = "json") -> "LazyFrame":
+        """Inverse of :meth:`serialize` — versioned, rejects unknown versions."""
+        from polars_tpu.plan.serialize import deserialize_plan
+
+        if format != "json":
+            raise InvalidOperationError(f"unsupported plan format {format!r}")
+        if hasattr(source, "read"):
+            data = source.read()
+        elif isinstance(source, (str, bytes)) and not (
+            isinstance(source, str) and source.lstrip().startswith("{")
+        ):
+            with open(source) as f:
+                data = f.read()
+        else:
+            data = source
+        return cls._from_node(deserialize_plan(data))
 
     def profile(self, **kwargs: Any):
         """Execute the plan recording REAL per-node wall times (reference:

@@ -296,6 +296,20 @@ class LAsofJoin(LNode):
         return (self.input_left, self.input_right)
 
 
+@dataclass(frozen=True)
+class LCache(LNode):
+    """Common-subplan cache marker (reference: IR::Cache,
+    polars-plan/src/plans/optimizer/cse/): the wrapped subplan appears more
+    than once in the query; it executes ONCE per collect and downstream
+    consumers reuse the materialized frame (engine/run.py memo scope)."""
+
+    input: LNode
+    ident: int = 0
+
+    def inputs(self) -> tuple[LNode, ...]:
+        return (self.input,)
+
+
 def rebuild(node: LNode, new_inputs: tuple[LNode, ...]) -> LNode:
     """Replace a node's inputs, preserving everything else."""
     old = node.inputs()

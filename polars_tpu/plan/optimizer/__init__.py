@@ -12,6 +12,7 @@ shuffled* data.
 from __future__ import annotations
 
 from polars_tpu.plan import logical as L
+from polars_tpu.plan.optimizer.cse import collapse_common_subplans, collapse_sorts
 from polars_tpu.plan.optimizer.predicate_pushdown import push_predicates
 from polars_tpu.plan.optimizer.projection_pushdown import push_projections
 from polars_tpu.plan.optimizer.simplify import simplify_exprs
@@ -20,7 +21,11 @@ from polars_tpu.plan.optimizer.slice_pushdown import push_slices
 
 def optimize(node: L.LNode) -> L.LNode:
     node = simplify_exprs(node)
+    node = collapse_sorts(node)
     node = push_predicates(node)
     node = push_projections(node)
     node = push_slices(node)
+    # LAST: pushdowns may specialize two copies of a shared subplan
+    # differently; only still-identical subplans are safe to cache
+    node = collapse_common_subplans(node)
     return node

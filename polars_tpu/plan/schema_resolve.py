@@ -498,6 +498,8 @@ def node_schema(node: L.LNode) -> Schema:
 
 
 def _node_schema(node: L.LNode) -> Schema:
+    if isinstance(node, L.LCache):
+        return node_schema(node.input)
     if isinstance(node, L.LDataFrameScan):
         s = node.df.schema
         if node.projection is not None:

@@ -147,3 +147,108 @@ def test_optimizations_preserve_results(rng):
 
 
 import numpy as np  # noqa: E402
+
+
+# --- plan-shape checks (the optimization_checks.rs pattern) -----------------
+
+
+def _count_nodes(n, cls):
+    from polars_tpu.plan import logical as L
+
+    return isinstance(n, cls) + sum(_count_nodes(i, cls) for i in n.inputs())
+
+
+def test_common_subplan_cached_and_traced_once():
+    """Q15-style self-join against an aggregate of the same subplan: the
+    optimizer wraps the repeated group-by in LCache and it EXECUTES once."""
+    from polars_tpu.engine import run as R
+    from polars_tpu.plan import logical as L
+    from polars_tpu.plan.optimizer import optimize
+
+    df = pl.DataFrame({"k": [1, 2, 3, 1, 2], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    rev = df.lazy().group_by("k").agg(pl.col("v").sum().alias("total"))
+    top = rev.select(pl.col("total").max().alias("total"))
+    q = rev.join(top, on="total", how="inner")
+
+    opt = optimize(q._node)
+    assert _count_nodes(opt, L.LCache) == 2  # two occurrences, one ident
+    caches = []
+
+    def walk(n):
+        if isinstance(n, L.LCache):
+            caches.append(n)
+        for i in n.inputs():
+            walk(i)
+
+    walk(opt)
+    assert caches[0] == caches[1] and caches[0].ident == caches[1].ident
+
+    counts = {"gb": 0}
+    orig = R._execute_node
+
+    def counting(node, *, sync=True):
+        if isinstance(node, L.LGroupBy):
+            counts["gb"] += 1
+        return orig(node, sync=sync)
+
+    R._execute_node = counting
+    try:
+        out = q.collect()
+    finally:
+        R._execute_node = orig
+    assert counts["gb"] == 1, f"shared subplan executed {counts['gb']}x"
+    assert out["k"].to_list() == [2] and out["total"].to_list() == [7.0]
+
+
+def test_sort_collapse_plan_shape():
+    from polars_tpu.plan import logical as L
+    from polars_tpu.plan.optimizer import optimize
+
+    df = pl.DataFrame({"k": [3, 1, 2], "v": [1.0, 2.0, 3.0]})
+    lf = df.lazy().sort("v").sort("k")
+    assert _count_nodes(lf._node, L.LSort) == 2
+    assert _count_nodes(optimize(lf._node), L.LSort) == 1
+    assert lf.collect()["k"].to_list() == [1, 2, 3]
+
+
+def test_sort_collapse_keeps_topk_and_maintain_order():
+    from polars_tpu.plan import logical as L
+    from polars_tpu.plan.optimizer import optimize
+
+    df = pl.DataFrame({"k": [3, 1, 2, 5], "v": [1.0, 2.0, 3.0, 0.5]})
+    # inner sort with limit is a top-k SELECTION — must survive
+    lf = df.lazy().sort("v", descending=True).head(2).sort("k")
+    out = lf.collect()
+    assert out["k"].to_list() == [1, 2]  # top-2 by v are (k=2,v=3),(k=1,v=2)
+    # maintain_order outer sort depends on incoming order — inner survives
+    lf2 = df.lazy().sort("v").sort(pl.col("k") // 2, maintain_order=True)
+    assert _count_nodes(optimize(lf2._node), L.LSort) == 2
+
+
+def test_expression_cse_traces_subtree_once():
+    """disc_price-style repeated subtrees evaluate ONCE per context."""
+    from polars_tpu.engine import compiler as C
+
+    df = pl.DataFrame({"p": [10.0, 20.0], "d": [0.1, 0.2], "t": [0.05, 0.1]})
+    counts = {"n": 0}
+    orig = C._eval_expr_uncached
+
+    def counting(node, ctx):
+        from polars_tpu.plan import exprs as E
+
+        if isinstance(node, E.EBinary) and node.op == "*":
+            counts["n"] += 1
+        return orig(node, ctx)
+
+    C._eval_expr_uncached = counting
+    try:
+        base = pl.col("p") * (1.0 - pl.col("d"))
+        out = df.lazy().select(
+            base.alias("disc_price"),
+            (base * (1.0 + pl.col("t"))).alias("charge"),
+        ).collect()
+    finally:
+        C._eval_expr_uncached = orig
+    # p*(1-d) traced once (memo), charge adds one more multiply: 2 total
+    assert counts["n"] == 2, counts["n"]
+    assert abs(out["charge"].to_list()[0] - 10.0 * 0.9 * 1.05) < 1e-12
