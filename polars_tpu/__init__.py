@@ -63,6 +63,7 @@ from polars_tpu.datatypes import (
     Unknown,
     Utf8,
 )
+from polars_tpu.engine.cancel import CancelToken
 from polars_tpu.errors import (
     ColumnNotFoundError,
     ComputeError,
@@ -71,6 +72,7 @@ from polars_tpu.errors import (
     NoDataError,
     OutOfBoundsError,
     PolarsError,
+    QueryCancelledError,
     SchemaError,
     SchemaFieldNotFoundError,
     ShapeError,

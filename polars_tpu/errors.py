@@ -60,6 +60,10 @@ class StringCacheMismatchError(PolarsError):
     """Categorical string caches do not match."""
 
 
+class QueryCancelledError(PolarsError):
+    """The query was cancelled (cancel token / timeout) at a plan barrier."""
+
+
 class PerformanceWarning(Warning):
     """Emitted when an operation falls off the fast compiled path."""
 
