@@ -15,15 +15,20 @@ from typing import Any
 from polars_tpu.plan import logical as L
 
 
-def _expand_paths(source: Any) -> tuple[str, ...]:
+def _expand_paths(source: Any, suffix: str = "") -> tuple[str, ...]:
+    import os
+
     if isinstance(source, (list, tuple)):
         out: list[str] = []
         for s in source:
-            out.extend(_expand_paths(s))
+            out.extend(_expand_paths(s, suffix))
         return tuple(out)
     s = str(source)
+    if suffix and os.path.isdir(s):
+        # directory dataset (hive layout): every matching file underneath
+        return tuple(sorted(_glob.glob(os.path.join(s, "**", f"*{suffix}"), recursive=True)))
     if any(ch in s for ch in "*?["):
-        return tuple(sorted(_glob.glob(s)))
+        return tuple(sorted(_glob.glob(s, recursive=True)))
     return (s,)
 
 
@@ -38,14 +43,27 @@ def scan_parquet(
     low_memory: bool = False,
     cache: bool = True,
     storage_options: Any = None,
+    hive_partitioning: bool | None = None,
+    hive_schema: Any = None,
     **kwargs: Any,
 ):
+    import os
+
     from polars_tpu.lazyframe import LazyFrame
 
+    is_dir = not isinstance(source, (list, tuple)) and os.path.isdir(str(source))
+    sources = _expand_paths(source, suffix=".parquet")
+    # polars semantics: hive partitioning defaults ON for directory datasets
+    hive = bool(hive_partitioning) if hive_partitioning is not None else is_dir
+    options: tuple = ()
+    if hive:
+        options += (("hive", True),)
+        if hive_schema is not None:
+            options += (("hive_schema", tuple((k, v) for k, v in dict(hive_schema).items())),)
     node = L.LScan(
-        sources=_expand_paths(source),
+        sources=sources,
         fmt="parquet",
-        options=(),
+        options=options,
         n_rows=n_rows,
         row_index=(row_index_name, row_index_offset) if row_index_name else None,
     )

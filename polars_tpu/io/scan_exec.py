@@ -120,47 +120,179 @@ def _prune_row_groups(pf, conjuncts) -> list[int]:
     return keep
 
 
+# ---------------------------------------------------------------------------
+# hive partitioning (reference: polars-io/src/hive.rs)
+# ---------------------------------------------------------------------------
+
+
+def hive_parts(path: str, hive_schema: dict | None = None) -> dict:
+    """Parse ``key=value`` directory components of ``path`` into typed
+    partition values. Types follow ``hive_schema`` when given, else polars'
+    inference (int64 if all-digit, float64 if float-like, else string)."""
+    import os
+    import urllib.parse
+
+    out: dict = {}
+    for comp in os.path.dirname(path).split(os.sep):
+        if "=" not in comp:
+            continue
+        k, _, raw = comp.partition("=")
+        raw = urllib.parse.unquote(raw)
+        if hive_schema and k in hive_schema:
+            d = dt.parse_into_dtype(hive_schema[k])
+            if d.is_integer():
+                out[k] = int(raw)
+            elif d.is_float():
+                out[k] = float(raw)
+            else:
+                out[k] = raw
+            continue
+        if raw.lstrip("-").isdigit():
+            out[k] = int(raw)
+        else:
+            try:
+                out[k] = float(raw)
+            except ValueError:
+                out[k] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+    return out
+
+
+def _hive_enabled(node: L.LScan) -> bool:
+    return bool(node.opt("hive"))
+
+
+def _hive_schema_opt(node: L.LScan) -> dict | None:
+    hs = node.opt("hive_schema")
+    return dict(hs) if hs else None
+
+
+def _hive_pruned(parts: dict, conjuncts) -> bool:
+    """True when the file's partition values CONTRADICT a pushed conjunct —
+    the file is never opened (reference: hive partition pruning)."""
+    for col, op, lit in conjuncts:
+        if col not in parts:
+            continue
+        v = parts[col]
+        w = _literal_plain(lit)
+        try:
+            if op == "==" and not (v == w):
+                return True
+            if op == "<" and not (v < w):
+                return True
+            if op == "<=" and not (v <= w):
+                return True
+            if op == ">" and not (v > w):
+                return True
+            if op == ">=" and not (v >= w):
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+def _attach_hive(t, parts: dict, columns):
+    """Append constant partition columns to an arrow table (post-read)."""
+    import pyarrow as pa
+
+    for k, v in parts.items():
+        if columns is not None and k not in columns:
+            continue
+        if k in t.column_names:
+            continue
+        t = t.append_column(k, pa.array([v] * t.num_rows))
+    return t
+
+
+def _scan_prefetch_workers() -> int:
+    import os
+
+    try:
+        return max(1, int(os.environ.get("POLARS_TPU_SCAN_THREADS", "4")))
+    except ValueError:
+        return 4
+
+
+def _read_one_source(node: L.LScan, path: str, columns, conjuncts, hive_sch):
+    """Read one file -> arrow table (None when fully pruned). Thread-safe:
+    Arrow C++ releases the GIL, so a pool overlaps file reads."""
+    parts = hive_parts(path, hive_sch) if _hive_enabled(node) else {}
+    if parts and conjuncts and _hive_pruned(parts, conjuncts):
+        return None
+    file_cols = (
+        [c for c in columns if c not in parts] if columns is not None else None
+    )
+    if node.fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        rgs = list(range(pf.metadata.num_row_groups))
+        if conjuncts:
+            rgs = _prune_row_groups(pf, conjuncts)
+        if not rgs:
+            return None
+        t = pf.read_row_groups(rgs, columns=file_cols)
+    elif node.fmt == "csv":
+        t = _read_csv_arrow(path, dict(node.options))
+        if file_cols is not None:
+            t = t.select([c for c in file_cols if c in t.column_names])
+    elif node.fmt == "ipc":
+        import pyarrow.feather as feather
+
+        t = feather.read_table(path, columns=file_cols)
+    elif node.fmt == "ndjson":
+        import pyarrow.json as pj
+
+        t = pj.read_json(path)
+        if file_cols is not None:
+            t = t.select([c for c in file_cols if c in t.column_names])
+    else:
+        raise ComputeError(f"unknown scan format {node.fmt!r}")
+    if parts:
+        t = _attach_hive(t, parts, columns)
+    return t
+
+
 def execute_scan(node: L.LScan) -> DataFrame:
     from polars_tpu.io._arrow import arrow_to_df
 
     tables = []
     remaining = node.n_rows
     columns = list(node.projection) if node.projection is not None else None
-    for path in node.sources:
-        if remaining is not None and remaining <= 0:
-            break
-        if node.fmt == "parquet":
-            import pyarrow.parquet as pq
+    conjuncts = (
+        _pred_to_parquet_filter(node.predicate) if node.predicate is not None else []
+    )
+    hive_sch = _hive_schema_opt(node)
 
-            pf = pq.ParquetFile(path)
-            rgs = list(range(pf.metadata.num_row_groups))
-            if node.predicate is not None:
-                conj = _pred_to_parquet_filter(node.predicate)
-                if conj:
-                    rgs = _prune_row_groups(pf, conj)
-            if not rgs:
+    if len(node.sources) > 1:
+        # multi-file: overlap host reads across a thread pool; results are
+        # consumed in order (reference: multi_scan reader pre-init + prefetch)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=_scan_prefetch_workers()) as pool:
+            it = pool.map(
+                lambda p: _read_one_source(node, p, columns, conjuncts, hive_sch),
+                node.sources,
+            )
+            for t in it:
+                if t is None:
+                    continue
+                if remaining is not None:
+                    t = t.slice(0, remaining)
+                    remaining -= t.num_rows
+                tables.append(t)
+                if remaining is not None and remaining <= 0:
+                    break
+    else:
+        for path in node.sources:
+            if remaining is not None and remaining <= 0:
+                break
+            t = _read_one_source(node, path, columns, conjuncts, hive_sch)
+            if t is None:
                 continue
-            t = pf.read_row_groups(rgs, columns=columns)
-        elif node.fmt == "csv":
-            t = _read_csv_arrow(path, dict(node.options))
-            if columns is not None:
-                t = t.select([c for c in columns if c in t.column_names])
-        elif node.fmt == "ipc":
-            import pyarrow.feather as feather
-
-            t = feather.read_table(path, columns=columns)
-        elif node.fmt == "ndjson":
-            import pyarrow.json as pj
-
-            t = pj.read_json(path)
-            if columns is not None:
-                t = t.select([c for c in columns if c in t.column_names])
-        else:
-            raise ComputeError(f"unknown scan format {node.fmt!r}")
-        if remaining is not None:
-            t = t.slice(0, remaining)
-            remaining -= t.num_rows
-        tables.append(t)
+            if remaining is not None:
+                t = t.slice(0, remaining)
+                remaining -= t.num_rows
+            tables.append(t)
 
     if not tables:
         from polars_tpu.core.schema import Schema
@@ -195,35 +327,84 @@ def execute_scan(node: L.LScan) -> DataFrame:
     return df
 
 
-def iter_scan_batches(node: L.LScan, batch_rows: int):
-    """Yield DataFrames of <= batch_rows from a scan, one batch at a time
-    (MultiScan's morsel stream analogue — prefetch TODO). ``row_index``
-    columns carry a running offset across batches (round-1 verdict weak #8:
-    the batch path silently dropped them)."""
+def _prefetched(gen, depth: int = 2):
+    """Run ``gen`` in a producer thread, handing items through a bounded
+    queue: host read + arrow decode + device ingest of batch N+1 overlap the
+    consumer's compute on batch N (the reference's double-buffered morsel
+    prefetch, multi_scan/mod.rs:31-60)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True, name="polars-tpu-scan-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def iter_scan_batches(node: L.LScan, batch_rows: int, *, prefetch: bool | None = None):
+    """Yield DataFrames of <= batch_rows from a scan, one batch at a time,
+    read+decoded+ingested on a background thread (MultiScan's morsel stream).
+    ``row_index`` columns carry a running offset across batches (round-1
+    verdict weak #8: the batch path silently dropped them)."""
+    import os
+
+    if prefetch is None:
+        prefetch = os.environ.get("POLARS_TPU_SCAN_PREFETCH", "1") != "0"
+    gen = _iter_scan_batches_inner(node, batch_rows)
+    return _prefetched(gen) if prefetch else gen
+
+
+def _iter_scan_batches_inner(node: L.LScan, batch_rows: int):
     from polars_tpu.io._arrow import arrow_to_df
 
     columns = list(node.projection) if node.projection is not None else None
     remaining = node.n_rows
     row_at = node.row_index[1] if node.row_index is not None else 0
+    conjuncts = (
+        _pred_to_parquet_filter(node.predicate) if node.predicate is not None else []
+    )
+    hive_sch = _hive_schema_opt(node)
     for path in node.sources:
         if remaining is not None and remaining <= 0:
             return
+        parts = hive_parts(path, hive_sch) if _hive_enabled(node) else {}
+        if parts and conjuncts and _hive_pruned(parts, conjuncts):
+            continue
         if node.fmt == "parquet":
             import pyarrow.parquet as pq
 
+            file_cols = (
+                [c for c in columns if c not in parts] if columns is not None else None
+            )
             pf = pq.ParquetFile(path)
             rgs = list(range(pf.metadata.num_row_groups))
-            if node.predicate is not None:
-                conj = _pred_to_parquet_filter(node.predicate)
-                if conj:
-                    rgs = _prune_row_groups(pf, conj)
-            for batch in pf.iter_batches(batch_size=batch_rows, row_groups=rgs, columns=columns):
+            if conjuncts:
+                rgs = _prune_row_groups(pf, conjuncts)
+            for batch in pf.iter_batches(batch_size=batch_rows, row_groups=rgs, columns=file_cols):
                 import pyarrow as pa
 
                 t = pa.Table.from_batches([batch])
                 if remaining is not None:
                     t = t.slice(0, remaining)
                     remaining -= t.num_rows
+                if parts:
+                    t = _attach_hive(t, parts, columns)
                 df = arrow_to_df(t, {})
                 df, row_at = _apply_scan_extras(node, df, row_at)
                 yield df

@@ -55,4 +55,23 @@ def _schema_for(sources: tuple[str, ...], fmt: str, options) -> Schema:
 
 
 def scan_schema(node: L.LScan) -> Schema:
-    return _schema_for(node.sources, node.fmt, node.options).copy()
+    sch = _schema_for(node.sources, node.fmt, node.options).copy()
+    if node.opt("hive") and node.sources:
+        from polars_tpu import datatypes as dt
+        from polars_tpu.io.scan_exec import hive_parts
+
+        hs = node.opt("hive_schema")
+        hs = dict(hs) if hs else None
+        parts = hive_parts(node.sources[0], hs)
+        for k, v in parts.items():
+            if k in sch:
+                continue
+            if hs and k in hs:
+                sch[k] = dt.parse_into_dtype(hs[k])
+            elif isinstance(v, bool) or isinstance(v, int):
+                sch[k] = dt.Int64()
+            elif isinstance(v, float):
+                sch[k] = dt.Float64()
+            else:
+                sch[k] = dt.String()
+    return sch
