@@ -122,94 +122,4 @@ void pool_spill_all() {
   for (auto& kv : g_bufs) spill_locked(kv.first, kv.second);
 }
 
-// ---------------------------------------------------------------------------
-// dictionary interning over Arrow string layout (offsets + bytes)
-// (binview_index_map / categorical registry analogue)
-// ---------------------------------------------------------------------------
-
-// Encodes n strings (arrow offsets/data) to int32 codes against a growing
-// dictionary. Returns the number of unique values. unique_offsets must hold
-// n+1 entries; unique_data must hold total data size (worst case).
-int64_t dict_encode_utf8(const int64_t* offsets, const uint8_t* data, int64_t n,
-                         int32_t* out_codes, int64_t* unique_offsets,
-                         uint8_t* unique_data) {
-  std::unordered_map<std::string, int32_t> lut;
-  lut.reserve((size_t)n * 2);
-  int64_t upos = 0;
-  int32_t next = 0;
-  unique_offsets[0] = 0;
-  for (int64_t i = 0; i < n; i++) {
-    const char* s = (const char*)(data + offsets[i]);
-    size_t len = (size_t)(offsets[i + 1] - offsets[i]);
-    std::string key(s, len);
-    auto it = lut.find(key);
-    if (it == lut.end()) {
-      lut.emplace(std::move(key), next);
-      memcpy(unique_data + upos, s, len);
-      upos += (int64_t)len;
-      unique_offsets[next + 1] = upos;
-      out_codes[i] = next++;
-    } else {
-      out_codes[i] = it->second;
-    }
-  }
-  return next;
-}
-
-// ---------------------------------------------------------------------------
-// order-preserving row encoding (polars-row/src/encode.rs analogue)
-// ---------------------------------------------------------------------------
-
-// Encode one int64 key column into big-endian order-preserving bytes with a
-// null sentinel byte, appended at stride intervals into `rows`.
-void rowenc_i64(const int64_t* vals, const uint8_t* validity, int64_t n,
-                uint8_t* rows, int64_t stride, int64_t offset,
-                int nulls_last) {
-  for (int64_t i = 0; i < n; i++) {
-    uint8_t* dst = rows + i * stride + offset;
-    bool valid = validity == nullptr || validity[i];
-    if (!valid) {
-      dst[0] = nulls_last ? 0xFF : 0x00;
-      memset(dst + 1, 0, 8);
-      continue;
-    }
-    dst[0] = nulls_last ? 0x01 : 0x01;
-    uint64_t u = (uint64_t)vals[i] ^ 0x8000000000000000ULL;  // sign flip
-    for (int b = 0; b < 8; b++) dst[1 + b] = (uint8_t)(u >> (56 - 8 * b));
-  }
-}
-
-void rowenc_f64(const double* vals, const uint8_t* validity, int64_t n,
-                uint8_t* rows, int64_t stride, int64_t offset,
-                int nulls_last) {
-  for (int64_t i = 0; i < n; i++) {
-    uint8_t* dst = rows + i * stride + offset;
-    bool valid = validity == nullptr || validity[i];
-    if (!valid) {
-      dst[0] = nulls_last ? 0xFF : 0x00;
-      memset(dst + 1, 0, 8);
-      continue;
-    }
-    dst[0] = 0x01;
-    uint64_t u;
-    memcpy(&u, &vals[i], 8);
-    // IEEE total order transform
-    if (u >> 63)
-      u = ~u;
-    else
-      u |= 0x8000000000000000ULL;
-    for (int b = 0; b < 8; b++) dst[1 + b] = (uint8_t)(u >> (56 - 8 * b));
-  }
-}
-
-// argsort of encoded rows via std::sort on row pointers (multi-key host sort)
-void rowsort(const uint8_t* rows, int64_t stride, int64_t n, int64_t* out_idx) {
-  std::vector<int64_t> idx((size_t)n);
-  for (int64_t i = 0; i < n; i++) idx[(size_t)i] = i;
-  std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
-    return memcmp(rows + a * stride, rows + b * stride, (size_t)stride) < 0;
-  });
-  memcpy(out_idx, idx.data(), (size_t)n * sizeof(int64_t));
-}
-
 }  // extern "C"

@@ -1,9 +1,15 @@
 """ctypes bindings for the C++ native runtime (native/polars_tpu_native.cpp).
 
 Builds on first use with g++ (cached in native/build/). Provides:
-- BufferPool: host memory pool with spill-to-disk (polars-ooc analogue)
-- dict_encode_utf8: fast dictionary interning over Arrow string buffers
-- row encoding + host row-sort (polars-row analogue)
+- BufferPool: host memory pool with spill-to-disk (polars-ooc analogue),
+  wired into the streaming engine's out-of-core store (engine/ooc.py).
+
+Round-2 pruning (verdict #4 "wire or cut" — measurements in BASELINE.md):
+a C++ string interner (dict_encode_utf8) and a host row-encoder/row-sort were
+measured against the paths the engine actually uses — Arrow C++'s parallel
+``dictionary_encode`` won 2-4x at every cardinality, and sorting happens on
+DEVICE (kernels/argsort.py word-radix sort), so both were deleted rather than
+kept as dead show-pieces.
 """
 
 from __future__ import annotations
@@ -55,19 +61,6 @@ def get_lib():
     lib.pool_set_spill_dir.argtypes = [ctypes.c_char_p]
     lib.pool_in_memory_bytes.restype = ctypes.c_int64
     lib.pool_spilled_bytes.restype = ctypes.c_int64
-    lib.dict_encode_utf8.restype = ctypes.c_int64
-    lib.dict_encode_utf8.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-    ]
-    lib.rowenc_i64.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-    ]
-    lib.rowenc_f64.argtypes = lib.rowenc_i64.argtypes
-    lib.rowsort.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-    ]
     os.makedirs("/tmp/polars_tpu_spill", exist_ok=True)
     lib.pool_set_spill_dir(b"/tmp/polars_tpu_spill")
     _LIB = lib
@@ -114,53 +107,3 @@ class BufferPool:
 
     def spill_all(self) -> None:
         self.lib.pool_spill_all()
-
-
-def dict_encode_arrow(arr) -> tuple[np.ndarray, list[str]]:
-    """Dictionary-encode a pyarrow large_string/string array via the native
-    interner. Returns (codes int32, unique values)."""
-    import pyarrow as pa
-
-    lib = get_lib()
-    if arr.type != pa.large_string():
-        arr = arr.cast(pa.large_string())
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
-    data_buf = arr.buffers()[2]
-    data = (
-        np.frombuffer(data_buf, dtype=np.uint8)
-        if data_buf is not None
-        else np.zeros(1, np.uint8)
-    )
-    n = len(arr)
-    codes = np.empty(n, np.int32)
-    uoff = np.empty(n + 1, np.int64)
-    udata = np.empty(max(len(data), 1), np.uint8)
-    n_unique = lib.dict_encode_utf8(
-        offsets.ctypes.data, data.ctypes.data, n,
-        codes.ctypes.data, uoff.ctypes.data, udata.ctypes.data,
-    )
-    uniques = [
-        bytes(udata[uoff[i] : uoff[i + 1]]).decode() for i in range(n_unique)
-    ]
-    return codes, uniques
-
-
-def rowsort_host(keys: list[tuple[np.ndarray, np.ndarray | None]]) -> np.ndarray:
-    """Multi-key stable argsort on the host via the native row encoder."""
-    lib = get_lib()
-    n = len(keys[0][0])
-    stride = 9 * len(keys)
-    rows = np.zeros((n, stride), np.uint8)
-    off = 0
-    for vals, validity in keys:
-        vptr = validity.ctypes.data if validity is not None else None
-        if vals.dtype == np.float64:
-            lib.rowenc_f64(vals.ctypes.data, vptr, n, rows.ctypes.data, stride, off, 0)
-        else:
-            v64 = np.ascontiguousarray(vals, np.int64)
-            lib.rowenc_i64(v64.ctypes.data, vptr, n, rows.ctypes.data, stride, off, 0)
-        off += 9
-    out = np.empty(n, np.int64)
-    lib.rowsort(rows.ctypes.data, stride, n, out.ctypes.data)
-    return out
