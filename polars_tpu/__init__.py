@@ -25,6 +25,7 @@ try:
 except Exception:  # noqa: BLE001
     pass
 
+from polars_tpu import api
 from polars_tpu import datatypes
 from polars_tpu import selectors
 from polars_tpu.config import Config
@@ -170,6 +171,26 @@ def from_arrow(data, **kwargs):
 
         return Series._from_column(arrow_array_to_column("", data))
     raise TypeError(f"cannot create from {type(data).__name__}")
+
+
+def from_dataframe(df, *, allow_copy: bool = True):
+    """Build a DataFrame from any object implementing the dataframe
+    interchange protocol (reference: py-polars from_dataframe); Arrow
+    PyCapsule (``__arrow_c_stream__``) producers work too."""
+    import pyarrow as pa
+
+    if isinstance(df, DataFrame):
+        return df
+    if hasattr(df, "__arrow_c_stream__"):
+        return DataFrame(pa.table(df))
+    if hasattr(df, "__dataframe__"):
+        from pyarrow.interchange import from_dataframe as _fd
+
+        return DataFrame(_fd(df, allow_copy=allow_copy))
+    raise TypeError(
+        f"{type(df).__name__} implements neither the interchange protocol "
+        "nor the Arrow C-stream protocol"
+    )
 
 
 def from_numpy(data, schema=None, **kwargs):

@@ -894,6 +894,17 @@ class DataFrame:
 
         return pd.DataFrame({c.name: c.to_numpy() for c in self._columns})
 
+    def __dataframe__(self, nan_as_null: bool = False, allow_copy: bool = True) -> Any:
+        """Dataframe interchange protocol (via the Arrow implementation) —
+        consumable by pandas/duckdb/vaex etc. (reference: py-polars
+        interchange/dataframe.py)."""
+        return self.to_arrow().__dataframe__(nan_as_null, allow_copy)
+
+    def __arrow_c_stream__(self, requested_schema: Any = None) -> Any:
+        """Arrow PyCapsule C-stream export (Arrow C-data FFI; reference:
+        polars-arrow ffi + py-polars __arrow_c_stream__)."""
+        return self.to_arrow().__arrow_c_stream__(requested_schema)
+
     def to_arrow(self) -> Any:
         self._prefetch_host()
         import pyarrow as pa

@@ -70,8 +70,14 @@ class LazyFrame:
         node = optimize(self._node) if optimized else self._node
         return explain_plan(node)
 
-    def show_graph(self, **kwargs: Any) -> str:
-        return self.explain()
+    def show_graph(self, *, optimized: bool = True, raw_output: bool = True, **kwargs: Any) -> str:
+        """Graphviz dot text of the (optimized) plan (reference:
+        polars-lazy/src/dot.rs). Shared LCache subplans render once."""
+        from polars_tpu.plan.fmt import plan_to_dot
+        from polars_tpu.plan.optimizer import optimize
+
+        node = optimize(self._node) if optimized else self._node
+        return plan_to_dot(node)
 
     def __repr__(self) -> str:
         return f"<LazyFrame at 0x{id(self):X}>\n{self.explain(optimized=False)}"

@@ -41,3 +41,39 @@ def explain_plan(node: L.LNode, indent: int = 0) -> str:
     for i in node.inputs():
         lines.append(explain_plan(i, indent + 1))
     return "\n".join(lines)
+
+
+def _node_label(node: L.LNode) -> str:
+    first = explain_plan(node).splitlines()[0]
+    return first.replace('"', "'")
+
+
+def plan_to_dot(node: L.LNode) -> str:
+    """Graphviz dot text for a plan (reference: polars-lazy/src/dot.rs;
+    py-polars LazyFrame.show_graph). Shared LCache subplans render as one
+    node with multiple in-edges — the dedup is visible in the graph."""
+    lines = [
+        "graph polars_tpu_query {",
+        "  rankdir=BT;",
+        '  node [shape=box, fontname="monospace"];',
+    ]
+    ids: dict = {}
+    edges: list[tuple[int, int]] = []
+
+    def visit(n: L.LNode) -> int:
+        # LCache nodes dedup by STRUCTURE (same ident+input -> one box)
+        key = n if isinstance(n, L.LCache) else id(n)
+        if key in ids:
+            return ids[key]
+        nid = len(ids)
+        ids[key] = nid
+        lines.append(f'  n{nid} [label="{_node_label(n)}"];')
+        for i in n.inputs():
+            edges.append((visit(i), nid))
+        return nid
+
+    visit(node)
+    for a, b in edges:
+        lines.append(f"  n{a} -- n{b};")
+    lines.append("}")
+    return "\n".join(lines)
