@@ -170,6 +170,54 @@ def _shuffle_ttable(tt: TTable, h: jax.Array, d: int, cap: int) -> tuple[TTable,
     return TTable(cols, new_mask, d * cap), ofl
 
 
+def _mask_ttable(tt: TTable, extra: jax.Array) -> TTable:
+    return TTable(tt.cols, tt.rowmask & extra, tt.padded)
+
+
+def _concat_ttables(a: TTable, b: TTable) -> TTable:
+    """Row-concatenate two same-schema local blocks (padding rows ride along,
+    masked off)."""
+    cols: dict[str, Val] = {}
+    for name, va in a.cols.items():
+        vb = b.cols[name]
+        values = jnp.concatenate([va.values, vb.values])
+        if va.validity is None and vb.validity is None:
+            validity = None
+        else:
+            validity = jnp.concatenate([
+                va.validity if va.validity is not None else jnp.ones((a.padded,), bool),
+                vb.validity if vb.validity is not None else jnp.ones((b.padded,), bool),
+            ])
+        cols[name] = Val(values, validity, va.dtype, va.table, ROW, va.child)
+    mask = jnp.concatenate([a.rowmask, b.rowmask])
+    return TTable(cols, mask, a.padded + b.padded)
+
+
+def _compact_gather_ttable(tt: TTable, cap: int) -> tuple[TTable, jax.Array]:
+    """Compact the block's valid rows into ``cap`` slots, then all_gather the
+    compacted block everywhere -> (d*cap) replicated rows + overflow flag."""
+    n = tt.padded
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    rank = jnp.cumsum(tt.rowmask.astype(jnp.int32)) - 1
+    overflow = jnp.any(tt.rowmask & (rank >= cap))
+    ok = tt.rowmask & (rank < cap)
+    tgt = jnp.where(ok, jnp.clip(rank, 0, cap - 1), cap)
+
+    def send(col):
+        buck = jnp.zeros((cap + 1,), col.dtype).at[tgt].set(col)[:cap]
+        return jax.lax.all_gather(buck, AXIS, axis=0, tiled=True)
+
+    cols: dict[str, Val] = {}
+    for name, v in tt.cols.items():
+        values = send(v.values)
+        validity = None if v.validity is None else send(v.validity)
+        cols[name] = Val(values, validity, v.dtype, v.table, ROW, v.child)
+    mask = jnp.zeros((cap + 1,), bool).at[tgt].set(ok)[:cap]
+    mask = jax.lax.all_gather(mask, AXIS, axis=0, tiled=True)
+    ofl = jax.lax.psum(overflow.astype(jnp.int32), AXIS)
+    return TTable(cols, mask, mask.shape[0]), ofl
+
+
 def _gather_ttable(tt: TTable) -> TTable:
     """all_gather a per-shard block into the full (replicated) table."""
     cols: dict[str, Val] = {}
@@ -279,9 +327,63 @@ def _dist_join(node: L.LJoin, tt_l: TTable, tt_r: TTable, tc: _TraceCtx, d: int,
         rh = _join_side_hash(rkeys, lkeys)
         cap_l = _shuffle_cap(tt_l.padded, d, lossless)
         cap_r = _shuffle_cap(tt_r.padded, d, lossless)
-        tt_l, ofl_l = _shuffle_ttable(tt_l, lh, d, cap_l)
-        tt_r, ofl_r = _shuffle_ttable(tt_r, rh, d, cap_r)
-        ofl = ofl_l + ofl_r
+        if lossless:
+            tt_l, ofl_l = _shuffle_ttable(tt_l, lh, d, cap_l)
+            tt_r, ofl_r = _shuffle_ttable(tt_r, rh, d, cap_r)
+            ofl = ofl_l + ofl_r
+        else:
+            # SKEW-ROUTED partitioned join. A hot probe key sends every one
+            # of its rows to one shard; the shuffle bucket overflows and the
+            # lossless retry exchanges full local tables (d-times the
+            # memory). Instead, a B-bucket probe-side histogram (psum'd
+            # across shards — the CardinalitySketch / per-partition-count
+            # analogue, polars-utils/src/cardinality_sketch.rs) detects
+            # heavy hash buckets in-trace; their PROBE rows stay local (no
+            # movement) and their (unique-key, m:1) BUILD rows replicate via
+            # a compact all_gather — the salted-repartition treatment with
+            # replication factor d only on the skewed tail. Light buckets
+            # co-partition through the ordinary all_to_all.
+            B = 256
+            # flip=True: build = LEFT (validate="1:m"), probe = RIGHT
+            hp = rh if flip else lh  # probe-side hash
+            hb = lh if flip else rh
+            tt_p = tt_r if flip else tt_l
+            tt_b = tt_l if flip else tt_r
+            bucket_p = (partition_of(hp, B)).astype(jnp.int32)
+            bucket_b = (partition_of(hb, B)).astype(jnp.int32)
+            hist = jnp.zeros((B,), jnp.int32).at[
+                jnp.where(tt_p.rowmask, bucket_p, B - 1)
+            ].add(tt_p.rowmask.astype(jnp.int32), mode="drop")
+            hist = jax.lax.psum(hist, AXIS)
+            # heavy when one bucket alone could overflow its (src,dst)
+            # bucket: global count / d per source > cap/2 slack
+            cap_p = _shuffle_cap(tt_p.padded, d, False)
+            heavy = hist > (cap_p // 2) * d
+            heavy_p = heavy[bucket_p] & tt_p.rowmask
+            heavy_b = heavy[bucket_b] & tt_b.rowmask
+
+            # light rows: ordinary co-partitioned exchange
+            lt_p, ofl_p = _shuffle_ttable(
+                _mask_ttable(tt_p, ~heavy_p), hp, d, cap_p
+            )
+            lt_b, ofl_b = _shuffle_ttable(
+                _mask_ttable(tt_b, ~heavy_b), hb, d,
+                _shuffle_cap(tt_b.padded, d, False),
+            )
+            # heavy build rows: compact + replicate everywhere
+            heavy_cap = max(128, padded_size(-(-tt_b.padded // 8)))
+            gt_b, ofl_g = _compact_gather_ttable(
+                _mask_ttable(tt_b, heavy_b), heavy_cap
+            )
+            # heavy probe rows: NO movement — they join the replicated build
+            local_p = _mask_ttable(tt_p, heavy_p)
+            new_p = _concat_ttables(lt_p, local_p)
+            new_b = _concat_ttables(lt_b, gt_b)
+            ofl = ofl_p + ofl_b + ofl_g
+            if flip:  # build = left, probe = right
+                tt_l, tt_r = new_b, new_p
+            else:
+                tt_l, tt_r = new_p, new_b
 
     cols, rowmask, bad = trace_join(node, tt_l, tt_r, eval_key)
     tc.flags.append(bad)

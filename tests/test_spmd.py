@@ -158,3 +158,35 @@ def test_pdsh_q4_distributed(pdsh_frames):
 
 def test_pdsh_q6_distributed(pdsh_frames):
     _cmp(pdsh.q6(pdsh_frames["lineitem"]))
+
+
+def test_skew_routed_shuffle_join(monkeypatch, rng_mod):
+    """A 60%-hot probe key through the (non-broadcast) shuffle join: the
+    in-trace probe histogram (CardinalitySketch analogue) must route hot
+    buckets — heavy build rows replicate via all_gather, heavy probe rows
+    stay local — so the lossless full-capacity retry never fires and the
+    result stays oracle-exact."""
+    monkeypatch.setenv("POLARS_TPU_BROADCAST_JOIN_ROWS", "1")
+    from polars_tpu import config as _cfg
+
+    monkeypatch.setattr(_cfg.config(), "broadcast_join_rows", 1)
+    n = 4096
+    keys = np.where(rng_mod.random(n) < 0.6, 7, rng_mod.integers(0, 500, n)).astype(np.int64)
+    probe = pl.DataFrame({"k": keys, "v": rng_mod.normal(size=n)})
+    build = pl.DataFrame({"k": np.arange(500, dtype=np.int64), "w": rng_mod.normal(size=500)})
+    q = (
+        probe.lazy().join(build.lazy(), on="k", validate="m:1")
+        .group_by("k").agg(sv=pl.col("v").sum(), w=pl.col("w").first()).sort("k")
+    )
+    orig = spmd.run_spmd_segment
+
+    def guard(root, leaf_dfs, mesh, lossless=False, sync=True):
+        assert not lossless, "lossless retry fired — skew routing failed"
+        return orig(root, leaf_dfs, mesh, lossless=lossless, sync=sync)
+
+    monkeypatch.setattr(spmd, "run_spmd_segment", guard)
+    monkeypatch.setattr(spmd, "CAPTURE_HLO", True)
+    spmd._SPMD_JIT_CACHE.clear()
+    _cmp(q)
+    text = spmd.LAST_LOWERED
+    assert "all_to_all" in text and "all_gather" in text
