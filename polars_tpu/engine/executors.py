@@ -61,7 +61,7 @@ class TTable:
 _FUSABLE = (
     L.LFilter, L.LSelect, L.LWithColumns, L.LSlice, L.LDistinct, L.LSort,
     L.LGroupBy, L.LRename, L.LDrop, L.LWithRowIndex, L.LUnion, L.LHConcat,
-    L.LJoin,
+    L.LJoin, L.LExplode,
 )
 
 
@@ -176,6 +176,9 @@ def _is_fusable(node: L.LNode) -> bool:
     except Exception:
         return False
     schema = in_schemas[0] if in_schemas else Schema()
+    if isinstance(node, L.LExplode):
+        # traced explode needs the packed-List layout (Array/Struct -> host)
+        return all(c in schema and isinstance(schema[c], dt.List) for c in node.columns)
     for e in node.exprs():
         if e is None:
             continue
@@ -303,6 +306,10 @@ def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
             stop = jnp.minimum(start + node.length, total)
         mask = tt.rowmask & (rank > start) & (rank <= stop)
         return TTable(tt.cols, mask, tt.padded)
+
+    if isinstance(node, L.LExplode):
+        tt = trace_node(node.input, tc)
+        return _trace_explode(tt, node, tc)
 
     if isinstance(node, L.LDistinct):
         tt = trace_node(node.input, tc)
@@ -491,6 +498,68 @@ def _broadcast_scalar(v: Val, padded: int) -> Val:
         v.table,
         ROW,
     )
+
+
+def _trace_explode(tt: TTable, node: L.LExplode, tc: _TraceCtx) -> TTable:
+    """Traced explode (reference: polars-ops explode.rs, re-designed for the
+    packed (start<<32|len) layout): each valid parent row emits max(len, 1)
+    output rows (null/empty lists emit one null row). Output rows map back to
+    parents with ONE searchsorted over the emit prefix sum — no per-list
+    loops; child values gather directly. Mismatched list lengths across the
+    exploded columns raise through the in-trace validation flag channel."""
+    from polars_tpu.engine.common import TracedChild
+
+    n = tt.padded
+    lens_all = None
+    exploded: dict[str, tuple] = {}
+    for name in node.columns:
+        v = tt.cols[name]
+        ch = v.child
+        if not isinstance(ch, TracedChild) or ch.values is None:
+            raise InvalidOperationError(
+                f"explode({name!r}): list child unavailable in this trace"
+            )
+        st = (v.values >> 32).astype(jnp.int32)
+        ln = (v.values & 0xFFFFFFFF).astype(jnp.int32)
+        if v.validity is not None:
+            ln = jnp.where(v.validity, ln, 0)
+        ln = jnp.where(tt.rowmask, ln, 0)
+        if lens_all is None:
+            lens_all = ln
+        else:
+            tc.flags.append(jnp.any(ln != lens_all))
+        exploded[name] = (st, v, ch)
+    if lens_all is None:
+        return tt
+    emit = jnp.where(tt.rowmask, jnp.maximum(lens_all, 1), 0)
+    offs = jnp.cumsum(emit)  # inclusive
+    total = offs[-1]
+    ch_max = max(e[2].values.shape[0] for e in exploded.values())
+    out_n = padded_size(n + ch_max)  # static bound: every list + placeholders
+    j = jax.lax.broadcasted_iota(jnp.int32, (out_n, 1), 0).squeeze(-1)
+    out_valid = j < total
+    parent = jnp.searchsorted(offs, j, side="right").astype(jnp.int32)
+    parentc = jnp.clip(parent, 0, n - 1)
+    excl = offs - emit  # exclusive prefix
+    within = j - excl[parentc]
+    placeholder = lens_all[parentc] == 0
+
+    cols: dict[str, Val] = {}
+    for name, v in tt.cols.items():
+        if name in exploded:
+            st, pv, ch = exploded[name]
+            cidx = jnp.clip(st[parentc] + within, 0, ch.values.shape[0] - 1)
+            values = ch.values[cidx]
+            ok = row_mask(ch.values.shape[0], ch.length)
+            if ch.validity is not None:
+                ok = ok & ch.validity
+            validity = out_valid & ~placeholder & ok[cidx]
+            cols[name] = Val(values, validity, v.dtype.inner, ch.table, ROW, ch.child)
+        else:
+            values = v.values[parentc]
+            validity = None if v.validity is None else (v.validity[parentc] & out_valid)
+            cols[name] = Val(values, validity, v.dtype, v.table, ROW, v.child)
+    return TTable(cols, out_valid, out_n)
 
 
 def _trace_groupby(tt: TTable, node: L.LGroupBy, tc: _TraceCtx) -> TTable:
@@ -996,8 +1065,9 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
             from polars_tpu.errors import ComputeError
 
             raise ComputeError(
-                "join validation failed: keys do not satisfy the declared "
-                "m:1/1:1/1:m cardinality"
+                "in-trace validation failed: join keys do not satisfy the "
+                "declared m:1/1:1/1:m cardinality, or exploded columns have "
+                "mismatched list lengths"
             )
     if _timing:
         _t3 = _time.perf_counter()

@@ -189,8 +189,8 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
     if isinstance(node, L.LUnpivot):
         return _exec_unpivot(node)
 
-    if isinstance(node, L.LExplode):
-        return _exec_explode(node)
+    if isinstance(node, L.LExplode) and not _is_fusable(node):
+        return _exec_explode(node)  # Array/Struct columns: host layout rebuild
 
     if isinstance(node, (L.LSelect, L.LWithColumns)) and _needs_special(node):
         return _exec_special_select(node)

@@ -44,7 +44,7 @@ from polars_tpu.utils.tokens import obj_token
 
 _DECOMPOSABLE = {"sum", "count", "len", "min", "max", "mean", "var", "std"}
 
-_CHAIN = (L.LFilter, L.LSelect, L.LWithColumns, L.LRename, L.LDrop)
+_CHAIN = (L.LFilter, L.LSelect, L.LWithColumns, L.LRename, L.LDrop, L.LExplode)
 _TERMINALS = (L.LGroupBy, L.LSort, L.LDistinct, L.LSlice)
 
 
@@ -95,7 +95,7 @@ def _node_rowlocal(n: L.LNode) -> bool:
     """Per-batch-safe chain node: maps/filters whose exprs are elementwise
     (the ExprCache.is_elementwise classification, lower_expr.rs:39-53).
     Aggregating selects, windows, ranks etc. must NOT stream as chain nodes."""
-    if isinstance(n, (L.LRename, L.LDrop)):
+    if isinstance(n, (L.LRename, L.LDrop, L.LExplode)):
         return True
     if isinstance(n, L.LFilter):
         return E.is_elementwise(n.predicate)

@@ -3,6 +3,8 @@
 Reference semantics: polars-ops chunked_array/list/ + py-polars list tests.
 """
 
+import pytest
+
 import polars_tpu as pl
 
 
@@ -165,3 +167,60 @@ def test_list_sum_temporal_exact_int64():
     assert out["s"].to_list() == [big + 1, big]
     mx = df.lazy().select(pl.col("x").list.max().alias("m")).collect()
     assert mx["m"].to_list() == [big, big]
+
+
+def test_explode_fuses_into_one_segment(monkeypatch):
+    """round-2 verdict #6: explode of List columns traces INTO the segment —
+    filter -> explode -> agg is exactly ONE run_segment call."""
+    from polars_tpu.engine import executors, run
+
+    calls = []
+    orig = executors.run_segment
+
+    def counting(node, leaf_dfs, **kw):
+        calls.append(type(node).__name__)
+        return orig(node, leaf_dfs, **kw)
+
+    monkeypatch.setattr(executors, "run_segment", counting)
+    monkeypatch.setattr(run, "run_segment", counting)
+    df = pl.DataFrame({"k": [1, 2, 3], "lst": [[10, 20], [30], []]})
+    out = (
+        df.lazy()
+        .filter(pl.col("k") < 3)
+        .explode("lst")
+        .select(pl.col("lst").sum().alias("s"))
+        .collect()
+    )
+    assert len(calls) == 1, calls
+    assert out["s"].to_list() == [60]
+
+
+def test_explode_multi_column_matching_lengths():
+    df = pl.DataFrame({"a": [[1, 2], [3]], "b": [["x", "y"], ["z"]]})
+    out = df.explode("a", "b")
+    assert out["a"].to_list() == [1, 2, 3]
+    assert out["b"].to_list() == ["x", "y", "z"]
+
+
+def test_explode_multi_column_mismatch_raises():
+    from polars_tpu.errors import ComputeError, ShapeError
+
+    df = pl.DataFrame({"a": [[1, 2], [3]], "b": [["x"], ["z"]]})
+    with pytest.raises((ComputeError, ShapeError)):
+        df.lazy().explode("a", "b").collect()
+
+
+def test_explode_null_and_empty_emit_null_rows():
+    df = pl.DataFrame({"k": [1, 2, 3], "lst": [None, [], [5]]})
+    out = df.lazy().explode("lst").collect()
+    assert out["k"].to_list() == [1, 2, 3]
+    assert out["lst"].to_list() == [None, None, 5]
+
+
+def test_explode_streams_through_chain(parquet_list_path=None):
+    # explode is a row-local chain node in the streaming engine
+    df = pl.DataFrame({"g": [1, 1, 2, 2], "lst": [[1.0, 2.0], [3.0], [], [4.0, 5.0]]})
+    lf = df.lazy().explode("lst").group_by("g").agg(pl.col("lst").sum().alias("s"))
+    a = lf.collect().sort("g")
+    b = lf.collect(engine="streaming").sort("g")
+    assert a["s"].to_list() == b["s"].to_list()
