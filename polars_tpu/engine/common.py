@@ -92,6 +92,10 @@ class EvalCtx:
     # cse_expr pass, polars-plan/src/plans/optimizer/cse/; here it also cuts
     # Python trace time — XLA would dedupe the HLO anyway, the trace wouldn't)
     memo: dict | None = None
+    # in-trace validation flags (shared with the segment's _TraceCtx): ops
+    # with data-dependent capacity bounds (list.sort child contiguization)
+    # append overflow conditions; failures ride the count channel
+    flags: list | None = None
 
     def out_mask(self) -> jax.Array:
         """Validity domain mask for the produced frame."""

@@ -698,6 +698,7 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
         literals=ctx.literals,
         groups=gctx,
         memo={},
+        flags=ctx.flags,
     )
     res = eval_expr(node.function, inner)
     if res.domain == GROUP:

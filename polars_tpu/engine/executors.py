@@ -89,12 +89,14 @@ def _join_fusable(node: L.LJoin) -> bool:
 
 HOST_FNS = {
     "concat_str", "dt.to_string", "cat.get_categories",
-    "list.join", "list.sort", "list.unique", "list.reverse",
+    "list.join",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
     "sample", "shuffle", "arg_where_self", "rle",
 }
 # list.len/sum/mean/min/max/get/contains are TRACED since round 2
 # (engine/fn_nested.py) — prefix-sum range queries over the packed layout.
+# list.sort/reverse/unique are TRACED too (in-trace child rebuild via the
+# run_segment child_outs protocol); conditionally host below.
 
 
 def _is_column_ref(e: E.ENode) -> bool:
@@ -136,6 +138,20 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
             return True  # Array etc. stay on the host path
         if n.name == "list.get" and isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
             return True  # nested gather keeps host semantics
+    if n.name in ("list.sort", "list.reverse", "list.unique"):
+        # traced child rebuild needs: a bound child (column ref), a flat List
+        # (no nested inner), and a contiguization that fits the child's padded
+        # extent — packed words of distinct parents may SHARE child ranges
+        # after join fan-out, which could overflow; conservative: only inputs
+        # whose trace is a leaf-bound column qualify, others rebuild on host
+        if not _is_column_ref(n.inputs[0]):
+            return True
+        try:
+            d = expr_dtype(n.inputs[0], schema)
+        except Exception:
+            return True
+        if not isinstance(d, dt.List) or isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
+            return True
     return False
 
 
@@ -213,7 +229,9 @@ class _TraceCtx:
         self.flags: list[jax.Array] = []  # in-trace validation failures
 
 
-def _eval_ctx(tt: TTable, literals: dict) -> EvalCtx:
+def _eval_ctx(tt: TTable, tc_or_literals) -> EvalCtx:
+    literals = getattr(tc_or_literals, "literals", tc_or_literals)
+    flags = getattr(tc_or_literals, "flags", None)
     return EvalCtx(
         cols=dict(tt.cols),
         rowmask=tt.rowmask,
@@ -223,6 +241,7 @@ def _eval_ctx(tt: TTable, literals: dict) -> EvalCtx:
         literals=literals,
         groups=None,
         memo={},
+        flags=flags,
     )
 
 
@@ -238,7 +257,7 @@ def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
 
         def eval_key(e, tt):
             exprs = expand_exprs((e,), tt.schema())
-            return eval_expr(exprs[0], _eval_ctx(tt, tc.literals))
+            return eval_expr(exprs[0], _eval_ctx(tt, tc))
 
         cols, rowmask, bad = trace_join(node, tt_l, tt_r, eval_key)
         tc.flags.append(bad)
@@ -249,7 +268,7 @@ def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
         tt = trace_node(node.input, tc)
         schema = tt.schema()
         preds = expand_exprs((node.predicate,), schema)
-        ctx = _eval_ctx(tt, tc.literals)
+        ctx = _eval_ctx(tt, tc)
         mask = tt.rowmask
         for p in preds:
             v = eval_expr(p, ctx)
@@ -322,7 +341,7 @@ def trace_node(node: L.LNode, tc: _TraceCtx) -> TTable:
         tt = trace_node(node.input, tc)
         schema = tt.schema()
         by = expand_exprs(node.by, schema)
-        ctx = _eval_ctx(tt, tc.literals)
+        ctx = _eval_ctx(tt, tc)
         key_vals = [eval_expr(b, ctx) for b in by]
         desc = list(node.descending)
         nl = list(node.nulls_last)
@@ -450,7 +469,7 @@ def _trace_select(
 ) -> TTable:
     schema = tt.schema()
     exprs = expand_exprs(expressions, schema)
-    ctx = _eval_ctx(tt, tc.literals)
+    ctx = _eval_ctx(tt, tc)
     results: list[tuple[str, Val]] = []
     for e in exprs:
         name = E.output_name(e) or "literal"
@@ -566,7 +585,7 @@ def _trace_groupby(tt: TTable, node: L.LGroupBy, tc: _TraceCtx) -> TTable:
     schema = tt.schema()
     keys = expand_exprs(node.keys, schema)
     aggs = expand_exprs(node.aggs, schema)
-    ctx = _eval_ctx(tt, tc.literals)
+    ctx = _eval_ctx(tt, tc)
     key_vals = [(E.output_name(k) or "literal", eval_expr(k, ctx)) for k in keys]
     for _, kv in key_vals:
         if kv.domain == SCALAR:
@@ -1006,10 +1025,18 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
             for name, v in tt.cols.items():
                 captured_tables[name] = v.table
                 if isinstance(v.child, TracedChild):
-                    # capture host PROVENANCE, not the trace-time child object:
-                    # the current call's leaf frames resolve it fresh (capturing
-                    # the Column was a silent stale-cache bug on sig-equal frames)
-                    captured_children[name] = ("src", *v.child.src)
+                    if v.child.src is not None:
+                        # capture host PROVENANCE, not the trace-time child
+                        # object: the current call's leaf frames resolve it
+                        # fresh (capturing the Column was a silent stale-cache
+                        # bug on sig-equal frames)
+                        captured_children[name] = ("src", *v.child.src)
+                    else:
+                        # child computed IN-TRACE (list.sort/reverse/unique):
+                        # its arrays are emitted as extra outputs (child_outs)
+                        captured_children[name] = (
+                            "traced", v.child.dtype, v.child.table,
+                        )
                 elif v.child is not None:
                     captured_children[name] = v.child
             # compact: valid rows first (stable single-word radix pass)
@@ -1023,11 +1050,17 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
                 count = jnp.where(_flag, -(count + 1), count)
             rm_sorted = tt.rowmask[perm]  # True on exactly the first `count` rows
             outs = []
+            child_outs = []  # in-trace-computed list children (UNpermuted:
+            # packed words address child positions directly)
             for name in out_names:
                 v = tt.cols[name]
                 outs.append(v.values[perm])
                 outs.append((v.validity[perm] & rm_sorted) if v.validity is not None else None)
-            return outs, count
+                ch = v.child
+                if isinstance(ch, TracedChild) and ch.src is None and ch.values is not None:
+                    child_outs.append(ch.values)
+                    child_outs.append(ch.validity)
+            return outs, child_outs, count
 
         jfn = jax.jit(traced)
         entry = (jfn, captured_tables, captured_children)
@@ -1046,7 +1079,7 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
     lit_args = [literal_host_value(ln) for ln in lit_nodes]
     if _timing:
         _t1 = _time.perf_counter()
-    outs, count = jfn(leaf_args, lit_args)
+    outs, child_outs, count = jfn(leaf_args, lit_args)
     # exactly ONE synchronization here (a scalar: ~26ms tunnel round trip once
     # any readback has happened — CLAUDE.md §1). Output buffers stay on device;
     # host materialization batches them in one device_get (frame._prefetch_host)
@@ -1057,7 +1090,10 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
         # readback (a readback permanently flips this runtime into slow
         # sync mode — CLAUDE.md §1). Row counts are the padded upper bound;
         # callers (LazyFrame.execute) discard the frame.
-        jax.block_until_ready([count, *[o for o in outs if o is not None]])
+        jax.block_until_ready(
+            [count, *[o for o in outs if o is not None],
+             *[o for o in child_outs if o is not None]]
+        )
         n = outs[0].shape[0] if outs else 0
     else:
         n = int(count)
@@ -1080,6 +1116,7 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
 
     cols = []
     it = iter(outs)
+    cit = iter(child_outs)
     for name in out_names:
         values = next(it)
         validity = next(it)
@@ -1096,6 +1133,16 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
             child = leaf_dfs[lpos][1]._get(cname).child
             for _ in range(depth):
                 child = child.child
+        elif isinstance(child, tuple) and child and child[0] == "traced":
+            # child arrays computed in-trace: build a fresh host child Column.
+            # length = full padded extent (no extra count sync): positions are
+            # only addressed through packed words; padding carries validity=0
+            _, cdt, ctab = child
+            cvals = next(cit)
+            cvalid = next(cit)
+            child = Column(
+                name, cdt, Buffer(cvals, cvalid, int(cvals.shape[0])), ctab, 0, None,
+            )
         cols.append(
             Column(
                 name, out_schema[name], Buffer(values, validity, n),

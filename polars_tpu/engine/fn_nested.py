@@ -206,10 +206,147 @@ def _list_contains(ctx, args, opts):
 
 
 register("list.join", dt.String(), elementwise=False)(_host("list.join"))
-register("list.sort", _same, elementwise=False)(_host("list.sort"))
-register("list.reverse", _same, elementwise=False)(_host("list.reverse"))
-register("list.unique", _same, elementwise=False)(_host("list.unique"))
 register("explode", _inner, elementwise=False)(_host("explode"))
+
+
+# --- TRACED list transforms (round-2): sort/reverse/unique -------------------
+# These REBUILD the child inside the trace: the output Val carries a
+# TracedChild with src=None, which run_segment emits as extra jit outputs
+# (executors.run_segment child_outs protocol). Strategy: contiguize the child
+# in parent-row order via the explode-style searchsorted gather, then permute
+# within segments (reference: polars-ops/src/chunked_array/list/).
+
+
+def _contiguize(ctx, v, name):
+    """Gather the child CONTIGUOUS in parent-row order (masked/null parents
+    contribute zero length). Returns (ch, ok, new_packed i64, parent idx pc,
+    within, src idx, in_data mask, lens). Capacity bound: the child's padded
+    extent — duplicated parents sharing child ranges (post-join fan-out) can
+    exceed it; those inputs are routed host by _fn_conditionally_host."""
+    import jax
+    import jax.numpy as jnp
+
+    ch, ok = _traced_child(v, name)
+    starts, lens = _unpack(v.values)
+    pm = ctx.rowmask
+    if v.validity is not None:
+        pm = pm & v.validity
+    lens = jnp.where(pm, lens, 0)
+    offs = jnp.cumsum(lens)
+    n_child = ch.values.shape[0]
+    if getattr(ctx, "flags", None) is not None:
+        # post-join fan-out can duplicate parents SHARING child ranges; the
+        # contiguous rebuild then exceeds the child's padded extent — flag it
+        # (rides the count channel; run_segment raises ComputeError)
+        ctx.flags.append(offs[-1] > jnp.int32(n_child))
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_child, 1), 0).squeeze(-1)
+    in_data = j < offs[-1]
+    pc = jnp.clip(
+        jnp.searchsorted(offs, j, side="right").astype(jnp.int32),
+        0, v.values.shape[0] - 1,
+    )
+    within = j - (offs[pc] - lens[pc])
+    src = jnp.clip(starts[pc] + within, 0, n_child - 1)
+    new_packed = ((offs - lens).astype(jnp.int64) << 32) | lens.astype(jnp.int64)
+    return ch, ok, new_packed, pc, within, src, in_data, lens
+
+
+def _list_out(v, ch, new_packed, g, gok, total):
+    from polars_tpu.engine.common import TracedChild, Val
+
+    child = TracedChild(g, gok, v.dtype.inner, ch.table, total, None, None)
+    return Val(new_packed, v.validity, v.dtype, None, v.domain, child)
+
+
+@register("list.reverse", _same, elementwise=False)
+def _list_reverse(ctx, args, opts):
+    import jax.numpy as jnp
+
+    v = args[0]
+    ch, ok, new_packed, pc, within, _src, in_data, lens = _contiguize(ctx, v, "list.reverse")
+    n_child = ch.values.shape[0]
+    starts, _ = _unpack(v.values)
+    src = jnp.clip(starts[pc] + lens[pc] - 1 - within, 0, n_child - 1)
+    g = ch.values[src]
+    gok = ok[src] & in_data
+    return _list_out(v, ch, new_packed, g, gok, jnp.sum(lens))
+
+
+def _sorted_gather(ctx, v, name, descending):
+    """Contiguize then stable-sort within segments by (null?, value).
+    Ascending puts nulls last; ``descending`` flips the WHOLE key (host/polars
+    list.sort semantics). Returns (ch, new_packed, g0/gok0/seg0 in the
+    CONTIGUOUS ORIGINAL domain, sort perm, words0, in_data0, lens)."""
+    import jax.numpy as jnp
+
+    from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
+    v_inner = v.dtype.inner
+    ch, ok, new_packed, pc, _within, src, in_data, lens = _contiguize(ctx, v, name)
+    g0 = ch.values[src]
+    gok0 = ok[src] & in_data
+    seg0 = jnp.where(in_data, pc, jnp.int32(2**31 - 1))
+    null_word = (~gok0).astype(jnp.int32)  # nulls last (ascending)
+    vwords = key_words(g0, v_inner)
+    if descending:
+        null_word = jnp.bitwise_not(null_word)
+        vwords = [jnp.bitwise_not(w) for w in vwords]
+    words0 = [null_word, *vwords]
+    perm = stable_argsort_words([seg0, *words0])
+    return ch, new_packed, g0, gok0, seg0, perm, words0, in_data, lens
+
+
+@register("list.sort", _same, elementwise=False)
+def _list_sort(ctx, args, opts):
+    import jax.numpy as jnp
+
+    v = args[0]
+    ch, new_packed, g0, gok0, _seg0, perm, _w, _ind, lens = _sorted_gather(
+        ctx, v, "list.sort", bool(opts.get("descending", False))
+    )
+    return _list_out(v, ch, new_packed, g0[perm], gok0[perm], jnp.sum(lens))
+
+
+@register("list.unique", _same, elementwise=False)
+def _list_unique(ctx, args, opts):
+    import jax.numpy as jnp
+
+    v = args[0]
+    maintain_order = bool(opts.get("maintain_order", False))
+    ch, _packed, g0, gok0, seg0, perm, words0, in_data, _lens = _sorted_gather(
+        ctx, v, "list.unique", False
+    )
+    n_child = ch.values.shape[0]
+    n_parent = v.values.shape[0]
+    seg = seg0[perm]
+    # first-of-run detection in the sorted domain: equal iff same segment and
+    # equal total-order words (the null word is words0[0], so a run of nulls
+    # also collapses; NaNs compare equal, unlike an elementwise != that would
+    # keep every NaN)
+    same_seg = jnp.concatenate([jnp.zeros((1,), bool), seg[1:] == seg[:-1]])
+    weq = same_seg
+    for w0 in words0:
+        w = w0[perm]
+        weq = weq & jnp.concatenate([jnp.zeros((1,), bool), w[1:] == w[:-1]])
+    keep_sorted = in_data[perm] & ~weq
+    if maintain_order:
+        # scatter run-head flags back to original contiguous positions (the
+        # stable sort makes each run's head the FIRST occurrence), compact in
+        # appearance order
+        keep = jnp.zeros((n_child,), bool).at[perm].set(keep_sorted)
+        g, gok, segc = g0, gok0, seg0
+    else:
+        keep, g, gok, segc = keep_sorted, g0[perm], gok0[perm], seg
+    lens2 = jnp.zeros((n_parent,), jnp.int32).at[
+        jnp.where(keep, segc, n_parent)
+    ].add(1, mode="drop")
+    offs2 = jnp.cumsum(lens2)
+    new_packed2 = ((offs2 - lens2).astype(jnp.int64) << 32) | lens2.astype(jnp.int64)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, n_child)
+    out_g = jnp.zeros_like(g).at[tgt].set(g, mode="drop")
+    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(gok, mode="drop")
+    return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
 def _struct_dt(dts, opts):

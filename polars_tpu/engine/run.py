@@ -28,14 +28,17 @@ from polars_tpu.utils.tokens import obj_token
 _SPECIAL_FNS = {
     "int_range", "repeat_value", "date_range", "datetime_range", "arg_where",
     "gather_every", "unique", "unique_counts", "cat.get_categories",
-    "list.join", "list.sort", "list.unique", "list.reverse",
+    "list.join",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
     "unnest", "sample", "shuffle", "arg_where_self", "rle",
 }
 
-# list aggs that trace for primitive inner dtypes but keep the host path for
+# list ops that trace for primitive inner dtypes but keep the host path for
 # strings / nested inners / non-literal needles (executors._fn_conditionally_host)
-_COND_FNS = {"list.sum", "list.mean", "list.min", "list.max", "list.get", "list.contains"}
+_COND_FNS = {
+    "list.sum", "list.mean", "list.min", "list.max", "list.get", "list.contains",
+    "list.sort", "list.reverse", "list.unique",
+}
 
 
 def _is_special_fn(s: E.ENode, schema) -> bool:

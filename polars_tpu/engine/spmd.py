@@ -86,6 +86,18 @@ def _classify(node: L.LNode, leaves: list[L.LNode], counters: dict) -> None:
     if isinstance(node, (L.LDataFrameScan, L.LScan)):
         leaves.append(node)
         return
+    try:
+        schema = node_schema(node)
+        nested = any(
+            isinstance(t, (dt.List, dt.Array, dt.Struct)) for t in schema.dtypes()
+        )
+    except Exception:
+        nested = True
+    if nested:
+        # packed list words index into an UNSHARDED child; an all_to_all of
+        # the parents would strand them — materialize single-chip instead
+        leaves.append(node)
+        return
     if isinstance(node, L.LJoin) and _join_fusable(node) and _is_fusable(node):
         counters["reductions"] += 1
         _classify(node.input_left, leaves, counters)
@@ -533,6 +545,13 @@ def run_spmd_segment(
                 for name, v in tt.cols.items():
                     captured_tables[name] = v.table
                     if isinstance(v.child, TracedChild):
+                        if v.child.src is None:
+                            # in-trace-computed children (list.sort et al.)
+                            # have no SPMD output path yet
+                            raise InvalidOperationError(
+                                f"{name}: in-trace list children are not "
+                                "supported in the distributed engine"
+                            )
                         captured_children[name] = ("src", *v.child.src)
                     elif v.child is not None:
                         captured_children[name] = v.child

@@ -224,3 +224,69 @@ def test_explode_streams_through_chain(parquet_list_path=None):
     a = lf.collect().sort("g")
     b = lf.collect(engine="streaming").sort("g")
     assert a["s"].to_list() == b["s"].to_list()
+
+
+def test_list_sort_reverse_unique_traced(monkeypatch):
+    """round-2: list.sort/reverse/unique rebuild the child IN-TRACE (the
+    run_segment child_outs protocol) — no host generator, one segment."""
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({"x": [[3, 1, None, 2], [5, 5], None, []]})
+    out = df.lazy().select(
+        pl.col("x").list.sort().alias("s"),
+        pl.col("x").list.sort(descending=True).alias("sd"),
+        pl.col("x").list.reverse().alias("r"),
+        pl.col("x").list.unique().alias("u"),
+        pl.col("x").list.unique(maintain_order=True).alias("um"),
+    ).collect()
+    assert out["s"].to_list() == [[1, 2, 3, None], [5, 5], None, []]
+    assert out["sd"].to_list() == [[None, 3, 2, 1], [5, 5], None, []]
+    assert out["r"].to_list() == [[2, None, 1, 3], [5, 5], None, []]
+    assert out["u"].to_list() == [[1, 2, 3, None], [5], None, []]
+    assert out["um"].to_list() == [[3, 1, None, 2], [5], None, []]
+
+
+def test_list_sort_strings_and_nan():
+    ds = pl.DataFrame({"s": [["b", "a", "b"], ["z"]]})
+    o = ds.lazy().select(
+        pl.col("s").list.sort().alias("ss"),
+        pl.col("s").list.unique().alias("su"),
+    ).collect()
+    assert o["ss"].to_list() == [["a", "b", "b"], ["z"]]
+    assert o["su"].to_list() == [["a", "b"], ["z"]]
+    # NaNs compare equal in total order (unique keeps ONE NaN, sorted last)
+    import math
+
+    dn = pl.DataFrame({"f": [[float("nan"), 1.0, float("nan"), 0.5]]})
+    s = dn.lazy().select(pl.col("f").list.sort().alias("s")).collect()["s"].to_list()[0]
+    assert s[0] == 0.5 and s[1] == 1.0 and math.isnan(s[2]) and math.isnan(s[3])
+    u = dn.lazy().select(pl.col("f").list.unique().alias("u")).collect()["u"].to_list()[0]
+    assert len(u) == 3 and u[0] == 0.5 and u[1] == 1.0 and math.isnan(u[2])
+
+
+def test_list_sort_then_explode_one_segment(monkeypatch):
+    from polars_tpu.engine import executors, run
+
+    calls = []
+    orig = executors.run_segment
+
+    def counting(node, leaf_dfs, **kw):
+        calls.append(type(node).__name__)
+        return orig(node, leaf_dfs, **kw)
+
+    monkeypatch.setattr(executors, "run_segment", counting)
+    monkeypatch.setattr(run, "run_segment", counting)
+    df = pl.DataFrame({"x": [[3, 1], [2]], "k": [1, 2]})
+    out = (
+        df.lazy()
+        .filter(pl.col("k") > 0)
+        .select(pl.col("x").list.sort().alias("s"))
+        .explode("s")
+        .collect()
+    )
+    assert len(calls) == 1, calls
+    assert out["s"].to_list() == [1, 3, 2]
