@@ -110,19 +110,22 @@ class LazyFrame:
                 return collect_distributed(node, mesh=kwargs.get("mesh"))
             return execute_plan(node)
 
-    def execute(self) -> None:
-        """Run the plan to completion ON DEVICE without any host readback.
+    def execute(self) -> DataFrame:
+        """Dispatch the plan ON DEVICE without any host readback; returns the
+        device-resident result frame (row count = padded upper bound).
 
         On this platform the first device->host readback permanently switches
-        the runtime into a slow synchronous dispatch mode (CLAUDE.md §1);
-        ``execute()`` lets pipelines (and benchmarks) run at full device speed
-        — fetch results with ``collect()`` when the session is done timing.
-        Plans whose barriers require host sizing (joins, host aggs) still
-        synchronize internally."""
+        the runtime into a slow synchronous dispatch mode, and before that
+        flip there is NO working completion fence (``block_until_ready`` and
+        ``is_ready`` return immediately — CLAUDE.md §1). ``execute()``
+        therefore only *enqueues*; callers that need honest device timing
+        chain executions and fence via probe readbacks
+        (``utils/device_timer.DeviceTimeline``, as bench.py does). Fetch
+        results with ``collect()`` when the session is done timing."""
         from polars_tpu.engine.run import execute_plan
         from polars_tpu.plan.optimizer import optimize
 
-        execute_plan(optimize(self._node), sync=False)
+        return execute_plan(optimize(self._node), sync=False)
 
     def fetch(self, n_rows: int = 500, **kwargs: Any) -> DataFrame:
         return self.limit(n_rows).collect(**kwargs)
