@@ -239,6 +239,149 @@ def _right_unmatched_jit(lk, lmask, rk, rmask, rrowmask):
     return rmask & ((hi - lo) == 0), rrowmask & ~rmask
 
 
+# ---------------------------------------------------------------------------
+# inequality (range) join — the iejoin analogue
+# ---------------------------------------------------------------------------
+
+
+def _range_values(col: Column, other: Column):
+    """(order-comparable device array, valid mask) for a range-join key, or
+    None when the dtype pair can't be ordered on device (caller falls back to
+    cross+filter). Dict-coded strings compare by code (code order ==
+    lexicographic after table unification)."""
+    buf = col.buffer
+    d = col.dtype
+    rmask = row_mask(buf.padded, buf.length)
+    ok = rmask if buf.validity is None else (rmask & buf.validity)
+    if col.table is not None:
+        if other.table is None or not (col.table.sorted_order and other.table.sorted_order):
+            return None
+        if other.table is col.table:
+            return buf.values.astype(jnp.int64), ok
+        # unify() merges into a canonical sorted code space, so the two sides'
+        # independent unify calls agree; first returned remap belongs to `col`
+        _, mapping, _ = strtable.unify(col.table, other.table)
+        lut = jnp.asarray(mapping if len(mapping) else np.zeros(1, np.int32))
+        codes = lut[jnp.clip(buf.values, 0, max(len(mapping) - 1, 0))]
+        return codes.astype(jnp.int64), ok
+    if other.table is not None or isinstance(d, (dt.Null, dt.String, dt.Binary)):
+        return None
+    if isinstance(d, (dt.List, dt.Array, dt.Struct, dt.Object)):
+        return None
+    if d.is_float():
+        v = buf.values.astype(jnp.float64)
+        return v, ok & ~jnp.isnan(v)
+    if type(d).__name__ == "UInt64":
+        if type(other.dtype).__name__ != "UInt64":
+            return None
+        return total_order_key(buf.values, d), ok
+    if d.is_temporal():
+        if d != other.dtype:
+            return None  # mixed units need upstream coercion
+        return buf.values.astype(jnp.int64), ok
+    if isinstance(d, dt.Decimal):
+        if not isinstance(other.dtype, dt.Decimal) or d.scale != other.dtype.scale:
+            return None
+        return buf.values.astype(jnp.int64), ok
+    if d.is_integer() or isinstance(d, dt.Boolean):
+        return buf.values.astype(jnp.int64), ok
+    return None
+
+
+def _range_bounds(lv, lok, rv, rok, op: str):
+    """Sort right values (invalid rows last), then binary-search each left
+    row's matching [start, end) range in the sorted domain for ``lv <op> rv``
+    (reference: the iejoin L1 sort, polars-ops/src/frame/join/iejoin/mod.rs:52)."""
+    n = rv.shape[0]
+    inv = (~rok).astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    _, rv_sorted, idx_sorted = jax.lax.sort((inv, rv, idx), num_keys=2)
+    n_valid = jnp.sum(rok.astype(jnp.int32))
+    if jnp.issubdtype(rv.dtype, jnp.floating):
+        sent = jnp.asarray(jnp.inf, rv.dtype)
+    else:
+        sent = jnp.asarray(0x7FFFFFFFFFFFFFFF, rv.dtype)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    rv_mono = jnp.where(pos < n_valid, rv_sorted, sent)  # globally non-decreasing
+    if op == "<":      # matches: rv > lv
+        start = jnp.searchsorted(rv_mono, lv, side="right").astype(jnp.int32)
+        end = jnp.broadcast_to(n_valid, start.shape)
+    elif op == "<=":   # rv >= lv
+        start = jnp.searchsorted(rv_mono, lv, side="left").astype(jnp.int32)
+        end = jnp.broadcast_to(n_valid, start.shape)
+    elif op == ">":    # rv < lv
+        start = jnp.zeros(lv.shape, jnp.int32)
+        end = jnp.minimum(
+            jnp.searchsorted(rv_mono, lv, side="left").astype(jnp.int32), n_valid
+        )
+    elif op == ">=":   # rv <= lv
+        start = jnp.zeros(lv.shape, jnp.int32)
+        end = jnp.minimum(
+            jnp.searchsorted(rv_mono, lv, side="right").astype(jnp.int32), n_valid
+        )
+    else:  # pragma: no cover
+        raise InvalidOperationError(f"range join op {op!r}")
+    counts = jnp.where(lok, jnp.maximum(end - start, 0), 0)
+    return idx_sorted, start, counts
+
+
+@functools.lru_cache(maxsize=None)
+def _range_count_jit(op: str):
+    def fn(lv, lok, rv, rok):
+        _, _, counts = _range_bounds(lv, lok, rv, rok, op)
+        return jnp.sum(counts.astype(jnp.int64))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _range_expand_jit(op: str, size: int):
+    def fn(lv, lok, rv, rok):
+        nl = lv.shape[0]
+        idx_sorted, start, counts = _range_bounds(lv, lok, rv, rok, op)
+        offs = jnp.cumsum(counts.astype(jnp.int64))
+        k = jax.lax.broadcasted_iota(jnp.int64, (size, 1), 0).squeeze(-1)
+        li = jnp.clip(
+            jnp.searchsorted(offs, k, side="right").astype(jnp.int32), 0, nl - 1
+        )
+        within = (k - (offs[li] - counts[li])).astype(jnp.int32)
+        rpos = jnp.clip(start[li] + within, 0, rv.shape[0] - 1)
+        ri = idx_sorted[rpos]
+        return li, ri
+
+    return jax.jit(fn)
+
+
+def range_join_frames(
+    left: DataFrame, right: DataFrame, l_key: Column, r_key: Column,
+    op: str, suffix: str,
+) -> DataFrame | None:
+    """Pure-inequality join driven by ONE sorted predicate (iejoin analogue,
+    reference polars-ops/src/frame/join/iejoin/mod.rs:52,207): sort the right
+    key, binary-search each left row's matching range, prefix-sum the counts,
+    and materialize exactly ``total`` pairs — memory bounded by the
+    predicate's selectivity instead of |L|x|R|. Remaining predicates filter
+    the output. Returns None when the key dtypes can't be ordered on device."""
+    lk = _range_values(l_key, r_key)
+    rk = _range_values(r_key, l_key)
+    if lk is None or rk is None:
+        return None
+    (lv, lok), (rv, rok) = lk, rk
+    if lv.dtype != rv.dtype:
+        # mixed int/float: promote to f64 (the polars supertype for the pair)
+        lv = lv.astype(jnp.float64)
+        rv = rv.astype(jnp.float64)
+    total = int(_range_count_jit(op)(lv, lok, rv, rok))
+    size = padded_size(max(total, 1))
+    li, ri = _range_expand_jit(op, size)(lv, lok, rv, rok)
+    left_names = set(left.columns)
+    cols = list(_gather_side(left._columns, li, None, total))
+    for c in _gather_side(right._columns, ri, None, total):
+        name = c.name + suffix if c.name in left_names else c.name
+        cols.append(c.rename(name))
+    return DataFrame._from_columns(cols, total)
+
+
 def join_frames(
     left: DataFrame,
     right: DataFrame,

@@ -889,17 +889,13 @@ def _exec_join_where(node: L.LJoinWhere) -> DataFrame:
                 continue
         rest.append(pred)
 
-    if equi_l:
-        j = L.LJoin(
-            node.input_left, node.input_right, tuple(equi_l), tuple(equi_r),
-            "inner", node.suffix, False, False, "none",
-        )
-        out = execute_plan(j)
-        if not rest:
-            return out
-        # rename right-side refs in remaining predicates if suffixed
-        lnames = set(ls.names())
+    lnames = set(ls.names())
 
+    def filter_rest(out: DataFrame, preds) -> DataFrame:
+        if not preds:
+            return out
+
+        # rename right-side refs in remaining predicates if suffixed
         def fix(e: E.ENode) -> E.ENode:
             if isinstance(e, E.EColumn):
                 if e.name in lnames or e.name in out.columns:
@@ -914,19 +910,51 @@ def _exec_join_where(node: L.LJoinWhere) -> DataFrame:
 
         filt = L.LFilter(
             L.LDataFrameScan(df=out, ident=obj_token(out)),
-            _and_all(tuple(fix(p) for p in rest)),
+            _and_all(tuple(fix(p) for p in preds)),
         )
         return execute_plan(filt)
 
+    if equi_l:
+        j = L.LJoin(
+            node.input_left, node.input_right, tuple(equi_l), tuple(equi_r),
+            "inner", node.suffix, False, False, "none",
+        )
+        return filter_rest(execute_plan(j), tuple(rest))
+
+    # pure-inequality: sort-based range join on the first orderable predicate
+    # (iejoin analogue — memory bounded by that predicate's selectivity, not
+    # |L|x|R|; reference polars-ops/src/frame/join/iejoin/mod.rs:52)
+    from polars_tpu.engine.join import range_join_frames
+
+    _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+    left = execute_plan(node.input_left)
+    right = execute_plan(node.input_right)
+    driver = None
+    rest2: list[E.ENode] = []
+    for pred in node.predicates:
+        if driver is None and isinstance(pred, E.EBinary) and pred.op in _FLIP:
+            ol, orr = origin(pred.left), origin(pred.right)
+            if ol == "left" and orr == "right":
+                driver = (pred.left, pred.op, pred.right)
+                continue
+            if ol == "right" and orr == "left":
+                driver = (pred.right, _FLIP[pred.op], pred.left)
+                continue
+        rest2.append(pred)
+    if driver is not None:
+        lexpr, op, rexpr = driver
+        lcol = _eval_subexpr(left, lexpr)
+        rcol = _eval_subexpr(right, rexpr)
+        out = range_join_frames(left, right, lcol, rcol, op, node.suffix)
+        if out is not None:
+            return filter_rest(out, tuple(rest2))
+
     cross = L.LJoin(
-        node.input_left, node.input_right, (), (), "cross", node.suffix, False, False, "none"
+        L.LDataFrameScan(df=left, ident=obj_token(left)),
+        L.LDataFrameScan(df=right, ident=obj_token(right)),
+        (), (), "cross", node.suffix, False, False, "none",
     )
-    out = execute_plan(cross)
-    filt = L.LFilter(
-        L.LDataFrameScan(df=out, ident=obj_token(out)),
-        _and_all(node.predicates),
-    )
-    return execute_plan(filt)
+    return filter_rest(execute_plan(cross), tuple(node.predicates))
 
 
 def _and_all(preds: tuple[E.ENode, ...]) -> E.ENode:

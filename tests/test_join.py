@@ -194,3 +194,59 @@ def test_join_where_equi_split():
     assert sorted((r["id"], r["t_id"]) for r in out.to_dicts()) == [(100, 498), (102, 742)]
     out2 = east.join_where(west, pl.col("dur") < pl.col("time"))
     assert out2.height == 6
+
+
+def test_range_join_differential():
+    """Pure-inequality join_where runs the sort-based range path (iejoin
+    analogue, engine/join.range_join_frames) — differential vs a brute-force
+    pandas cross product, across ops/nulls/NaN/duplicates."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 37, 53
+    lx = rng.integers(0, 12, n_l).astype(float)
+    rx = rng.integers(0, 12, n_r).astype(float)
+    lx[rng.random(n_l) < 0.15] = np.nan
+    a = pl.DataFrame({"x": [None if np.isnan(v) else v for v in lx], "li": list(range(n_l))})
+    b = pl.DataFrame({"y": [float("nan") if i % 9 == 0 else float(v) for i, v in enumerate(rx)], "ri": list(range(n_r))})
+    for op, fn in [("<", np.less), ("<=", np.less_equal), (">", np.greater), (">=", np.greater_equal)]:
+        pred = {"<": pl.col("x") < pl.col("y"), "<=": pl.col("x") <= pl.col("y"),
+                ">": pl.col("x") > pl.col("y"), ">=": pl.col("x") >= pl.col("y")}[op]
+        out = a.join_where(b, pred)
+        got = sorted(zip(out["li"].to_list(), out["ri"].to_list()))
+        exp = sorted(
+            (i, j)
+            for i, j in itertools.product(range(n_l), range(n_r))
+            if not np.isnan(lx[i]) and not np.isnan(b["y"].to_list()[j]) and fn(lx[i], b["y"].to_list()[j])
+        )
+        assert got == exp, f"op {op}: {len(got)} vs {len(exp)} pairs"
+
+
+def test_range_join_flipped_strings_and_rest():
+    # right-op-left orientation flips the operator
+    a = pl.DataFrame({"x": [5, 1, 3]})
+    b = pl.DataFrame({"y": [2, 4]})
+    out = a.join_where(b, pl.col("y") < pl.col("x"))
+    assert sorted((r["x"], r["y"]) for r in out.to_dicts()) == [(3, 2), (5, 2), (5, 4)]
+    # dict-coded strings compare by ordinal code
+    s1 = pl.DataFrame({"s": ["b", "d", "a"], "i": [0, 1, 2]})
+    s2 = pl.DataFrame({"t": ["c", "a"], "j": [0, 1]})
+    out = s1.join_where(s2, pl.col("s") > pl.col("t"))
+    assert sorted((r["i"], r["j"]) for r in out.to_dicts()) == [(0, 1), (1, 0), (1, 1)]
+    # extra non-driver predicate filters the range output
+    e1 = pl.DataFrame({"x": [1, 2, 3], "u": [10, 20, 30]})
+    e2 = pl.DataFrame({"y": [0, 0, 5], "w": [15, 25, 35]})
+    out = e1.join_where(e2, pl.col("x") > pl.col("y"), pl.col("u") < pl.col("w"))
+    got = sorted((r["x"], r["y"], r["u"], r["w"]) for r in out.to_dicts())
+    exp = sorted(
+        (x, y, u, w)
+        for (x, u) in [(1, 10), (2, 20), (3, 30)]
+        for (y, w) in [(0, 15), (0, 25), (5, 35)]
+        if x > y and u < w
+    )
+    assert got == exp
+    # empty result
+    out = pl.DataFrame({"x": [1]}).join_where(pl.DataFrame({"y": [5]}), pl.col("x") > pl.col("y"))
+    assert out.height == 0
