@@ -141,11 +141,16 @@ from polars_tpu.functions import (
 )
 from polars_tpu.io import (
     read_csv,
+    read_database,
+    read_database_uri,
+    read_delta,
     read_ipc,
     read_ndjson,
     read_parquet,
     read_parquet_schema,
     scan_csv,
+    scan_delta,
+    scan_iceberg,
     scan_ipc,
     scan_ndjson,
     scan_parquet,

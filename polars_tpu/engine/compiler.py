@@ -490,6 +490,43 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
     dom = GROUP if ctx.groups is not None else SCALAR
     out_valid_all = None if ctx.groups is not None else None
 
+    if (
+        kind in ("corr", "cov")
+        and isinstance(input_node, E.EFunction)
+        and input_node.name == "pack_pair"
+    ):
+        # Pearson corr / covariance over rows where BOTH inputs are valid
+        # (reference: polars-ops pearson_corr / cov via ChunkAgg moments)
+        if kind == "corr" and node.opt("method", "pearson") != "pearson":
+            raise InvalidOperationError("corr: only method='pearson' is supported")
+        a = eval_expr(input_node.inputs[0], ctx)
+        b = eval_expr(input_node.inputs[1], ctx)
+        m = rowmask
+        for s in (a, b):
+            if s.validity is not None:
+                m = m & s.validity
+        x = a.values.astype(jnp.float64)
+        y = b.values.astype(jnp.float64)
+        zero = jnp.float64(0.0)
+        n = G.seg_count(m, gids, cap).astype(jnp.float64)
+        sx = G.seg_sum(jnp.where(m, x, zero), m, gids, cap)
+        sy = G.seg_sum(jnp.where(m, y, zero), m, gids, cap)
+        sxy = G.seg_sum(jnp.where(m, x * y, zero), m, gids, cap)
+        if kind == "cov":
+            ddof = int(node.opt("ddof", 1))
+            num = sxy - div_any(sx * sy, jnp.maximum(n, 1.0))
+            out = div_any(num, n - ddof)
+            has = n > ddof
+            return Val(out, has, dt.Float64(), None, dom)
+        sxx = G.seg_sum(jnp.where(m, x * x, zero), m, gids, cap)
+        syy = G.seg_sum(jnp.where(m, y * y, zero), m, gids, cap)
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        denom = jnp.sqrt(jnp.maximum(varx, 0.0) * jnp.maximum(vary, 0.0))
+        out = jnp.where(denom > 0.0, div_any(n * sxy - sx * sy, denom), jnp.nan)
+        has = n >= 1
+        return Val(out, has, dt.Float64(), None, dom)
+
     if kind == "len":
         counts = G.seg_count(rowmask, gids, cap)
         return Val(counts.astype(jnp.uint32), None, dt.UInt32(), None, dom)

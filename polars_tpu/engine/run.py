@@ -220,6 +220,9 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
         collect(node)
         return run_segment(node, leaves, sync=sync)
 
+    if isinstance(node, L.LGroupBy):
+        return _exec_groupby_apply(node)
+
     raise InvalidOperationError(f"cannot execute {type(node).__name__}")
 
 
@@ -802,6 +805,61 @@ def _exec_groupby_host_aggs(node: L.LGroupBy) -> DataFrame:
     want = key_names + [E.output_name(a) or "literal" for a in aggs]
     by_name = {c.name: c for c in cols}
     return DataFrame._from_columns([by_name[n] for n in want], base.height)
+
+
+def _exec_groupby_apply(node: L.LGroupBy) -> DataFrame:
+    """Generic per-group host fallback (the reference's agg apply path,
+    polars-expr/src/expressions/aggregation.rs): evaluate each agg expression
+    eagerly over every group's sub-frame. Reducing expressions stay scalar;
+    length-changing expressions (top_k, sort().head(), filters...) implode to
+    List — correct but host-looped, so only reached when no traced path
+    accepts the plan."""
+    import numpy as np
+
+    import polars_tpu as pl
+    from polars_tpu.engine.gather import gather_frame
+
+    df = execute_plan(node.input)
+    schema = df.schema
+    keys = expand_exprs(node.keys, schema)
+    aggs = expand_exprs(node.aggs, schema)
+    key_names = [E.output_name(k) or "literal" for k in keys]
+    kcols = [
+        _eval_subexpr(df, k).rename(nm) for k, nm in zip(keys, key_names)
+    ]
+    kframe = DataFrame._from_columns(kcols, df.height)
+    groups: dict[tuple, list[int]] = {}
+    for i, kr in enumerate(tuple(r) for r in kframe.rows()):
+        groups.setdefault(kr, []).append(i)
+
+    def reduces(e: E.ENode) -> bool:
+        while isinstance(e, E.EAlias):
+            e = e.input
+        return isinstance(e, E.EAgg) and e.kind not in ("implode",)
+
+    agg_names = [E.output_name(a) or "literal" for a in aggs]
+    results: list[list] = [[] for _ in aggs]
+    inner_dts: list = [None] * len(aggs)
+    for kr, idxs in groups.items():
+        sub_cols = gather_frame(list(df._columns), np.asarray(idxs, np.int64))
+        sub = DataFrame._from_columns(sub_cols, len(idxs))
+        for j, a in enumerate(aggs):
+            out = sub.select(pl.Expr(a).alias(agg_names[j]))._columns[0]
+            inner_dts[j] = out.dtype
+            if reduces(a):
+                results[j].append(out.to_pylist()[0] if len(out) else None)
+            else:
+                results[j].append(out.to_pylist())
+    n_groups = len(groups)
+    out_cols = [
+        Column.from_values(nm, [kr[i] for kr in groups], kcols[i].dtype)
+        for i, nm in enumerate(key_names)
+    ]
+    for j, nm in enumerate(agg_names):
+        d = inner_dts[j] if inner_dts[j] is not None else dt.Null()
+        out_dt = d if reduces(aggs[j]) else dt.List(d)
+        out_cols.append(Column.from_values(nm, results[j], out_dt))
+    return DataFrame._from_columns(out_cols, n_groups)
 
 
 def _exec_groupby_hosted(node: L.LGroupBy) -> DataFrame:
