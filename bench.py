@@ -296,7 +296,7 @@ def main() -> None:
     roof_bytes = {}
     if roof_ops is not None:
         try:
-            roof_bytes = _enqueue_roofline(timeline, *roof_ops, k=24)
+            roof_bytes = _enqueue_roofline(timeline, *roof_ops, k=min(24, 2 * k_query))
         except Exception as e:  # noqa: BLE001
             log(f"roofline enqueue failed: {e}")
 

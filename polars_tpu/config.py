@@ -38,6 +38,10 @@ class _GlobalConfig:
         self.ideal_batch_size: int = _env_int("POLARS_TPU_BATCH_SIZE", 1 << 20)
         self.verbose: bool = _env_bool("POLARS_VERBOSE")
         self.track_metrics: bool = _env_bool("POLARS_TRACK_METRICS")
+        # Sanitizer (utils/sanitize.py): 1 = host-metadata invariant checks on
+        # every frame construction; 2 = + device-data checks (readbacks —
+        # CPU/test use only, see CLAUDE.md §1)
+        self.debug: int = _env_int("POLARS_TPU_DEBUG", 0)
         # Hash-aggregate table sizing (reference hot table = 4096 entries)
         self.hot_table_size: int = _env_int("POLARS_TPU_HOT_TABLE_SIZE", 4096)
         # Default max unique groups before falling back to sort-based group-by

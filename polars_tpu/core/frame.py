@@ -77,6 +77,12 @@ class DataFrame:
         df = cls.__new__(cls)
         df._columns = columns
         df._height = height if height is not None else (len(columns[0]) if columns else 0)
+        from polars_tpu.config import _config
+
+        if _config.debug:  # sanitizer mode (POLARS_TPU_DEBUG, utils/sanitize.py)
+            from polars_tpu.utils.sanitize import check_frame
+
+            check_frame(df._columns, df._height, _config.debug)
         return df
 
     def _get(self, name: str) -> Column:
