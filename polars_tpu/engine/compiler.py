@@ -471,6 +471,37 @@ def _group_of(ctx: EvalCtx) -> tuple[jax.Array, jax.Array, int]:
     return jnp.zeros((ctx.padded,), jnp.int32), ctx.rowmask, 1
 
 
+def _seg_avg_rank(values, vdtype, m, gids) -> jax.Array:
+    """Average (tie-sharing) 1-based rank of each valid row within its group,
+    computed in-trace via one stable word-sort (the spearman rank step;
+    reference polars-ops/src/series/ops/rank.rs average method)."""
+    from polars_tpu.kernels.argsort import (
+        boundaries_from_words,
+        key_words,
+        stable_argsort_words,
+    )
+
+    n = values.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    gw = jnp.where(m, gids, jnp.int32(2**31 - 1))
+    words = [(~m).astype(jnp.int8), gw, *key_words(values, vdtype)]
+    perm = stable_argsort_words(words)
+    gid_s = gw[perm]
+    newg = jnp.concatenate(
+        [jnp.ones((1,), bool), gid_s[1:] != gid_s[:-1]]
+    )
+    gstart = jax.lax.associative_scan(jnp.maximum, jnp.where(newg, iota, 0))
+    newv = boundaries_from_words(words, perm)
+    rstart = jax.lax.associative_scan(jnp.maximum, jnp.where(newv, iota, 0))
+    rlen = jnp.zeros((n,), jnp.int32).at[rstart].add(1)[rstart]
+    avg = (
+        (rstart - gstart).astype(jnp.float64)
+        + (rlen.astype(jnp.float64) - 1.0) / 2.0
+        + 1.0
+    )
+    return jnp.zeros((n,), jnp.float64).at[perm].set(avg)
+
+
 def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
     if ctx.precomputed is not None and node in ctx.precomputed:
         return ctx.precomputed[node]
@@ -495,18 +526,24 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         and isinstance(input_node, E.EFunction)
         and input_node.name == "pack_pair"
     ):
-        # Pearson corr / covariance over rows where BOTH inputs are valid
-        # (reference: polars-ops pearson_corr / cov via ChunkAgg moments)
-        if kind == "corr" and node.opt("method", "pearson") != "pearson":
-            raise InvalidOperationError("corr: only method='pearson' is supported")
+        # Pearson/Spearman corr / covariance over rows where BOTH inputs are
+        # valid (reference: polars-ops pearson_corr / spearman_rank_corr)
+        method = node.opt("method", "pearson")
+        if kind == "corr" and method not in ("pearson", "spearman"):
+            raise InvalidOperationError(f"corr: unknown method {method!r}")
         a = eval_expr(input_node.inputs[0], ctx)
         b = eval_expr(input_node.inputs[1], ctx)
         m = rowmask
         for s in (a, b):
             if s.validity is not None:
                 m = m & s.validity
-        x = a.values.astype(jnp.float64)
-        y = b.values.astype(jnp.float64)
+        if kind == "corr" and method == "spearman":
+            # rank (average method) within group, then pearson on the ranks
+            x = _seg_avg_rank(a.values, a.dtype, m, gids)
+            y = _seg_avg_rank(b.values, b.dtype, m, gids)
+        else:
+            x = a.values.astype(jnp.float64)
+            y = b.values.astype(jnp.float64)
         zero = jnp.float64(0.0)
         n = G.seg_count(m, gids, cap).astype(jnp.float64)
         sx = G.seg_sum(jnp.where(m, x, zero), m, gids, cap)

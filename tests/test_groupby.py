@@ -270,3 +270,42 @@ def test_jit_cache_not_keyed_on_reused_id():
         assert out["k"].to_list() == [f"p{i}", f"q{i}"], out["k"].to_list()
         del out
         gc.collect()
+
+
+def test_corr_cov_grouped_differential():
+    """corr (pearson+spearman) and cov, grouped and ungrouped, vs pandas."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 4, 60)
+    x = rng.integers(0, 8, 60).astype(float)
+    y = rng.integers(0, 8, 60).astype(float)
+    x[rng.random(60) < 0.1] = np.nan
+    df = pl.DataFrame({"g": g, "x": [None if np.isnan(v) else v for v in x], "y": y})
+    pdf = pd.DataFrame({"g": g, "x": x, "y": y})
+    out = df.group_by("g").agg(
+        pl.corr("x", "y").alias("p"),
+        pl.corr("x", "y", method="spearman").alias("s"),
+        pl.cov("x", "y").alias("c"),
+    ).sort("g")
+    for col, fn in [
+        ("p", lambda s: s["x"].corr(s["y"])),
+        ("s", lambda s: s["x"].corr(s["y"], method="spearman")),
+        ("c", lambda s: s["x"].cov(s["y"])),
+    ]:
+        exp = pdf.groupby("g").apply(lambda s, fn=fn: fn(s.dropna()), include_groups=False)
+        np.testing.assert_allclose(out[col].to_list(), list(exp), rtol=1e-12)
+    un = df.select(
+        pl.corr("x", "y").alias("p"), pl.cov("x", "y", ddof=0).alias("c0")
+    ).to_dicts()[0]
+    d = pdf.dropna()
+    np.testing.assert_allclose(un["p"], d["x"].corr(d["y"]), rtol=1e-12)
+    np.testing.assert_allclose(un["c0"], d["x"].cov(d["y"], ddof=0), rtol=1e-12)
+    # single-row group: corr is NaN (zero variance), cov null with ddof=1
+    one = pl.DataFrame({"g": [1], "x": [1.0], "y": [2.0]})
+    r = one.group_by("g").agg(pl.corr("x", "y").alias("p"), pl.cov("x", "y").alias("c"))
+    import math
+
+    assert math.isnan(r["p"].to_list()[0])
+    assert r["c"].to_list() == [None]
