@@ -133,3 +133,25 @@ def test_collect_distributed_int_keys(mesh, rng):
     from polars_tpu.testing import assert_frame_equal
 
     assert_frame_equal(q.collect(), q.collect(engine="distributed", mesh=mesh))
+
+
+def test_multihost_assignment():
+    """Scan-work assignment + shard bounds (parallel/multihost.py) are
+    deterministic, balanced, and collectively exhaustive."""
+    from polars_tpu.parallel.multihost import (
+        assign_files, init_multihost, local_shard_bounds,
+    )
+
+    files = [f"f{i:03d}.parquet" for i in range(10)]
+    parts = [assign_files(files, 4, p) for p in range(4)]
+    assert sorted(sum(parts, [])) == sorted(files)          # exhaustive
+    assert max(map(len, parts)) - min(map(len, parts)) <= 1  # balanced
+    assert parts == [assign_files(list(reversed(files)), 4, p) for p in range(4)]
+    assert assign_files(files, 1, 0) == files
+
+    spans = [local_shard_bounds(103, 4, p) for p in range(4)]
+    assert spans[0][0] == 0 and spans[-1][1] == 103
+    assert all(spans[i][1] == spans[i + 1][0] for i in range(3))
+    assert max(b - a for a, b in spans) - min(b - a for a, b in spans) <= 1
+
+    assert init_multihost() is False  # no coordinator configured: no-op
