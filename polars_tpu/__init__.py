@@ -93,6 +93,7 @@ from polars_tpu.functions import (
     coalesce,
     col,
     concat,
+    concat_arr,
     concat_list,
     concat_str,
     corr,
@@ -101,8 +102,10 @@ from polars_tpu.functions import (
     cum_sum,
     date,
     date_range,
+    date_ranges,
     datetime,
     datetime_range,
+    datetime_ranges,
     duration,
     element,
     exclude,
@@ -113,6 +116,7 @@ from polars_tpu.functions import (
     implode,
     int_range,
     int_ranges,
+    linear_spaces,
     last,
     len,
     lit,
@@ -138,6 +142,39 @@ from polars_tpu.functions import (
     var,
     when,
     zeros,
+    StringCache,
+    align_frames,
+    arctan2,
+    arctan2d,
+    build_info,
+    business_day_count,
+    collect_all,
+    collect_all_async,
+    cum_count,
+    cum_fold,
+    cum_reduce,
+    cum_sum_horizontal,
+    disable_string_cache,
+    enable_string_cache,
+    escape_regex,
+    explain_all,
+    field,
+    from_epoch,
+    get_index_type,
+    linear_space,
+    merge_sorted,
+    rolling_corr,
+    rolling_cov,
+    row_index,
+    set_random_seed,
+    show_versions,
+    sql_expr,
+    thread_pool_size,
+    threadpool_size,
+    time,
+    time_range,
+    union,
+    using_string_cache,
 )
 from polars_tpu.io import (
     read_csv,

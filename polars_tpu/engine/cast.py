@@ -100,6 +100,13 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
         return v.with_(values=floordiv_any(v.values, per_day).astype(jnp.int32), dtype=target)
     if sn == "Datetime" and tn == "Datetime":
         return v.with_(values=_tu_convert(v.values, src.time_unit, target.time_unit), dtype=target)
+    if sn == "Datetime" and tn == "Time":
+        # time-of-day in ns (reference: temporal cast Datetime->Time)
+        per_day = _TU_FACTOR[src.time_unit] * 86_400
+        tod = v.values - floordiv_any(v.values, per_day) * per_day
+        return v.with_(values=_tu_convert(tod, src.time_unit, "ns"), dtype=target)
+    if sn == "Time" and tn == "Duration":
+        return v.with_(values=_tu_convert(v.values, "ns", target.time_unit), dtype=target)
     if sn == "Duration" and tn == "Duration":
         return v.with_(values=_tu_convert(v.values, src.time_unit, target.time_unit), dtype=target)
     if sn in ("Date", "Datetime", "Duration", "Time") and (target.is_numeric()):

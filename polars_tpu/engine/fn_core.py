@@ -49,6 +49,20 @@ for _n, _f in [
     _unary_float(_n, _f)
 
 
+@register("arctan2", FLOAT)
+def _arctan2(ctx, args, opts):
+    y, x = args
+    yv, out_dt = _float_vals(y)
+    xv, _ = _float_vals(x)
+    out = jnp.arctan2(yv, xv)
+    if opts.get("degrees"):
+        out = jnp.degrees(out)
+    from polars_tpu.engine.common import combine_validity
+
+    return Val(out, combine_validity(y.validity, x.validity), out_dt, None,
+               y.domain if y.domain == ROW else x.domain)
+
+
 @register("log", FLOAT)
 def _log(ctx, args, opts):
     v = args[0]
@@ -626,6 +640,26 @@ def _date_range(ctx, args, opts):
 @register("datetime_range", lambda dts, opts: dt.Datetime(opts.get("time_unit", "us")), elementwise=False)
 def _datetime_range(ctx, args, opts):
     raise InvalidOperationError("datetime_range is materialized by the executor")
+
+
+@register("int_ranges", lambda dts, opts: dt.List(opts.get("dtype", dt.Int64())), elementwise=False)
+def _int_ranges(ctx, args, opts):
+    raise InvalidOperationError("int_ranges is materialized by the executor")
+
+
+@register("date_ranges", lambda dts, opts: dt.List(dt.Date()), elementwise=False)
+def _date_ranges(ctx, args, opts):
+    raise InvalidOperationError("date_ranges is materialized by the executor")
+
+
+@register("datetime_ranges", lambda dts, opts: dt.List(dt.Datetime(opts.get("time_unit", "us"))), elementwise=False)
+def _datetime_ranges(ctx, args, opts):
+    raise InvalidOperationError("datetime_ranges is materialized by the executor")
+
+
+@register("linear_spaces", lambda dts, opts: dt.List(dt.Float64()), elementwise=False)
+def _linear_spaces(ctx, args, opts):
+    raise InvalidOperationError("linear_spaces is materialized by the executor")
 
 
 @register("arg_where", dt.UInt32(), elementwise=False)

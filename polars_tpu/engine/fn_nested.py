@@ -349,6 +349,85 @@ def _list_unique(ctx, args, opts):
     return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
+# --- TRACED list constructors: concat_list / concat_arr ----------------------
+# Every row's list has the same length k, so the child layout is STATIC:
+# child[i*k + j] = inputs[j][i]; packed word = (i*k)<<32 | k. Emitted via the
+# run_segment child_outs protocol (reference: concat_list,
+# polars-ops/src/chunked_array/list/ + horizontal_flatten).
+
+
+def _concat_pack_dt(dts, opts):
+    from polars_tpu.plan.schema_resolve import supertype
+
+    st = dts[0].inner if isinstance(dts[0], dt.List) else dts[0]
+    for d in dts[1:]:
+        st = supertype(st, d.inner if isinstance(d, dt.List) else d)
+    if opts.get("as_array"):
+        return dt.Array(st, len(dts))
+    return dt.List(st)
+
+
+def _concat_list_impl(ctx, args, opts, as_array: bool):
+    import jax.numpy as jnp
+
+    from polars_tpu.engine.cast import cast_val
+    from polars_tpu.engine.common import ROW, TracedChild, Val
+    from polars_tpu.plan.schema_resolve import supertype
+
+    if any(isinstance(a.dtype, (dt.List, dt.Array, dt.Struct)) for a in args):
+        raise InvalidOperationError("concat_list of nested inputs is not supported yet")
+    st = args[0].dtype
+    for a in args[1:]:
+        st = supertype(st, a.dtype)
+    vals = [cast_val(a, st, strict=False) if a.dtype != st else a for a in args]
+    if any(v.table is not None for v in vals):
+        import numpy as np
+
+        from polars_tpu.utils import strtable
+
+        # fold all dictionaries into one canonical (sorted) table, then remap
+        # every input's codes against it
+        merged = vals[0].table or strtable.empty_table()
+        for v in vals[1:]:
+            merged, _, _ = strtable.unify(merged, v.table or strtable.empty_table())
+        remapped = []
+        for v in vals:
+            src = v.table or strtable.empty_table()
+            if src is merged:
+                remapped.append(v)
+                continue
+            _, m, _ = strtable.unify(src, merged)
+            lut = jnp.asarray(m if len(m) else np.zeros(1, np.int32))
+            codes = lut[jnp.clip(v.values, 0, max(len(m) - 1, 0))]
+            remapped.append(v.with_(values=codes, table=merged))
+        vals = remapped
+        table = merged
+    else:
+        table = None
+    k = len(vals)
+    n = ctx.padded
+    stacked = jnp.stack(
+        [jnp.broadcast_to(v.values, (n,)) for v in vals], axis=1
+    ).reshape(n * k)
+    ones = jnp.ones((n,), bool)
+    cvalid = jnp.stack(
+        [jnp.broadcast_to(v.validity, (n,)) if v.validity is not None else ones for v in vals],
+        axis=1,
+    ).reshape(n * k)
+    import jax
+
+    row = jax.lax.broadcasted_iota(jnp.int64, (n, 1), 0).squeeze(-1)
+    packed = ((row * k) << 32) | jnp.int64(k)
+    out_dt = dt.Array(st, k) if as_array else dt.List(st)
+    child = TracedChild(stacked, cvalid, st, table, jnp.int32(n * k), None, None)
+    return Val(packed, None, out_dt, None, ROW, child)
+
+
+@register("concat_list", _concat_pack_dt, elementwise=False)
+def _concat_list(ctx, args, opts):
+    return _concat_list_impl(ctx, args, opts, as_array=bool(opts.get("as_array")))
+
+
 def _struct_dt(dts, opts):
     names = opts.get("names") or [f"field_{i}" for i in range(len(dts))]
     return dt.Struct([(n, d) for n, d in zip(names, dts)])

@@ -336,3 +336,43 @@ def _replace_tz(ctx, args, opts):
 @register("dt.convert_time_zone", lambda dts, opts: dts[0])
 def _convert_tz(ctx, args, opts):
     return args[0]
+
+
+@register("business_day_count", dt.Int32())
+def _business_day_count(ctx, args, opts):
+    """Business days in [start, end), signed (reference:
+    py-polars/src/polars/functions/business.py; polars-ops business.rs).
+    week_mask and holidays are static literals, so the per-weekday counting
+    loop unrolls at trace time into pure vector arithmetic (MXU-free VPU ops).
+    """
+    from polars_tpu.engine.common import combine_validity
+
+    s_v, e_v = args
+    s = _days_of(s_v)
+    e = _days_of(e_v)
+    mask = tuple(bool(m) for m in opts.get("week_mask", (1, 1, 1, 1, 1, 0, 0)))
+    holidays = tuple(int(h) for h in opts.get("holidays", ()))
+    # swapped ranges count (end, start] — i.e. [end+1, start+1) — then negate
+    # (reference business.rs:117-122)
+    neg = e < s
+    lo = jnp.where(neg, e + 1, s)
+    hi = jnp.where(neg, s + 1, e)
+    span = hi - lo
+    # dow 0=Monday..6=Sunday; epoch day 0 (1970-01-01) was a Thursday.
+    dow_lo = mod_any(lo + 3, 7)
+    total = jnp.zeros_like(lo)
+    for w, keep in enumerate(mask):
+        if not keep:
+            continue
+        # first day >= lo with weekday w, as an offset from lo
+        off = mod_any(jnp.int64(w) - dow_lo, 7)
+        cnt = jnp.maximum(floordiv_any(span - off + 6, 7), 0)
+        total = total + cnt
+    for h in holidays:
+        hd = (h + 3) % 7
+        if not mask[hd]:
+            continue
+        total = total - ((lo <= h) & (h < hi)).astype(jnp.int64)
+    total = jnp.where(neg, -total, total)
+    return Val(total.astype(jnp.int32), combine_validity(s_v.validity, e_v.validity),
+               dt.Int32(), None, s_v.domain if s_v.domain == e_v.domain else max(s_v.domain, e_v.domain))

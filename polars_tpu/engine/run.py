@@ -27,6 +27,7 @@ from polars_tpu.utils.tokens import obj_token
 
 _SPECIAL_FNS = {
     "int_range", "repeat_value", "date_range", "datetime_range", "arg_where",
+    "int_ranges", "date_ranges", "datetime_ranges", "linear_spaces",
     "gather_every", "unique", "unique_counts", "cat.get_categories",
     "list.join",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
@@ -507,7 +508,133 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
         from polars_tpu.plan.schema_resolve import _rebuild_expr
 
         e = _rebuild_expr(e, tuple(new_kids))
+        # generators hoisted inside a bare select (e.g. linear_space's
+        # int_range arithmetic over pl.select / DataFrame({})) set the
+        # output length; re-base the empty frame so the trace isn't
+        # clipped to height 0
+        if df.height == 0 and not df._columns:
+            hoisted = [k.column for k in new_kids if isinstance(k, E.ESeriesLit)]
+            if hoisted:
+                df = DataFrame._from_columns([], max(len(c) for c in hoisted))
     return _eval_subexpr(df, e)
+
+
+def _temporal_range(start, end, interval: str, closed: str) -> list:
+    """Step date/datetime values from start through end honoring `closed`
+    (reference: polars-time/src/date_range.rs)."""
+    import datetime as _dtm
+
+    from polars_tpu.engine.fn_temporal import _parse_every
+
+    n_, unit = _parse_every(interval)
+
+    def _parse(x):
+        if not isinstance(x, str):
+            return x
+        if len(x) > 10 or "T" in x:
+            return _dtm.datetime.fromisoformat(x)
+        d = _dtm.date.fromisoformat(x)
+        # sub-day stepping over a bare date needs datetime arithmetic
+        return _dtm.datetime(d.year, d.month, d.day) if unit in ("h", "m", "s", "ms", "us") else d
+
+    start = _parse(start)
+    end = _parse(end)
+    if isinstance(start, _dtm.date) and not isinstance(start, _dtm.datetime) and unit in ("h", "m", "s", "ms", "us"):
+        start = _dtm.datetime(start.year, start.month, start.day)
+    if isinstance(end, _dtm.date) and not isinstance(end, _dtm.datetime) and unit in ("h", "m", "s", "ms", "us"):
+        end = _dtm.datetime(end.year, end.month, end.day)
+    out = []
+    cur = start
+    while True:
+        cmp = (cur <= end) if closed in ("both", "right") else (cur < end)
+        if not cmp:
+            break
+        prev = cur
+        out.append(cur)
+        if unit == "d":
+            cur = cur + _dtm.timedelta(days=n_)
+        elif unit == "w":
+            cur = cur + _dtm.timedelta(weeks=n_)
+        elif unit == "h":
+            cur = cur + _dtm.timedelta(hours=n_)
+        elif unit == "m":
+            cur = cur + _dtm.timedelta(minutes=n_)
+        elif unit == "s":
+            cur = cur + _dtm.timedelta(seconds=n_)
+        elif unit == "ms":
+            cur = cur + _dtm.timedelta(milliseconds=n_)
+        elif unit == "us":
+            cur = cur + _dtm.timedelta(microseconds=n_)
+        elif unit == "mo":
+            y, m = cur.year, cur.month + n_
+            y += (m - 1) // 12
+            m = (m - 1) % 12 + 1
+            cur = cur.replace(year=y, month=m)
+        elif unit == "y":
+            cur = cur.replace(year=cur.year + n_)
+        else:
+            raise InvalidOperationError(f"range interval {unit!r}")
+        if cur == prev:
+            raise InvalidOperationError(
+                f"interval {interval!r} makes no progress over {type(prev).__name__} bounds"
+            )
+    if closed in ("right", "none") and out and out[0] == start:
+        out = out[1:]
+    return out
+
+
+def _eval_per_row_ranges(df: DataFrame, e: E.EFunction) -> Column:
+    """int_ranges / date_ranges / datetime_ranges / linear_spaces: per-row
+    List outputs with data-dependent lengths (host-materialized; the packed
+    child layout cannot be statically shaped in-trace). Reference:
+    py-polars functions/range/*.py."""
+
+    def rows_of(n: E.ENode):
+        if isinstance(n, E.ELiteral):
+            return None, n.value
+        col = _eval_subexpr(df, n)
+        return col.to_pylist(), None
+
+    evaled = [rows_of(i) for i in e.inputs]
+    height = max((len(v) for v, _ in evaled if v is not None), default=1)
+    cols = [v if v is not None else [s] * height for v, s in evaled]
+    if any(len(c) not in (1, height) for c in cols):
+        raise ComputeError("range inputs must be equal length or scalar")
+    cols = [c * height if len(c) == 1 and height > 1 else c for c in cols]
+
+    closed = e.opt("closed", "both")
+    out: list = []
+    if e.name == "int_ranges":
+        dtype = dt.List(e.opt("dtype", dt.Int64()))
+        step_default = 1
+        for s, en, st in zip(cols[0], cols[1], cols[2] if len(cols) > 2 else [step_default] * height):
+            out.append(None if s is None or en is None or st is None
+                       else list(range(int(s), int(en), int(st))))
+        return Column.from_values("int_range", out, dtype)
+    if e.name in ("date_ranges", "datetime_ranges"):
+        interval = e.opt("interval", "1d")
+        inner = dt.Date() if e.name == "date_ranges" else dt.Datetime(e.opt("time_unit", "us"))
+        for s, en in zip(cols[0], cols[1]):
+            out.append(None if s is None or en is None
+                       else _temporal_range(s, en, interval, closed))
+        return Column.from_values("date_range" if e.name == "date_ranges" else "datetime_range",
+                                  out, dt.List(inner))
+    # linear_spaces
+    for s, en, num in zip(cols[0], cols[1], cols[2]):
+        if s is None or en is None or num is None:
+            out.append(None)
+            continue
+        s, en, num = float(s), float(en), int(num)
+        if closed == "both":
+            denom, i0 = max(num - 1, 1), 0
+        elif closed == "left":
+            denom, i0 = num, 0
+        elif closed == "right":
+            denom, i0 = num, 1
+        else:
+            denom, i0 = num + 1, 1
+        out.append([s + (en - s) * (i + i0) / denom for i in range(num)])
+    return Column.from_values("linear_space", out, dt.List(dt.Float64()))
 
 
 def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
@@ -653,49 +780,11 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
     if e.name in ("date_range", "datetime_range"):
         start = scalar_of(e.inputs[0])
         end = scalar_of(e.inputs[1])
-        interval = e.opt("interval", "1d")
-        closed = e.opt("closed", "both")
-        import datetime as _dtm
-
-        from polars_tpu.engine.fn_temporal import _parse_every
-
-        n_, unit = _parse_every(interval)
-        if isinstance(start, str):
-            start = _dtm.date.fromisoformat(start[:10])
-        if isinstance(end, str):
-            end = _dtm.date.fromisoformat(end[:10])
-        out = []
-        cur = start
-        while True:
-            cmp = (cur <= end) if closed in ("both", "right") else (cur < end)
-            if not cmp:
-                break
-            if not (closed in ("left", "both")) and cur == start:
-                pass
-            out.append(cur)
-            if unit == "d":
-                cur = cur + _dtm.timedelta(days=n_)
-            elif unit == "w":
-                cur = cur + _dtm.timedelta(weeks=n_)
-            elif unit == "h":
-                cur = cur + _dtm.timedelta(hours=n_)
-            elif unit == "m":
-                cur = cur + _dtm.timedelta(minutes=n_)
-            elif unit == "s":
-                cur = cur + _dtm.timedelta(seconds=n_)
-            elif unit == "mo":
-                y, m = cur.year, cur.month + n_
-                y += (m - 1) // 12
-                m = (m - 1) % 12 + 1
-                cur = cur.replace(year=y, month=m)
-            elif unit == "y":
-                cur = cur.replace(year=cur.year + n_)
-            else:
-                raise InvalidOperationError(f"range interval {unit!r}")
-        if closed in ("right", "none") and out and out[0] == start:
-            out = out[1:]
+        out = _temporal_range(start, end, e.opt("interval", "1d"), e.opt("closed", "both"))
         dtype = dt.Date() if e.name == "date_range" else dt.Datetime(e.opt("time_unit", "us"))
         return Column.from_values("literal", out, dtype)
+    if e.name in ("int_ranges", "date_ranges", "datetime_ranges", "linear_spaces"):
+        return _eval_per_row_ranges(df, e)
     if e.name == "arg_where":
         col = _eval_subexpr(df, e.inputs[0])
         vals = col.to_numpy()

@@ -270,8 +270,72 @@ def arange(start: Any = 0, end: Any = None, step: int = 1, *, dtype: Any = None,
     return int_range(start, end, step, dtype=dtype, eager=eager)
 
 
-def int_ranges(start: Any = 0, end: Any = None, step: int = 1, *, dtype: Any = None, eager: bool = False):
-    raise NotImplementedError("int_ranges returns List dtype; gated on nested layout")
+def int_ranges(start: Any = 0, end: Any = None, step: Any = 1, *, dtype: Any = None, eager: bool = False):
+    """Per-row integer ranges as a List column (host-generated: the child
+    layout is data-dependent; reference functions/range/int_range.py)."""
+    if end is None:
+        start, end = 0, start
+    node = E.EFunction(
+        "int_ranges",
+        (
+            parse_into_expr(start, str_as_lit=False),
+            parse_into_expr(end, str_as_lit=False),
+            parse_into_expr(step, str_as_lit=False),
+        ),
+        (("dtype", dt.parse_into_dtype(dtype) if dtype is not None else dt.Int64()),),
+    )
+    e = Expr(node).alias("int_range")
+    if eager:
+        from polars_tpu.core.frame import DataFrame
+
+        return DataFrame({}).select(e).to_series(0)
+    return e
+
+
+def date_ranges(start: Any, end: Any, interval: str = "1d", *, closed: str = "both", eager: bool = False):
+    node = E.EFunction(
+        "date_ranges",
+        (parse_into_expr(start, str_as_lit=False), parse_into_expr(end, str_as_lit=False)),
+        (("interval", interval), ("closed", closed)),
+    )
+    e = Expr(node).alias("date_range")
+    if eager:
+        from polars_tpu.core.frame import DataFrame
+
+        return DataFrame({}).select(e).to_series(0)
+    return e
+
+
+def datetime_ranges(start: Any, end: Any, interval: str = "1d", *, closed: str = "both", time_unit: str = "us", time_zone: str | None = None, eager: bool = False):
+    node = E.EFunction(
+        "datetime_ranges",
+        (parse_into_expr(start, str_as_lit=False), parse_into_expr(end, str_as_lit=False)),
+        (("interval", interval), ("closed", closed), ("time_unit", time_unit)),
+    )
+    e = Expr(node).alias("datetime_range")
+    if eager:
+        from polars_tpu.core.frame import DataFrame
+
+        return DataFrame({}).select(e).to_series(0)
+    return e
+
+
+def linear_spaces(start: Any, end: Any, num_samples: Any, *, closed: str = "both", eager: bool = False):
+    node = E.EFunction(
+        "linear_spaces",
+        (
+            parse_into_expr(start, str_as_lit=False),
+            parse_into_expr(end, str_as_lit=False),
+            parse_into_expr(num_samples, str_as_lit=False),
+        ),
+        (("closed", closed),),
+    )
+    e = Expr(node).alias("linear_space")
+    if eager:
+        from polars_tpu.core.frame import DataFrame
+
+        return DataFrame({}).select(e).to_series(0)
+    return e
 
 
 def repeat(value: Any, n: Any, *, dtype: Any = None, eager: bool = False):
@@ -393,7 +457,22 @@ def format(f_string: str, *args: Any) -> Expr:
 
 
 def concat_list(exprs: Any, *more_exprs: Any) -> Expr:
-    raise NotImplementedError("concat_list requires List dtype; gated on nested layout")
+    """Horizontally combine columns into a List column — fully traced
+    (engine/fn_nested._concat_list)."""
+    nodes = tuple(parse_into_expr_list(exprs if isinstance(exprs, (list, tuple)) else [exprs]))
+    nodes += tuple(parse_into_expr_list(list(more_exprs)))
+    return Expr(E.EFunction("concat_list", nodes)).alias(
+        E.output_name(nodes[0]) or "literal"
+    )
+
+
+def concat_arr(exprs: Any, *more_exprs: Any) -> Expr:
+    """Horizontally combine columns into a fixed-width Array column."""
+    nodes = tuple(parse_into_expr_list(exprs if isinstance(exprs, (list, tuple)) else [exprs]))
+    nodes += tuple(parse_into_expr_list(list(more_exprs)))
+    return Expr(E.EFunction("concat_list", nodes, (("as_array", True),))).alias(
+        E.output_name(nodes[0]) or "literal"
+    )
 
 
 def struct(*exprs: Any, **named_exprs: Any) -> Expr:

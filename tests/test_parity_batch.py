@@ -85,3 +85,112 @@ def test_lazy_helpers():
     m = lf.match_to_schema({"a": pl.Float64(), "b": pl.Float64(), "c": pl.Int64()}).collect()
     assert m.columns == ["a", "b", "c"]
     assert m["c"].to_list() == [None, None, None]
+
+
+def test_arctan2_and_business_days():
+    import datetime as d
+
+    import numpy as np
+
+    df = pl.DataFrame({"y": [1.0, -1.0, 0.0], "x": [1.0, 1.0, -2.0]})
+    out = df.select(pl.arctan2("y", "x").alias("r"), pl.arctan2d("y", "x").alias("deg"))
+    ref = np.arctan2([1.0, -1.0, 0.0], [1.0, 1.0, -2.0])
+    assert np.allclose(out["r"].to_list(), ref)
+    assert np.allclose(out["deg"].to_list(), np.degrees(ref))
+
+    starts = [d.date(2020, 1, 1), d.date(2020, 1, 6), d.date(2020, 1, 4)]
+    ends = [d.date(2020, 1, 8), d.date(2020, 1, 3), d.date(2020, 1, 5)]
+    df = pl.DataFrame({"s": starts, "e": ends})
+    hol = [d.date(2020, 1, 2)]
+    got = df.select(pl.business_day_count("s", "e", holidays=hol).alias("n"))["n"].to_list()
+    ref = [int(np.busday_count(a, b, holidays=["2020-01-02"])) for a, b in zip(starts, ends)]
+    assert got == ref
+    got = df.select(
+        pl.business_day_count("s", "e", week_mask=(1, 1, 1, 1, 0, 0, 1)).alias("n")
+    )["n"].to_list()
+    ref = [int(np.busday_count(a, b, weekmask="1111001")) for a, b in zip(starts, ends)]
+    assert got == ref
+
+
+def test_concat_list_and_ranges():
+    df = pl.DataFrame({"a": [1, 2, None], "b": [4, 3, 8]})
+    assert df.select(pl.concat_list(["a", "b"]).alias("l"))["l"].to_list() == [
+        [1, 4], [2, 3], [None, 8],
+    ]
+    arr = df.select(pl.concat_arr("a", "b").alias("r"))["r"]
+    assert type(arr.dtype).__name__ == "Array"
+    assert arr.to_list() == [[1, 4], [2, 3], [None, 8]]
+    assert df.select(pl.int_ranges("a", "b").alias("r"))["r"].to_list() == [
+        [1, 2, 3], [2], None,
+    ]
+    # concat_list fuses with downstream list aggs in one segment
+    assert df.select(pl.concat_list(["a", "b"]).list.sum().alias("s"))["s"].to_list() == [5, 5, 8]
+
+
+def test_date_ranges_and_linear_spaces():
+    import datetime as d
+
+    df = pl.DataFrame({"s": [d.date(2020, 1, 1), d.date(2020, 1, 5)],
+                       "e": [d.date(2020, 1, 3), d.date(2020, 1, 5)]})
+    out = df.select(pl.date_ranges("s", "e").alias("r"))["r"].to_list()
+    assert out == [[d.date(2020, 1, 1), d.date(2020, 1, 2), d.date(2020, 1, 3)],
+                   [d.date(2020, 1, 5)]]
+    ls = pl.DataFrame({"x": [0.0, 1.0]}).select(
+        pl.linear_spaces("x", 2.0, 3).alias("r"))["r"].to_list()
+    assert ls == [[0.0, 1.0, 2.0], [1.0, 1.5, 2.0]]
+    assert pl.linear_space(0, 1, 5, eager=True).to_list() == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert pl.linear_space(0, 1, 4, closed="left", eager=True).to_list() == [0.0, 0.25, 0.5, 0.75]
+
+
+def test_time_range_and_time():
+    import datetime as d
+
+    out = pl.select(pl.time_range(d.time(1, 0), d.time(5, 0), "2h"))["time"].to_list()
+    assert out == [d.time(1, 0), d.time(3, 0), d.time(5, 0)]
+    assert pl.select(pl.time(12, 30, 5))["time"].to_list() == [d.time(12, 30, 5)]
+
+
+def test_rolling_corr_cov():
+    import pandas as pd
+
+    a = [1.0, 2.0, 4.0, 8.0, 16.0]
+    b = [2.0, 1.0, 3.0, 2.0, 5.0]
+    df = pl.DataFrame({"a": a, "b": b})
+    out = df.select(
+        pl.rolling_corr("a", "b", window_size=3).alias("c"),
+        pl.rolling_cov("a", "b", window_size=3).alias("v"),
+    )
+    pc = pd.Series(a).rolling(3).corr(pd.Series(b)).tolist()
+    pv = pd.Series(a).rolling(3).cov(pd.Series(b)).tolist()
+    for got, ref in ((out["c"].to_list(), pc), (out["v"].to_list(), pv)):
+        for g, r in zip(got, ref):
+            assert (g is None and r != r) or abs(g - r) < 1e-9
+
+
+def test_cum_fold_count_reduce():
+    df = pl.DataFrame({"x": [1, 2], "y": [3, 4], "z": [5, 6]})
+    out = df.select(pl.cum_fold(0, lambda a, b: a + b, ["x", "y", "z"]))["cum_fold"].to_list()
+    assert out == [{"x": 1, "y": 4, "z": 9}, {"x": 2, "y": 6, "z": 12}]
+    assert df.select(pl.cum_count("x"))["x"].to_list() == [1, 2]
+    out = df.select(pl.cum_sum_horizontal("x", "y"))["cum_sum"].to_list()
+    assert out == [{"x": 1, "y": 4}, {"x": 2, "y": 6}]
+
+
+def test_align_frames_and_misc():
+    f1 = pl.DataFrame({"k": [1, 2], "v": [10, 20]})
+    f2 = pl.DataFrame({"k": [2, 3], "v": [200, 300]})
+    a1, a2 = pl.align_frames(f1, f2, on="k")
+    assert a1["k"].to_list() == a2["k"].to_list() == [1, 2, 3]
+    assert a1["v"].to_list() == [10, 20, None]
+    assert a2["v"].to_list() == [None, 200, 300]
+    assert pl.escape_regex("a.b") == "a\\.b"
+    assert pl.get_index_type() == pl.UInt32()
+    assert pl.thread_pool_size() >= 1
+    node = pl.sql_expr("a + 1")._node
+    assert type(node).__name__ == "EBinary"
+    with pl.StringCache():
+        assert pl.using_string_cache() is False
+    import datetime as d
+
+    got = pl.select(pl.from_epoch(pl.lit(86400), "s").alias("t"))["t"].to_list()
+    assert got == [d.datetime(1970, 1, 2)]
