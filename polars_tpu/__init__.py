@@ -18,7 +18,30 @@ _jax.config.update("jax_enable_x64", True)
 # processes (the TPU backend's compile service is slow for large programs).
 import os as _os
 
-_cache_dir = _os.environ.get("POLARS_TPU_COMPILE_CACHE", "/tmp/polars_tpu_xla_cache")
+def _host_fingerprint() -> str:
+    """Host-CPU feature fingerprint. XLA:CPU AOT cache entries embed the
+    compile machine's features but the cache KEY does not include them, so a
+    cache written on a wider-ISA host (e.g. AVX512+AMX) SIGILLs/segfaults when
+    loaded elsewhere. Salting the directory per host CPU keeps TPU entries
+    (machine-independent: compiled by the remote service) shareable per host
+    while isolating incompatible CPU artifacts."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
+_cache_dir = _os.environ.get(
+    "POLARS_TPU_COMPILE_CACHE", f"/tmp/polars_tpu_xla_cache_{_host_fingerprint()}"
+)
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -173,6 +196,7 @@ from polars_tpu.functions import (
     threadpool_size,
     time,
     time_range,
+    time_ranges,
     union,
     using_string_cache,
 )

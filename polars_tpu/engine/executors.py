@@ -92,7 +92,7 @@ HOST_FNS = {
     "list.join",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
     "sample", "shuffle", "arg_where_self", "rle",
-    "int_ranges", "date_ranges", "datetime_ranges", "linear_spaces",
+    "int_ranges", "date_ranges", "datetime_ranges", "linear_spaces", "time_ranges",
 }
 # list.len/sum/mean/min/max/get/contains are TRACED since round 2
 # (engine/fn_nested.py) — prefix-sum range queries over the packed layout.

@@ -662,6 +662,11 @@ def _linear_spaces(ctx, args, opts):
     raise InvalidOperationError("linear_spaces is materialized by the executor")
 
 
+@register("time_ranges", lambda dts, opts: dt.List(dt.Time()), elementwise=False)
+def _time_ranges(ctx, args, opts):
+    raise InvalidOperationError("time_ranges is materialized by the executor")
+
+
 @register("arg_where", dt.UInt32(), elementwise=False)
 def _arg_where(ctx, args, opts):
     raise InvalidOperationError("arg_where changes length; handled by the executor")

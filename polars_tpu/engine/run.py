@@ -27,7 +27,7 @@ from polars_tpu.utils.tokens import obj_token
 
 _SPECIAL_FNS = {
     "int_range", "repeat_value", "date_range", "datetime_range", "arg_where",
-    "int_ranges", "date_ranges", "datetime_ranges", "linear_spaces",
+    "int_ranges", "date_ranges", "datetime_ranges", "linear_spaces", "time_ranges",
     "gather_every", "unique", "unique_counts", "cat.get_categories",
     "list.join",
     "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
@@ -619,6 +619,31 @@ def _eval_per_row_ranges(df: DataFrame, e: E.EFunction) -> Column:
                        else _temporal_range(s, en, interval, closed))
         return Column.from_values("date_range" if e.name == "date_ranges" else "datetime_range",
                                   out, dt.List(inner))
+    if e.name == "time_ranges":
+        import datetime as _dtm
+
+        from polars_tpu.engine.fn_temporal import _parse_every
+
+        n_, unit = _parse_every(e.opt("interval", "1h"))
+        ticks = {"h": 3_600_000_000, "m": 60_000_000, "s": 1_000_000, "ms": 1_000, "us": 1}
+        if unit not in ticks:
+            raise InvalidOperationError(f"time_ranges interval {unit!r} must be sub-day")
+        step = n_ * ticks[unit]
+
+        def t_us(t):
+            return t.hour * 3_600_000_000 + t.minute * 60_000_000 + t.second * 1_000_000 + t.microsecond
+
+        for s, en in zip(cols[0], cols[1]):
+            if s is None or en is None:
+                out.append(None)
+                continue
+            lo, hi = t_us(s), t_us(en)
+            first = lo + step if closed in ("right", "none") else lo
+            last = hi if closed in ("both", "right") else hi - 1
+            out.append([_dtm.time((u // 3_600_000_000) % 24, (u // 60_000_000) % 60,
+                                  (u // 1_000_000) % 60, u % 1_000_000)
+                        for u in range(first, last + 1, step)])
+        return Column.from_values("time_range", out, dt.List(dt.Time()))
     # linear_spaces
     for s, en, num in zip(cols[0], cols[1], cols[2]):
         if s is None or en is None or num is None:
@@ -783,7 +808,7 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         out = _temporal_range(start, end, e.opt("interval", "1d"), e.opt("closed", "both"))
         dtype = dt.Date() if e.name == "date_range" else dt.Datetime(e.opt("time_unit", "us"))
         return Column.from_values("literal", out, dtype)
-    if e.name in ("int_ranges", "date_ranges", "datetime_ranges", "linear_spaces"):
+    if e.name in ("int_ranges", "date_ranges", "datetime_ranges", "linear_spaces", "time_ranges"):
         return _eval_per_row_ranges(df, e)
     if e.name == "arg_where":
         col = _eval_subexpr(df, e.inputs[0])

@@ -199,6 +199,21 @@ def time_range(start: Any = None, end: Any = None, interval: str = "1h", *, clos
     return rng.cast(dt.Time()).alias("time")
 
 
+def time_ranges(start: Any, end: Any, interval: str = "1h", *, closed: str = "both", eager: bool = False):
+    """Per-row Time ranges as a List column (functions/range/time_range.py)."""
+    node = E.EFunction(
+        "time_ranges",
+        (_col(start)._node, _col(end)._node),
+        (("interval", interval), ("closed", closed)),
+    )
+    e = Expr(node).alias("time_range")
+    if eager:
+        from polars_tpu.core.frame import DataFrame
+
+        return DataFrame({}).select(e).to_series(0)
+    return e
+
+
 def linear_space(start: Any, end: Any, num_samples: Any, *, closed: str = "both", eager: bool = False):
     """Evenly spaced floats (functions/linear_space.py)."""
     from polars_tpu.functions.lazy import int_range

@@ -194,3 +194,12 @@ def test_align_frames_and_misc():
 
     got = pl.select(pl.from_epoch(pl.lit(86400), "s").alias("t"))["t"].to_list()
     assert got == [d.datetime(1970, 1, 2)]
+
+
+def test_time_ranges():
+    import datetime as d
+
+    df = pl.DataFrame({"s": [d.time(1, 0), d.time(10, 30), None],
+                       "e": [d.time(3, 0), d.time(11, 0), d.time(1, 0)]})
+    out = df.select(pl.time_ranges("s", "e").alias("r"))["r"].to_list()
+    assert out == [[d.time(1, 0), d.time(2, 0), d.time(3, 0)], [d.time(10, 30)], None]
