@@ -108,5 +108,18 @@ def compact_columns_pallas(
 
 
 def compact(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(compacted values, count); survivors keep relative order."""
+    """(compacted values, count); survivors keep relative order.
+
+    DEMOTED to the XLA path on purpose (v5e, 2026-08):
+    - the engine compacts at materialization with ONE stable radix argsort
+      permutation amortized over every output column (executors.run_segment);
+      the Pallas kernel compacts one (n, k) f64 block per call, so per-query
+      it would run the mask pass once per dtype group instead of once;
+    - the hi/lo f32 carry reconstructs f64 only to ~47 mantissa bits — not
+      bit-exact for i64 payloads (Polars semantics), so it could serve only
+      float columns, further fragmenting the pass;
+    - XLA's sort-based compaction already runs at memory bandwidth here.
+    The kernel stays as a validated alternate for a future single-column
+    filter fast path (mask + one wide column, where one-hot-on-MXU wins).
+    """
     return compact_xla(values, mask)
