@@ -211,7 +211,34 @@ def pandas_q1(line_pd):
     return out, time.perf_counter() - t0
 
 
+def _device_preflight(timeout_s: int) -> bool:
+    """The axon terminal holds a per-session device CLAIM; a client killed
+    mid-execution can leave the chip claimed, and then jax.devices() blocks
+    INDEFINITELY in make_c_api_client (observed 2026-08-17 after a SIGKILLed
+    bench). Probe in a subprocess so a wedged claim yields a fallback JSON
+    line instead of hanging the driver."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return b"ok" in r.stdout
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def main() -> None:
+    preflight_s = int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "900"))
+    if not _device_preflight(preflight_s):
+        log(f"device preflight failed after {preflight_s}s (claim wedged?)")
+        print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
+                          "unit": "rows/s", "vs_baseline": 0.0,
+                          "detail": {"error": "TPU backend unavailable: device "
+                                     "claim not acquired within preflight timeout"}}))
+        return
+
     import polars_tpu as pl
     from polars_tpu.testing import pdsh
     from polars_tpu.utils.device_timer import DeviceTimeline
