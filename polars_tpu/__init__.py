@@ -49,6 +49,8 @@ except Exception:  # noqa: BLE001
     pass
 
 from polars_tpu import api
+from polars_tpu import exceptions
+from polars_tpu import plugins
 from polars_tpu import datatypes
 from polars_tpu import selectors
 from polars_tpu.config import Config
@@ -67,6 +69,7 @@ from polars_tpu.datatypes import (
     Duration,
     Enum,
     Field,
+    Float16,
     Float32,
     Float64,
     Int8,
@@ -84,6 +87,7 @@ from polars_tpu.datatypes import (
     UInt16,
     UInt32,
     UInt64,
+    UInt128,
     Unknown,
     Utf8,
 )
@@ -200,20 +204,41 @@ from polars_tpu.functions import (
     union,
     using_string_cache,
 )
+from polars_tpu.functions.interop import (
+    CompatLevel,
+    GPUEngine,
+    QueryOptFlags,
+    defer,
+    from_repr,
+    from_torch,
+    json_normalize,
+)
 from polars_tpu.io import (
     read_csv,
     read_database,
     read_database_uri,
     read_delta,
+    read_avro,
+    read_clipboard,
+    read_csv_batched,
+    read_excel,
     read_ipc,
+    read_ipc_schema,
+    read_ipc_stream,
+    read_lines,
     read_ndjson,
+    read_ods,
+    read_parquet_metadata,
     read_parquet,
     read_parquet_schema,
     scan_csv,
     scan_delta,
     scan_iceberg,
+    scan_arrow_c_stream,
     scan_ipc,
+    scan_lines,
     scan_ndjson,
+    scan_pyarrow_dataset,
     scan_parquet,
 )
 from polars_tpu.io.ndjson import read_json

@@ -216,6 +216,18 @@ class UInt64(UnsignedIntegerType):
     __slots__ = ()
 
 
+class UInt128(UnsignedIntegerType):
+    __slots__ = ()
+
+
+class Float16(FloatType):
+    """Half precision; stored as f32 on device (TPU VPU has no f16 lanes for
+    most elementwise paths; bf16/f32 is the native pair). Reference:
+    py-polars datatypes Float16 (itself marked experimental)."""
+
+    __slots__ = ()
+
+
 class Float32(FloatType):
     __slots__ = ()
 
@@ -450,6 +462,7 @@ _DTYPE_TO_NUMPY = {
     "UInt16": np.uint16,
     "UInt32": np.uint32,
     "UInt64": np.uint64,
+    "Float16": np.float32,
     "Float32": np.float32,
     "Float64": np.float64,
     "Boolean": np.bool_,
@@ -549,10 +562,10 @@ def parse_into_dtype(obj: Any) -> DataType:
 
 
 # Groups, mirroring py-polars datatypes.group
-INTEGER_DTYPES = frozenset([Int8, Int16, Int32, Int64, Int128, UInt8, UInt16, UInt32, UInt64])
+INTEGER_DTYPES = frozenset([Int8, Int16, Int32, Int64, Int128, UInt8, UInt16, UInt32, UInt64, UInt128])
 SIGNED_INTEGER_DTYPES = frozenset([Int8, Int16, Int32, Int64, Int128])
 UNSIGNED_INTEGER_DTYPES = frozenset([UInt8, UInt16, UInt32, UInt64])
-FLOAT_DTYPES = frozenset([Float32, Float64])
+FLOAT_DTYPES = frozenset([Float16, Float32, Float64])
 NUMERIC_DTYPES = INTEGER_DTYPES | FLOAT_DTYPES
 TEMPORAL_DTYPES = frozenset([Date, Datetime, Duration, Time])
 NESTED_DTYPES = frozenset([List, Array, Struct])
@@ -560,7 +573,7 @@ NESTED_DTYPES = frozenset([List, Array, Struct])
 __all__ = [
     "DataType", "DataTypeClass", "NumericType", "IntegerType", "SignedIntegerType",
     "UnsignedIntegerType", "FloatType", "TemporalType", "NestedType",
-    "Int8", "Int16", "Int32", "Int64", "Int128", "UInt8", "UInt16", "UInt32", "UInt64",
+    "Int8", "Int16", "Int32", "Int64", "Int128", "UInt8", "UInt16", "UInt32", "UInt64", "UInt128", "Float16",
     "Float32", "Float64", "Decimal", "Boolean", "String", "Utf8", "Binary",
     "Categorical", "Enum", "Date", "Datetime", "Duration", "Time",
     "List", "Array", "Struct", "Field", "Null", "Object", "Unknown",

@@ -36,3 +36,17 @@ def scan_iceberg(source, *, snapshot_id=None, **kwargs):
     from polars_tpu.io._arrow import arrow_to_df
 
     return arrow_to_df(scan.to_arrow()).lazy()
+from polars_tpu.io.extra import (  # noqa: E402,F401
+    read_avro,
+    read_clipboard,
+    read_csv_batched,
+    read_excel,
+    read_ipc_schema,
+    read_ipc_stream,
+    read_lines,
+    read_ods,
+    read_parquet_metadata,
+    scan_arrow_c_stream,
+    scan_lines,
+    scan_pyarrow_dataset,
+)

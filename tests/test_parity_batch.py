@@ -203,3 +203,78 @@ def test_time_ranges():
                        "e": [d.time(3, 0), d.time(11, 0), d.time(1, 0)]})
     out = df.select(pl.time_ranges("s", "e").alias("r"))["r"].to_list()
     assert out == [[d.time(1, 0), d.time(2, 0), d.time(3, 0)], [d.time(10, 30)], None]
+
+
+def test_interop_long_tail():
+    import io as _io
+
+    import pyarrow as pa
+    import torch
+
+    assert pl.from_torch(torch.tensor([1.0, 2.0])).to_list() == [1.0, 2.0]
+    assert pl.from_torch(torch.arange(6).reshape(3, 2)).shape == (3, 2)
+
+    df = pl.DataFrame({"a": [1, 2], "b": ["x", "y"], "c": [1.5, None]})
+    back = pl.from_repr(repr(df))
+    assert dict(back.schema) == dict(df.schema)
+    assert back["a"].to_list() == [1, 2]
+    assert back["c"].to_list() == [1.5, None]
+    # polars-style body separators
+    b2 = pl.from_repr(
+        "│ a   ┆ b   │\n│ --- ┆ --- │\n│ i64 ┆ str │\n│ 1   ┆ foo │\n│ 2   ┆ bar │"
+    )
+    assert b2["b"].to_list() == ["foo", "bar"]
+
+    out = pl.json_normalize([{"a": 1, "b": {"c": 2, "d": {"e": 3}}}, {"a": 4, "b": {"c": 5}}])
+    assert out.columns == ["a", "b.c", "b.d.e"]
+    assert out.row(1) == (4, 5, None)
+
+    d = pl.defer(lambda: pl.DataFrame({"x": [1, 2]}), schema={"x": pl.Int64()})
+    assert d.collect()["x"].to_list() == [1, 2]
+
+    buf = _io.BytesIO()
+    t = pa.table({"a": [1, 2, 3]})
+    with pa.ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    buf.seek(0)
+    assert pl.read_ipc_stream(buf)["a"].to_list() == [1, 2, 3]
+    assert pl.scan_arrow_c_stream(t).collect()["a"].to_list() == [1, 2, 3]
+
+    assert isinstance(pl.Float16(), pl.DataType)
+    assert pl.QueryOptFlags.none().predicate_pushdown is False
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError):
+        pl.read_excel("missing.xlsx")
+    with _pytest.raises(NotImplementedError):
+        pl.plugins.register_plugin_function(function_name="f")
+
+
+def test_io_long_tail(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "t.txt"
+    p.write_text("hello\nworld\n")
+    assert pl.read_lines(str(p))["lines"].to_list() == ["hello", "world"]
+    assert pl.scan_lines(str(p)).collect().height == 2
+
+    c = tmp_path / "t.csv"
+    c.write_text("a,b\n1,2\n3,4\n")
+    r = pl.read_csv_batched(str(c))
+    batches = r.next_batches(5)
+    assert batches[0]["a"].to_list() == [1, 3]
+    assert r.next_batches(1) is None
+
+    t = pa.table({"a": [1, 2]})
+    pq.write_table(t, tmp_path / "t.parquet")
+    assert pl.read_parquet_metadata(str(tmp_path / "t.parquet")) == {}
+    import pyarrow.dataset as ds
+
+    assert pl.scan_pyarrow_dataset(ds.dataset(tmp_path / "t.parquet")).collect()["a"].to_list() == [1, 2]
+
+    f = tmp_path / "t.ipc"
+    with pa.ipc.new_file(str(f), t.schema) as w:
+        w.write_table(t)
+    sch = pl.read_ipc_schema(str(f))
+    assert list(sch) == ["a"]
