@@ -189,6 +189,8 @@ from polars_tpu.functions import (
     from_epoch,
     get_index_type,
     linear_space,
+    map_batches,
+    map_groups,
     merge_sorted,
     rolling_corr,
     rolling_cov,

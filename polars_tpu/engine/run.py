@@ -202,6 +202,14 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
     if isinstance(node, L.LGroupBy) and _has_host_aggs(node):
         return _exec_groupby_host_aggs(node)
 
+    if isinstance(node, L.LGroupBy) and any(
+        isinstance(s, E.EAnonymous) for a in node.aggs for s in E.walk(a)
+    ):
+        # a UDF inside agg exprs is a GROUP-context function (map_groups /
+        # map_batches-in-agg): it must see each group's series, so the
+        # whole-frame host hoisting below would be silently wrong
+        return _exec_groupby_apply(node)
+
     if isinstance(node, L.LGroupBy) and _groupby_needs_host(node):
         return _exec_groupby_hosted(node)
 
@@ -331,11 +339,20 @@ def _eval_host(df: DataFrame, node: E.ENode, schema) -> Column:
     from polars_tpu.core.series import Series
 
     if isinstance(node, E.EAnonymous):
-        in_col = _eval_subexpr(df, node.input[0]) if node.input else None
-        s = Series._from_column(in_col.rename(E.output_name(node.input[0]) or ""))
-        res = node.function(s)
+        in_cols = [
+            Series._from_column(
+                _eval_subexpr(df, i).rename(E.output_name(i) or "")
+            )
+            for i in node.input
+        ]
+        # method map_batches passes ONE Series; the top-level pl.map_batches /
+        # pl.map_groups contract is a LIST of Series (functions/lazy.py)
+        arg = in_cols[0] if len(in_cols) == 1 else in_cols
+        res = node.function(arg)
         if isinstance(res, Series):
             col = res._column
+        elif np.ndim(res) == 0:  # scalar return (map_groups reductions)
+            col = Series("", [res.item() if hasattr(res, "item") else res])._column
         else:
             col = Series("", list(np.asarray(res)))._column
         if node.return_dtype is not None and col.dtype != node.return_dtype:
@@ -949,6 +966,8 @@ def _exec_groupby_apply(node: L.LGroupBy) -> DataFrame:
     def reduces(e: E.ENode) -> bool:
         while isinstance(e, E.EAlias):
             e = e.input
+        if isinstance(e, E.EAnonymous):
+            return e.returns_scalar
         return isinstance(e, E.EAgg) and e.kind not in ("implode",)
 
     agg_names = [E.output_name(a) or "literal" for a in aggs]

@@ -390,3 +390,36 @@ def disable_string_cache() -> None:
 
 def using_string_cache() -> bool:
     return False
+
+
+# -- multi-column UDFs --------------------------------------------------------------
+
+
+def map_batches(exprs: Any, function: Callable, return_dtype: Any = None, *, is_elementwise: bool = False, returns_scalar: bool = False) -> Expr:
+    """Apply a UDF over several whole columns at once: the function receives a
+    LIST of Series (reference functions/lazy.py map_batches; the Expr METHOD
+    passes a single Series)."""
+    from polars_tpu.expr.expr import parse_into_expr_list
+    from polars_tpu.utils.tokens import obj_token
+
+    nodes = tuple(parse_into_expr_list(exprs if isinstance(exprs, (list, tuple)) else [exprs]))
+
+    def as_list(arg):
+        return function(arg if isinstance(arg, list) else [arg])
+
+    return Expr(
+        E.EAnonymous(
+            nodes,
+            function=as_list,
+            return_dtype=dt.parse_into_dtype(return_dtype) if return_dtype is not None else None,
+            ident=obj_token(function),
+            returns_scalar=returns_scalar,
+        )
+    ).alias("map" if not nodes else (E.output_name(nodes[0]) or "map"))
+
+
+def map_groups(exprs: Any, function: Callable, return_dtype: Any = None, *, returns_scalar: bool = False) -> Expr:
+    """Per-group UDF over several columns: inside a group_by().agg() the
+    function receives each group's list of Series (the engine's generic
+    per-group host apply, engine/run.py _exec_groupby_apply)."""
+    return map_batches(exprs, function, return_dtype, returns_scalar=returns_scalar)

@@ -259,6 +259,7 @@ class EAnonymous(ENode):
     function: Any = field(hash=False, compare=False)
     return_dtype: Any = None
     ident: int = 0
+    returns_scalar: bool = False  # group context: emit scalar vs implode List
 
     def __hash__(self) -> int:
         return hash(("EAnonymous", self.ident))

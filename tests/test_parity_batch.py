@@ -278,3 +278,19 @@ def test_io_long_tail(tmp_path):
         w.write_table(t)
     sch = pl.read_ipc_schema(str(f))
     assert list(sch) == ["a"]
+
+
+def test_map_batches_and_groups():
+    import numpy as np
+
+    df = pl.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 2.0, 3.0], "y": [10.0, 20.0, 30.0]})
+    out = df.select(pl.map_batches(["x", "y"], lambda ss: ss[0] + ss[1]).alias("s"))
+    assert out["s"].to_list() == [11.0, 22.0, 33.0]
+
+    f = lambda ss: float(np.dot(ss[0].to_numpy(), ss[1].to_numpy()))  # noqa: E731
+    out = df.group_by("g").agg(
+        pl.map_groups(["x", "y"], f, returns_scalar=True).alias("d")
+    ).sort("g")
+    assert out["d"].to_list() == [50.0, 90.0]
+    out = df.group_by("g").agg(pl.map_groups(["x", "y"], f).alias("d")).sort("g")
+    assert out["d"].to_list() == [[50.0], [90.0]]
