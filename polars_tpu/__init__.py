@@ -88,6 +88,10 @@ from polars_tpu.datatypes import (
     UInt32,
     UInt64,
     UInt128,
+    DataTypeExpr,
+    dtype_of,
+    self_dtype,
+    struct_with_fields,
     Unknown,
     Utf8,
 )

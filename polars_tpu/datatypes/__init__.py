@@ -581,3 +581,91 @@ __all__ = [
     "INTEGER_DTYPES", "SIGNED_INTEGER_DTYPES", "UNSIGNED_INTEGER_DTYPES",
     "FLOAT_DTYPES", "NUMERIC_DTYPES", "TEMPORAL_DTYPES", "NESTED_DTYPES",
 ]
+
+
+class DataTypeExpr:
+    """A datatype resolved lazily against a schema (reference:
+    py-polars datatype_expr.py + functions/datatype.py). Kinds:
+    ``lit`` (a concrete dtype), ``col`` (the dtype of a named column),
+    ``self`` (the dtype of the expression being cast), ``struct`` (a Struct
+    whose field dtypes may themselves be DataTypeExprs). Hashable so cast
+    nodes carrying one still key the plan/jit caches structurally."""
+
+    __slots__ = ("kind", "arg")
+
+    def __init__(self, kind: str, arg: Any = None) -> None:
+        object.__setattr__(self, "kind", kind)
+        object.__setattr__(self, "arg", arg)
+
+    def __setattr__(self, *a) -> None:
+        raise AttributeError("DataTypeExpr is immutable")
+
+    def __hash__(self) -> int:
+        return hash(("DataTypeExpr", self.kind, self.arg))
+
+    def __eq__(self, other: Any) -> bool:
+        return (
+            isinstance(other, DataTypeExpr)
+            and self.kind == other.kind
+            and self.arg == other.arg
+        )
+
+    def __repr__(self) -> str:
+        return f"DataTypeExpr({self.kind}, {self.arg!r})"
+
+    def _resolve(self, schema: Any = None, self_dtype: DataType | None = None) -> DataType:
+        if self.kind == "lit":
+            return self.arg
+        if self.kind == "col":
+            if schema is None or self.arg not in schema:
+                from polars_tpu.errors import SchemaError
+
+                raise SchemaError(f"dtype_of: column {self.arg!r} not in schema")
+            return schema[self.arg]
+        if self.kind == "self":
+            if self_dtype is None:
+                from polars_tpu.errors import InvalidOperationError
+
+                raise InvalidOperationError("self_dtype() used outside a cast context")
+            return self_dtype
+        if self.kind == "struct":
+            fields = []
+            for name, d in self.arg:
+                fields.append((name, d._resolve(schema, self_dtype)
+                               if isinstance(d, DataTypeExpr) else d))
+            return Struct(fields)
+        raise AssertionError(self.kind)
+
+    def collect_dtype(self, context: Any) -> DataType:
+        """Resolve against a schema / mapping (reference API)."""
+        sch = dict(context) if not hasattr(context, "__getitem__") else context
+        return self._resolve(sch)
+
+
+def resolve_dtype(obj: Any, schema: Any = None, self_dtype: DataType | None = None) -> DataType:
+    """parse_into_dtype that also accepts a DataTypeExpr."""
+    if isinstance(obj, DataTypeExpr):
+        return obj._resolve(schema, self_dtype)
+    return parse_into_dtype(obj)
+
+
+def _to_dtype_expr(self) -> DataTypeExpr:
+    return DataTypeExpr("lit", self)
+
+
+DataType.to_dtype_expr = _to_dtype_expr
+
+
+def dtype_of(col: str) -> DataTypeExpr:
+    """DataTypeExpr of a named column (functions/datatype.py dtype_of)."""
+    return DataTypeExpr("col", col)
+
+
+def self_dtype() -> DataTypeExpr:
+    """The dtype of the expression being cast (functions/datatype.py)."""
+    return DataTypeExpr("self")
+
+
+def struct_with_fields(mapping: Any) -> DataTypeExpr:
+    """Struct datatype expression with per-field (possibly lazy) dtypes."""
+    return DataTypeExpr("struct", tuple(dict(mapping).items()))

@@ -88,7 +88,7 @@ def _eval_expr_uncached(node: E.ENode, ctx: EvalCtx) -> Val:
         return eval_expr(node.input, ctx)
     if isinstance(node, E.ECast):
         v = eval_expr(node.input, ctx)
-        return cast_val(v, dt.parse_into_dtype(node.dtype), strict=node.strict)
+        return cast_val(v, dt.resolve_dtype(node.dtype, ctx.schema, v.dtype), strict=node.strict)
     if isinstance(node, E.EBinary):
         return _eval_binary(node, ctx)
     if isinstance(node, E.ETernary):

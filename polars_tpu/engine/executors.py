@@ -172,7 +172,10 @@ def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
         ):
             return True
         if isinstance(n, E.ECast):
-            target = dt.parse_into_dtype(n.dtype)
+            try:
+                target = dt.resolve_dtype(n.dtype, schema, expr_dtype(n.input, schema))
+            except Exception:
+                return True
             if type(target).__name__ in ("String",):
                 try:
                     src = expr_dtype(n.input, schema)

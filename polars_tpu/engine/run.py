@@ -311,7 +311,12 @@ def _is_host_root(node: E.ENode, schema) -> bool:
     if isinstance(node, E.EFunction) and node.name in ("concat_str", "dt.to_string", "cat.get_categories"):
         return True
     if isinstance(node, E.ECast):
-        target = dt.parse_into_dtype(node.dtype)
+        from polars_tpu.plan.schema_resolve import expr_dtype as _edt
+
+        try:
+            target = dt.resolve_dtype(node.dtype, schema, _edt(node.input, schema))
+        except Exception:
+            return False
         if isinstance(target, dt.String):
             from polars_tpu.plan.schema_resolve import expr_dtype
 

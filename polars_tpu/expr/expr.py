@@ -269,6 +269,8 @@ class Expr:
     # -- casts ----------------------------------------------------------------------
 
     def cast(self, dtype: Any, *, strict: bool = True, wrap_numerical: bool = False) -> Expr:
+        if isinstance(dtype, dt.DataTypeExpr):
+            return Expr(E.ECast(self._node, dtype, strict))
         return Expr(E.ECast(self._node, dt.parse_into_dtype(dtype), strict))
 
     # -- aggregations ------------------------------------------------------------------

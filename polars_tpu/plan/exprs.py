@@ -324,13 +324,32 @@ def _leftmost_column(node: ENode) -> str | None:
 
 
 def root_column_names(node: ENode) -> list[str]:
-    """All referenced input columns (for projection pushdown)."""
+    """All referenced input columns (for projection pushdown). A
+    ``dtype_of("x")`` inside a cast depends on column x's TYPE, so x must
+    survive projection pruning even though no value is read."""
+    from polars_tpu.datatypes import DataTypeExpr
+
     out: list[str] = []
     seen = set()
+
+    def add(name: str) -> None:
+        if name not in seen:
+            seen.add(name)
+            out.append(name)
+
+    def dtype_cols(d: Any) -> None:
+        if isinstance(d, DataTypeExpr):
+            if d.kind == "col":
+                add(d.arg)
+            elif d.kind == "struct":
+                for _, sub in d.arg:
+                    dtype_cols(sub)
+
     for n in walk(node):
-        if isinstance(n, EColumn) and n.name not in seen:
-            seen.add(n.name)
-            out.append(n.name)
+        if isinstance(n, EColumn):
+            add(n.name)
+        elif isinstance(n, ECast):
+            dtype_cols(n.dtype)
     return out
 
 

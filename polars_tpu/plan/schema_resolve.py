@@ -326,6 +326,10 @@ def expr_dtype(node: E.ENode, schema: Schema, *, in_agg: bool = False) -> dt.Dat
     if isinstance(node, (E.EKeepName, E.ERenameFn)):
         return expr_dtype(node.input, schema, in_agg=in_agg)
     if isinstance(node, E.ECast):
+        if isinstance(node.dtype, dt.DataTypeExpr):
+            return node.dtype._resolve(
+                schema, expr_dtype(node.input, schema, in_agg=in_agg)
+            )
         return dt.parse_into_dtype(node.dtype)
     if isinstance(node, E.EBinary):
         lt = expr_dtype(node.left, schema, in_agg=in_agg)

@@ -294,3 +294,19 @@ def test_map_batches_and_groups():
     assert out["d"].to_list() == [50.0, 90.0]
     out = df.group_by("g").agg(pl.map_groups(["x", "y"], f).alias("d")).sort("g")
     assert out["d"].to_list() == [[50.0], [90.0]]
+
+
+def test_datatype_expr():
+    df = pl.DataFrame({"a": [1, 2], "b": [1.5, 2.5]})
+    out = df.select(
+        pl.lit(3).cast(pl.dtype_of("b")).alias("x"),
+        pl.col("a").cast(pl.self_dtype()).alias("y"),
+    )
+    assert dict(out.schema) == {"x": pl.Float64(), "y": pl.Int64()}
+    assert out["x"].to_list() == [3.0, 3.0]
+    # lazy: projection pushdown must keep the dtype_of dependency alive
+    lz = df.lazy().select(pl.col("a").cast(pl.dtype_of("b")))
+    assert dict(lz.collect().schema) == {"a": pl.Float64()}
+    st = pl.struct_with_fields({"p": pl.Int64(), "q": pl.dtype_of("b")})
+    assert st.collect_dtype(df.schema) == pl.Struct([("p", pl.Int64()), ("q", pl.Float64())])
+    assert pl.Int32().to_dtype_expr().collect_dtype({}) == pl.Int32()
