@@ -219,6 +219,7 @@ from polars_tpu.functions.interop import (
     from_torch,
     json_normalize,
 )
+from polars_tpu.io.partition import FileProviderArgs, PartitionBy
 from polars_tpu.io import (
     read_csv,
     read_database,

@@ -6,6 +6,11 @@ from typing import Any
 
 
 def write_sink(df, path: str, fmt: str, options: dict[str, Any]) -> None:
+    pb = options.pop("_partition_by", None)
+    if pb is not None:
+        from polars_tpu.io.partition import write_partitioned
+
+        return write_partitioned(df, pb, fmt, options)
     if fmt == "parquet":
         from polars_tpu.io.parquet import write_parquet
 

@@ -713,17 +713,26 @@ class LazyFrame:
 
     # -- sinks -------------------------------------------------------------------------
 
+    def _sink(self, path: Any, fmt: str, kwargs: dict) -> None:
+        from polars_tpu.io.partition import PartitionBy
+
+        if isinstance(path, PartitionBy):
+            # partitioned sink: options carry the config; path = base dir
+            kwargs = dict(kwargs, _partition_by=path)
+            path = path.base_path
+        self._wrap(L.LSink(self._node, str(path), fmt, tuple(sorted(kwargs.items(), key=lambda kv: kv[0])))).collect()
+
     def sink_parquet(self, path: Any, **kwargs: Any) -> None:
-        self._wrap(L.LSink(self._node, str(path), "parquet", tuple(sorted(kwargs.items())))).collect()
+        self._sink(path, "parquet", kwargs)
 
     def sink_csv(self, path: Any, **kwargs: Any) -> None:
-        self._wrap(L.LSink(self._node, str(path), "csv", tuple(sorted(kwargs.items())))).collect()
+        self._sink(path, "csv", kwargs)
 
     def sink_ipc(self, path: Any, **kwargs: Any) -> None:
-        self._wrap(L.LSink(self._node, str(path), "ipc", tuple(sorted(kwargs.items())))).collect()
+        self._sink(path, "ipc", kwargs)
 
     def sink_ndjson(self, path: Any, **kwargs: Any) -> None:
-        self._wrap(L.LSink(self._node, str(path), "ndjson", tuple(sorted(kwargs.items())))).collect()
+        self._sink(path, "ndjson", kwargs)
 
     # -- concat helper -------------------------------------------------------------------
 

@@ -310,3 +310,25 @@ def test_datatype_expr():
     st = pl.struct_with_fields({"p": pl.Int64(), "q": pl.dtype_of("b")})
     assert st.collect_dtype(df.schema) == pl.Struct([("p", pl.Int64()), ("q", pl.Float64())])
     assert pl.Int32().to_dtype_expr().collect_dtype({}) == pl.Int32()
+
+
+def test_partitioned_sink(tmp_path):
+    import os
+
+    lf = pl.DataFrame({"year": [2026, 2027, 2026, None], "v": [1, 2, 3, 4]}).lazy()
+    lf.sink_parquet(pl.PartitionBy(str(tmp_path / "data"), key="year"))
+    dirs = sorted(os.listdir(tmp_path / "data"))
+    assert dirs == ["year=2026", "year=2027", "year=__HIVE_DEFAULT_PARTITION__"]
+    back = pl.scan_parquet(str(tmp_path / "data/**/*.parquet"), hive_partitioning=True).collect()
+    rows = sorted(back.rows(), key=lambda r: r[1])
+    assert rows == [(2026, 1), (2027, 2), (2026, 3), (None, 4)]
+
+    lf.sink_parquet(pl.PartitionBy(str(tmp_path / "rows"), max_rows_per_file=2))
+    assert sorted(os.listdir(tmp_path / "rows")) == ["00000000.parquet", "00000001.parquet"]
+
+    lf.sink_csv(pl.PartitionBy(
+        str(tmp_path / "csv"), key="year", include_key=False,
+        file_path_provider=lambda a: str(tmp_path / "csv" / f"p{a.part}_{a.in_part_index}.csv"),
+    ))
+    assert sorted(os.listdir(tmp_path / "csv")) == ["p0_0.csv", "p1_0.csv", "p2_0.csv"]
+    assert open(tmp_path / "csv" / "p0_0.csv").read().splitlines()[0] == "v"
