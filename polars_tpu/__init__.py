@@ -88,7 +88,13 @@ from polars_tpu.datatypes import (
     UInt32,
     UInt64,
     UInt128,
+    BaseExtension,
+    Categories,
     DataTypeExpr,
+    Extension,
+    get_extension_type,
+    register_extension_type,
+    unregister_extension_type,
     dtype_of,
     self_dtype,
     struct_with_fields,
@@ -191,8 +197,10 @@ from polars_tpu.functions import (
     explain_all,
     field,
     from_epoch,
+    groups,
     get_index_type,
     linear_space,
+    list,
     map_batches,
     map_groups,
     merge_sorted,
@@ -220,6 +228,15 @@ from polars_tpu.functions.interop import (
     json_normalize,
 )
 from polars_tpu.io.partition import FileProviderArgs, PartitionBy
+from polars_tpu.io.scan_options import ScanCastOptions
+from polars_tpu.io.cloud import (
+    CredentialProvider,
+    CredentialProviderAWS,
+    CredentialProviderAzure,
+    CredentialProviderFunction,
+    CredentialProviderFunctionReturn,
+    CredentialProviderGCP,
+)
 from polars_tpu.io import (
     read_csv,
     read_database,

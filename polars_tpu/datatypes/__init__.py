@@ -669,3 +669,133 @@ def self_dtype() -> DataTypeExpr:
 def struct_with_fields(mapping: Any) -> DataTypeExpr:
     """Struct datatype expression with per-field (possibly lazy) dtypes."""
     return DataTypeExpr("struct", tuple(dict(mapping).items()))
+
+
+class Categories:
+    """A named collection of categories for Categorical (reference:
+    py-polars datatypes/classes.py:678). In this engine strings/categoricals
+    are per-column ORDINAL dictionaries (utils/strtable.py), so named
+    Categories are identity handles: equal name+namespace+physical compare
+    equal and may share a code space when columns unify. Index access reads
+    the live table registered by the owning column (set on first use)."""
+
+    __slots__ = ("name", "namespace", "physical", "_table")
+
+    def __init__(self, name: str | None = None, namespace: str = "", physical: Any = None) -> None:
+        if not name and namespace:
+            raise ValueError("global Categories cannot have a namespace")
+        self.name = name or ""
+        self.namespace = namespace
+        self.physical = physical if physical is not None else UInt32()
+        self._table = None
+
+    def __eq__(self, other: Any) -> bool:
+        return (
+            isinstance(other, Categories)
+            and (self.name, self.namespace, type(self.physical).__name__)
+            == (other.name, other.namespace, type(other.physical).__name__)
+        )
+
+    def __hash__(self) -> int:
+        return hash(("Categories", self.name, self.namespace, type(self.physical).__name__))
+
+    def __repr__(self) -> str:
+        return f"Categories(name={self.name!r}, namespace={self.namespace!r})"
+
+    @classmethod
+    def random(cls, namespace: str = "") -> "Categories":
+        import uuid
+
+        return cls(uuid.uuid4().hex, namespace)
+
+    def is_global(self) -> bool:
+        return not self.name
+
+    def __getitem__(self, key: Any):
+        if self._table is None:
+            raise KeyError("no categories registered yet for this Categories handle")
+        vals = list(self._table)
+        if isinstance(key, int):
+            return vals[key]
+        return vals.index(key)
+
+
+class BaseExtension(DataType):
+    """Base class for extension data types (reference:
+    py-polars datatypes/classes.py:1402): a named logical wrapper over a
+    STORAGE dtype. On this engine the physical column is the storage dtype's
+    buffer; the extension identity is frame metadata."""
+
+    __slots__ = ("_name", "_storage", "_metadata")
+
+    def __init__(self, name: str, storage: Any, metadata: str | None = None) -> None:
+        self._name = name
+        self._storage = parse_into_dtype(storage)
+        self._metadata = metadata
+
+    @classmethod
+    def ext_from_params(cls, name: str, storage: Any, metadata: str | None):
+        slf = cls.__new__(cls)
+        slf._name = name
+        slf._storage = parse_into_dtype(storage)
+        slf._metadata = metadata
+        return slf
+
+    def ext_name(self) -> str:
+        return self._name
+
+    def ext_storage(self) -> DataType:
+        return self._storage
+
+    def ext_metadata(self) -> str | None:
+        return self._metadata
+
+    def _string_repr(self) -> str:
+        s = self.ext_name().lower()
+        return s if len(s) <= 12 else s[:10] + ".."
+
+    def __eq__(self, other: Any) -> bool:
+        return (
+            isinstance(other, BaseExtension)
+            and (self._name, self._storage, self._metadata)
+            == (other._name, other._storage, other._metadata)
+        )
+
+    def __hash__(self) -> int:
+        return hash(("BaseExtension", self._name, repr(self._storage), self._metadata))
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self._name!r}, {self._storage!r})"
+
+
+class Extension(BaseExtension):
+    """Generic extension type: what unregistered extension names load as."""
+
+    __slots__ = ()
+
+
+_EXT_REGISTRY: dict[str, Any] = {}
+
+
+def register_extension_type(ext_name: str, ext_class: Any = None, *, as_storage: bool = False) -> None:
+    """Register a BaseExtension subclass (or storage passthrough) for a name
+    (reference: datatypes/extension.py:15)."""
+    if ext_name in _EXT_REGISTRY:
+        raise ValueError(f"extension type {ext_name!r} is already registered")
+    if as_storage:
+        if ext_class is not None:
+            raise ValueError("cannot specify ext_class when as_storage is True")
+        _EXT_REGISTRY[ext_name] = "storage"
+        return
+    if not (isinstance(ext_class, type) and issubclass(ext_class, BaseExtension)):
+        raise TypeError("ext_class must subclass BaseExtension")
+    _EXT_REGISTRY[ext_name] = ext_class
+
+
+def unregister_extension_type(ext_name: str) -> None:
+    _EXT_REGISTRY.pop(ext_name)
+
+
+def get_extension_type(ext_name: str):
+    """Registered class, 'storage' for passthrough, or None."""
+    return _EXT_REGISTRY.get(ext_name)

@@ -199,6 +199,13 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
     if isinstance(node, (L.LSelect, L.LWithColumns)) and _needs_special(node):
         return _exec_special_select(node)
 
+    if isinstance(node, L.LGroupBy) and any(
+        isinstance(s, E.EAgg) and s.kind == "agg_groups"
+        for a in node.aggs
+        for s in E.walk(a)
+    ):
+        return execute_plan(_rewrite_agg_groups(node), sync=sync)
+
     if isinstance(node, L.LGroupBy) and _has_host_aggs(node):
         return _exec_groupby_host_aggs(node)
 
@@ -1213,3 +1220,39 @@ def _exec_unpivot(node: L.LUnpivot) -> DataFrame:
     from polars_tpu.functions.eager import concat
 
     return concat(frames, how="vertical_relaxed")
+
+
+def _rewrite_agg_groups(node: L.LGroupBy) -> L.LGroupBy:
+    """agg_groups = implode of a prepended global row index (reference:
+    AggGroups returns each group's member row positions). Rewritten at the
+    barrier so the standard implode machinery serves it."""
+    idx_name = "__agg_groups_idx"
+
+    def rw(e: E.ENode) -> E.ENode:
+        if isinstance(e, E.EAgg) and e.kind == "agg_groups":
+            return dataclasses.replace(
+                e, kind="implode", input=E.ECast(E.EColumn(idx_name), dt.UInt32(), True)
+            )
+        kids = e.children()
+        if not kids:
+            return e
+        new = tuple(rw(k) for k in kids)
+        if new == kids:
+            return e
+        from polars_tpu.plan.schema_resolve import _rebuild_expr
+
+        return _rebuild_expr(e, new)
+
+    new_aggs = []
+    for a in node.aggs:
+        r = rw(a)
+        # keep the ORIGINAL output name (implode of __agg_groups_idx would
+        # otherwise rename the column)
+        name = E.output_name(a)
+        new_aggs.append(E.EAlias(r, name) if name and E.output_name(r) != name else r)
+    return L.LGroupBy(
+        L.LWithRowIndex(node.input, idx_name, 0),
+        node.keys,
+        tuple(new_aggs),
+        node.maintain_order,
+    )

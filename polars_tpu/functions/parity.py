@@ -423,3 +423,15 @@ def map_groups(exprs: Any, function: Callable, return_dtype: Any = None, *, retu
     function receives each group's list of Series (the engine's generic
     per-group host apply, engine/run.py _exec_groupby_apply)."""
     return map_batches(exprs, function, return_dtype, returns_scalar=returns_scalar)
+
+
+def groups(column: str) -> Expr:
+    """Deprecated sugar for col(x).agg_groups() (reference functions/lazy.py:1885)."""
+    import warnings
+
+    warnings.warn(
+        "`groups` is deprecated; use pl.col(name).agg_groups() instead",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return _col(column).agg_groups()

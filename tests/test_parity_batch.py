@@ -332,3 +332,48 @@ def test_partitioned_sink(tmp_path):
     ))
     assert sorted(os.listdir(tmp_path / "csv")) == ["p0_0.csv", "p1_0.csv", "p2_0.csv"]
     assert open(tmp_path / "csv" / "p0_0.csv").read().splitlines()[0] == "v"
+
+
+def test_groups_list_and_categories():
+    import warnings
+
+    df = pl.DataFrame({"a": [1, 2, 3], "b": [10, 20, 30]})
+    assert df.select(pl.list(["a", "b"]).alias("l"))["l"].to_list() == [[1, 10], [2, 20], [3, 30]]
+    out = df.group_by((pl.col("a") > 1).alias("g")).agg(
+        pl.col("b").agg_groups().alias("idx")
+    ).sort("g")
+    assert out["idx"].to_list() == [[0], [1, 2]]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        out = df.group_by((pl.col("a") > 1).alias("g")).agg(pl.groups("b")).sort("g")
+    assert out["b"].to_list() == [[0], [1, 2]]
+
+    assert pl.Categories("f") == pl.Categories("f")
+    assert pl.Categories("f") != pl.Categories("g")
+    assert pl.Categories.random().name
+    assert isinstance(pl.ScanCastOptions(), pl.ScanCastOptions)
+    assert pl.CredentialProviderAWS(profile_name="x").profile_name == "x"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        pl.CredentialProviderGCP()()
+
+
+def test_extension_types():
+    class Point(pl.BaseExtension):
+        __slots__ = ()
+
+    pl.register_extension_type("point_t", Point)
+    try:
+        assert pl.get_extension_type("point_t") is Point
+        p = Point("point_t", pl.Struct([("x", pl.Float64()), ("y", pl.Float64())]))
+        assert p.ext_name() == "point_t"
+        assert p.ext_storage() == pl.Struct([("x", pl.Float64()), ("y", pl.Float64())])
+        assert p == Point.ext_from_params("point_t", p.ext_storage(), None)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pl.register_extension_type("point_t", Point)
+    finally:
+        pl.unregister_extension_type("point_t")
+    assert pl.get_extension_type("point_t") is None
