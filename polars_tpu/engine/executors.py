@@ -559,6 +559,9 @@ def _trace_explode(tt: TTable, node: L.LExplode, tc: _TraceCtx) -> TTable:
     total = offs[-1]
     ch_max = max(e[2].values.shape[0] for e in exploded.values())
     out_n = padded_size(n + ch_max)  # static bound: every list + placeholders
+    # duplicated parents sharing child ranges (post-join fan-out) can exceed
+    # the bound — flag it (rides the count channel) instead of truncating
+    tc.flags.append(total > jnp.int32(out_n))
     j = jax.lax.broadcasted_iota(jnp.int32, (out_n, 1), 0).squeeze(-1)
     out_valid = j < total
     parent = jnp.searchsorted(offs, j, side="right").astype(jnp.int32)

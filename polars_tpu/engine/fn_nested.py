@@ -138,6 +138,10 @@ def _list_minmax(kind):
         if cv.dtype in (jnp.float32, jnp.float64):
             work = cv.astype(jnp.float64)
             fill = jnp.float64(np.inf if kind == "min" else -np.inf)
+            if kind == "min":
+                # NaN-total-order: NaN is GREATEST, so min skips NaN (matching
+                # seg_min/_batch_aggs); all-NaN lists are restored to NaN below
+                work = jnp.where(jnp.isnan(work), fill, work)
         else:
             work = cv.astype(jnp.int64)
             info = jnp.iinfo(jnp.int64)
@@ -160,6 +164,11 @@ def _list_minmax(kind):
         e = jnp.clip(starts + lens - (1 << k.astype(jnp.int64)).astype(jnp.int32), 0, n - 1)
         out = (jnp.minimum if kind == "min" else jnp.maximum)(stacked[k, b], stacked[k, e])
         cnt = _range_sum(v.values, ok.astype(jnp.int32), n)
+        if kind == "min" and cv.dtype in (jnp.float32, jnp.float64):
+            # all-NaN (valid) lists: every element was remapped to +inf — the
+            # true total-order min is NaN
+            non_nan = _range_sum(v.values, (ok & ~jnp.isnan(cv)).astype(jnp.int32), n)
+            out = jnp.where((cnt > 0) & (non_nan == 0), jnp.float64(np.nan), out)
         validity = cnt > 0
         if v.validity is not None:
             validity = validity & v.validity
@@ -272,11 +281,12 @@ def _list_reverse(ctx, args, opts):
     return _list_out(v, ch, new_packed, g, gok, jnp.sum(lens))
 
 
-def _sorted_gather(ctx, v, name, descending):
-    """Contiguize then stable-sort within segments by (null?, value).
-    Ascending puts nulls last; ``descending`` flips the WHOLE key (host/polars
-    list.sort semantics). Returns (ch, new_packed, g0/gok0/seg0 in the
-    CONTIGUOUS ORIGINAL domain, sort perm, words0, in_data0, lens)."""
+def _sorted_gather(ctx, v, name, descending, nulls_last=False):
+    """Contiguize then stable-sort within segments by (null-rank, value).
+    Null placement follows ``nulls_last`` only (polars semantics: nulls_last
+    is independent of ``descending``, which flips just the value words).
+    Returns (ch, new_packed, g0/gok0/seg0 in the CONTIGUOUS ORIGINAL domain,
+    sort perm, words0, in_data0, lens)."""
     import jax.numpy as jnp
 
     from polars_tpu.kernels.argsort import key_words, stable_argsort_words
@@ -286,10 +296,10 @@ def _sorted_gather(ctx, v, name, descending):
     g0 = ch.values[src]
     gok0 = ok[src] & in_data
     seg0 = jnp.where(in_data, pc, jnp.int32(2**31 - 1))
-    null_word = (~gok0).astype(jnp.int32)  # nulls last (ascending)
+    null_rank = (~gok0).astype(jnp.int32)
+    null_word = null_rank if nulls_last else -null_rank  # -1 sorts first
     vwords = key_words(g0, v_inner)
     if descending:
-        null_word = jnp.bitwise_not(null_word)
         vwords = [jnp.bitwise_not(w) for w in vwords]
     words0 = [null_word, *vwords]
     perm = stable_argsort_words([seg0, *words0])
@@ -302,7 +312,8 @@ def _list_sort(ctx, args, opts):
 
     v = args[0]
     ch, new_packed, g0, gok0, _seg0, perm, _w, _ind, lens = _sorted_gather(
-        ctx, v, "list.sort", bool(opts.get("descending", False))
+        ctx, v, "list.sort", bool(opts.get("descending", False)),
+        bool(opts.get("nulls_last", False)),
     )
     return _list_out(v, ch, new_packed, g0[perm], gok0[perm], jnp.sum(lens))
 

@@ -173,7 +173,12 @@ def trace_join(node, tt_l, tt_r, eval_key):
     right_key_names = {E.output_name(e) for e in node.right_on}
 
     def gather_val(v):
+        # List packed words are position-independent (start<<32|len into the
+        # child), so the TracedChild rides along untouched; zero unmatched
+        # packed words so garbage candidates can't address past the child.
         values = v.values[cand]
+        if v.child is not None and getattr(v.child, "values", True) is not None:
+            values = jnp.where(matched, values, jnp.zeros((), values.dtype))
         validity = None if v.validity is None else v.validity[cand]
         return values, validity
 
@@ -182,7 +187,7 @@ def trace_join(node, tt_l, tt_r, eval_key):
         # probe = right rows; left columns come from the (unique) build side
         for name, v in tt_l.cols.items():
             values, validity = gather_val(v)
-            cols[name] = Val(values, validity, v.dtype, v.table, v.domain)
+            cols[name] = Val(values, validity, v.dtype, v.table, v.domain, v.child)
         for name, v in tt_r.cols.items():
             if coalesce and name in right_key_names:
                 continue
@@ -199,7 +204,7 @@ def trace_join(node, tt_l, tt_r, eval_key):
         values, validity = gather_val(v)
         if how == "left":
             validity = matched if validity is None else (validity & matched)
-        cols[out_name] = Val(values, validity, v.dtype, v.table, v.domain)
+        cols[out_name] = Val(values, validity, v.dtype, v.table, v.domain, v.child)
 
     rowmask = tt_l.rowmask & matched if how == "inner" else tt_l.rowmask
     return cols, rowmask, bad

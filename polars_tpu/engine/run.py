@@ -813,7 +813,7 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         if kind == "join":
             return LO.list_join(col, e.opt("separator", "-"), e.opt("ignore_nulls", True))
         if kind == "sort":
-            return LO.list_sort(col, e.opt("descending", False))
+            return LO.list_sort(col, e.opt("descending", False), e.opt("nulls_last", False))
         if kind == "reverse":
             return LO.list_reverse(col)
         if kind == "unique":

@@ -607,6 +607,14 @@ def run_spmd_segment(
         global LAST_LOWERED
         LAST_LOWERED = jfn.lower(sharded, heights).as_text()
     outs, count, ofl = jfn(sharded, heights)
+    if not sync and not lossless:
+        # sync=False would skip the overflow readback and silently truncate
+        # an overflowed shuffle; force the lossless capacity up front (no
+        # retry channel exists without a readback)
+        raise NotImplementedError(
+            "run_spmd_segment(sync=False) requires lossless=True: the "
+            "shuffle overflow flag needs a readback to trigger the retry"
+        )
     if not sync:
         jax.block_until_ready([count, ofl, *outs])
         n = outs[0].shape[0] if outs else 0

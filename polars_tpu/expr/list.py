@@ -48,8 +48,8 @@ class ExprListNamespace:
     def reverse(self) -> Expr:
         return self._fn("reverse")
 
-    def sort(self, *, descending: bool = False) -> Expr:
-        return self._fn("sort", descending=descending)
+    def sort(self, *, descending: bool = False, nulls_last: bool = False) -> Expr:
+        return self._fn("sort", descending=descending, nulls_last=nulls_last)
 
     def unique(self, *, maintain_order: bool = False) -> Expr:
         return self._fn("unique", maintain_order=maintain_order)

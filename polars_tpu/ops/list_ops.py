@@ -170,13 +170,18 @@ def _host_rebuild(col: Column, fn) -> Column:
     return Column.from_values(col.name, [None if v is None else fn(v) for v in vals], col.dtype)
 
 
-def list_sort(col: Column, descending: bool = False) -> Column:
-    return _host_rebuild(
-        col,
-        lambda v: sorted(
-            v, key=lambda x: (x is None, x), reverse=descending
-        ),
-    )
+def _total_key(x):
+    # NaN-total-order: NaN sorts greatest (after every real value)
+    return (isinstance(x, float) and x != x, x)
+
+
+def list_sort(col: Column, descending: bool = False, nulls_last: bool = False) -> Column:
+    def srt(v):
+        vals = sorted((x for x in v if x is not None), key=_total_key, reverse=descending)
+        nulls = [None] * (len(v) - len(vals))
+        return vals + nulls if nulls_last else nulls + vals
+
+    return _host_rebuild(col, srt)
 
 
 def list_reverse(col: Column) -> Column:
@@ -189,7 +194,10 @@ def list_unique(col: Column, maintain_order: bool = False) -> Column:
         for x in v:
             if x not in seen:
                 seen.append(x)
-        return seen if maintain_order else sorted(seen, key=lambda x: (x is None, x))
+        if maintain_order:
+            return seen
+        vals = sorted((x for x in seen if x is not None), key=_total_key)
+        return [None] * (len(seen) - len(vals)) + vals
 
     return _host_rebuild(col, uniq)
 

@@ -250,3 +250,27 @@ def test_range_join_flipped_strings_and_rest():
     # empty result
     out = pl.DataFrame({"x": [1]}).join_where(pl.DataFrame({"y": [5]}), pl.col("x") > pl.col("y"))
     assert out.height == 0
+
+
+def test_fused_join_propagates_list_and_struct_children():
+    """ADVICE r2 (high): trace_join must carry v.child through the gathered
+    Vals — List/Struct columns survive a fused m:1 join and explode works."""
+    left = pl.DataFrame({"k": [1, 2, 3], "v": [[1, 2], [3], [4, 5, 6]]})
+    right = pl.DataFrame({"k": [1, 2, 3], "w": [10, 20, 30]})
+    out = left.lazy().join(right.lazy(), on="k", validate="m:1").collect()
+    assert out["v"].to_list() == [[1, 2], [3], [4, 5, 6]]
+    out2 = (
+        left.lazy().join(right.lazy(), on="k", validate="m:1").explode("v").collect()
+    )
+    assert out2["v"].to_list() == [1, 2, 3, 4, 5, 6]
+    assert out2["w"].to_list() == [10, 10, 20, 30, 30, 30]
+    # right-side List + Struct gather through the build side
+    l2 = pl.DataFrame({"k": [2, 1], "a": [7, 8]})
+    r2 = pl.DataFrame({"k": [1, 2], "v": [[1, 2], [3]], "s": [{"x": 1}, {"x": 2}]})
+    out3 = l2.lazy().join(r2.lazy(), on="k", validate="m:1").collect()
+    assert out3["v"].to_list() == [[3], [1, 2]]
+    assert out3["s"].to_list() == [{"x": 2}, {"x": 1}]
+    # left join: unmatched probe rows get null lists (zeroed packed words)
+    l3 = pl.DataFrame({"k": [1, 9]})
+    out4 = l3.lazy().join(r2.lazy(), on="k", how="left", validate="m:1").collect()
+    assert out4["v"].to_list() == [[1, 2], None]

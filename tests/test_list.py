@@ -239,14 +239,19 @@ def test_list_sort_reverse_unique_traced(monkeypatch):
     out = df.lazy().select(
         pl.col("x").list.sort().alias("s"),
         pl.col("x").list.sort(descending=True).alias("sd"),
+        pl.col("x").list.sort(nulls_last=True).alias("sl"),
+        pl.col("x").list.sort(descending=True, nulls_last=True).alias("sdl"),
         pl.col("x").list.reverse().alias("r"),
         pl.col("x").list.unique().alias("u"),
         pl.col("x").list.unique(maintain_order=True).alias("um"),
     ).collect()
-    assert out["s"].to_list() == [[1, 2, 3, None], [5, 5], None, []]
+    # polars defaults: nulls FIRST (nulls_last=False), independent of descending
+    assert out["s"].to_list() == [[None, 1, 2, 3], [5, 5], None, []]
     assert out["sd"].to_list() == [[None, 3, 2, 1], [5, 5], None, []]
+    assert out["sl"].to_list() == [[1, 2, 3, None], [5, 5], None, []]
+    assert out["sdl"].to_list() == [[3, 2, 1, None], [5, 5], None, []]
     assert out["r"].to_list() == [[2, None, 1, 3], [5, 5], None, []]
-    assert out["u"].to_list() == [[1, 2, 3, None], [5], None, []]
+    assert out["u"].to_list() == [[None, 1, 2, 3], [5], None, []]
     assert out["um"].to_list() == [[3, 1, None, 2], [5], None, []]
 
 
