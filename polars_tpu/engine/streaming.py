@@ -443,6 +443,48 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
     return splice(combined, chain_top)
 
 
+def stream_batches(node: L.LNode, *, batch_rows: int | None = None):
+    """Yield the query result as a stream of DataFrame batches (the morsel
+    stream behind ``LazyFrame.collect_batches`` and the streaming sinks;
+    reference: polars-lazy/src/frame/mod.rs collect_batches + the FileSink
+    morsel pipeline, polars-stream/src/nodes/io_sinks/mod.rs:27-49).
+
+    Plans that are a pure per-batch-safe chain over one streamable leaf yield
+    incrementally with bounded memory; plans with a blocking terminal
+    (group-by/sort/...) run through :func:`collect_streaming` (which itself
+    streams the leaf and spills through the OOC store) and re-chunk the
+    result. Always yields at least one (possibly empty) frame so consumers
+    see the schema."""
+    from polars_tpu.engine.run import execute_plan
+
+    batch_rows = batch_rows or config().ideal_batch_size
+    plan = _plan_stream(node)
+    if plan is not None:
+        leaf, terminal, chain_top, root = plan
+        if terminal is None and chain_top is root:
+            chain = _freeze_build_sides(chain_top, leaf, {})
+            yielded = False
+            for batch_df in _iter_batches(leaf, batch_rows):
+                sub = _replace_input(
+                    chain, leaf, L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df))
+                )
+                out = execute_plan(sub)
+                if out.height:
+                    yielded = True
+                    yield out
+            if not yielded:
+                from polars_tpu.plan.schema_resolve import node_schema
+
+                yield DataFrame(schema=node_schema(node))
+            return
+    df = collect_streaming(node, batch_rows=batch_rows)
+    if df.height == 0:
+        yield df
+        return
+    for start in range(0, df.height, batch_rows):
+        yield df.slice(start, batch_rows)
+
+
 def _replace_input(node: L.LNode, target: L.LNode, replacement: L.LNode) -> L.LNode:
     if node is target:
         return replacement

@@ -202,8 +202,16 @@ class _DeferredLazy:
 
 
 class QueryOptFlags:
-    """Optimizer toggle set (reference: lazyframe/opt_flags.py). The engine's
-    optimizer passes consult these when passed to collect(optimizations=...)."""
+    """Optimizer toggle set (reference: lazyframe/opt_flags.py).
+
+    ``collect(optimizations=...)`` / ``explain(optimizations=...)`` pass these
+    to ``plan.optimizer.optimize``, which gates each pass on its toggle:
+    simplify_expression, check_order_observe (sort collapse),
+    predicate_pushdown, projection_pushdown, slice_pushdown,
+    comm_subplan_elim. Toggles without a matching pass in this engine
+    (cluster_with_columns, comm_subexpr_elim, collapse_joins, fast_projection)
+    are accepted and ignored: XLA fusion subsumes the first two, join_where
+    covers collapse_joins' equi-split, projections always fuse."""
 
     def __init__(
         self,

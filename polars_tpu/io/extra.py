@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+from polars_tpu.errors import ComputeError
+
 
 def read_ipc_schema(source: Any) -> dict:
     """Schema of an IPC file without reading data (io/ipc/functions.py)."""
@@ -46,15 +48,39 @@ def read_ipc_stream(source: Any, *, columns: Any = None, **kwargs: Any):
     return df.select(list(columns)) if columns is not None else df
 
 
+# live pyarrow Dataset objects keyed by their scan token (the LScan "source"
+# string); tokens keep the logical plan hashable/serializable-by-shape
+_DATASETS: dict[str, Any] = {}
+
+
+def get_dataset(token: str) -> Any:
+    try:
+        return _DATASETS[token]
+    except KeyError:
+        raise ComputeError(f"pyarrow dataset {token!r} is no longer registered") from None
+
+
 def scan_pyarrow_dataset(source: Any, *, allow_pyarrow_filter: bool = True, **kwargs: Any):
-    """LazyFrame over a pyarrow.dataset.Dataset (io/pyarrow_dataset/).
+    """LazyFrame over a pyarrow.dataset.Dataset (reference:
+    py-polars io/pyarrow_dataset/functions.py).
 
-    The dataset materializes through Arrow at collect time; projection is
-    pushed into the dataset scanner via the plan's projected columns.
-    """
-    from polars_tpu.core.frame import DataFrame
+    A true lazy scan: projection pushdown populates ``LScan.projection`` and
+    pushed predicates translate into a ``pyarrow.dataset`` filter expression,
+    both passed to ``dataset.to_table(columns=, filter=)`` at collect time
+    (scan_exec._read_one_source). Residual predicate parts the translator
+    doesn't understand still apply in-engine after the scan."""
+    from polars_tpu.lazyframe import LazyFrame
+    from polars_tpu.plan import logical as L
 
-    return DataFrame(source.to_table()).lazy()
+    token = f"pyarrow-dataset://{id(source)}"
+    _DATASETS[token] = source
+    return LazyFrame._from_node(
+        L.LScan(
+            sources=(token,),
+            fmt="pyarrow_dataset",
+            options=(("allow_pyarrow_filter", bool(allow_pyarrow_filter)),),
+        )
+    )
 
 
 def scan_arrow_c_stream(source: Any, **kwargs: Any):

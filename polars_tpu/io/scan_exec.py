@@ -71,6 +71,24 @@ def _pred_to_parquet_filter(pred: E.ENode):
     return out
 
 
+def _conjuncts_to_dataset_filter(conjuncts):
+    """Pushed (col, op, literal) conjuncts -> one pyarrow.dataset filter
+    expression (py-polars io/pyarrow_dataset pushdown analogue). The residual
+    in-engine filter still applies, so this only needs to be sound, not
+    complete."""
+    import pyarrow.dataset as pds
+
+    expr = None
+    for col, op, lit in conjuncts:
+        v = _literal_plain(lit)
+        f = pds.field(col)
+        e = {
+            "<": f < v, "<=": f <= v, ">": f > v, ">=": f >= v, "==": f == v,
+        }[op]
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
 def _literal_plain(lit: E.ELiteral):
     v = lit.value
     if lit.dtype is not None:
@@ -245,6 +263,14 @@ def _read_one_source(node: L.LScan, path: str, columns, conjuncts, hive_sch):
         t = pj.read_json(path)
         if file_cols is not None:
             t = t.select([c for c in file_cols if c in t.column_names])
+    elif node.fmt == "pyarrow_dataset":
+        from polars_tpu.io.extra import get_dataset
+
+        ds = get_dataset(path)
+        filt = None
+        if conjuncts and node.opt("allow_pyarrow_filter", True):
+            filt = _conjuncts_to_dataset_filter(conjuncts)
+        t = ds.to_table(columns=file_cols, filter=filt)
     else:
         raise ComputeError(f"unknown scan format {node.fmt!r}")
     if parts:

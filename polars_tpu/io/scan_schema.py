@@ -51,6 +51,11 @@ def _schema_for(sources: tuple[str, ...], fmt: str, options) -> Schema:
         from polars_tpu.io._arrow import arrow_schema_to_schema
 
         return arrow_schema_to_schema(pj.read_json(path).schema)
+    if fmt == "pyarrow_dataset":
+        from polars_tpu.io._arrow import arrow_schema_to_schema
+        from polars_tpu.io.extra import get_dataset
+
+        return arrow_schema_to_schema(get_dataset(path).schema)
     raise ComputeError(f"unknown scan format {fmt!r}")
 
 

@@ -63,11 +63,11 @@ class LazyFrame:
     def width(self) -> int:
         return len(self.schema)
 
-    def explain(self, *, optimized: bool = True, **kwargs: Any) -> str:
+    def explain(self, *, optimized: bool = True, optimizations: Any = None, **kwargs: Any) -> str:
         from polars_tpu.plan.fmt import explain_plan
         from polars_tpu.plan.optimizer import optimize
 
-        node = optimize(self._node) if optimized else self._node
+        node = optimize(self._node, optimizations) if optimized else self._node
         return explain_plan(node)
 
     def show_graph(self, *, optimized: bool = True, raw_output: bool = True, **kwargs: Any) -> str:
@@ -84,7 +84,18 @@ class LazyFrame:
 
     # -- execution ------------------------------------------------------------
 
-    def collect(self, *, engine: str = "auto", no_optimization: bool = False, **kwargs: Any) -> DataFrame:
+    def collect(
+        self,
+        *,
+        engine: str = "auto",
+        no_optimization: bool = False,
+        optimizations: Any = None,
+        **kwargs: Any,
+    ) -> DataFrame:
+        """Materialize the plan. ``optimizations`` takes a
+        :class:`polars_tpu.QueryOptFlags`; each optimizer pass consults its
+        toggle (reference: py-polars lazyframe/opt_flags.py,
+        LazyFrame.collect(optimizations=...))."""
         from polars_tpu.engine.run import execute_plan
         from polars_tpu.plan.optimizer import optimize
 
@@ -97,7 +108,13 @@ class LazyFrame:
             if kwargs.get("timeout") is not None
             else None
         )
-        node = self._node if no_optimization else optimize(self._node)
+        if no_optimization:
+            node = self._node
+        else:
+            node = optimize(self._node, optimizations)
+        if not isinstance(engine, str):
+            # a GPUEngine config object routes to the default TPU engine
+            engine = "auto"
         with cancel_scope(token), cancel_scope(deadline), plan_cache_scope():
             # common subplans (LCache) run once per collect
             if engine == "streaming":
@@ -428,15 +445,34 @@ class LazyFrame:
     def set_sorted(self, column: Any, *more: Any, descending: bool = False) -> LazyFrame:
         return self
 
-    def collect_async(self, **kwargs: Any):
-        class _Done:
-            def __init__(self, df):
-                self._df = df
+    def collect_batches(
+        self,
+        *,
+        batch_rows: int | None = None,
+        optimizations: Any = None,
+        **kwargs: Any,
+    ):
+        """Iterator over the query result as DataFrame batches (reference:
+        LazyFrame::collect_batches, crates/polars-lazy/src/frame/mod.rs ~746).
+        Per-batch-safe plans stream with bounded memory; blocking terminals
+        stream the scan side then re-chunk the result."""
+        from polars_tpu.engine.run import plan_cache_scope
+        from polars_tpu.engine.streaming import stream_batches
+        from polars_tpu.plan.optimizer import optimize
 
-            def result(self):
-                return self._df
+        node = optimize(self._node, optimizations)
 
-        return _Done(self.collect(**kwargs))
+        def gen():
+            with plan_cache_scope():
+                yield from stream_batches(node, batch_rows=batch_rows)
+
+        return gen()
+
+    def collect_async(self, **kwargs: Any) -> "InProcessQuery":
+        """Start the collect on a background thread; returns a cancelable
+        :class:`InProcessQuery` (reference: py-polars
+        lazyframe/in_process.py:24-26 + collect_concurrently)."""
+        return InProcessQuery(self, kwargs)
 
     def describe(self, percentiles=(0.25, 0.5, 0.75)):
         return self.collect().describe(percentiles)
@@ -1039,3 +1075,59 @@ class LazyRolling:
 def pl_empty(d):
     return []
 
+
+
+class InProcessQuery:
+    """A collect running on a background thread, cancelable mid-query
+    (reference: py-polars lazyframe/in_process.py InProcessQuery — cancel /
+    fetch / fetch_blocking; cancellation is cooperative through the engine's
+    CancelToken checked at every materialization barrier)."""
+
+    def __init__(self, lf: "LazyFrame", kwargs: dict) -> None:
+        import threading
+
+        from polars_tpu.engine.cancel import CancelToken
+
+        self._token = kwargs.pop("cancel_token", None) or CancelToken()
+        self._result: DataFrame | None = None
+        self._error: BaseException | None = None
+        self._done = threading.Event()
+
+        def run() -> None:
+            try:
+                self._result = lf.collect(cancel_token=self._token, **kwargs)
+            except BaseException as e:  # noqa: BLE001 — surfaced on fetch
+                self._error = e
+            finally:
+                self._done.set()
+
+        self._thread = threading.Thread(
+            target=run, name="polars-tpu-collect", daemon=True
+        )
+        self._thread.start()
+
+    def cancel(self) -> None:
+        self._token.cancel()
+
+    def fetch(self) -> DataFrame | None:
+        """Non-blocking: the result if the query finished, else None."""
+        if not self._done.is_set():
+            return None
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+    def fetch_blocking(self) -> DataFrame:
+        self._done.wait()
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+    # Future-style aliases (round-2 collect_async returned .result())
+    def result(self, timeout: float | None = None) -> DataFrame:
+        self._done.wait(timeout)
+        if not self._done.is_set():
+            raise TimeoutError("query still running")
+        if self._error is not None:
+            raise self._error
+        return self._result

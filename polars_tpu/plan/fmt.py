@@ -16,7 +16,13 @@ def explain_plan(node: L.LNode, indent: int = 0) -> str:
     elif isinstance(node, L.LScan):
         detail = f" {node.fmt}: {list(node.sources)[:2]}"
         if node.projection is not None:
-            detail += f" π {len(node.projection)}/{len(node.projection)}"
+            try:
+                from polars_tpu.io.scan_schema import scan_schema
+
+                total = len(scan_schema(node))
+            except Exception:  # noqa: BLE001 — source may be gone at print time
+                total = len(node.projection)
+            detail += f" π {len(node.projection)}/{total}"
         if node.predicate is not None:
             detail += f" σ {node.predicate!r}"
         if node.n_rows is not None:

@@ -19,13 +19,23 @@ from polars_tpu.plan.optimizer.simplify import simplify_exprs
 from polars_tpu.plan.optimizer.slice_pushdown import push_slices
 
 
-def optimize(node: L.LNode) -> L.LNode:
-    node = simplify_exprs(node)
-    node = collapse_sorts(node)
-    node = push_predicates(node)
-    node = push_projections(node)
-    node = push_slices(node)
-    # LAST: pushdowns may specialize two copies of a shared subplan
-    # differently; only still-identical subplans are safe to cache
-    node = collapse_common_subplans(node)
+def optimize(node: L.LNode, flags=None) -> L.LNode:
+    """Run the optimizer pipeline. ``flags`` is an optional
+    :class:`polars_tpu.QueryOptFlags` — each pass is gated on its toggle
+    (reference: polars-plan/src/frame/opt_state.rs OptFlags, consulted by
+    optimize() at plans/optimizer/mod.rs:85)."""
+    if flags is None or getattr(flags, "simplify_expression", True):
+        node = simplify_exprs(node)
+    if flags is None or getattr(flags, "check_order_observe", True):
+        node = collapse_sorts(node)
+    if flags is None or getattr(flags, "predicate_pushdown", True):
+        node = push_predicates(node)
+    if flags is None or getattr(flags, "projection_pushdown", True):
+        node = push_projections(node)
+    if flags is None or getattr(flags, "slice_pushdown", True):
+        node = push_slices(node)
+    if flags is None or getattr(flags, "comm_subplan_elim", True):
+        # LAST: pushdowns may specialize two copies of a shared subplan
+        # differently; only still-identical subplans are safe to cache
+        node = collapse_common_subplans(node)
     return node
