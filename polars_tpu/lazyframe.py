@@ -750,13 +750,24 @@ class LazyFrame:
     # -- sinks -------------------------------------------------------------------------
 
     def _sink(self, path: Any, fmt: str, kwargs: dict) -> None:
+        """Streaming sink (reference: polars-stream io_sinks/mod.rs:27-49):
+        the plan streams batch-by-batch into an incremental per-format
+        writer — a larger-than-memory chain sunk to disk never materializes
+        the full result. PartitionBy composes (per-partition rolling
+        writers)."""
         from polars_tpu.io.partition import PartitionBy
+        from polars_tpu.io.sink_stream import sink_stream
+        from polars_tpu.plan.optimizer import optimize
 
+        kwargs = dict(kwargs)
+        batch_rows = kwargs.pop("batch_rows", None)
+        optimizations = kwargs.pop("optimizations", None)
+        pb = None
         if isinstance(path, PartitionBy):
-            # partitioned sink: options carry the config; path = base dir
-            kwargs = dict(kwargs, _partition_by=path)
+            pb = path
             path = path.base_path
-        self._wrap(L.LSink(self._node, str(path), fmt, tuple(sorted(kwargs.items(), key=lambda kv: kv[0])))).collect()
+        node = optimize(self._node, optimizations)
+        sink_stream(node, str(path), fmt, kwargs, partition_by=pb, batch_rows=batch_rows)
 
     def sink_parquet(self, path: Any, **kwargs: Any) -> None:
         self._sink(path, "parquet", kwargs)
