@@ -186,10 +186,30 @@ def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
     return False
 
 
+def _aggs_all_reduce(node) -> bool:
+    """True when every agg expr contains a reduction (EAgg/ELen or a
+    returns_scalar UDF) somewhere — the traced group-by's precondition;
+    anything else implodes per group on the host apply path."""
+    for a in node.aggs:
+        reduces = False
+        for s in E.walk(a):
+            if isinstance(s, (E.EAgg, E.ELen)):
+                reduces = True
+                break
+            if isinstance(s, E.EAnonymous) and s.returns_scalar:
+                reduces = True
+                break
+        if not reduces:
+            return False
+    return True
+
+
 def _is_fusable(node: L.LNode) -> bool:
     if not isinstance(node, _FUSABLE):
         return False
     if isinstance(node, L.LJoin) and not _join_fusable(node):
+        return False
+    if isinstance(node, L.LGroupBy) and not _aggs_all_reduce(node):
         return False
     try:
         in_schemas = [node_schema(i) for i in node.inputs()]

@@ -473,3 +473,113 @@ register("rle", _rle_dt, elementwise=False)(_host("rle"))
 
 # rolling_*_by are TRACED ops (engine/fn_position.py) since round 2 — the
 # searchsorted-window core runs inside the fused segment, no host barrier.
+
+
+# --- round-3 list namespace long tail (verdict #4): host ops + dtype rules ---
+# Implementations live in ops/list_ops.py (run.py special-select dispatch);
+# registrations here provide schema resolution. Reference:
+# py-polars expr/list.py, plans/aexpr/function_expr/list.rs.
+
+
+def _uint32(dts, opts):
+    return dt.UInt32()
+
+
+def _f64(dts, opts):
+    return dt.Float64()
+
+
+def _bool(dts, opts):
+    return dt.Boolean()
+
+
+def _diff_dt(dts, opts):
+    d = dts[0]
+    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+    if isinstance(inner, dt.Date):
+        return dt.List(dt.Duration("ms"))
+    if isinstance(inner, dt.Datetime):
+        return dt.List(dt.Duration(inner.time_unit))
+    return dt.List(inner) if not isinstance(d, dt.Unknown) else d
+
+
+def _to_struct_dt(dts, opts):
+    d = dts[0]
+    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+    fields = opts.get("fields")
+    if fields is not None and not callable(fields):
+        return dt.Struct([(n, inner) for n in fields])
+    ub = int(opts.get("upper_bound") or 0)
+    if ub:
+        return dt.Struct([(f"field_{i}", inner) for i in range(ub)])
+    return dt.Struct([])
+
+
+def _to_array_dt(dts, opts):
+    d = dts[0]
+    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+    return dt.Array(inner, int(opts.get("width", 0)))
+
+
+def _eval_dt(dts, opts):
+    from polars_tpu.core.schema import Schema
+    from polars_tpu.plan.schema_resolve import expr_dtype
+
+    d = dts[0]
+    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+    node = opts.get("expr")
+    if node is None:
+        return dt.List(inner)
+    try:
+        out = expr_dtype(node, Schema({"": inner}))
+    except Exception:  # noqa: BLE001 — unresolvable exprs stay Unknown
+        return dt.List(dt.Unknown())
+    if isinstance(out, dt.List):
+        out = out.inner  # aggregation implode: eval flattens one level
+    return dt.List(out)
+
+
+def _filter_dt(dts, opts):
+    return dts[0]
+
+
+for _name, _rule in (
+    ("list.slice", _same), ("list.head", _same), ("list.tail", _same),
+    ("list.shift", _same), ("list.drop_nulls", _same),
+    ("list.gather", _same), ("list.gather_every", _same),
+    ("list.sample", _same), ("list.concat", _same),
+    ("list.set_union", _same), ("list.set_intersection", _same),
+    ("list.set_difference", _same), ("list.set_symmetric_difference", _same),
+    ("list.diff", _diff_dt),
+    ("list.arg_min", _uint32), ("list.arg_max", _uint32),
+    ("list.n_unique", _uint32), ("list.count_matches", _uint32),
+    ("list.any", _bool), ("list.all", _bool),
+    ("list.var", _f64), ("list.std", _f64), ("list.median", _f64),
+    ("list.to_struct", _to_struct_dt),
+    ("list.to_array", _to_array_dt),
+    ("list.eval", _eval_dt), ("list.filter", _filter_dt),
+):
+    register(_name, _rule, elementwise=False)(_host(_name))
+
+
+def _with_fields_dt(dts, opts):
+    from polars_tpu.core.schema import Schema
+    from polars_tpu.plan.schema_resolve import expr_dtype
+
+    d = dts[0]
+    if not isinstance(d, dt.Struct):
+        return dt.Unknown()
+    fields = {f.name: f.dtype for f in d.fields}
+    fschema = Schema(fields)
+    from polars_tpu.plan import exprs as E
+
+    for node in opts.get("exprs", ()):
+        try:
+            fields[E.output_name(node) or "literal"] = expr_dtype(node, fschema)
+        except Exception:  # noqa: BLE001
+            fields[E.output_name(node) or "literal"] = dt.Unknown()
+    return dt.Struct(list(fields.items()))
+
+
+register("struct.with_fields", _with_fields_dt, elementwise=False)(_host("struct.with_fields"))
+register("struct.json_encode", dt.String(), elementwise=False)(_host("struct.json_encode"))

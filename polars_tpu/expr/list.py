@@ -62,3 +62,120 @@ class ExprListNamespace:
 
     def explode(self) -> Expr:
         return self._expr._fn("explode")
+
+    # --- round-3 long tail (verdict #4; reference: py-polars expr/list.py) ---
+
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        return self._fn("slice", offset=offset, length=length)
+
+    def head(self, n: int = 5) -> Expr:
+        return self._fn("head", n=n)
+
+    def tail(self, n: int = 5) -> Expr:
+        return self._fn("tail", n=n)
+
+    def shift(self, n: int = 1) -> Expr:
+        return self._fn("shift", n=n)
+
+    def diff(self, n: int = 1, null_behavior: str = "ignore") -> Expr:
+        return self._fn("diff", n=n, null_behavior=null_behavior)
+
+    def drop_nulls(self) -> Expr:
+        return self._fn("drop_nulls")
+
+    def arg_min(self) -> Expr:
+        return self._fn("arg_min")
+
+    def arg_max(self) -> Expr:
+        return self._fn("arg_max")
+
+    def any(self) -> Expr:
+        return self._fn("any")
+
+    def all(self) -> Expr:
+        return self._fn("all")
+
+    def n_unique(self) -> Expr:
+        return self._fn("n_unique")
+
+    def count_matches(self, element: Any) -> Expr:
+        return self._fn("count_matches", element)
+
+    def var(self, ddof: int = 1) -> Expr:
+        return self._fn("var", ddof=ddof)
+
+    def std(self, ddof: int = 1) -> Expr:
+        return self._fn("std", ddof=ddof)
+
+    def median(self) -> Expr:
+        return self._fn("median")
+
+    def set_union(self, other: Any) -> Expr:
+        return self._fn("set_union", other)
+
+    def set_intersection(self, other: Any) -> Expr:
+        return self._fn("set_intersection", other)
+
+    def set_difference(self, other: Any) -> Expr:
+        return self._fn("set_difference", other)
+
+    def set_symmetric_difference(self, other: Any) -> Expr:
+        return self._fn("set_symmetric_difference", other)
+
+    def union(self, other: Any) -> Expr:
+        return self.set_union(other)
+
+    def gather(self, indices: Any, *, null_on_oob: bool = False) -> Expr:
+        if isinstance(indices, (list, tuple, range)):
+            return self._fn("gather", indices=tuple(indices), null_on_oob=null_on_oob)
+        return self._fn("gather", indices, null_on_oob=null_on_oob)
+
+    def gather_every(self, n: int, offset: int = 0) -> Expr:
+        return self._fn("gather_every", n=n, offset=offset)
+
+    def concat(self, other: Any) -> Expr:
+        others = other if isinstance(other, (list, tuple)) else [other]
+        return self._fn("concat", *others)
+
+    def to_struct(
+        self,
+        n_field_strategy: str = "first_non_null",
+        fields: Any = None,
+        upper_bound: int = 0,
+    ) -> Expr:
+        f = tuple(fields) if isinstance(fields, (list, tuple)) else fields
+        return self._fn(
+            "to_struct", n_field_strategy=n_field_strategy, fields=f,
+            upper_bound=upper_bound,
+        )
+
+    def to_array(self, width: int) -> Expr:
+        return self._fn("to_array", width=width)
+
+    def sample(
+        self,
+        n: Any = None,
+        *,
+        fraction: Any = None,
+        with_replacement: bool = False,
+        shuffle: bool = False,
+        seed: int | None = None,
+    ) -> Expr:
+        return self._fn(
+            "sample", n=n, fraction=fraction, with_replacement=with_replacement,
+            shuffle=shuffle, seed=seed,
+        )
+
+    def eval(self, expr: Any, *, parallel: bool = False) -> Expr:
+        """Run ``expr`` (over ``pl.element()``) against every list's elements
+        (reference: py-polars expr/list.py eval; the element expr routes
+        through the engine over the exploded child — ops/list_ops.list_eval)."""
+        return self._fn("eval", expr=expr._node)
+
+    def filter(self, predicate: Any) -> Expr:
+        """Keep elements where ``predicate`` (over ``pl.element()``) holds."""
+        return self._fn("filter", expr=predicate._node)
+
+    def agg(self, expr: Any) -> Expr:
+        # alias used by some callers: aggregate each list with an element expr
+        return self.eval(expr)

@@ -24,3 +24,25 @@ class ExprStructNamespace:
 
     def rename_fields(self, names: list[str]) -> Expr:
         return self._expr._fn("struct.rename_fields", names=tuple(names))
+
+    def with_fields(self, *exprs: Any, **named_exprs: Any) -> Expr:
+        """Add/overwrite struct fields; expressions reference existing fields
+        via pl.field(...) (reference: py-polars expr/struct.py with_fields)."""
+        from polars_tpu.expr.expr import parse_into_expr
+
+        nodes = [parse_into_expr(e) for e in exprs]
+        from polars_tpu.plan import exprs as E
+
+        all_nodes = [n._node if hasattr(n, "_node") else n for n in nodes]
+        for name, e in named_exprs.items():
+            n = parse_into_expr(e)
+            all_nodes.append(E.EAlias(n._node if hasattr(n, "_node") else n, name))
+        return self._expr._fn("struct.with_fields", exprs=tuple(all_nodes))
+
+    def json_encode(self) -> Expr:
+        return self._expr._fn("struct.json_encode")
+
+    def unnest(self) -> Expr:
+        """Expand the struct into one column per field (expr expansion at
+        schema-resolve time, like selectors)."""
+        return self._expr._fn("struct.unnest")

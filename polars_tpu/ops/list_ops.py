@@ -236,3 +236,396 @@ def explode_column(col: Column) -> tuple[Column, np.ndarray]:
         v = mask if v is None else (v & mask)
         flat = Column(flat.name, flat.dtype, Buffer(flat.buffer.values, v, total), flat.table)
     return flat, parent
+
+
+# --- round-3 list namespace long tail (verdict #4) ---------------------------
+# Host rebuilds for the mechanical ops; list.eval/filter route the element
+# expression through the ENGINE over the exploded child (reference:
+# py-polars expr/list.py, crates/polars-plan/src/plans/aexpr/function_expr/list.rs).
+
+
+def _slice_one(v, offset, length):
+    n = len(v)
+    off = offset if offset >= 0 else max(n + offset, 0)
+    if length is None:
+        return v[off:]
+    return v[off : off + max(length, 0)]
+
+
+def list_slice(col: Column, offset: int, length: int | None) -> Column:
+    return _host_rebuild(col, lambda v: _slice_one(v, offset, length))
+
+
+def list_head(col: Column, n: int) -> Column:
+    return _host_rebuild(col, lambda v: v[: max(n, 0)])
+
+
+def list_tail(col: Column, n: int) -> Column:
+    return _host_rebuild(col, lambda v: v[len(v) - min(max(n, 0), len(v)):])
+
+
+def list_shift(col: Column, n: int) -> Column:
+    def sh(v):
+        k = len(v)
+        if n >= 0:
+            m = min(n, k)
+            return [None] * m + v[: k - m]
+        m = min(-n, k)
+        return v[m:] + [None] * m
+
+    return _host_rebuild(col, sh)
+
+
+def list_diff(col: Column, n: int = 1, null_behavior: str = "ignore") -> Column:
+    def df(v):
+        out = []
+        for i in range(len(v)):
+            j = i - n
+            if 0 <= j < len(v) and v[i] is not None and v[j] is not None:
+                out.append(v[i] - v[j])
+            else:
+                out.append(None)
+        if null_behavior == "drop":
+            return out[n:] if n >= 0 else out[: len(out) + n]
+        return out
+
+    out = _host_rebuild(col, df)
+    inner = col.dtype.inner
+    # Date - Date = Duration; ints stay ints
+    if isinstance(inner, dt.Date):
+        return Column.from_values(col.name, out.to_pylist(), dt.List(dt.Duration("ms")))
+    return out
+
+
+def list_drop_nulls(col: Column) -> Column:
+    return _host_rebuild(col, lambda v: [x for x in v if x is not None])
+
+
+def list_arg_minmax(col: Column, kind: str) -> Column:
+    def am(v):
+        best_i = None
+        best = None
+        for i, x in enumerate(v):
+            if x is None:
+                continue
+            k = _total_key(x)
+            if best is None or (k < best if kind == "min" else k > best):
+                best, best_i = k, i
+        return best_i
+
+    packed, validity = col.buffer.to_numpy()
+    vals = col.to_pylist()
+    out = [None if v is None else am(v) for v in vals]
+    return Column.from_values(col.name, out, dt.UInt32())
+
+
+def list_any_all(col: Column, kind: str) -> Column:
+    fn = (lambda v: any(x for x in v if x is not None)) if kind == "any" else (
+        lambda v: all(x for x in v if x is not None)
+    )
+    vals = col.to_pylist()
+    return Column.from_values(
+        col.name, [None if v is None else fn(v) for v in vals], dt.Boolean()
+    )
+
+
+def list_n_unique(col: Column) -> Column:
+    def nu(v):
+        seen = set()
+        has_null = False
+        for x in v:
+            if x is None:
+                has_null = True
+            else:
+                seen.add(x)
+        return len(seen) + (1 if has_null else 0)
+
+    vals = col.to_pylist()
+    return Column.from_values(
+        col.name, [None if v is None else nu(v) for v in vals], dt.UInt32()
+    )
+
+
+def list_count_matches(col: Column, item) -> Column:
+    vals = col.to_pylist()
+    return Column.from_values(
+        col.name,
+        [None if v is None else sum(1 for x in v if x == item) for v in vals],
+        dt.UInt32(),
+    )
+
+
+def _moments(v, kind, ddof=1):
+    xs = [float(x) for x in v if x is not None]
+    n = len(xs)
+    if kind == "median":
+        if not n:
+            return None
+        s = sorted(xs)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+    if n <= ddof:
+        return None
+    m = sum(xs) / n
+    var = sum((x - m) ** 2 for x in xs) / (n - ddof)
+    return var if kind == "var" else var ** 0.5
+
+
+def list_moment(col: Column, kind: str, ddof: int = 1) -> Column:
+    vals = col.to_pylist()
+    return Column.from_values(
+        col.name,
+        [None if v is None else _moments(v, kind, ddof) for v in vals],
+        dt.Float64(),
+    )
+
+
+def list_set_op(col: Column, other: Column, kind: str) -> Column:
+    """Element set ops with null-as-a-value semantics (first-occurrence order,
+    each value at most once — polars list set-op behavior)."""
+    _MISSING = object()
+
+    def dedup_where(xs, pred):
+        out, seen = [], set()
+        for x in xs:
+            k = _MISSING if x is None else x
+            if k not in seen and pred(x):
+                out.append(x)
+                seen.add(k)
+        return out
+
+    def op(a, b):
+        if a is None or b is None:
+            return None
+        aset = {(_MISSING if x is None else x) for x in a}
+        bset = {(_MISSING if x is None else x) for x in b}
+        if kind == "union":
+            return dedup_where(a + b, lambda x: True)
+        if kind == "intersection":
+            return dedup_where(a, lambda x: (_MISSING if x is None else x) in bset)
+        if kind == "difference":
+            return dedup_where(a, lambda x: (_MISSING if x is None else x) not in bset)
+        # symmetric_difference
+        return dedup_where(
+            a + b,
+            lambda x: ((_MISSING if x is None else x) in aset)
+            != ((_MISSING if x is None else x) in bset),
+        )
+
+    out = [op(a, b) for a, b in zip(col.to_pylist(), other.to_pylist())]
+    return Column.from_values(col.name, out, col.dtype)
+
+
+def list_gather(col: Column, indices, null_on_oob: bool = False) -> Column:
+    idx_lists = indices.to_pylist() if isinstance(indices, Column) else None
+
+    def one(v, idxs):
+        out = []
+        for i in idxs:
+            j = i if i >= 0 else len(v) + i
+            if 0 <= j < len(v):
+                out.append(v[j])
+            elif null_on_oob:
+                out.append(None)
+            else:
+                raise InvalidOperationError(f"gather index {i} out of bounds for list of length {len(v)}")
+        return out
+
+    vals = col.to_pylist()
+    if idx_lists is None:
+        fixed = list(indices)
+        out = [None if v is None else one(v, fixed) for v in vals]
+    else:
+        out = [
+            None if (v is None or ix is None) else one(v, ix if isinstance(ix, list) else [ix])
+            for v, ix in zip(vals, idx_lists)
+        ]
+    return Column.from_values(col.name, out, col.dtype)
+
+
+def list_gather_every(col: Column, n: int, offset: int = 0) -> Column:
+    return _host_rebuild(col, lambda v: v[offset::n])
+
+
+def list_concat_cols(cols: list[Column]) -> Column:
+    all_vals = [c.to_pylist() for c in cols]
+
+    def cat(parts):
+        if any(p is None for p in parts):
+            return None
+        out = []
+        for p in parts:
+            out.extend(p if isinstance(p, list) else [p])
+        return out
+
+    out = [cat(parts) for parts in zip(*all_vals)]
+    return Column.from_values(cols[0].name, out, cols[0].dtype)
+
+
+def list_to_struct(col: Column, n_field_strategy: str = "first_non_null",
+                   fields=None, upper_bound: int = 0) -> Column:
+    vals = col.to_pylist()
+    lens = [len(v) for v in vals if v is not None]
+    if fields is not None and not callable(fields):
+        names = list(fields)
+        width = len(names)
+    else:
+        if n_field_strategy == "max_width":
+            width = max(lens, default=0)
+        else:
+            width = lens[0] if lens else 0
+        width = max(width, upper_bound)
+        namer = fields if callable(fields) else (lambda i: f"field_{i}")
+        names = [namer(i) for i in range(width)]
+    rows = [
+        None if v is None else {names[i]: (v[i] if i < len(v) else None) for i in range(width)}
+        for v in vals
+    ]
+    inner = col.dtype.inner
+    return Column.from_values(
+        col.name, rows, dt.Struct([(n, inner) for n in names])
+    )
+
+
+def list_sample(col: Column, n=None, fraction=None, with_replacement=False,
+                shuffle=False, seed=None) -> Column:
+    import random
+
+    rng = random.Random(seed)
+
+    def samp(v):
+        k = n if n is not None else max(int(round((fraction or 1.0) * len(v))), 0)
+        if with_replacement:
+            return [v[rng.randrange(len(v))] for _ in range(k)] if v else []
+        k = min(k, len(v))
+        return rng.sample(v, k)
+
+    return _host_rebuild(col, samp)
+
+
+def list_to_array(col: Column, width: int) -> Column:
+    vals = col.to_pylist()
+    for v in vals:
+        if v is not None and len(v) != width:
+            raise InvalidOperationError(
+                f"cannot convert list of length {len(v)} to array of width {width}"
+            )
+    return Column(
+        col.name, dt.Array(col.dtype.inner, width), col.buffer,
+        None, 0, col.child,
+    )
+
+
+def _flat_elements(col: Column):
+    """(element Column, parent-id array, eff_lens, validity) — exploded WITHOUT
+    placeholder rows for empty/null lists (unlike explode_column)."""
+    from polars_tpu.engine.gather import gather_column
+
+    packed, validity = col.buffer.to_numpy()
+    starts = (packed >> 32).astype(np.int64)
+    lens = (packed & 0xFFFFFFFF).astype(np.int64)
+    eff = np.where(validity, lens, 0) if validity is not None else lens
+    pid = np.repeat(np.arange(len(eff)), eff)
+    total = int(eff.sum())
+    offs = np.concatenate([[0], np.cumsum(eff)])[:-1]
+    within = np.arange(total) - np.repeat(offs, eff)
+    cidx = np.repeat(starts, eff) + within
+    flat = gather_column(col.child, cidx).rename("")
+    return flat, pid, eff, validity
+
+
+def _expr_on_empty(expr_node, inner_col: Column):
+    """Result (pylist) of the element expr over an EMPTY elements frame —
+    polars semantics for empty lists (sum -> [0], mean -> [None],
+    elementwise -> [])."""
+    import polars_tpu as pl
+    from polars_tpu.core.frame import DataFrame
+
+    empty = Column(
+        "", inner_col.dtype,
+        Buffer(jnp.zeros((128,), inner_col.buffer.values.dtype), None, 0),
+        inner_col.table, 0, None,
+    )
+    sub = DataFrame._from_columns([empty], 0)
+    out = sub.select(pl.Expr(expr_node).alias("__out"))
+    return out._columns[0].to_pylist(), out._columns[0]
+
+
+def list_eval(col: Column, expr_node) -> Column:
+    """list.eval(expr): evaluate ``expr`` (over pl.element() == col("")) per
+    list. Elementwise exprs evaluate ONCE over the flat exploded child (no
+    per-list loop — the packed layout keeps repacking free); everything else
+    routes through the engine's group machinery with parent-id groups
+    (reference: py-polars expr/list.py eval; AggregationContext analogue)."""
+    import polars_tpu as pl
+    from polars_tpu.core.frame import DataFrame
+    from polars_tpu.plan import exprs as E
+
+    flat, pid, eff, validity = _flat_elements(col)
+    n_parent = len(eff)
+    empty_vals, empty_col = _expr_on_empty(expr_node, flat)
+
+    if E.is_elementwise(expr_node):
+        sub = DataFrame._from_columns([flat], len(pid))
+        out_col = sub.select(pl.Expr(expr_node).alias("__out"))._columns[0]
+        out_flat = out_col.to_pylist()
+        res = []
+        pos = 0
+        for i in range(n_parent):
+            if validity is not None and not validity[i]:
+                res.append(None)
+            elif eff[i] == 0:
+                res.append(list(empty_vals))
+            else:
+                res.append(out_flat[pos : pos + int(eff[i])])
+            pos += int(eff[i])
+        return Column.from_values(col.name, res, dt.List(out_col.dtype))
+
+    # group path: one engine group-by over parent ids; length-changing
+    # results implode to List, aggregations come back scalar
+    pid_col = Column.from_values("__pid", pid.astype(np.int64), dt.Int64())
+    sub = DataFrame._from_columns([pid_col, flat], len(pid))
+    grouped = (
+        sub.lazy()
+        .group_by("__pid", maintain_order=True)
+        .agg(pl.Expr(expr_node).alias("__out"))
+        .collect()
+    )
+    out_c = grouped._columns[1]
+    by_pid = dict(zip(grouped._columns[0].to_pylist(), out_c.to_pylist()))
+    is_list = isinstance(out_c.dtype, dt.List)
+    res = []
+    for i in range(n_parent):
+        if validity is not None and not validity[i]:
+            res.append(None)
+        elif eff[i] == 0:
+            res.append(list(empty_vals))
+        else:
+            v = by_pid.get(i)
+            res.append(v if is_list else [v])
+    inner_dt = out_c.dtype.inner if is_list else out_c.dtype
+    return Column.from_values(col.name, res, dt.List(inner_dt))
+
+
+def list_filter(col: Column, pred_node) -> Column:
+    """list.filter(pred): keep elements where the (elementwise) predicate
+    holds; non-elementwise predicates go through the eval group path."""
+    import polars_tpu as pl
+    from polars_tpu.core.frame import DataFrame
+    from polars_tpu.plan import exprs as E
+
+    if E.is_elementwise(pred_node):
+        flat, pid, eff, validity = _flat_elements(col)
+        sub = DataFrame._from_columns([flat], len(pid))
+        keep = sub.select(pl.Expr(pred_node).alias("__k"))._columns[0].to_pylist()
+        vals = col.to_pylist()
+        res = []
+        pos = 0
+        for i, v in enumerate(vals):
+            if v is None:
+                res.append(None)
+            else:
+                res.append([x for x, k in zip(v, keep[pos : pos + len(v)]) if k])
+                pos += len(v)
+        return Column.from_values(col.name, res, col.dtype)
+    return list_eval(col, E.EFilter(E.EColumn(""), pred_node))

@@ -273,6 +273,19 @@ def _splice_horizontal(node: E.ENode, schema: Schema) -> E.ENode:
 def expand_expr(node: E.ENode, schema: Schema) -> list[E.ENode]:
     """Expand selector roots into one expression per matched column."""
     node = _splice_horizontal(node, schema)
+    # struct.unnest expands to one struct.field expr per field (reference:
+    # py-polars expr/struct.py unnest)
+    if isinstance(node, E.EFunction) and node.name == "struct.unnest":
+        d = expr_dtype(node.inputs[0], schema)
+        if not isinstance(d, dt.Struct):
+            raise InvalidOperationError(f"struct.unnest needs a Struct, got {d!r}")
+        return [
+            E.EAlias(
+                E.EFunction("struct.field", node.inputs, (("name", f.name),)),
+                f.name,
+            )
+            for f in d.fields
+        ]
     selectors = _selector_roots(node)
     if not selectors:
         return [node]
@@ -545,7 +558,16 @@ def _node_schema(node: L.LNode) -> Schema:
             out[name] = expr_dtype(k, in_s)
         for a in aggs:
             name = E.output_name(a) or "literal"
-            out[name] = expr_dtype(a, in_s, in_agg=True)
+            d = expr_dtype(a, in_s, in_agg=True)
+            # non-reducing agg exprs (bare columns, rank, sort, head...)
+            # implode to a List per group (the reference's AggState::
+            # AggregatedList, polars-expr/src/expressions/mod.rs:139)
+            reduces = any(
+                isinstance(s, (E.EAgg, E.ELen))
+                or (isinstance(s, E.EAnonymous) and s.returns_scalar)
+                for s in E.walk(a)
+            )
+            out[name] = d if reduces else dt.List(d)
         return out
     if isinstance(node, L.LJoin):
         ls = node_schema(node.input_left)
