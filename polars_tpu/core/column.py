@@ -131,10 +131,18 @@ class Column:
             out = vals.astype("datetime64[D]").astype(object)
             return _mask_to_object(out, validity)
         if isinstance(self.dtype, dt.Datetime):
-            out = vals.astype(f"datetime64[{self.dtype.time_unit}]").astype(object)
+            out = vals.astype(f"datetime64[{self.dtype.time_unit}]")
+            if self.dtype.time_unit == "ns":
+                # ns-unit .astype(object) yields raw ints (datetime.datetime
+                # is µs-resolution); truncate to µs like py-polars does
+                out = out.astype("datetime64[us]")
+            out = out.astype(object)
             return _mask_to_object(out, validity)
         if isinstance(self.dtype, dt.Duration):
-            out = vals.astype(f"timedelta64[{self.dtype.time_unit}]").astype(object)
+            out = vals.astype(f"timedelta64[{self.dtype.time_unit}]")
+            if self.dtype.time_unit == "ns":
+                out = out.astype("timedelta64[us]")
+            out = out.astype(object)
             return _mask_to_object(out, validity)
         if isinstance(self.dtype, dt.Time):
             out = np.empty(len(vals), dtype=object)

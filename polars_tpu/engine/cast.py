@@ -40,6 +40,28 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
     needs_table_tgt = tn in ("String", "Categorical", "Enum", "Binary")
 
     if needs_table_src and needs_table_tgt:
+        if tn == "Enum":
+            # membership remap onto the FIXED category set: unknown source
+            # values become null (strict raise rides the cast flag channel)
+            from polars_tpu.engine.common import combine_validity
+            from polars_tpu.utils import strtable
+
+            # table form matches Enum construction: lexicographic code order
+            # (engine invariant; Enum category-order sorting is a documented
+            # divergence, README "Semantics notes")
+            cats = strtable.StringTable(
+                np.asarray(sorted(target.categories), dtype=object), sorted_order=True
+            )
+            lut = np.full(max(len(v.table.values), 1), -1, np.int32)
+            pos = {u: i for i, u in enumerate(cats.values)}
+            for i, u in enumerate(v.table.values):
+                lut[i] = pos.get(u, -1)
+            codes = jnp.asarray(lut)[jnp.clip(v.values, 0, max(len(v.table.values) - 1, 0))]
+            ok = codes >= 0
+            return Val(
+                jnp.maximum(codes, 0), combine_validity(v.validity, ok), target,
+                cats, v.domain,
+            )
         return v.with_(dtype=target)
 
     if needs_table_src:
@@ -137,15 +159,56 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
         validity = v.validity
         if target.is_integer() and (src.is_integer() or src.is_float()):
             info = np.iinfo(dt.dtype_to_numpy(target))
-            src_covers = src.is_integer() and np.iinfo(dt.dtype_to_numpy(src)).min >= info.min and np.iinfo(dt.dtype_to_numpy(src)).max <= info.max
-            if not src_covers:
-                in_range = (v.values >= info.min) & (v.values <= info.max)
-                if src.is_float():
-                    in_range = in_range & ~jnp.isnan(v.values)
+            if src.is_integer():
+                # bounds CLAMPED into the source's own domain: comparing a
+                # uint64 array against -128, or any array against 2^64-1,
+                # overflows JAX's weak-int literal parsing (CLAUDE.md §5)
+                s_info = np.iinfo(dt.dtype_to_numpy(src))
+                lo, hi = max(info.min, s_info.min), min(info.max, s_info.max)
+                if lo > int(s_info.min) or hi < int(s_info.max):
+                    src_t = np.dtype(dt.dtype_to_numpy(src)).type
+                    in_range = (v.values >= src_t(lo)) & (v.values <= src_t(hi))
+                    from polars_tpu.engine.common import combine_validity
+
+                    validity = combine_validity(validity, in_range)
+            else:
+                in_range = (
+                    (v.values >= float(info.min))
+                    & (v.values <= float(info.max))
+                    & ~jnp.isnan(v.values)
+                )
                 from polars_tpu.engine.common import combine_validity
 
                 validity = combine_validity(validity, in_range)
-        return Val(v.values.astype(np_dtype), validity, target, None, v.domain)
+        out_vals = v.values
+        if src.is_float() and target.is_integer():
+            # guard the astype: huge/NaN floats are already invalid, but the
+            # conversion itself must not trap
+            out_vals = jnp.where(jnp.isnan(out_vals), 0.0, out_vals)
+            out_vals = jnp.clip(
+                out_vals,
+                float(np.iinfo(dt.dtype_to_numpy(target)).min),
+                float(np.iinfo(dt.dtype_to_numpy(target)).max),
+            )
+        return Val(out_vals.astype(np_dtype), validity, target, None, v.domain)
+    if isinstance(src, dt.List) and isinstance(target, dt.List):
+        # element cast: packed words stay, the child casts in place
+        from polars_tpu.engine.common import TracedChild
+
+        ch = v.child
+        if isinstance(ch, TracedChild) and ch.values is not None:
+            inner = cast_val(
+                Val(ch.values, ch.validity, src.inner, ch.table, v.domain),
+                target.inner, strict=strict,
+            )
+            new_ch = TracedChild(
+                inner.values, inner.validity, target.inner, inner.table,
+                ch.length, None, None,
+            )
+            return v.with_(dtype=target, child=new_ch)
+        raise InvalidOperationError(
+            "List inner cast: child unavailable in this trace (host path)"
+        )
     if sn == "Null":
         np_dtype = jnp.int32 if needs_table_tgt else jnp.dtype(dt.dtype_to_numpy(target))
         return Val(

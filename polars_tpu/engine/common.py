@@ -94,8 +94,17 @@ class EvalCtx:
     memo: dict | None = None
     # in-trace validation flags (shared with the segment's _TraceCtx): ops
     # with data-dependent capacity bounds (list.sort child contiguization)
-    # append overflow conditions; failures ride the count channel
+    # append overflow conditions; failures ride the count channel. A flag
+    # may register a specific error message via add_flag().
     flags: list | None = None
+    flag_msgs: dict | None = None  # flag index -> message
+
+    def add_flag(self, flag: Any, msg: str) -> None:
+        if self.flags is None:
+            return
+        if self.flag_msgs is not None:
+            self.flag_msgs[len(self.flags)] = msg
+        self.flags.append(flag)
 
     def out_mask(self) -> jax.Array:
         """Validity domain mask for the produced frame."""

@@ -88,7 +88,25 @@ def _eval_expr_uncached(node: E.ENode, ctx: EvalCtx) -> Val:
         return eval_expr(node.input, ctx)
     if isinstance(node, E.ECast):
         v = eval_expr(node.input, ctx)
-        return cast_val(v, dt.resolve_dtype(node.dtype, ctx.schema, v.dtype), strict=node.strict)
+        target = dt.resolve_dtype(node.dtype, ctx.schema, v.dtype)
+        out = cast_val(v, target, strict=node.strict)
+        if node.strict and ctx.flags is not None and out.validity is not None and out.validity is not v.validity:
+            # strict semantics: any value the cast had to null out (overflow,
+            # unparsable, not-in-enum) raises at the segment's count sync
+            # (reference: strict CastColumn, polars-core cast with
+            # CastOptions::Strict). Rows null BEFORE the cast stay legal.
+            lost = v.valid_or_true() & ~out.validity
+            if out.domain == ROW:
+                lost = lost & ctx.rowmask
+            elif out.domain == GROUP and ctx.groups is not None:
+                lost = lost & ctx.groups.group_valid
+            ctx.add_flag(
+                jnp.any(lost),
+                f"conversion from `{v.dtype!r}` to `{target!r}` failed in strict "
+                "cast (overflow/unparsable values); use strict=False to "
+                "produce nulls",
+            )
+        return out
     if isinstance(node, E.EBinary):
         return _eval_binary(node, ctx)
     if isinstance(node, E.ETernary):
@@ -212,8 +230,19 @@ def _eval_binary(node: E.EBinary, ctx: EvalCtx) -> Val:
     b = eval_expr(node.right, ctx)
     a, b, dom = broadcast_pair(a, b)
 
-    if op in ("&", "|") and isinstance(a.dtype, dt.Boolean) and isinstance(b.dtype, dt.Boolean):
-        return _kleene(op, a, b, dom)
+    if op in ("&", "|") and all(
+        isinstance(v.dtype, (dt.Boolean, dt.Null)) for v in (a, b)
+    ) and any(isinstance(v.dtype, dt.Boolean) for v in (a, b)):
+        def as_bool(v):
+            if isinstance(v.dtype, dt.Null):
+                return Val(
+                    jnp.zeros(v.values.shape, bool),
+                    jnp.zeros(v.values.shape, bool),
+                    dt.Boolean(), None, v.domain,
+                )
+            return v
+
+        return _kleene(op, as_bool(a), as_bool(b), dom)
 
     if op in _CMP:
         return _eval_compare(op, a, b, dom)
@@ -754,6 +783,17 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
     if ctx.groups is not None:
         raise InvalidOperationError("over() inside group_by aggregation is not supported")
     keys = [eval_expr(k, ctx) for k in node.partition_by]
+    from polars_tpu.engine.common import SCALAR as _SCALAR
+
+    keys = [
+        k.with_(values=jnp.broadcast_to(k.values, (ctx.padded,)),
+                validity=None if k.validity is None
+                else jnp.broadcast_to(k.validity, (ctx.padded,)),
+                domain=ROW)
+        if k.domain == _SCALAR or k.values.ndim == 0 or k.values.shape[0] != ctx.padded
+        else k
+        for k in keys
+    ]
     gctx = G.sorted_group_ctx(keys, ctx.rowmask)
     if node.order_by:
         from polars_tpu.kernels.argsort import key_words

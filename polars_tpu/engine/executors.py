@@ -187,21 +187,11 @@ def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
 
 
 def _aggs_all_reduce(node) -> bool:
-    """True when every agg expr contains a reduction (EAgg/ELen or a
-    returns_scalar UDF) somewhere — the traced group-by's precondition;
-    anything else implodes per group on the host apply path."""
-    for a in node.aggs:
-        reduces = False
-        for s in E.walk(a):
-            if isinstance(s, (E.EAgg, E.ELen)):
-                reduces = True
-                break
-            if isinstance(s, E.EAnonymous) and s.returns_scalar:
-                reduces = True
-                break
-        if not reduces:
-            return False
-    return True
+    """True when every agg expr REDUCES at its root (static AggState
+    analysis, E.reduces_in_agg) — the traced group-by's precondition;
+    anything else (bare columns, rank, x - x.mean()) implodes per group on
+    the host apply path."""
+    return all(E.reduces_in_agg(a) for a in node.aggs)
 
 
 def _is_fusable(node: L.LNode) -> bool:
@@ -251,11 +241,13 @@ class _TraceCtx:
         self.leaf_tables = leaf_tables  # id(node) -> TTable
         self.literals = literals
         self.flags: list[jax.Array] = []  # in-trace validation failures
+        self.flag_msgs: dict[int, str] = {}  # flag index -> specific message
 
 
 def _eval_ctx(tt: TTable, tc_or_literals) -> EvalCtx:
     literals = getattr(tc_or_literals, "literals", tc_or_literals)
     flags = getattr(tc_or_literals, "flags", None)
+    flag_msgs = getattr(tc_or_literals, "flag_msgs", None)
     return EvalCtx(
         cols=dict(tt.cols),
         rowmask=tt.rowmask,
@@ -266,6 +258,7 @@ def _eval_ctx(tt: TTable, tc_or_literals) -> EvalCtx:
         groups=None,
         memo={},
         flags=flags,
+        flag_msgs=flag_msgs,
     )
 
 
@@ -1024,6 +1017,7 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
         tuple(_table_sig(df) for _, df in leaf_dfs),
     )
     captured_children: dict[str, Any] = {}
+    captured_msgs: dict[int, str] = {}
 
     entry = _JIT_CACHE.get(key)
     if entry is None:
@@ -1049,6 +1043,7 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
                 leaf_tables[id(lnode)] = _args_to_ttable(_df, it, pos)
             tc = _TraceCtx(leaf_tables, literals)
             tt = trace_node(node, tc)
+            captured_msgs.update(tc.flag_msgs)
             for name, v in tt.cols.items():
                 captured_tables[name] = v.table
                 if isinstance(v.child, TracedChild):
@@ -1071,10 +1066,17 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
 
             perm = stable_argsort_words([(~tt.rowmask).astype(jnp.int8)])
             count = jnp.sum(tt.rowmask.astype(jnp.int32))
-            for _flag in tc.flags:
+            for _i in range(len(tc.flags) - 1, -1, -1):
                 # validation failures (e.g. a violated m:1 join hint) ride the
-                # count channel as a negated value — no extra sync
-                count = jnp.where(_flag, -(count + 1), count)
+                # count channel as a negated value with the flag INDEX in the
+                # high word, so the raise can carry the registering op's
+                # message — no extra sync. Applied in reverse: the earliest
+                # raised flag wins.
+                count = jnp.where(
+                    tc.flags[_i],
+                    -(count.astype(jnp.int64) + 1 + (jnp.int64(_i) << 32)),
+                    count.astype(jnp.int64),
+                )
             rm_sorted = tt.rowmask[perm]  # True on exactly the first `count` rows
             outs = []
             child_outs = []  # in-trace-computed list children (UNpermuted:
@@ -1090,14 +1092,14 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
             return outs, child_outs, count
 
         jfn = jax.jit(traced)
-        entry = (jfn, captured_tables, captured_children)
+        entry = (jfn, captured_tables, captured_children, captured_msgs)
         _JIT_CACHE[key] = entry
         if verbose():
             print(
                 f"[polars_tpu] compiling segment {type(node).__name__} "
                 f"key_hash={hash(key) & 0xFFFFFFFF:x}"
             )
-    jfn, captured_tables, captured_children = entry
+    jfn, captured_tables, captured_children, captured_msgs = entry
 
     leaf_args = []
     for _, df in leaf_dfs:
@@ -1125,6 +1127,13 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
     else:
         n = int(count)
         if n < 0:
+            decoded = -n - 1
+            idx, n_ok = decoded >> 32, decoded & 0xFFFFFFFF
+            msg = captured_msgs.get(idx)
+            if msg is not None:
+                from polars_tpu.errors import InvalidOperationError
+
+                raise InvalidOperationError(msg)
             from polars_tpu.errors import ComputeError
 
             raise ComputeError(

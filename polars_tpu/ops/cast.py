@@ -44,6 +44,27 @@ def cast_column(col: Column, dtype: dt.DataType, *, strict: bool = True) -> Colu
     # ---- from dictionary-coded (String/Categorical/Enum/Binary) ----
     if _needs_table(src):
         if _needs_table(dst):
+            if isinstance(dst, dt.Enum):
+                # membership remap onto the fixed category set (lexicographic
+                # table form per the engine invariant)
+                cats = strtable.StringTable(
+                    np.asarray(sorted(dst.categories), dtype=object), sorted_order=True
+                )
+                pos = {u: i for i, u in enumerate(cats.values)}
+                lut = np.full(max(len(col.table.values), 1), -1, np.int32)
+                for i, u in enumerate(col.table.values):
+                    lut[i] = pos.get(u, -1)
+                codes = jnp.asarray(lut)[jnp.clip(buf.values, 0, max(len(col.table.values) - 1, 0))]
+                ok = codes >= 0
+                mask = buf.valid_mask()
+                if strict and bool(jnp.any(mask & ~ok)):
+                    bad = [u for u in col.table.values if u not in pos][:3]
+                    raise InvalidOperationError(
+                        f"conversion to {dst!r} failed for values {bad!r} not in "
+                        "the enum categories"
+                    )
+                validity = ok if buf.validity is None else (buf.validity & ok)
+                return Column(col.name, dst, Buffer(jnp.maximum(codes, 0), validity, buf.length), cats)
             return Column(col.name, dst, buf, col.table, col.sorted_flag)
         # parse each unique value on the host, gather through codes
         uniques = col.table.values
@@ -151,25 +172,46 @@ def cast_column(col: Column, dtype: dt.DataType, *, strict: bool = True) -> Colu
         np_dtype = jnp.dtype(dt.dtype_to_numpy(dst))
         values = buf.values
         validity = buf.validity
-        if strict and isinstance(dst, dt.IntegerType) and isinstance(src, (dt.IntegerType, dt.FloatType)):
+        if isinstance(dst, dt.IntegerType) and isinstance(src, (dt.IntegerType, dt.FloatType)):
             info = np.iinfo(dt.dtype_to_numpy(dst))
-            in_range = (values >= info.min) & (values <= info.max)
-            mask = buf.valid_mask()
-            bad = jnp.any(mask & ~in_range)
-            if bool(bad):
-                raise InvalidOperationError(
-                    f"conversion from `{src!r}` to `{dst!r}` failed (out of range); "
-                    "use strict=False to produce nulls"
+            if isinstance(src, dt.IntegerType):
+                # bounds clamped into the SOURCE domain: comparing uint64
+                # against -128 / anything against 2^64-1 overflows JAX's
+                # weak-int literal parsing (CLAUDE.md §5)
+                s_info = np.iinfo(dt.dtype_to_numpy(src))
+                lo, hi = max(info.min, s_info.min), min(info.max, s_info.max)
+                if lo > int(s_info.min) or hi < int(s_info.max):
+                    src_t = np.dtype(dt.dtype_to_numpy(src)).type
+                    in_range = (values >= src_t(lo)) & (values <= src_t(hi))
+                else:
+                    in_range = None
+            else:
+                in_range = (
+                    (values >= float(info.min)) & (values <= float(info.max))
+                    & ~jnp.isnan(values)
                 )
-        elif isinstance(dst, dt.IntegerType) and isinstance(src, (dt.IntegerType, dt.FloatType)):
-            info = np.iinfo(dt.dtype_to_numpy(dst))
-            in_range = (values >= info.min) & (values <= info.max)
-            validity = in_range if validity is None else (validity & in_range)
+            if in_range is not None:
+                mask = buf.valid_mask()
+                if strict and bool(jnp.any(mask & ~in_range)):
+                    raise InvalidOperationError(
+                        f"conversion from `{src!r}` to `{dst!r}` failed (out of "
+                        "range); use strict=False to produce nulls"
+                    )
+                validity = in_range if validity is None else (validity & in_range)
         if isinstance(dst, dt.Boolean):
             out = values != 0
         else:
+            if isinstance(src, dt.FloatType) and isinstance(dst, dt.IntegerType):
+                info = np.iinfo(dt.dtype_to_numpy(dst))
+                values = jnp.where(jnp.isnan(values), 0.0, values)
+                values = jnp.clip(values, float(info.min), float(info.max))
             out = values.astype(np_dtype)
         return Column(col.name, dst, Buffer(out, validity, buf.length))
+
+    if isinstance(src, dt.List) and isinstance(dst, dt.List):
+        # element cast in place: packed words untouched, child rebuilt
+        new_child = cast_column(col.child.rename(col.child.name), dst.inner, strict=strict)
+        return Column(col.name, dst, buf, None, 0, new_child)
 
     if isinstance(src, dt.Null):
         np_dtype = jnp.dtype(dt.dtype_to_numpy(dst)) if not _needs_table(dst) else jnp.int32

@@ -357,6 +357,38 @@ def has_agg(node: ENode) -> bool:
     return any(isinstance(n, (EAgg, ELen)) for n in walk(node))
 
 
+def reduces_in_agg(node: ENode) -> bool:
+    """Static AggState analysis (reference: AggregationContext,
+    polars-expr/src/expressions/mod.rs:65-156): True when the expr yields ONE
+    value per group — an aggregation root, or elementwise combinations of
+    aggregations/literals. A bare column path outside any aggregation keeps
+    ROW length, so the whole agg expr implodes to a List per group."""
+    from polars_tpu.engine.registry import ELEMENTWISE_FNS, _ensure_loaded
+
+    _ensure_loaded()
+
+    def rec(e: ENode) -> bool:
+        while isinstance(e, (EAlias, EKeepName, ERenameFn)):
+            e = e.input
+        if isinstance(e, (EAgg, ELen)):
+            return True
+        if isinstance(e, EAnonymous):
+            return bool(e.returns_scalar)
+        if isinstance(e, (ELiteral, ESeriesLit)):
+            return True
+        if isinstance(e, ECast):
+            return rec(e.input)
+        if isinstance(e, EBinary):
+            return rec(e.left) and rec(e.right)
+        if isinstance(e, ETernary):
+            return rec(e.predicate) and rec(e.truthy) and rec(e.falsy)
+        if isinstance(e, EFunction) and e.name in ELEMENTWISE_FNS:
+            return all(rec(c) for c in e.inputs)
+        return False
+
+    return rec(node)
+
+
 def is_elementwise(node: ENode) -> bool:
     """True if the expr maps rows independently (streamable through a Select —
     the reference's ExprCache.is_elementwise, lower_expr.rs:39-53)."""

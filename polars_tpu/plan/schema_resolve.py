@@ -559,15 +559,10 @@ def _node_schema(node: L.LNode) -> Schema:
         for a in aggs:
             name = E.output_name(a) or "literal"
             d = expr_dtype(a, in_s, in_agg=True)
-            # non-reducing agg exprs (bare columns, rank, sort, head...)
+            # non-reducing agg exprs (bare columns, rank, x - x.mean()...)
             # implode to a List per group (the reference's AggState::
             # AggregatedList, polars-expr/src/expressions/mod.rs:139)
-            reduces = any(
-                isinstance(s, (E.EAgg, E.ELen))
-                or (isinstance(s, E.EAnonymous) and s.returns_scalar)
-                for s in E.walk(a)
-            )
-            out[name] = d if reduces else dt.List(d)
+            out[name] = d if E.reduces_in_agg(a) else dt.List(d)
         return out
     if isinstance(node, L.LJoin):
         ls = node_schema(node.input_left)
@@ -590,6 +585,11 @@ def _node_schema(node: L.LNode) -> Schema:
                 if left_keys[idx] in out:
                     continue
             if n in out:
+                if n + node.suffix in out:
+                    raise DuplicateError(
+                        f"column with name {n + node.suffix!r} already exists; "
+                        "pass a different `suffix`"
+                    )
                 out[n + node.suffix] = d
             else:
                 out[n] = d

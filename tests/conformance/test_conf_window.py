@@ -1,0 +1,155 @@
+"""Conformance slice adapted from the reference behavioral suite
+(py-polars/tests/unit/operations/test_window.py) — .over() window semantics:
+aggregation broadcast, order preservation, rank/shift/cum in windows."""
+
+import pytest
+
+import polars_tpu as pl
+from polars_tpu import datatypes as dtt
+
+
+@pytest.fixture()
+def df():
+    return pl.DataFrame(
+        {
+            "a": ["a", "a", "b", "b", "b"],
+            "b": [1, 2, 3, 5, 3],
+            "c": [2, 4, 6, 8, 10],
+        }
+    )
+
+
+def test_over_agg_broadcasts(df):
+    out = df.select(pl.col("b").sum().over("a").alias("s"))
+    assert out["s"].to_list() == [3, 3, 11, 11, 11]
+    out2 = df.select(pl.col("b").mean().over("a").alias("m"))
+    assert out2["m"].to_list() == [1.5, 1.5, 11 / 3, 11 / 3, 11 / 3]
+
+
+def test_over_preserves_row_order(df):
+    out = df.with_columns(mx=pl.col("b").max().over("a"))
+    assert out["b"].to_list() == [1, 2, 3, 5, 3]  # original order intact
+    assert out["mx"].to_list() == [2, 2, 5, 5, 5]
+
+
+def test_over_multiple_keys():
+    df = pl.DataFrame({"g1": [1, 1, 1, 2], "g2": ["x", "x", "y", "y"],
+                       "v": [1, 2, 3, 4]})
+    out = df.select(pl.col("v").sum().over("g1", "g2").alias("s"))
+    assert out["s"].to_list() == [3, 3, 3, 4]
+
+
+def test_over_expression_key():
+    df = pl.DataFrame({"x": [1.1, 1.9, 2.2], "v": [1, 2, 3]})
+    out = df.select(pl.col("v").sum().over(pl.col("x").floor()).alias("s"))
+    assert out["s"].to_list() == [3, 3, 3]
+
+
+def test_rank_over(df):
+    out = df.select(pl.col("b").rank().over("a").alias("r"))
+    assert out["r"].to_list() == [1.0, 2.0, 1.5, 3.0, 1.5]
+
+
+def test_shift_over(df):
+    out = df.select(pl.col("b").shift(1).over("a").alias("s"))
+    assert out["s"].to_list() == [None, 1, None, 3, 5]
+
+
+def test_cum_sum_over(df):
+    out = df.select(pl.col("b").cum_sum().over("a").alias("c"))
+    assert out["c"].to_list() == [1, 3, 3, 8, 11]
+
+
+def test_first_last_over(df):
+    out = df.select(
+        pl.col("b").first().over("a").alias("f"),
+        pl.col("b").last().over("a").alias("l"),
+    )
+    assert out["f"].to_list() == [1, 1, 3, 3, 3]
+    assert out["l"].to_list() == [2, 2, 3, 3, 3]
+
+
+def test_n_unique_len_over(df):
+    out = df.select(
+        pl.col("b").n_unique().over("a").alias("nu"),
+        pl.len().over("a").alias("n"),
+    )
+    assert out["nu"].to_list() == [2, 2, 2, 2, 2]
+    assert out["n"].to_list() == [2, 2, 3, 3, 3]
+
+
+def test_over_with_nulls_in_values():
+    df = pl.DataFrame({"g": [1, 1, 2, 2], "v": [None, 2, None, None]})
+    out = df.select(
+        pl.col("v").sum().over("g").alias("s"),
+        pl.col("v").count().over("g").alias("c"),
+        pl.col("v").max().over("g").alias("m"),
+    )
+    assert out["s"].to_list() == [2, 2, 0, 0]
+    assert out["c"].to_list() == [1, 1, 0, 0]
+    assert out["m"].to_list() == [2, 2, None, None]
+
+
+def test_over_with_null_keys():
+    df = pl.DataFrame({"g": [None, None, "a"], "v": [1, 2, 3]})
+    out = df.select(pl.col("v").sum().over("g").alias("s"))
+    assert out["s"].to_list() == [3, 3, 3]
+
+
+def test_over_order_by():
+    # order_by controls the ORDER the window fn sees, output stays row-order
+    df = pl.DataFrame({"g": [1, 1, 1], "t": [3, 1, 2], "v": [30, 10, 20]})
+    out = df.select(pl.col("v").cum_sum().over("g", order_by="t").alias("c"))
+    assert out["c"].to_list() == [60, 10, 30]
+    out2 = df.select(pl.col("v").shift(1).over("g", order_by="t").alias("s"))
+    assert out2["s"].to_list() == [20, None, 10]
+
+
+def test_window_and_elementwise_combined(df):
+    out = df.select(((pl.col("b") - pl.col("b").mean().over("a")) ** 2).alias("d"))
+    assert out["d"].to_list()[0] == pytest.approx(0.25)
+
+
+def test_multiple_windows_one_select(df):
+    out = df.select(
+        pl.col("b").min().over("a").alias("mn"),
+        pl.col("b").max().over("a").alias("mx"),
+        pl.col("c").sum().over("a").alias("cs"),
+    )
+    assert out["mn"].to_list() == [1, 1, 3, 3, 3]
+    assert out["mx"].to_list() == [2, 2, 5, 5, 5]
+    assert out["cs"].to_list() == [6, 6, 24, 24, 24]
+
+
+def test_over_on_whole_frame_literal_key():
+    df = pl.DataFrame({"v": [1, 2, 3]})
+    out = df.select(pl.col("v").sum().over(pl.lit(1)).alias("s"))
+    assert out["s"].to_list() == [6, 6, 6]
+
+
+def test_over_in_filter_context():
+    df = pl.DataFrame({"g": [1, 1, 2, 2], "v": [1, 9, 2, 8]})
+    out = df.filter(pl.col("v") == pl.col("v").max().over("g"))
+    assert out.rows() == [(1, 9), (2, 8)]
+
+
+def test_over_in_with_columns_keeps_width(df):
+    out = df.with_columns(pl.col("b").sum().over("a").alias("s"))
+    assert out.columns == ["a", "b", "c", "s"]
+    assert out.height == df.height
+
+
+def test_rank_methods_over():
+    df = pl.DataFrame({"g": [1, 1, 1, 1], "v": [10, 20, 20, 30]})
+    assert df.select(pl.col("v").rank("dense").over("g").alias("r"))["r"].to_list() == [1, 2, 2, 3]
+    assert df.select(pl.col("v").rank("min").over("g").alias("r"))["r"].to_list() == [1, 2, 2, 4]
+    assert df.select(pl.col("v").rank("max").over("g").alias("r"))["r"].to_list() == [1, 3, 3, 4]
+    assert df.select(pl.col("v").rank("ordinal").over("g").alias("r"))["r"].to_list() == [1, 2, 3, 4]
+
+
+def test_diff_pct_change_over():
+    df = pl.DataFrame({"g": [1, 1, 1, 2, 2], "v": [1.0, 2.0, 4.0, 10.0, 20.0]})
+    out = df.select(pl.col("v").diff().over("g").alias("d"))
+    assert out["d"].to_list() == [None, 1.0, 2.0, None, 10.0]
+    out2 = df.select(pl.col("v").pct_change().over("g").alias("p"))
+    assert out2["p"].to_list() == [None, 1.0, 1.0, None, 1.0]
