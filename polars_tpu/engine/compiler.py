@@ -456,6 +456,11 @@ def _eval_ternary(node: E.ETernary, ctx: EvalCtx) -> Val:
     if len(doms) > 0:
         raise ShapeError("mixed domains in when/then/otherwise")
     pv = p.values.astype(bool)
+    if p.validity is not None:
+        # a null predicate picks the OTHERWISE branch (reference:
+        # if_then_else kernels; tests/unit/functions/test_when_then.py
+        # test_when_then_parametric builds its oracle with `t if m else f`)
+        pv = pv & p.validity
     values = jnp.where(pv, t.values, f.values)
     tv = t.validity
     fv = f.validity
@@ -465,9 +470,6 @@ def _eval_ternary(node: E.ETernary, ctx: EvalCtx) -> Val:
         tv_ = jnp.ones(t.values.shape, bool) if tv is None else tv
         fv_ = jnp.ones(f.values.shape, bool) if fv is None else fv
         validity = jnp.where(pv, tv_, fv_)
-    if p.validity is not None:
-        base = jnp.ones(values.shape, bool) if validity is None else validity
-        validity = base & p.validity
     return Val(values, validity, t.dtype, t.table, dom)
 
 

@@ -561,6 +561,7 @@ def _replace_strict(ctx, args, opts):
             values = jnp.where(matched, values, code_of[str(default)])
             validity = v.validity
         else:
+            _flag_unmatched(ctx, v, matched)
             validity = matched if v.validity is None else (matched & v.validity)
         return Val(values, validity, out_dt, table, v.domain)
 
@@ -577,8 +578,25 @@ def _replace_strict(ctx, args, opts):
         values = jnp.where(matched, values, jnp.asarray(default, np_dt))
         validity = v.validity
     else:
+        _flag_unmatched(ctx, v, matched)
         validity = matched if v.validity is None else (matched & v.validity)
     return Val(values, validity, out_dt, None, v.domain)
+
+
+def _flag_unmatched(ctx, v, matched):
+    """replace_strict without a default: any unmatched value raises at the
+    segment count sync (reference: replace_strict 'value not mapped' error)."""
+    from polars_tpu.engine.common import GROUP, ROW
+
+    lost = ~matched
+    if v.domain == ROW:
+        lost = lost & ctx.rowmask
+    elif v.domain == GROUP and ctx.groups is not None:
+        lost = lost & ctx.groups.group_valid
+    ctx.add_flag(
+        jnp.any(lost),
+        "replace_strict: value not found in the mapping and no `default` set",
+    )
 
 
 def _match_old(v: Val, o):
@@ -752,9 +770,13 @@ def _gather_every(ctx, args, opts):
     raise InvalidOperationError("gather_every changes length; handled by the executor")
 
 
-@register("repeat_by", SAME, elementwise=False)
+def _repeat_by_dt(dts, opts):
+    return dt.List(dts[0])
+
+
+@register("repeat_by", _repeat_by_dt, elementwise=False)
 def _repeat_by(ctx, args, opts):
-    raise InvalidOperationError("repeat_by produces lists; pending nested layout")
+    raise InvalidOperationError("repeat_by is a host op (routed via special select)")
 
 
 @register("explode", SAME, elementwise=False)

@@ -325,6 +325,9 @@ def _forward_fill(ctx, args, opts):
 
         src, _ = jax.lax.associative_scan(combine, (cand, boundary))
         ok = src >= 0
+        limit = opts.get("limit")
+        if limit is not None:
+            ok = ok & ((iota - src) <= jnp.int32(limit))
         out = vals[jnp.maximum(src, 0)]
         return jnp.where(ok, out, jnp.zeros((), vals.dtype)), ok
 
@@ -355,6 +358,9 @@ def _backward_fill(ctx, args, opts):
 
         src, _ = jax.lax.associative_scan(combine, (cand, boundary))
         ok = src >= 0
+        limit = opts.get("limit")
+        if limit is not None:
+            ok = ok & ((iota - src) <= jnp.int32(limit))
         out = rvals[jnp.maximum(src, 0)]
         return jnp.where(ok, out, jnp.zeros((), vals.dtype))[::-1], ok[::-1]
 
@@ -678,9 +684,9 @@ def _fill_null_with_strategy(ctx, args, opts):
     if v.validity is None:
         return v
     if strategy == "forward":
-        return _forward_fill(ctx, args, {})
+        return _forward_fill(ctx, args, {"limit": opts.get("limit")})
     if strategy == "backward":
-        return _backward_fill(ctx, args, {})
+        return _backward_fill(ctx, args, {"limit": opts.get("limit")})
     if strategy in ("zero", "one"):
         fillv = jnp.asarray(1 if strategy == "one" else 0, v.values.dtype)
         return Val(

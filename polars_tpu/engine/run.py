@@ -41,6 +41,7 @@ _SPECIAL_FNS = {
     "list.gather_every", "list.concat", "list.to_struct", "list.to_array",
     "list.sample", "list.eval", "list.filter",
     "struct.with_fields", "struct.json_encode",
+    "repeat_by", "extend_constant",
 }
 
 # list ops that trace for primitive inner dtypes but keep the host path for
@@ -276,6 +277,10 @@ def _needs_special(node: L.LNode) -> bool:
                 return True
             for sub in E.walk(ex):
                 if isinstance(sub, E.ESlice):
+                    return True
+                if isinstance(sub, E.EGather):
+                    # select-context gather changes the frame length to
+                    # len(indices) (reference: Expr::gather semantics)
                     return True
                 if _is_special_fn(sub, schema):
                     return True
@@ -526,6 +531,19 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
         ln = e.length if e.length is not None else len(inner) - off
         return inner.with_buffer(inner.buffer.slice(off, ln))
 
+    if isinstance(e, E.EGather):
+        from polars_tpu.engine.gather import gather_column
+
+        inner = _eval_special_expr(df, e.input, schema)
+        idx_col = _eval_special_expr(df, e.indices, schema)
+        idx = np.asarray(idx_col.to_pylist(), dtype=np.int64)
+        idx = np.where(idx < 0, idx + len(inner), idx)
+        if idx.size and (idx.min() < 0 or idx.max() >= len(inner)):
+            raise ComputeError(
+                f"gather index out of bounds for column of length {len(inner)}"
+            )
+        return gather_column(inner, idx).rename(inner.name)
+
     if isinstance(e, E.EFunction) and _is_special_fn(e, schema):
         return _eval_generator(df, e, schema)
 
@@ -739,6 +757,27 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         if validity is not None:
             mask = mask & validity
         return Column.from_values(col.name, np.nonzero(mask)[0].astype(np.uint32), dt.UInt32())
+
+    if e.name == "repeat_by":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        by = _eval_special_expr(df, e.inputs[1], schema)
+        vals = col.to_pylist()
+        ns = by.to_pylist()
+        if len(ns) == 1 and len(vals) > 1:
+            ns = ns * len(vals)
+        out = [
+            None if n is None else [v] * int(n) for v, n in zip(vals, ns)
+        ]
+        return Column.from_values(col.name, out, dt.List(col.dtype))
+
+    if e.name == "extend_constant":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        value = e.inputs[1]
+        v = value.value if isinstance(value, E.ELiteral) else value
+        n = int(e.opt("n", 0))
+        return Column.from_values(
+            col.name, col.to_pylist() + [v] * n, col.dtype
+        )
 
     if e.name == "rle":
         col = _eval_special_expr(df, e.inputs[0], schema)

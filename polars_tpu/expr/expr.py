@@ -531,7 +531,11 @@ class Expr:
         return self._fn("shift_fill", fill_value, n=n)
 
     def diff(self, n: int = 1, null_behavior: str = "ignore") -> Expr:
-        return self._fn("diff", n=n, null_behavior=null_behavior)
+        out = self._fn("diff", n=n, null_behavior="ignore")
+        if null_behavior == "drop":
+            # drop the first |n| undefined rows (reference: diff NullBehavior)
+            return out.slice(n, None) if n >= 0 else out.slice(0, None)
+        return out
 
     def pct_change(self, n: int = 1) -> Expr:
         return self._fn("pct_change", n=n)
@@ -672,7 +676,8 @@ class Expr:
         return self._fn("gather_every", n=n, offset=offset)
 
     def repeat_by(self, by: Any) -> Expr:
-        return self._fn("repeat_by", by)
+        # strings are COLUMN names here (py-polars repeat_by semantics)
+        return self._fn("repeat_by", parse_into_expr(by))
 
     def explode(self) -> Expr:
         return self._fn("explode")

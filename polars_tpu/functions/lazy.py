@@ -229,22 +229,20 @@ def coalesce(*exprs: Any, **named_exprs: Any) -> Expr:
 
 
 def fold(acc: Any, function: Any, exprs: Any) -> Expr:
+    """Horizontal fold. Composition happens at schema-resolve time (after
+    selector expansion) so pl.all()/selectors splice INTO the input list —
+    the reference's INPUT_WILDCARD_EXPANSION (schema_resolve._splice_horizontal
+    expands the 'fold' macro)."""
     nodes = tuple(parse_into_expr_list(exprs))
     out = parse_into_expr(acc, str_as_lit=True)
-    out_e = Expr(out)
-    for n in nodes:
-        out_e = function(out_e, Expr(n))
-    return out_e
+    return Expr(E.EFunction("fold", (out, *nodes), (("function", function),)))
 
 
 def reduce(function: Any, exprs: Any) -> Expr:
     nodes = tuple(parse_into_expr_list(exprs))
     if not nodes:
         raise ValueError("reduce requires at least one expression")
-    out_e = Expr(nodes[0])
-    for n in nodes[1:]:
-        out_e = function(out_e, Expr(n))
-    return out_e
+    return Expr(E.EFunction("reduce", tuple(nodes), (("function", function),)))
 
 
 # -- construction ------------------------------------------------------------------

@@ -242,7 +242,7 @@ def _selector_roots(node: E.ENode) -> list[E.ENode]:
 _HORIZONTAL_FNS = {
     "sum_horizontal", "mean_horizontal", "min_horizontal", "max_horizontal",
     "any_horizontal", "all_horizontal", "concat_str", "concat_list",
-    "coalesce", "as_struct",
+    "coalesce", "as_struct", "fold", "reduce",
 }
 
 
@@ -267,6 +267,17 @@ def _splice_horizontal(node: E.ENode, schema: Schema) -> E.ENode:
                 new_inputs.append(i)
         if changed:
             node = dataclasses.replace(node, inputs=tuple(new_inputs))
+    if isinstance(node, E.EFunction) and node.name in ("fold", "reduce"):
+        # expansion-time macro: compose the user function over the (now
+        # selector-expanded) inputs — pl.fold/pl.reduce
+        from polars_tpu.expr.expr import Expr as _Expr
+
+        fn = node.opt("function")
+        inputs = node.inputs
+        acc = inputs[0]
+        for x in inputs[1:]:
+            acc = fn(_Expr(acc), _Expr(x))._node
+        return acc
     return node
 
 
