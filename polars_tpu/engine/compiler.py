@@ -675,9 +675,27 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         out_dt = _agg_out_dtype(node, v.dtype)
         return Val(out.astype(jnp.dtype(dt.dtype_to_numpy(out_dt))), ok, out_dt, None, dom)
     if kind in ("first", "last"):
-        # polars first/last include nulls: pick by row position among in-group rows
-        fn = G.seg_first_idx if kind == "first" else G.seg_last_idx
-        idx, has = fn(rowmask, gids, cap)
+        # polars first/last include nulls: pick by row position among in-group
+        # rows — or by over(order_by=...) position when order words are set
+        # (SQL FIRST_VALUE semantics).
+        g = ctx.groups
+        if g is not None and g.order_words:
+            from polars_tpu.kernels.argsort import stable_argsort_words
+
+            n = rowmask.shape[0]
+            gkey = jnp.where(rowmask, gids, jnp.int32(2**31 - 1))
+            operm = stable_argsort_words([gkey] + list(g.order_words))
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+            pos = jnp.zeros((n,), jnp.int32).at[operm].set(iota)
+            score = pos if kind == "first" else (jnp.int32(n - 1) - pos)
+            score = jnp.where(rowmask, score, jnp.int32(n))
+            best = jnp.full((cap,), n, jnp.int32).at[gids].min(score, mode="drop")
+            has = best < n
+            bpos = best if kind == "first" else jnp.int32(n - 1) - best
+            idx = operm[jnp.clip(bpos, 0, n - 1)]
+        else:
+            fn = G.seg_first_idx if kind == "first" else G.seg_last_idx
+            idx, has = fn(rowmask, gids, cap)
         out = v.values[idx]
         validity = has if v.validity is None else (has & v.validity[idx])
         return Val(out, validity, v.dtype, v.table, dom)
@@ -800,10 +818,11 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
     if node.order_by:
         from polars_tpu.kernels.argsort import key_words
 
+        desc = node.order_descending or (False,) * len(node.order_by)
         owords: list = []
-        for ob in node.order_by:
+        for ob, d in zip(node.order_by, desc):
             ov = eval_expr(ob, ctx)
-            owords.extend(key_words(ov.values, ov.dtype))
+            owords.extend(key_words(ov.values, ov.dtype, descending=bool(d)))
         gctx.order_words = owords
     inner = EvalCtx(
         cols=ctx.cols,

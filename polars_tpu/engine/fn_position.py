@@ -108,7 +108,9 @@ def _shift_fill(ctx, args, opts):
         sh_valid = jnp.roll(valid_arr, n_sh)
         seg_src = jnp.roll(seg, n_sh)
         in_bounds = (iota >= n_sh) if n_sh >= 0 else (iota < n + n_sh)
-        ok = in_bounds & (seg_src == seg)
+        # a masked-out source row (padding / other segment) vacates the slot
+        # -> fill; a genuine null source shifts through as null
+        ok = in_bounds & (seg_src == seg) & jnp.roll(mask, n_sh)
         fv = jnp.broadcast_to(fill.values.astype(vals.dtype), vals.shape)
         out = jnp.where(ok, shifted, fv)
         out_valid = jnp.where(ok, sh_valid, True)

@@ -733,13 +733,15 @@ class Expr:
         partition_by: Any,
         *more_exprs: Any,
         order_by: Any = None,
+        descending: Any = False,
         mapping_strategy: str = "group_to_rows",
     ) -> Expr:
         parts = tuple(parse_into_expr(p) for p in _flat((partition_by, *more_exprs)))
         order = ()
         if order_by is not None:
             order = tuple(parse_into_expr(o) for o in _flat((order_by,)))
-        return Expr(E.EWindow(self._node, parts, order, mapping_strategy))
+        desc = tuple(descending) if isinstance(descending, (list, tuple)) else (bool(descending),) * len(order)
+        return Expr(E.EWindow(self._node, parts, order, mapping_strategy, desc))
 
     # -- UDF ------------------------------------------------------------------------------------------
 

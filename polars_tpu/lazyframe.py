@@ -421,11 +421,11 @@ class LazyFrame:
         from polars_tpu.core.frame import DataFrame
 
         schema = self.collect_schema()
-        return DataFrame({name: [None] * n for name in schema.names()}).cast(
-            dict(schema.items())
-        ).lazy() if n else DataFrame(
-            {name: pl_empty(d) for name, d in schema.items()}
-        ).lazy()
+        if n:
+            return DataFrame({name: [None] * n for name in schema.names()}).cast(
+                dict(schema.items())
+            ).lazy()
+        return DataFrame(schema=dict(schema.items())).lazy()
 
     def shift(self, n: int = 1, *, fill_value: Any = None) -> LazyFrame:
         import polars_tpu as pl

@@ -222,6 +222,7 @@ class EWindow(ENode):
     partition_by: tuple[ENode, ...]
     order_by: tuple[ENode, ...] = ()
     mapping_strategy: str = "group_to_rows"
+    order_descending: tuple[bool, ...] = ()
 
     def children(self) -> tuple[ENode, ...]:
         return (self.function, *self.partition_by, *self.order_by)

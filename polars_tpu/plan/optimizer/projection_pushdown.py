@@ -157,7 +157,11 @@ def _push(node: L.LNode, needed: set[str] | None) -> L.LNode:
         inv = {new: old for old, new in node.mapping}
         child = None if needed is None else {inv.get(n, n) for n in needed}
         new_input = _push(node.input, child)
-        return dataclasses.replace(node, input=new_input)
+        # drop mapping entries whose source column was pruned away
+        mapping = node.mapping if needed is None else tuple(
+            (old, new) for old, new in node.mapping if new in needed
+        )
+        return dataclasses.replace(node, input=new_input, mapping=mapping)
 
     if isinstance(node, L.LDrop):
         child = None if needed is None else set(needed)

@@ -34,7 +34,9 @@ KEYWORDS = {
     "join", "inner", "left", "right", "full", "outer", "cross", "on", "using",
     "union", "all", "distinct", "asc", "desc", "nulls", "first", "last",
     "interval", "date", "timestamp", "time", "exists", "any", "semi", "anti",
-    "except", "intersect", "with",
+    "except", "intersect", "with", "over", "window", "partition", "create",
+    "table", "drop", "show", "tables", "truncate", "delete", "values",
+    "explain",
 }
 
 
@@ -149,6 +151,17 @@ class SStar:
 
 
 @dataclass
+class SWindow:
+    """fn(...) OVER ([w] [PARTITION BY ...] [ORDER BY ...]) (reference:
+    polars-sql sql_expr.rs WindowSpec handling)."""
+
+    func: Any
+    partition_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)  # list[OrderItem]
+    name: str | None = None  # named WINDOW reference
+
+
+@dataclass
 class SelectItem:
     expr: Any
     alias: str | None = None
@@ -158,7 +171,9 @@ class SelectItem:
 class TableRef:
     name: str
     alias: str | None = None
-    subquery: Any = None
+    subquery: Any = None  # a Query
+    function: tuple[str, list] | None = None  # (read_csv, [literal args])
+    col_aliases: list[str] | None = None  # AS t(c1, c2)
 
 
 @dataclass
@@ -185,10 +200,69 @@ class SelectStmt:
     where: Any = None
     group_by: list = field(default_factory=list)
     having: Any = None
+    windows: dict = field(default_factory=dict)  # WINDOW w AS (...): name -> (partition, order)
+
+
+@dataclass
+class SetOp:
+    """UNION/EXCEPT/INTERSECT [ALL|DISTINCT] [BY NAME] (reference:
+    polars-sql context.rs process_union/except/intersect)."""
+
+    op: str  # union | except | intersect
+    quantifier: str  # all | distinct
+    by_name: bool
+    left: Any
+    right: Any
+
+
+@dataclass
+class ValuesTable:
+    rows: list = field(default_factory=list)  # list[list[expr]]
+
+
+@dataclass
+class Query:
+    body: Any  # SelectStmt | SetOp | TableRef | ValuesTable | Query
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
-    union: tuple[str, "SelectStmt"] | None = None  # ("all"|"distinct", stmt)
+    ctes: list = field(default_factory=list)  # [(name, col_aliases, Query)]
+
+
+@dataclass
+class CreateTableStmt:
+    name: str
+    query: Query | None = None
+    columns: list | None = None  # [(name, type_name)]
+    like: str | None = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropTableStmt:
+    names: list[str] = field(default_factory=list)
+    if_exists: bool = False
+
+
+@dataclass
+class ShowTablesStmt:
+    pass
+
+
+@dataclass
+class TruncateStmt:
+    name: str = ""
+
+
+@dataclass
+class DeleteStmt:
+    name: str = ""
+    where: Any = None
+
+
+@dataclass
+class ExplainStmt:
+    query: Query | None = None
 
 
 class Parser:
@@ -233,19 +307,216 @@ class Parser:
             t = self.peek()
             raise SQLSyntaxError(f"expected {op!r}, got {t.value if t else 'EOF'!r}")
 
+    def accept_soft(self, word: str) -> bool:
+        """Accept a soft keyword: matches a kw or a bare identifier."""
+        t = self.peek()
+        if t and t.kind in ("kw", "id") and t.value.lower() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect_soft(self, word: str) -> None:
+        if not self.accept_soft(word):
+            t = self.peek()
+            raise SQLSyntaxError(f"expected {word.upper()}, got {t.value if t else 'EOF'!r}")
+
     # -- entry -------------------------------------------------------------
 
-    def parse_statement(self) -> SelectStmt:
-        stmt = self.parse_select()
+    def parse_statement(self) -> Any:
+        t = self.peek()
+        if t and t.kind == "kw" and t.value == "create":
+            stmt: Any = self.parse_create()
+        elif t and t.kind == "kw" and t.value == "drop":
+            stmt = self.parse_drop()
+        elif t and t.kind == "kw" and t.value == "show":
+            self.i += 1
+            self.expect_kw("tables")
+            stmt = ShowTablesStmt()
+        elif t and t.kind == "kw" and t.value == "truncate":
+            self.i += 1
+            self.accept_kw("table")
+            stmt = TruncateStmt(self.next().value)
+        elif t and t.kind == "kw" and t.value == "delete":
+            self.i += 1
+            self.expect_kw("from")
+            name = self.next().value
+            where = self.parse_expr() if self.accept_kw("where") else None
+            stmt = DeleteStmt(name, where)
+        elif t and t.kind == "kw" and t.value == "explain":
+            self.i += 1
+            stmt = ExplainStmt(self.parse_query())
+        else:
+            stmt = self.parse_query()
         if self.peek() is not None:
             raise SQLSyntaxError(f"trailing tokens starting at {self.peek().value!r}")
         return stmt
+
+    def parse_create(self) -> CreateTableStmt:
+        self.expect_kw("create")
+        self.expect_kw("table")
+        ine = False
+        if self.accept_soft("if"):
+            self.expect_kw("not")
+            self.expect_kw("exists")
+            ine = True
+        name = self.next().value
+        # CREATE TABLE t (col TYPE, ...)
+        if self.peek() and self.peek().kind == "op" and self.peek().value == "(":
+            self.i += 1
+            cols: list = []
+            while True:
+                cname = self.next().value
+                cols.append((cname, self.parse_type_name()))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return CreateTableStmt(name, columns=cols, if_not_exists=ine)
+        # CREATE TABLE t LIKE other
+        if self.accept_kw("like"):
+            return CreateTableStmt(name, like=self.next().value, if_not_exists=ine)
+        # CREATE TABLE t AS <query>
+        self.expect_kw("as")
+        return CreateTableStmt(name, query=self.parse_query(), if_not_exists=ine)
+
+    def parse_type_name(self) -> str:
+        t = self.next()
+        tname = t.value
+        # ARRAY<DOUBLE> / parametrized VARCHAR(10) / DECIMAL(10, 2)
+        if self.accept_op("<"):
+            tname += "<" + self.parse_type_name()
+            self.expect_op(">")
+            tname += ">"
+        elif self.peek() and self.peek().kind == "op" and self.peek().value == "(":
+            self.i += 1
+            parts = []
+            while not self.accept_op(")"):
+                tok = self.next()
+                if tok.value != ",":
+                    parts.append(tok.value)
+            tname += "(" + ",".join(parts) + ")"
+        else:
+            while self.peek() and self.peek().kind == "id":
+                tname += " " + self.next().value
+        return tname
+
+    def parse_drop(self) -> DropTableStmt:
+        self.expect_kw("drop")
+        self.expect_kw("table")
+        ie = False
+        if self.accept_soft("if"):
+            self.expect_kw("exists")
+            ie = True
+        names = [self.next().value]
+        while self.accept_op(","):
+            names.append(self.next().value)
+        return DropTableStmt(names, ie)
+
+    def parse_query(self) -> Query:
+        q = Query(body=None)
+        if self.accept_kw("with"):
+            while True:
+                cname = self.next().value
+                col_aliases = None
+                if self.peek() and self.peek().kind == "op" and self.peek().value == "(":
+                    self.i += 1
+                    col_aliases = [self.next().value]
+                    while self.accept_op(","):
+                        col_aliases.append(self.next().value)
+                    self.expect_op(")")
+                self.expect_kw("as")
+                self.expect_op("(")
+                q.ctes.append((cname, col_aliases, self.parse_query()))
+                self.expect_op(")")
+                if not self.accept_op(","):
+                    break
+        q.body = self.parse_set_body()
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            t = self.peek()
+            if t and t.kind == "kw" and t.value == "all":
+                # ORDER BY ALL [ASC|DESC]: sort by every output column
+                self.i += 1
+                item = OrderItem(SStar())
+                if self.accept_kw("desc"):
+                    item.descending = True
+                else:
+                    self.accept_kw("asc")
+                if self.accept_kw("nulls"):
+                    item.nulls_last = bool(self.accept_kw("last")) or not self.accept_kw("first")
+                q.order_by = [item]
+            else:
+                q.order_by = [self.parse_order_item()]
+                while self.accept_op(","):
+                    q.order_by.append(self.parse_order_item())
+        if self.accept_kw("limit"):
+            q.limit = int(self.next().value)
+        if self.accept_kw("offset"):
+            q.offset = int(self.next().value)
+        return q
+
+    def parse_set_body(self) -> Any:
+        left = self.parse_set_term()
+        while True:
+            t = self.peek()
+            if not (t and t.kind == "kw" and t.value in ("union", "except")):
+                break
+            op = self.next().value
+            quant = "all" if self.accept_kw("all") else "distinct"
+            self.accept_kw("distinct")
+            by_name = False
+            if self.accept_kw("by"):
+                self.expect_soft("name")
+                by_name = True
+            left = SetOp(op, quant, by_name, left, self.parse_set_term())
+        return left
+
+    def parse_set_term(self) -> Any:
+        # INTERSECT binds tighter than UNION/EXCEPT (standard SQL precedence)
+        left = self.parse_set_atom()
+        while self.accept_kw("intersect"):
+            quant = "all" if self.accept_kw("all") else "distinct"
+            self.accept_kw("distinct")
+            by_name = False
+            if self.accept_kw("by"):
+                self.expect_soft("name")
+                by_name = True
+            left = SetOp("intersect", quant, by_name, left, self.parse_set_atom())
+        return left
+
+    def parse_set_atom(self) -> Any:
+        t = self.peek()
+        if t and t.kind == "kw" and t.value == "table":
+            self.i += 1
+            return TableRef(self.next().value)
+        if t and t.kind == "kw" and t.value == "values":
+            return self.parse_values()
+        if t and t.kind == "op" and t.value == "(":
+            self.i += 1
+            inner = self.parse_query()
+            self.expect_op(")")
+            return inner
+        return self.parse_select()
+
+    def parse_values(self) -> ValuesTable:
+        self.expect_kw("values")
+        rows: list = []
+        while True:
+            self.expect_op("(")
+            row = [self.parse_expr()]
+            while self.accept_op(","):
+                row.append(self.parse_expr())
+            self.expect_op(")")
+            rows.append(row)
+            if not self.accept_op(","):
+                break
+        return ValuesTable(rows)
 
     def parse_select(self) -> SelectStmt:
         self.expect_kw("select")
         stmt = SelectStmt()
         if self.accept_kw("distinct"):
             stmt.distinct = True
+        self.accept_kw("all")
         stmt.items = [self.parse_select_item()]
         while self.accept_op(","):
             stmt.items.append(self.parse_select_item())
@@ -265,19 +536,47 @@ class Parser:
                 stmt.group_by.append(self.parse_expr())
         if self.accept_kw("having"):
             stmt.having = self.parse_expr()
-        if self.accept_kw("union"):
-            how = "all" if self.accept_kw("all") else "distinct"
-            stmt.union = (how, self.parse_select())
+        if self.accept_kw("window"):
+            while True:
+                wname = self.next().value
+                self.expect_kw("as")
+                self.expect_op("(")
+                parts, order = self.parse_window_spec()
+                self.expect_op(")")
+                stmt.windows[wname] = (parts, order)
+                if not self.accept_op(","):
+                    break
+        return stmt
+
+    def parse_window_spec(self) -> tuple[list, list]:
+        parts: list = []
+        order: list = []
+        if self.accept_kw("partition"):
+            self.expect_kw("by")
+            parts.append(self.parse_expr())
+            while self.accept_op(","):
+                parts.append(self.parse_expr())
         if self.accept_kw("order"):
             self.expect_kw("by")
-            stmt.order_by = [self.parse_order_item()]
+            order.append(self.parse_order_item())
             while self.accept_op(","):
-                stmt.order_by.append(self.parse_order_item())
-        if self.accept_kw("limit"):
-            stmt.limit = int(self.next().value)
-        if self.accept_kw("offset"):
-            stmt.offset = int(self.next().value)
-        return stmt
+                order.append(self.parse_order_item())
+        # frame clause: only the default-equivalent frame is representable
+        if self.accept_soft("rows") or self.accept_soft("range"):
+            ok = (
+                self.accept_kw("between")
+                and self.accept_soft("unbounded")
+                and self.accept_soft("preceding")
+                and self.accept_kw("and")
+                and self.accept_soft("current")
+                and self.accept_soft("row")
+            )
+            if not ok:
+                raise SQLSyntaxError(
+                    "only the default window frame (UNBOUNDED PRECEDING TO "
+                    "CURRENT ROW) is supported"
+                )
+        return parts, order
 
     def parse_select_item(self) -> SelectItem:
         t = self.peek()
@@ -300,23 +599,43 @@ class Parser:
             alias = self.next().value
         return SelectItem(expr, alias)
 
-    def parse_table_ref(self) -> TableRef:
-        if self.accept_op("("):
-            sub = self.parse_select()
-            self.expect_op(")")
-            alias = None
-            if self.accept_kw("as"):
-                alias = self.next().value
-            elif self.peek() and self.peek().kind == "id":
-                alias = self.next().value
-            return TableRef(name=alias or "_subquery", alias=alias, subquery=sub)
-        name = self.next().value
+    def _table_alias(self) -> tuple[str | None, list[str] | None]:
         alias = None
+        col_aliases = None
         if self.accept_kw("as"):
             alias = self.next().value
         elif self.peek() and self.peek().kind == "id":
             alias = self.next().value
-        return TableRef(name=name, alias=alias)
+        if alias and self.peek() and self.peek().kind == "op" and self.peek().value == "(":
+            self.i += 1
+            col_aliases = [self.next().value]
+            while self.accept_op(","):
+                col_aliases.append(self.next().value)
+            self.expect_op(")")
+        return alias, col_aliases
+
+    def parse_table_ref(self) -> TableRef:
+        if self.accept_op("("):
+            sub = self.parse_query()
+            self.expect_op(")")
+            alias, col_aliases = self._table_alias()
+            return TableRef(name=alias or "_subquery", alias=alias, subquery=sub,
+                            col_aliases=col_aliases)
+        name = self.next().value
+        # table function: read_csv('path'), read_parquet(...), ...
+        if self.peek() and self.peek().kind == "op" and self.peek().value == "(":
+            self.i += 1
+            fargs = []
+            if not self.accept_op(")"):
+                fargs.append(self.parse_expr())
+                while self.accept_op(","):
+                    fargs.append(self.parse_expr())
+                self.expect_op(")")
+            alias, col_aliases = self._table_alias()
+            return TableRef(name=alias or name, alias=alias,
+                            function=(name.lower(), fargs), col_aliases=col_aliases)
+        alias, col_aliases = self._table_alias()
+        return TableRef(name=name, alias=alias, col_aliases=col_aliases)
 
     def parse_join_opt(self) -> JoinClause | None:
         kind = None
@@ -461,8 +780,22 @@ class Parser:
 
     def parse_postfix(self) -> Any:
         e = self.parse_primary()
-        while self.accept_op("::"):
-            e = SCast(e, self.next().value)
+        while True:
+            if self.accept_op("::"):
+                e = SCast(e, self.parse_type_name())
+                continue
+            if isinstance(e, SFunc) and self.accept_kw("over"):
+                t = self.peek()
+                if t and t.kind == "id":
+                    self.i += 1
+                    e = SWindow(e, name=t.value)
+                else:
+                    self.expect_op("(")
+                    parts, order = self.parse_window_spec()
+                    self.expect_op(")")
+                    e = SWindow(e, parts, order)
+                continue
+            break
         return e
 
     def parse_primary(self) -> Any:

@@ -13,6 +13,9 @@ from polars_tpu.sql import parser as P
 _TYPE_MAP = {
     "int": dt.Int64, "integer": dt.Int64, "bigint": dt.Int64, "smallint": dt.Int16,
     "tinyint": dt.Int8, "int2": dt.Int16, "int4": dt.Int32, "int8": dt.Int64,
+    "uint1": dt.UInt8, "uint2": dt.UInt16, "uint4": dt.UInt32, "uint8": dt.UInt64,
+    "utinyint": dt.UInt8, "usmallint": dt.UInt16, "uint": dt.UInt32,
+    "ubigint": dt.UInt64,
     "float": dt.Float64, "float4": dt.Float32, "float8": dt.Float64,
     "double": dt.Float64, "double precision": dt.Float64, "real": dt.Float32,
     "text": dt.String, "varchar": dt.String, "char": dt.String, "string": dt.String,
@@ -22,12 +25,247 @@ _TYPE_MAP = {
 }
 
 
+def _parse_type(name: str) -> dt.DataType:
+    tname = name.strip().lower()
+    if tname.startswith("array<") and tname.endswith(">"):
+        return dt.List(_parse_type(tname[6:-1]))
+    base = tname.split("(")[0].strip()
+    if base not in _TYPE_MAP:
+        raise SQLSyntaxError(f"unknown type {name!r}")
+    return _TYPE_MAP[base]()
+
+
+# named-WINDOW scopes for the SELECT core currently being translated
+_WINDOW_SCOPES: list[dict] = []
+
+
 def translate(query: str, tables: dict[str, Any]):
     stmt = P.parse_sql(query)
-    return _build(stmt, tables)
+    return _statement(stmt, tables)
+
+
+def _statement(stmt: Any, tables: dict[str, Any]):
+    """Statement dispatch (reference: polars-sql context.rs execute:309-322).
+    DDL statements mutate the registry dict the caller passed in."""
+    import polars_tpu as pl
+
+    if isinstance(stmt, P.Query):
+        return _query(stmt, tables)
+    if isinstance(stmt, P.CreateTableStmt):
+        if stmt.if_not_exists and stmt.name in tables:
+            raise SQLInterfaceError(f"relation {stmt.name!r} already exists")
+        if stmt.query is not None:
+            lf = _query(stmt.query, tables)
+        elif stmt.columns is not None:
+            schema = {cname: _parse_type(tname) for cname, tname in stmt.columns}
+            lf = pl.DataFrame(schema={k: v for k, v in schema.items()}).lazy()
+        elif stmt.like is not None:
+            if stmt.like not in tables:
+                raise SQLInterfaceError(
+                    f"table given in LIKE does not exist: {stmt.like}")
+            src = tables[stmt.like]
+            from polars_tpu.core.frame import DataFrame as _DF
+
+            src_lf = src.lazy() if isinstance(src, _DF) else src
+            lf = src_lf.clear()
+        else:
+            raise SQLInterfaceError(
+                "CREATE TABLE expected a query, column definitions, or LIKE clause")
+        tables[stmt.name] = lf
+        return pl.DataFrame({"Response": [f"CREATE TABLE {stmt.name}"]}).lazy()
+    if isinstance(stmt, P.DropTableStmt):
+        for n in stmt.names:
+            if tables.pop(n, None) is None and not stmt.if_exists:
+                raise SQLInterfaceError(f"table {n!r} does not exist")
+        return pl.DataFrame().lazy()
+    if isinstance(stmt, P.ShowTablesStmt):
+        return pl.DataFrame({"name": sorted(tables)}).lazy()
+    if isinstance(stmt, P.TruncateStmt):
+        if stmt.name not in tables:
+            raise SQLInterfaceError(f"table {stmt.name!r} does not exist")
+        tables[stmt.name] = _as_lazy(tables[stmt.name]).clear()
+        return pl.DataFrame().lazy()
+    if isinstance(stmt, P.DeleteStmt):
+        if stmt.name not in tables:
+            raise SQLInterfaceError(f"table {stmt.name!r} does not exist")
+        lf = _as_lazy(tables[stmt.name])
+        if stmt.where is None:
+            lf = lf.clear()
+        else:
+            # SQL DELETE keeps rows where the predicate is FALSE OR NULL
+            cond = _expr(stmt.where)
+            lf = lf.filter(~cond.fill_null(False))
+        tables[stmt.name] = lf
+        return lf
+    if isinstance(stmt, P.ExplainStmt):
+        lf = _query(stmt.query, tables)
+        lines = lf.explain().splitlines()
+        return pl.DataFrame({"Logical Plan": lines}).lazy()
+    raise SQLInterfaceError(f"unsupported statement {type(stmt).__name__}")
+
+
+def _as_lazy(f: Any):
+    from polars_tpu.core.frame import DataFrame
+
+    return f.lazy() if isinstance(f, DataFrame) else f
+
+
+def _query(q: P.Query, tables: dict[str, Any]):
+    import polars_tpu as pl
+
+    if q.ctes:
+        tables = dict(tables)  # CTEs are scoped to this query
+        for name, col_aliases, cq in q.ctes:
+            lf = _query(cq, tables)
+            if col_aliases:
+                lf = lf.rename(dict(zip(lf.collect_schema().names(), col_aliases)))
+            tables[name] = lf
+    lf = _body(q.body, tables)
+    if q.order_by:
+        lf = _order(lf, q, tables)
+    if q.offset is not None or q.limit is not None:
+        lf = lf.slice(q.offset or 0, q.limit)
+    return lf
+
+
+def _referenced_columns(e: Any, out: set | None = None) -> set:
+    out = set() if out is None else out
+    if isinstance(e, P.SColumn):
+        out.add(e.name)
+    for c in _children(e):
+        _referenced_columns(c, out)
+    return out
+
+
+def _order(lf, q: P.Query, tables: dict[str, Any]):
+    """ORDER BY over the query output. Columns/expressions that reference
+    pre-projection columns sort via hidden columns (the reference sorts
+    before dropping: SELECT * EXCLUDE y ... ORDER BY y works)."""
+    import polars_tpu as pl
+
+    out_names = lf.collect_schema().names()
+    items = q.body.items if isinstance(q.body, P.SelectStmt) else []
+    by, desc, nl = [], [], []
+    hidden: list[tuple[Any, str]] = []
+    for i, o in enumerate(q.order_by):
+        if isinstance(o.expr, P.SStar):
+            for n in out_names:
+                by.append(pl.col(n))
+                desc.append(o.descending)
+                nl.append(o.nulls_last if o.nulls_last is not None else False)
+            continue
+        if isinstance(o.expr, P.SLiteral) and isinstance(o.expr.value, int) and items:
+            item = items[o.expr.value - 1]
+            by.append(pl.col(item.alias or _default_name(item.expr)))
+        elif (
+            isinstance(q.body, P.SelectStmt)
+            and not q.body.group_by
+            and not q.body.distinct
+            and not any(_has_agg(it.expr) for it in q.body.items)
+            and not _referenced_columns(o.expr) <= set(out_names)
+        ):
+            name = f"__pl_sql_ord_{i}"
+            hidden.append((o.expr, name))
+            by.append(pl.col(name))
+        else:
+            by.append(_expr(o.expr))
+        desc.append(o.descending)
+        nl.append(o.nulls_last if o.nulls_last is not None else False)
+    if hidden:
+        import dataclasses
+
+        stmt2 = dataclasses.replace(
+            q.body,
+            items=q.body.items + [P.SelectItem(e, n) for e, n in hidden],
+        )
+        lf = _build(stmt2, tables)
+        return lf.sort(by, descending=desc, nulls_last=nl).select(
+            [pl.col(n) for n in out_names]
+        )
+    return lf.sort(by, descending=desc, nulls_last=nl)
+
+
+def _body(b: Any, tables: dict[str, Any]):
+    import polars_tpu as pl
+
+    if isinstance(b, P.SelectStmt):
+        return _build(b, tables)
+    if isinstance(b, P.Query):
+        return _query(b, tables)
+    if isinstance(b, P.TableRef):
+        return _table(b, tables)
+    if isinstance(b, P.ValuesTable):
+        return _values(b, None)
+    if isinstance(b, P.SetOp):
+        return _set_op(b, tables)
+    raise SQLInterfaceError(f"unsupported query body {type(b).__name__}")
+
+
+def _values(v: P.ValuesTable, col_names: list[str] | None):
+    import polars_tpu as pl
+
+    width = len(v.rows[0]) if v.rows else 0
+    names = col_names or [f"column_{i}" for i in range(width)]
+    cols: dict = {n: [] for n in names}
+    for row in v.rows:
+        if len(row) != width:
+            raise SQLInterfaceError("VALUES rows have differing widths")
+        for n, cell in zip(names, row):
+            if isinstance(cell, P.SLiteral) and cell.kind == "plain":
+                cols[n].append(cell.value)
+            elif isinstance(cell, P.SUnary) and cell.op == "-" and isinstance(
+                cell.operand, P.SLiteral
+            ):
+                cols[n].append(-cell.operand.value)
+            else:
+                raise SQLInterfaceError("VALUES cells must be literals")
+    return pl.DataFrame(cols).lazy()
+
+
+def _set_op(b: P.SetOp, tables: dict[str, Any]):
+    """UNION/EXCEPT/INTERSECT (reference: polars-sql context.rs
+    process_union + SetOperator::{Except,Intersect} handling)."""
+    import polars_tpu as pl
+
+    lf = _body(b.left, tables)
+    rf = _body(b.right, tables)
+    lnames = lf.collect_schema().names()
+    rnames = rf.collect_schema().names()
+    if len(lnames) != len(rnames) and not b.by_name:
+        raise SQLInterfaceError(
+            f"set operation requires equal column counts ({len(lnames)} vs {len(rnames)})")
+    if b.by_name:
+        missing = [n for n in lnames if n not in rnames]
+        if missing:
+            raise SQLInterfaceError(f"{b.op.upper()} BY NAME: missing columns {missing}")
+        rf = rf.select([pl.col(n) for n in lnames])
+    elif lnames != rnames:
+        rf = rf.rename(dict(zip(rnames, lnames)))
+    if b.op == "union":
+        out = pl.concat([lf, rf])
+        if b.quantifier != "all":
+            out = out.unique(maintain_order=True)
+        return out
+    if b.quantifier == "all":
+        raise SQLInterfaceError(f"{b.op.upper()} ALL is not supported")
+    on = [pl.col(n) for n in lnames]
+    how = "semi" if b.op == "intersect" else "anti"
+    return lf.unique(maintain_order=True).join(
+        rf.unique(maintain_order=True), on=on, how=how, nulls_equal=True
+    )
 
 
 def _build(stmt: P.SelectStmt, tables: dict[str, Any]):
+    import polars_tpu as pl
+
+    _WINDOW_SCOPES.append(stmt.windows)
+    try:
+        return _build_inner(stmt, tables)
+    finally:
+        _WINDOW_SCOPES.pop()
+
+
+def _build_inner(stmt: P.SelectStmt, tables: dict[str, Any]):
     import polars_tpu as pl
 
     if stmt.table is None:
@@ -92,29 +330,6 @@ def _build(stmt: P.SelectStmt, tables: dict[str, Any]):
         lf = lf.select(exprs)
         if stmt.distinct:
             lf = lf.unique(maintain_order=True)
-
-    if stmt.union is not None:
-        how, other_stmt = stmt.union
-        other = _build(other_stmt, tables)
-        lf = pl.concat([lf, other])
-        if how == "distinct":
-            lf = lf.unique(maintain_order=True)
-
-    if stmt.order_by:
-        by = []
-        desc = []
-        nl = []
-        for o in stmt.order_by:
-            if isinstance(o.expr, P.SLiteral) and isinstance(o.expr.value, int):
-                item = stmt.items[o.expr.value - 1]
-                by.append(pl.col(item.alias or _default_name(item.expr)))
-            else:
-                by.append(_expr(o.expr))
-            desc.append(o.descending)
-            nl.append(o.nulls_last if o.nulls_last is not None else False)
-        lf = lf.sort(by, descending=desc, nulls_last=nl)
-    if stmt.offset is not None or stmt.limit is not None:
-        lf = lf.slice(stmt.offset or 0, stmt.limit)
     return lf
 
 
@@ -142,19 +357,47 @@ def _rewrite_having(having: Any, items: list) -> tuple[Any, list]:
     return walk(having), extra
 
 
+_TABLE_FUNCTIONS = {
+    # SQL FROM-clause table functions -> scan_* (reference:
+    # polars-sql/src/table_functions.rs:56-62)
+    "read_csv": "scan_csv",
+    "read_parquet": "scan_parquet",
+    "read_ipc": "scan_ipc",
+    "read_json": "scan_ndjson",
+    "read_ndjson": "scan_ndjson",
+}
+
+
 def _table(ref: P.TableRef, tables: dict[str, Any]):
+    import polars_tpu as pl
+
     if ref.subquery is not None:
-        return _build(ref.subquery, tables)
+        if isinstance(ref.subquery, P.ValuesTable):
+            return _values(ref.subquery, ref.col_aliases)
+        lf = _query(ref.subquery, tables)
+        if ref.col_aliases:
+            lf = lf.rename(dict(zip(lf.collect_schema().names(), ref.col_aliases)))
+        return lf
+    if ref.function is not None:
+        fname, fargs = ref.function
+        if fname not in _TABLE_FUNCTIONS:
+            raise SQLInterfaceError(f"unknown table function {fname!r}")
+        paths = [a.value for a in fargs if isinstance(a, P.SLiteral)]
+        if len(paths) != 1 or not isinstance(paths[0], str):
+            raise SQLInterfaceError(f"{fname} expects a single path argument")
+        lf = getattr(pl, _TABLE_FUNCTIONS[fname])(paths[0])
+        if ref.col_aliases:
+            lf = lf.rename(dict(zip(lf.collect_schema().names(), ref.col_aliases)))
+        return lf
     try:
         lf = tables[ref.name]
     except KeyError:
         raise SQLInterfaceError(
             f"relation {ref.name!r} not found; registered: {sorted(tables)}"
         ) from None
-    from polars_tpu.core.frame import DataFrame
-
-    if isinstance(lf, DataFrame):
-        lf = lf.lazy()
+    lf = _as_lazy(lf)
+    if ref.col_aliases:
+        lf = lf.rename(dict(zip(lf.collect_schema().names(), ref.col_aliases)))
     return lf
 
 
@@ -185,6 +428,8 @@ def _join_keys(on: Any):
 
 
 def _has_agg(e: Any) -> bool:
+    if isinstance(e, P.SWindow):
+        return False  # window functions are row-level, not frame aggregations
     if isinstance(e, P.SFunc) and e.name in _AGG_FUNCS:
         return True
     for child in _children(e):
@@ -211,6 +456,8 @@ def _children(e: Any) -> list:
 
 
 def _default_name(e: Any) -> str:
+    if isinstance(e, P.SWindow):
+        return _default_name(e.func)
     if isinstance(e, P.SColumn):
         return e.name
     if isinstance(e, P.SFunc):
@@ -330,9 +577,103 @@ def _expr_inner(e: Any):
         if tname not in _TYPE_MAP:
             raise SQLSyntaxError(f"unknown type {e.type_name!r}")
         return _expr_inner(e.operand).cast(_TYPE_MAP[tname]())
+    if isinstance(e, P.SWindow):
+        return _window(e)
     if isinstance(e, P.SFunc):
         return _func(e)
     raise SQLSyntaxError(f"cannot translate {type(e).__name__}")
+
+
+def _window(e: P.SWindow):
+    """OVER (...) lowering (reference: polars-sql functions.rs
+    apply_window_spec:2400-2436 + the cumulative mapping at 1912-1922:
+    agg + ORDER BY -> cum_* over(order_by=...))."""
+    import polars_tpu as pl
+
+    parts, order = e.partition_by, e.order_by
+    if e.name is not None:
+        scope = _WINDOW_SCOPES[-1] if _WINDOW_SCOPES else {}
+        if e.name not in scope:
+            raise SQLInterfaceError(f"window {e.name!r} is not defined")
+        parts, order = scope[e.name]
+    part_exprs = [_expr_inner(p) for p in parts]
+    order_exprs = [_expr_inner(o.expr) for o in order]
+    desc = [o.descending for o in order]
+    # our over() needs at least one partition key; a constant puts every row
+    # in one partition (ORDER BY-only windows)
+    over_parts = part_exprs or [pl.lit(1)]
+
+    def spec(x, *, force_over: bool = False):
+        if order_exprs:
+            return x.over(over_parts, order_by=order_exprs, descending=desc)
+        if part_exprs or force_over:
+            return x.over(over_parts)
+        return x
+
+    f = e.func
+    name = f.name
+    if name in ("row_number", "rank", "dense_rank", "ntile"):
+        if not order_exprs:
+            raise SQLInterfaceError(f"{name.upper()} requires ORDER BY in its window")
+        key = order_exprs[0] if len(order_exprs) == 1 else pl.struct(order_exprs)
+        if name == "row_number":
+            rn = order_exprs[0].is_not_null().cum_count()
+            return rn.over(over_parts, order_by=order_exprs, descending=desc)
+        if name == "ntile":
+            n_tiles = int(f.args[0].value)
+            rn = order_exprs[0].is_not_null().cum_count().over(
+                over_parts, order_by=order_exprs, descending=desc)
+            cnt = order_exprs[0].count().over(over_parts)
+            return ((rn - 1) * n_tiles // cnt + 1).cast(dt.Int64())
+        method = "min" if name == "rank" else "dense"
+        r = key.rank(method, descending=all(desc) and bool(desc))
+        return r.over(over_parts) if part_exprs else r
+    if name in ("lag", "lead"):
+        if not order_exprs:
+            raise SQLInterfaceError(f"{name.upper()} requires ORDER BY in its window")
+        x = _expr_inner(f.args[0])
+        n = int(f.args[1].value) if len(f.args) > 1 else 1
+        if n <= 0:
+            raise SQLInterfaceError(f"{name.upper()} offset must be positive")
+        if name == "lead":
+            n = -n
+        fill = None
+        if len(f.args) > 2:
+            fill = _expr_inner(f.args[2])
+        return x.shift(n, fill_value=fill).over(
+            over_parts, order_by=order_exprs, descending=desc)
+    if name == "first_value":
+        x = _expr_inner(f.args[0])
+        return spec(x.first(), force_over=True) if not order_exprs else x.first().over(
+            over_parts, order_by=order_exprs, descending=desc)
+    if name == "last_value":
+        # default frame ends at the current row -> the current row's value
+        if order_exprs:
+            return _expr_inner(f.args[0])
+        return _expr_inner(f.args[0]).last().over(over_parts)
+    if name == "count":
+        star = not f.args or isinstance(f.args[0], P.SStar)
+        if order_exprs:
+            base = order_exprs[0].is_not_null() if star else _expr_inner(f.args[0]).is_not_null()
+            return base.cast(dt.UInt32()).cum_sum().over(
+                over_parts, order_by=order_exprs, descending=desc)
+        if star:
+            # COUNT(*): count rows in the partition (len, not non-null count)
+            return spec(pl.len().cast(dt.UInt32()), force_over=True)
+        return spec(_expr_inner(f.args[0]).count(), force_over=True)
+    _CUM = {"sum": "cum_sum", "min": "cum_min", "max": "cum_max"}
+    if name in _AGG_FUNCS or name in _CUM:
+        x = _expr_inner(f.args[0])
+        if order_exprs:
+            if name not in _CUM:
+                raise SQLInterfaceError(
+                    f"{name.upper()} OVER (ORDER BY ...) is not supported; "
+                    "only SUM/MIN/MAX/COUNT map to cumulative windows")
+            return getattr(x, _CUM[name])().over(
+                over_parts, order_by=order_exprs, descending=desc)
+        agg = _func(f)
+        return spec(agg, force_over=True)
+    raise SQLInterfaceError(f"{name!r} is not a supported window function")
 
 
 def _interval(text: str):
