@@ -11,6 +11,7 @@ cheap metadata that unlock merge paths and O(1) min/max.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 from typing import Any
 
 import jax.numpy as jnp
@@ -205,6 +206,15 @@ class Column:
             if validity is None:
                 return lst
             return [v if ok else None for v, ok in zip(lst, validity.tolist())]
+        if isinstance(self.dtype, dt.Decimal):
+            # python values are decimal.Decimal (py-polars Decimal semantics)
+            vals, validity = self.buffer.to_numpy()
+            scale = self.dtype.scale
+            ok = [True] * len(vals) if validity is None else validity.tolist()
+            return [
+                _decimal.Decimal(int(v)).scaleb(-scale) if good else None
+                for v, good in zip(vals.tolist(), ok)
+            ]
         arr = self.to_numpy()
         out = []
         for v in arr.tolist() if arr.dtype != object else arr:
@@ -309,6 +319,8 @@ def _infer_pylist_dtype(seq: list, *, strict: bool = True) -> dt.DataType:
             has.add("int")
         elif isinstance(v, (np.floating,)):
             has.add("float")
+        elif isinstance(v, _decimal.Decimal):
+            has.add("decimal")
         else:
             has.add("object")
     if not has:
@@ -331,6 +343,15 @@ def _infer_pylist_dtype(seq: list, *, strict: bool = True) -> dt.DataType:
         return dt.Time()
     if has == {"binary"}:
         return dt.Binary()
+    if has <= {"decimal", "int"}:
+        # infer scale from the values (reference: decimal scale inference)
+        scale = 0
+        for v in seq:
+            if isinstance(v, _decimal.Decimal):
+                exp = v.as_tuple().exponent
+                if isinstance(exp, int) and exp < 0:
+                    scale = max(scale, -exp)
+        return dt.Decimal(38, scale)
     if has == {"list"}:
         inner_vals = [x for v in seq if v is not None for x in v]
         return dt.List(_infer_pylist_dtype(inner_vals))
@@ -468,9 +489,18 @@ def _from_pylist(
 
     if isinstance(logical, dt.Decimal):
         scale = logical.scale
+
+        def _to_scaled(v) -> int:
+            if isinstance(v, _decimal.Decimal):
+                # exact: shift the decimal point, round half-even like the
+                # reference's dec128_rescale
+                return int(v.scaleb(scale).to_integral_value(_decimal.ROUND_HALF_EVEN))
+            if isinstance(v, (int, np.integer)):
+                return int(v) * 10 ** scale
+            return round(float(v) * 10 ** scale)
+
         ints = np.array(
-            [0 if v is None else round(float(v) * 10 ** scale) for v in seq],
-            dtype=np.int64,
+            [0 if v is None else _to_scaled(v) for v in seq], dtype=np.int64
         )
         buf = Buffer.from_numpy(ints, validity if has_null else None)
         return Column(name, logical, buf)

@@ -915,15 +915,11 @@ class DataFrame:
         self._prefetch_host()
         import pyarrow as pa
 
-        arrays = {}
-        for c in self._columns:
-            vals, validity = c.buffer.to_numpy()
-            if c.table is not None:
-                arr = pa.array(c.table.take(np.where(validity, vals, -1) if validity is not None else vals))
-            else:
-                arr = pa.array(c.to_numpy(), from_pandas=True)
-            arrays[c.name] = arr
-        return pa.table(arrays)
+        from polars_tpu.io._arrow import column_to_arrow
+
+        if not self._columns:
+            return pa.table({})
+        return pa.table({c.name: column_to_arrow(c) for c in self._columns})
 
     def to_struct(self, name: str = "") -> Series:
         from polars_tpu.core.series import Series

@@ -145,13 +145,18 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
         return v.with_(
             values=floordiv_any(v.values, 10 ** src.scale).astype(np_dtype), dtype=target
         )
-    if src.is_numeric() and tn == "Decimal":
-        scaled = v.values.astype(jnp.float64) * (10.0 ** target.scale)
-        return v.with_(values=jnp.round(scaled).astype(jnp.int64), dtype=target)
     if sn == "Decimal" and tn == "Decimal":
         if target.scale >= src.scale:
             return v.with_(values=v.values * (10 ** (target.scale - src.scale)), dtype=target)
         return v.with_(values=floordiv_any(v.values, 10 ** (src.scale - target.scale)), dtype=target)
+    if src.is_numeric() and tn == "Decimal":
+        if src.is_integer():
+            return v.with_(
+                values=v.values.astype(jnp.int64) * jnp.int64(10 ** target.scale),
+                dtype=target,
+            )
+        scaled = v.values.astype(jnp.float64) * (10.0 ** target.scale)
+        return v.with_(values=jnp.round(scaled).astype(jnp.int64), dtype=target)
     if (src.is_numeric() or sn == "Boolean") and (target.is_numeric() or tn == "Boolean"):
         if tn == "Boolean":
             return v.with_(values=v.values != 0, dtype=target)

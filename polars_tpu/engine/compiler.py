@@ -171,6 +171,12 @@ def _eval_literal(node: E.ELiteral, ctx: EvalCtx) -> Val:
         iv = _parse_temporal_literal(value, dtype)
         np_d = jnp.dtype(dt.dtype_to_numpy(dtype))
         return Val(jnp.asarray([iv], np_d), None, dtype, None, SCALAR)
+    import decimal as _decimal
+
+    if isinstance(value, _decimal.Decimal):
+        d = dtype if isinstance(dtype, dt.Decimal) else _lit_dtype(value)
+        iv = int(value.scaleb(d.scale).to_integral_value(_decimal.ROUND_HALF_EVEN))
+        return Val(jnp.asarray([iv], jnp.int64), None, d, None, SCALAR)
     # numeric/bool/temporal-int literal: traced scalar when pre-collected
     if node in ctx.literals:
         arr = ctx.literals[node]
@@ -188,6 +194,11 @@ def _lit_dtype(value) -> dt.DataType:
         return dt.Int32() if -(2**31) <= value < 2**31 else dt.Int64()
     if isinstance(value, float):
         return dt.Float64()
+    import decimal as _decimal
+
+    if isinstance(value, _decimal.Decimal):
+        exp = value.as_tuple().exponent
+        return dt.Decimal(38, -exp if isinstance(exp, int) and exp < 0 else 0)
     raise InvalidOperationError(f"unsupported literal {value!r}")
 
 
@@ -258,6 +269,25 @@ def _eval_binary(node: E.EBinary, ctx: EvalCtx) -> Val:
     return Val(values, validity, out_dt, None, dom)
 
 
+def _div_half_even(n, d):
+    """Integer division rounding half to even (banker's), signed-safe; d != 0.
+    Mirrors dec128_div/dec128_mul rounding (polars-compute decimal.rs:525-570)."""
+    sign = jnp.where(d < 0, jnp.int64(-1), jnp.int64(1))
+    n2 = n * sign
+    d2 = d * sign  # > 0
+    q = floordiv_any(n2, d2)
+    r = n2 - q * d2  # 0 <= r < d2
+    twice = 2 * r
+    roundup = (twice > d2) | ((twice == d2) & ((q & 1) == 1))
+    return q + roundup.astype(q.dtype)
+
+
+def _div_pow10_half_even(n, s: int):
+    if s == 0:
+        return n
+    return _div_half_even(n, jnp.full(n.shape, 10 ** s, jnp.int64))
+
+
 def _arith(op: str, a: Val, b: Val, out_dt: dt.DataType):
     an, bn = type(a.dtype).__name__, type(b.dtype).__name__
     on = type(out_dt).__name__
@@ -287,6 +317,33 @@ def _arith(op: str, a: Val, b: Val, out_dt: dt.DataType):
         else:
             values = floordiv_any(av, jnp.maximum(bv, 1)).astype(jnp.int64)
             validity = combine_validity(validity, b.values != 0)
+        return a, b, values, validity
+
+    if on == "Decimal" and op in ("+", "-", "*", "/"):
+        # reference semantics (polars-core arithmetic/decimal.rs): both sides
+        # rescale to scale = max(s_l, s_r); mul = round_half_even(l*r/10^s);
+        # div = round_half_even(l*10^s/r). Physical storage is scaled int64.
+        s_out = out_dt.scale
+
+        def resc(v: Val):
+            s = v.dtype.scale if isinstance(v.dtype, dt.Decimal) else 0
+            x = v.values.astype(jnp.int64)
+            if s < s_out:
+                x = x * jnp.int64(10 ** (s_out - s))
+            return x
+
+        av, bv = resc(a), resc(b)
+        if op == "+":
+            values = av + bv
+        elif op == "-":
+            values = av - bv
+        elif op == "*":
+            values = _div_pow10_half_even(av * bv, s_out)
+        else:  # "/"
+            nz = bv != 0
+            safe_b = jnp.where(nz, bv, jnp.ones((), bv.dtype))
+            values = _div_half_even(av * jnp.int64(10 ** s_out), safe_b)
+            validity = combine_validity(validity, nz)
         return a, b, values, validity
 
     st = supertype(a.dtype, b.dtype) if not out_dt.is_float() or a.dtype.is_float() or b.dtype.is_float() else out_dt
@@ -600,6 +657,15 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         return Val(counts.astype(jnp.uint32), None, dt.UInt32(), None, dom)
 
     v = eval_expr(input_node, ctx)
+    if isinstance(v.dtype, dt.Decimal) and kind in (
+        "mean", "median", "quantile", "std", "var", "skew", "kurtosis", "entropy",
+    ):
+        # float-valued aggs of Decimal operate on the logical value, not the
+        # scaled-int physical (reference: decimal mean -> f64)
+        v = v.with_(
+            values=v.values.astype(jnp.float64) * (10.0 ** -v.dtype.scale),
+            dtype=dt.Float64(),
+        )
     if v.domain == GROUP:
         raise InvalidOperationError("nested aggregations are not supported")
     if v.domain == SCALAR:

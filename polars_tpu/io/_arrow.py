@@ -56,6 +56,8 @@ def _arrow_dtype_to_polars(t: Any) -> dt.DataType:
         return dt.Categorical()
     if pa.types.is_null(t):
         return dt.Null()
+    if pa.types.is_fixed_size_list(t):
+        return dt.Array(_arrow_dtype_to_polars(t.value_type), t.list_size)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return dt.List(_arrow_dtype_to_polars(t.value_type))
     if pa.types.is_struct(t):
@@ -95,6 +97,12 @@ def arrow_array_to_column(name: str, arr: Any, override: dt.DataType | None = No
         table = strtable.StringTable(uniq.astype(object), sorted_order=True)
         buf = Buffer.from_numpy(codes_np, validity)
         col = Column(name, dt.String() if not isinstance(logical, dt.Categorical) else logical, buf, table)
+        return _maybe_cast(col, override)
+
+    if isinstance(logical, (dt.List, dt.Array, dt.Struct)):
+        # nested columns rebuild through the python layout packer (packed
+        # (start,len) words + child column)
+        col = Column.from_values(name, arr.to_pylist(), logical)
         return _maybe_cast(col, override)
 
     validity = None
@@ -160,6 +168,55 @@ def _zero_for(t: Any):
 
         return decimal.Decimal(0)
     return 0
+
+
+def dtype_to_arrow(d: dt.DataType) -> Any:
+    """Logical dtype -> pyarrow type (inverse of _arrow_dtype_to_polars)."""
+    import pyarrow as pa
+
+    n = type(d).__name__
+    flat = {
+        "Int8": pa.int8(), "Int16": pa.int16(), "Int32": pa.int32(),
+        "Int64": pa.int64(), "UInt8": pa.uint8(), "UInt16": pa.uint16(),
+        "UInt32": pa.uint32(), "UInt64": pa.uint64(),
+        "Float32": pa.float32(), "Float64": pa.float64(),
+        "Boolean": pa.bool_(), "String": pa.large_string(),
+        "Binary": pa.large_binary(), "Date": pa.date32(),
+        "Time": pa.time64("ns"), "Null": pa.null(),
+        "Categorical": pa.large_string(), "Enum": pa.large_string(),
+    }
+    if n in flat:
+        return flat[n]
+    if n == "Datetime":
+        return pa.timestamp(d.time_unit, tz=getattr(d, "time_zone", None))
+    if n == "Duration":
+        return pa.duration(d.time_unit)
+    if n == "Decimal":
+        return pa.decimal128(d.precision or 38, d.scale)
+    if n == "List":
+        return pa.large_list(dtype_to_arrow(d.inner))
+    if n == "Array":
+        return pa.list_(dtype_to_arrow(d.inner), d.size)
+    if n == "Struct":
+        return pa.struct([(f.name, dtype_to_arrow(f.dtype)) for f in d.fields])
+    raise TypeError(f"no arrow type for {d!r}")
+
+
+def column_to_arrow(c: Column) -> Any:
+    """Column -> pyarrow array, preserving the logical dtype (used by
+    DataFrame.to_arrow / parquet-ipc writers)."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = c.dtype
+    if c.table is not None:
+        vals, validity = c.buffer.to_numpy()
+        return pa.array(
+            c.table.take(np.where(validity, vals, -1) if validity is not None else vals)
+        )
+    if isinstance(d, (dt.List, dt.Array, dt.Struct, dt.Decimal)):
+        return pa.array(c.to_pylist(), type=dtype_to_arrow(d))
+    return pa.array(c.to_numpy(), from_pandas=True)
 
 
 def arrow_to_columns(table: Any, overrides: dict | None = None) -> list[Column]:

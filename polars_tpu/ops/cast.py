@@ -152,13 +152,22 @@ def cast_column(col: Column, dtype: dt.DataType, *, strict: bool = True) -> Colu
         return Column(col.name, dst, Buffer(values, buf.validity, buf.length))
 
     # ---- decimal ----
+    if isinstance(src, dt.Decimal) and isinstance(dst, dt.Decimal):
+        if dst.scale >= src.scale:
+            values = buf.values * (10 ** (dst.scale - src.scale))
+        else:
+            values = _floor_div_int(buf.values, 10 ** (src.scale - dst.scale))
+        return Column(col.name, dst, Buffer(values, buf.validity, buf.length))
     if isinstance(src, dt.Decimal) and isinstance(dst, dt.FloatType):
         np_dtype = jnp.dtype(dt.dtype_to_numpy(dst))
         values = buf.values.astype(np_dtype) / (10.0 ** src.scale)
         return Column(col.name, dst, Buffer(values, buf.validity, buf.length))
     if isinstance(src, (dt.IntegerType, dt.FloatType)) and isinstance(dst, dt.Decimal):
-        scaled = buf.values.astype(jnp.float64) * (10.0 ** dst.scale)
-        values = jnp.round(scaled).astype(jnp.int64)
+        if isinstance(src, dt.IntegerType):
+            values = buf.values.astype(jnp.int64) * jnp.int64(10 ** dst.scale)
+        else:
+            scaled = buf.values.astype(jnp.float64) * (10.0 ** dst.scale)
+            values = jnp.round(scaled).astype(jnp.int64)
         return Column(col.name, dst, Buffer(values, buf.validity, buf.length))
     if isinstance(src, dt.Decimal) and isinstance(dst, dt.IntegerType):
         np_dtype = jnp.dtype(dt.dtype_to_numpy(dst))

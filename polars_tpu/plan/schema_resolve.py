@@ -50,6 +50,15 @@ def supertype(a: dt.DataType, b: dt.DataType) -> dt.DataType:
         return b
     if bn == "Boolean" and a.is_numeric():
         return a
+    if an == "Decimal" and bn == "Decimal":
+        # reference: decimal arithmetic unifies to max scale at max precision
+        # (polars-core arithmetic/decimal.rs: scale = left_s.max(right_s))
+        prec = None if (a.precision is None or b.precision is None) else max(a.precision, b.precision)
+        return dt.Decimal(prec, max(a.scale, b.scale))
+    if an == "Decimal" and b.is_numeric():
+        return a if b.is_integer() else dt.Float64()
+    if bn == "Decimal" and a.is_numeric():
+        return b if a.is_integer() else dt.Float64()
     if a.is_numeric() and b.is_numeric():
         if a.is_float() or b.is_float():
             if an == "Float32" and bn == "Float32":
@@ -82,10 +91,6 @@ def supertype(a: dt.DataType, b: dt.DataType) -> dt.DataType:
         return a if units[a.time_unit] >= units[b.time_unit] else b
     if {an, bn} <= {"String", "Categorical", "Enum"}:
         return dt.String()
-    if an == "Decimal" and b.is_numeric():
-        return a if b.is_integer() else dt.Float64()
-    if bn == "Decimal" and a.is_numeric():
-        return b if a.is_integer() else dt.Float64()
     if (an == "Date" and b.is_integer()) or (bn == "Date" and a.is_integer()):
         return dt.Int32()
     if (an in ("Datetime", "Duration", "Time") and b.is_integer()) or (
@@ -402,6 +407,11 @@ def _literal_dtype(value: Any) -> dt.DataType:
         return dt.String()
     if isinstance(value, bytes):
         return dt.Binary()
+    import decimal as _decimal
+
+    if isinstance(value, _decimal.Decimal):
+        exp = value.as_tuple().exponent
+        return dt.Decimal(38, -exp if isinstance(exp, int) and exp < 0 else 0)
     raise InvalidOperationError(f"unsupported literal {value!r}")
 
 
@@ -443,6 +453,10 @@ def binary_dtype(op: str, lt: dt.DataType, rt: dt.DataType) -> dt.DataType:
     if op == "/":
         if ln == "Duration" and rt.is_numeric():
             return lt
+        if ln == "Decimal" and (rn == "Decimal" or rt.is_integer()):
+            return supertype(lt, rt if rn == "Decimal" else dt.Decimal(None, 0))
+        if rn == "Decimal" and lt.is_integer():
+            return supertype(dt.Decimal(None, 0), rt)
         if lt.is_numeric() or rt.is_numeric():
             st = supertype(lt, rt)
             return dt.Float32() if isinstance(st, dt.Float32) else dt.Float64()
