@@ -235,6 +235,155 @@ def _iter_batches(leaf: L.LNode, batch_rows: int):
                 return
 
 
+# ---------------------------------------------------------------------------
+# grace (hash-partitioned) join: both sides larger than memory
+# ---------------------------------------------------------------------------
+
+
+def _build_input(j: L.LJoin) -> L.LNode:
+    p = _probe_input(j)
+    return j.input_right if p is j.input_left else j.input_left
+
+
+def _max_leaf_rows(n: L.LNode) -> int:
+    leaves: list[L.LNode] = []
+    _collect_leaves(n, leaves)
+    return max((_leaf_rows(l) for l in leaves), default=0)
+
+
+def _find_grace_join(chain_top: L.LNode, leaf: L.LNode, batch_rows: int):
+    """The bottom-most spine join whose BUILD side is itself too large to
+    materialize: both sides hash-partition to spill stores, then each
+    partition pair joins in memory (the reference's partitioned SpillFrame
+    path, polars-stream/src/nodes/joins/equi_join.rs:403-530)."""
+    import os
+
+    if os.environ.get("POLARS_TPU_STREAM_GRACE", "1") == "0":
+        return None
+    path = _path_to(chain_top, leaf) or []
+    for n in reversed(path):  # bottom-most (closest to the leaf) first
+        if isinstance(n, L.LJoin) and n.how != "cross" and n.left_on:
+            if _max_leaf_rows(_build_input(n)) > 4 * batch_rows:
+                return n
+    return None
+
+
+def _grace_k(build_rows: int, batch_rows: int) -> int:
+    import os
+
+    forced = int(os.environ.get("POLARS_TPU_STREAM_JOIN_PARTITIONS", "0"))
+    if forced > 0:
+        return forced
+    k = -(-build_rows // max(2 * batch_rows, 1))
+    return max(2, min(64, k))
+
+
+def _partition_ids(df: DataFrame, key_exprs, n_parts: int) -> "Any":
+    """Stable per-row partition id from the join keys' LOGICAL values (host
+    side — dict codes are frame-local, so string keys hash by value)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_tpu.engine.run import execute_plan
+
+    h = None
+    for i, k in enumerate(key_exprs):
+        sub = L.LSelect(
+            L.LDataFrameScan(df=df, ident=obj_token(df)),
+            (E.EAlias(k, f"__k{i}"),),
+        )
+        vals = execute_plan(sub)._columns[0].to_pylist()
+        hk = pd.util.hash_pandas_object(pd.Series(vals, dtype=object), index=False).to_numpy()
+        h = hk if h is None else (h * np.uint64(0x9E3779B9) + hk)
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def _take_rows(df: DataFrame, idx) -> DataFrame:
+    from polars_tpu.engine.gather import gather_column
+
+    cols = [gather_column(c, idx) for c in df._columns]
+    return DataFrame._from_columns(cols, len(idx))
+
+
+def _grace_outputs(chain_top: L.LNode, leaf: L.LNode, grace_j: L.LJoin, batch_rows: int):
+    """Yield chain outputs for a plan whose spine join partitions both sides.
+
+    Phase 1: stream the build subplan, hash-partition rows by join key into
+    K spill stores. Phase 2: stream the probe leaf through the below-join
+    chain, partition likewise. Phase 3: join each partition pair in memory
+    and run the above-join chain on it. Peak memory ~ total/K per side
+    (+ the OOC budget governs host-side spill)."""
+    import numpy as np
+
+    from polars_tpu.engine.ooc import HostRunStore
+    from polars_tpu.engine.run import execute_plan
+
+    probe_sub = _probe_input(grace_j)
+    build_plan = _build_input(grace_j)
+    probe_is_left = probe_sub is grace_j.input_left
+    probe_keys = grace_j.left_on if probe_is_left else grace_j.right_on
+    build_keys = grace_j.right_on if probe_is_left else grace_j.left_on
+    n_parts = _grace_k(_max_leaf_rows(build_plan), batch_rows)
+    if verbose():
+        print(f"[polars_tpu] grace join: {n_parts} partitions")
+
+    def scan(df: DataFrame) -> L.LNode:
+        return L.LDataFrameScan(df=df, ident=obj_token(df))
+
+    def spill_partitions(frames, keys):
+        stores = [HostRunStore() for _ in range(n_parts)]
+        template = None
+        for f in frames:
+            if template is None and f.width:
+                template = f.clear()
+            if f.height == 0:
+                continue
+            pids = _partition_ids(f, keys, n_parts)
+            for p in np.unique(pids):
+                stores[int(p)].add(_take_rows(f, np.nonzero(pids == p)[0]))
+        return stores, template
+
+    build_stores = probe_stores = None
+    try:
+        build_stores, build_tpl = spill_partitions(
+            stream_batches(build_plan, batch_rows=batch_rows), build_keys
+        )
+        probe_chain = _freeze_build_sides(probe_sub, leaf, {})
+        probe_stores, probe_tpl = spill_partitions(
+            (
+                execute_plan(_replace_input(probe_chain, leaf, scan(b)))
+                for b in _iter_batches(leaf, batch_rows)
+            ),
+            probe_keys,
+        )
+        if build_tpl is None or probe_tpl is None:
+            # a side produced no batches at all: resolve its schema statically
+            from polars_tpu.core.schema import Schema
+            from polars_tpu.plan.schema_resolve import node_schema
+
+            if build_tpl is None:
+                build_tpl = DataFrame(schema=dict(node_schema(build_plan).items()))
+            if probe_tpl is None:
+                probe_tpl = DataFrame(schema=dict(node_schema(probe_sub).items()))
+        cache: dict = {}
+        for p in range(n_parts):
+            pdf = probe_stores[p].to_frame() if probe_stores[p].runs else probe_tpl.clear()
+            bdf = build_stores[p].to_frame() if build_stores[p].runs else build_tpl.clear()
+            if pdf.height == 0 and bdf.height == 0:
+                continue
+            if pdf.height == 0 and grace_j.how in ("inner", "left", "semi", "anti"):
+                continue  # nothing to emit from an empty probe partition
+            li, ri = (pdf, bdf) if probe_is_left else (bdf, pdf)
+            joined = execute_plan(L.rebuild(grace_j, (scan(li), scan(ri))))
+            sub = _replace_input(chain_top, grace_j, scan(joined))
+            yield execute_plan(_freeze_build_sides(sub, leaf, cache))
+    finally:
+        for stores in (build_stores, probe_stores):
+            if stores:
+                for s in stores:
+                    s.close()
+
+
 def _freeze_build_sides(node: L.LNode, leaf: L.LNode, cache: dict) -> L.LNode:
     """Materialize every join input NOT on the stream spine exactly once."""
     from polars_tpu.engine.run import execute_plan
@@ -269,11 +418,19 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
     leaf, terminal, chain_top, root = plan
     batch_rows = batch_rows or config().ideal_batch_size
 
-    chain = _freeze_build_sides(chain_top, leaf, {})
+    grace_j = _find_grace_join(chain_top, leaf, batch_rows)
+    if grace_j is not None:
+        def chain_outputs():
+            return _grace_outputs(chain_top, leaf, grace_j, batch_rows)
+    else:
+        chain = _freeze_build_sides(chain_top, leaf, {})
 
-    def run_chain(batch_df: DataFrame) -> DataFrame:
-        sub = _replace_input(chain, leaf, L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df)))
-        return execute_plan(sub)
+        def run_chain(batch_df: DataFrame) -> DataFrame:
+            sub = _replace_input(chain, leaf, L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df)))
+            return execute_plan(sub)
+
+        def chain_outputs():
+            return (run_chain(b) for b in _iter_batches(leaf, batch_rows))
 
     def splice(result: DataFrame, at: L.LNode) -> DataFrame:
         """Substitute ``result`` for ``at`` in the full plan and finish
@@ -293,8 +450,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
     if isinstance(terminal, L.LSelect):
         partial, merge, final = _decompose_aggs(terminal.expressions)
         partials = []
-        for batch_df in _iter_batches(leaf, batch_rows):
-            out = run_chain(batch_df)
+        for out in chain_outputs():
             partials.append(execute_plan(
                 L.LSelect(L.LDataFrameScan(df=out, ident=obj_token(out)), tuple(partial))
             ))
@@ -317,15 +473,14 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         if dec is not None:
             partial, merge, final = dec
             partials: list[DataFrame] = []
-            for batch_df in _iter_batches(leaf, batch_rows):
-                out = run_chain(batch_df)
+            for out in chain_outputs():
                 sub = L.LGroupBy(
                     L.LDataFrameScan(df=out, ident=obj_token(out)),
                     gb.keys, tuple(partial), False,
                 )
                 partials.append(execute_plan(sub))
                 if verbose():
-                    print(f"[polars_tpu] streamed batch: {batch_df.height} rows -> "
+                    print(f"[polars_tpu] streamed batch -> "
                           f"{partials[-1].height} partial groups")
             if not partials:
                 return execute_plan(node)
@@ -349,8 +504,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         needed = _expr_columns((*gb.keys, *gb.aggs))
         store = HostRunStore()
         try:
-            for batch_df in _iter_batches(leaf, batch_rows):
-                out = run_chain(batch_df)
+            for out in chain_outputs():
                 keep = [c for c in out.columns if c in needed] or out.columns[:1]
                 store.add(DataFrame._from_columns([out._get(c) for c in keep], out.height))
             acc = store.to_frame()
@@ -370,8 +524,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         if st.limit is not None:
             # streaming TopK: per-batch device top-k, then merge
             parts: list[DataFrame] = []
-            for batch_df in _iter_batches(leaf, batch_rows):
-                out = run_chain(batch_df)
+            for out in chain_outputs():
                 parts.append(execute_plan(
                     L.rebuild(st, (L.LDataFrameScan(df=out, ident=obj_token(out)),))
                 ))
@@ -386,8 +539,8 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         # in-memory sort (the reference's own lowering: sort -> InMemoryMap)
         store = HostRunStore()
         try:
-            for batch_df in _iter_batches(leaf, batch_rows):
-                store.add(run_chain(batch_df))
+            for out in chain_outputs():
+                store.add(out)
             acc = store.to_frame()
         finally:
             store.close()
@@ -400,8 +553,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
     if isinstance(terminal, L.LDistinct):
         di = terminal
         parts = []
-        for batch_df in _iter_batches(leaf, batch_rows):
-            out = run_chain(batch_df)
+        for out in chain_outputs():
             if di.keep != "none":  # per-batch reduction composes
                 out = execute_plan(
                     L.rebuild(di, (L.LDataFrameScan(df=out, ident=obj_token(out)),))
@@ -421,8 +573,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         want = sl.offset + sl.length
         parts = []
         got = 0
-        for batch_df in _iter_batches(leaf, batch_rows):
-            out = run_chain(batch_df)
+        for out in chain_outputs():
             parts.append(out)
             got += out.height
             if got >= want:
@@ -436,7 +587,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         return splice(out, sl)
 
     # ---- no terminal: the chain IS the query (sink) -------------------------
-    parts = [run_chain(b) for b in _iter_batches(leaf, batch_rows)]
+    parts = list(chain_outputs())
     if not parts:
         return execute_plan(node)
     combined = concat(parts, how="vertical_relaxed") if len(parts) > 1 else parts[0]
@@ -462,13 +613,20 @@ def stream_batches(node: L.LNode, *, batch_rows: int | None = None):
     if plan is not None:
         leaf, terminal, chain_top, root = plan
         if terminal is None and chain_top is root:
-            chain = _freeze_build_sides(chain_top, leaf, {})
-            yielded = False
-            for batch_df in _iter_batches(leaf, batch_rows):
-                sub = _replace_input(
-                    chain, leaf, L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df))
+            grace_j = _find_grace_join(chain_top, leaf, batch_rows)
+            if grace_j is not None:
+                outs = _grace_outputs(chain_top, leaf, grace_j, batch_rows)
+            else:
+                chain = _freeze_build_sides(chain_top, leaf, {})
+                outs = (
+                    execute_plan(_replace_input(
+                        chain, leaf,
+                        L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df)),
+                    ))
+                    for batch_df in _iter_batches(leaf, batch_rows)
                 )
-                out = execute_plan(sub)
+            yielded = False
+            for out in outs:
                 if out.height:
                     yielded = True
                     yield out
