@@ -99,6 +99,12 @@ def write_parquet(
 
     table = df.to_arrow()
     comp = compression if compression != "uncompressed" else "none"
+    extra = {
+        k: v
+        for k, v in kwargs.items()
+        if k in ("write_page_index", "bloom_filter_options", "data_page_size",
+                 "use_dictionary", "sorting_columns")
+    }
     pq.write_table(
         table,
         file,
@@ -106,4 +112,5 @@ def write_parquet(
         compression_level=compression_level,
         row_group_size=row_group_size,
         write_statistics=bool(statistics),
+        **extra,
     )

@@ -230,6 +230,49 @@ def _scan_prefetch_workers() -> int:
         return 4
 
 
+# per-process IO metrics (reset with reset_scan_metrics(); the test hook for
+# bloom/page pruning and the `rows read` counter — reference:
+# polars-io/src/metrics.rs)
+_SCAN_METRICS: dict = {
+    "row_groups_total": 0,
+    "row_groups_kept": 0,
+    "bloom_skipped_row_groups": 0,
+    "rows_read": 0,
+    "rows_page_pruned": 0,
+}
+
+
+def scan_metrics() -> dict:
+    return dict(_SCAN_METRICS)
+
+
+def reset_scan_metrics() -> None:
+    for k in _SCAN_METRICS:
+        _SCAN_METRICS[k] = 0
+
+
+def _slice_page_ranges(t, pf, rgs: list[int], row_ranges: dict):
+    """Narrow a read row-group concatenation to the page row ranges the
+    column index could not rule out (the exact filter still runs on device)."""
+    import pyarrow as pa
+
+    pieces = []
+    offset = 0
+    pruned = 0
+    for rg in rgs:
+        n = pf.metadata.row_group(rg).num_rows
+        rr = row_ranges.get(rg)
+        if rr is None:
+            pieces.append(t.slice(offset, n))
+        else:
+            for s, e in rr:
+                pieces.append(t.slice(offset + s, e - s))
+            pruned += n - sum(e - s for s, e in rr)
+        offset += n
+    _SCAN_METRICS["rows_page_pruned"] += pruned
+    return pa.concat_tables(pieces) if pieces else t.slice(0, 0)
+
+
 def _read_one_source(node: L.LScan, path: str, columns, conjuncts, hive_sch):
     """Read one file -> arrow table (None when fully pruned). Thread-safe:
     Arrow C++ releases the GIL, so a pool overlaps file reads."""
@@ -244,11 +287,22 @@ def _read_one_source(node: L.LScan, path: str, columns, conjuncts, hive_sch):
 
         pf = pq.ParquetFile(path)
         rgs = list(range(pf.metadata.num_row_groups))
+        row_ranges = None
         if conjuncts:
+            _SCAN_METRICS["row_groups_total"] += pf.metadata.num_row_groups
             rgs = _prune_row_groups(pf, conjuncts)
+            try:
+                from polars_tpu.io.parquet_index import refine_pruning
+
+                rgs, row_ranges = refine_pruning(path, pf, rgs, conjuncts, _SCAN_METRICS)
+            except Exception:  # noqa: BLE001 — index pruning is best-effort
+                row_ranges = None
+            _SCAN_METRICS["row_groups_kept"] += len(rgs)
         if not rgs:
             return None
         t = pf.read_row_groups(rgs, columns=file_cols)
+        if row_ranges:
+            t = _slice_page_ranges(t, pf, rgs, row_ranges)
     elif node.fmt == "csv":
         t = _read_csv_arrow(path, dict(node.options))
         if file_cols is not None:
@@ -275,6 +329,7 @@ def _read_one_source(node: L.LScan, path: str, columns, conjuncts, hive_sch):
         raise ComputeError(f"unknown scan format {node.fmt!r}")
     if parts:
         t = _attach_hive(t, parts, columns)
+    _SCAN_METRICS["rows_read"] += t.num_rows
     return t
 
 
@@ -422,6 +477,14 @@ def _iter_scan_batches_inner(node: L.LScan, batch_rows: int):
             rgs = list(range(pf.metadata.num_row_groups))
             if conjuncts:
                 rgs = _prune_row_groups(pf, conjuncts)
+                try:
+                    from polars_tpu.io.parquet_index import refine_pruning
+
+                    rgs, _ = refine_pruning(path, pf, rgs, conjuncts, _SCAN_METRICS)
+                except Exception:  # noqa: BLE001
+                    pass
+            if not rgs:
+                continue
             for batch in pf.iter_batches(batch_size=batch_rows, row_groups=rgs, columns=file_cols):
                 import pyarrow as pa
 
