@@ -207,11 +207,12 @@ class QueryOptFlags:
     ``collect(optimizations=...)`` / ``explain(optimizations=...)`` pass these
     to ``plan.optimizer.optimize``, which gates each pass on its toggle:
     simplify_expression, check_order_observe (sort collapse),
-    predicate_pushdown, projection_pushdown, slice_pushdown,
+    predicate_pushdown, collapse_joins (filtered-cross-join -> equi-join,
+    optimizer/collapse_joins.py), projection_pushdown, slice_pushdown,
     comm_subplan_elim. Toggles without a matching pass in this engine
-    (cluster_with_columns, comm_subexpr_elim, collapse_joins, fast_projection)
-    are accepted and ignored: XLA fusion subsumes the first two, join_where
-    covers collapse_joins' equi-split, projections always fuse."""
+    (cluster_with_columns, comm_subexpr_elim, fast_projection) are accepted
+    and ignored: XLA fusion subsumes the first two, projections always
+    fuse."""
 
     def __init__(
         self,
@@ -226,6 +227,8 @@ class QueryOptFlags:
         collapse_joins: bool = True,
         check_order_observe: bool = True,
         fast_projection: bool = True,
+        type_coercion: bool = True,
+        type_check: bool = True,
     ) -> None:
         self.predicate_pushdown = predicate_pushdown
         self.projection_pushdown = projection_pushdown
@@ -237,6 +240,8 @@ class QueryOptFlags:
         self.collapse_joins = collapse_joins
         self.check_order_observe = check_order_observe
         self.fast_projection = fast_projection
+        self.type_coercion = type_coercion
+        self.type_check = type_check
 
     @classmethod
     def none(cls) -> QueryOptFlags:

@@ -12,6 +12,7 @@ shuffled* data.
 from __future__ import annotations
 
 from polars_tpu.plan import logical as L
+from polars_tpu.plan.optimizer.collapse_joins import collapse_joins
 from polars_tpu.plan.optimizer.cse import collapse_common_subplans, collapse_sorts
 from polars_tpu.plan.optimizer.predicate_pushdown import push_predicates
 from polars_tpu.plan.optimizer.projection_pushdown import push_projections
@@ -24,12 +25,29 @@ def optimize(node: L.LNode, flags=None) -> L.LNode:
     :class:`polars_tpu.QueryOptFlags` — each pass is gated on its toggle
     (reference: polars-plan/src/frame/opt_state.rs OptFlags, consulted by
     optimize() at plans/optimizer/mod.rs:85)."""
+    if flags is None or getattr(flags, "type_check", True):
+        # early whole-plan schema + dtype resolution: unresolvable columns or
+        # untypable expressions raise HERE, before any trace or IO starts
+        # (reference: plans/conversion/type_coercion + the type_check pass —
+        # in this engine binary-op supertype unification itself happens at
+        # trace time via engine/cast.cast_val, so the plan pass is the check)
+        from polars_tpu.plan.schema_resolve import node_schema
+
+        node_schema(node)
     if flags is None or getattr(flags, "simplify_expression", True):
         node = simplify_exprs(node)
     if flags is None or getattr(flags, "check_order_observe", True):
         node = collapse_sorts(node)
     if flags is None or getattr(flags, "predicate_pushdown", True):
         node = push_predicates(node)
+    if flags is None or getattr(flags, "collapse_joins", True):
+        # after predicate pushdown: single-side conjuncts have sunk into the
+        # cross join's inputs; the cross-side equalities remain in the filter
+        rewritten = collapse_joins(node)
+        if rewritten is not node and (flags is None or getattr(flags, "predicate_pushdown", True)):
+            # residual conjuncts can now sink through the new equi join
+            rewritten = push_predicates(rewritten)
+        node = rewritten
     if flags is None or getattr(flags, "projection_pushdown", True):
         node = push_projections(node)
     if flags is None or getattr(flags, "slice_pushdown", True):

@@ -252,3 +252,46 @@ def test_expression_cse_traces_subtree_once():
     # p*(1-d) traced once (memo), charge adds one more multiply: 2 total
     assert counts["n"] == 2, counts["n"]
     assert abs(out["charge"].to_list()[0] - 10.0 * 0.9 * 1.05) < 1e-12
+
+
+# -- collapse_joins (reference: plans/optimizer/collapse_joins.rs) ------------
+
+
+def test_collapse_joins_rewrites_filtered_cross():
+    import polars_tpu as pl
+
+    l = pl.DataFrame({"k": [1, 2, 3, 1], "x": [10, 20, 30, 40]}).lazy()
+    r = pl.DataFrame({"k": [1, 2, 2], "y": [100, 200, 300]}).lazy()
+    lf = l.join(r, how="cross").filter(
+        (pl.col("k") == pl.col("k_right")) & (pl.col("y") > 100)
+    )
+    plan = lf.explain()
+    assert "cross" not in plan.lower()
+    assert "inner" in plan.lower()
+    out = lf.collect().sort(["k", "x", "y"]).rows()
+    off = lf.collect(optimizations=pl.QueryOptFlags(collapse_joins=False)).sort(
+        ["k", "x", "y"]).rows()
+    assert out == off == [(2, 20, 2, 200), (2, 20, 2, 300)]
+    assert "cross" in lf.explain(
+        optimizations=pl.QueryOptFlags(collapse_joins=False)).lower()
+
+
+def test_collapse_joins_keeps_inequality_residual():
+    import polars_tpu as pl
+
+    l = pl.DataFrame({"a": [1, 2], "v": [5, 6]}).lazy()
+    r = pl.DataFrame({"a": [1, 2], "w": [5, 9]}).lazy()
+    lf = l.join(r, how="cross").filter(
+        (pl.col("a") == pl.col("a_right")) & (pl.col("v") < pl.col("w"))
+    )
+    assert lf.collect().rows() == [(2, 6, 2, 9)]
+
+
+def test_type_check_raises_early():
+    import pytest
+
+    import polars_tpu as pl
+
+    lf = pl.DataFrame({"a": [1]}).lazy().select(pl.col("nope"))
+    with pytest.raises(Exception):
+        lf.collect()
