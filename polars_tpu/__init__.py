@@ -25,18 +25,35 @@ def _host_fingerprint() -> str:
     loaded elsewhere. Salting the directory per host CPU keeps TPU entries
     (machine-independent: compiled by the remote service) shareable per host
     while isolating incompatible CPU artifacts."""
+    base = None
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    import hashlib
-
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                    base = line
+                    break
     except OSError:
         pass
-    import platform
+    if base is None:
+        import platform
 
-    return platform.machine()
+        base = platform.machine()
+    # ALSO salt by the process's JAX configuration: XLA:CPU AOT entries embed
+    # tuning flags (+prefer-no-gather/-scatter) that vary with the backend
+    # setup — a forced-host-platform (multichip dryrun / test) process and a
+    # TPU-plugin process produce mutually unloadable CPU artifacts even on
+    # the SAME machine (round-2 MULTICHIP dryrun warnings; the round-1 suite
+    # segfault mechanism).
+    import hashlib
+
+    cfg = "|".join(
+        (
+            _os.environ.get("JAX_PLATFORMS", ""),
+            _os.environ.get("XLA_FLAGS", ""),
+            getattr(_jax, "__version__", ""),
+        )
+    )
+    return hashlib.sha1((base + "##" + cfg).encode()).hexdigest()[:12]
 
 
 _cache_dir = _os.environ.get(

@@ -119,8 +119,14 @@ def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
 
         with profiling_session() as sink:
             out = _timed_execute(node, sync)
-            for name, t0, t1 in sorted(sink, key=lambda r: r[2] - r[1], reverse=True):
-                print(f"[metrics] {name}: {1e3 * (t1 - t0):.3f} ms", file=sys.stderr)
+            for name, t0, t1, rows, nbytes in sorted(
+                sink, key=lambda r: r[2] - r[1], reverse=True
+            ):
+                print(
+                    f"[metrics] {name}: {1e3 * (t1 - t0):.3f} ms  "
+                    f"{rows} rows  {nbytes / 1e6:.2f} MB out",
+                    file=sys.stderr,
+                )
         return out
     return _execute_node(node, sync=sync)
 
@@ -137,8 +143,15 @@ def _timed_execute(node: L.LNode, sync: bool) -> DataFrame:
     except Exception:
         pass
     t1 = time.perf_counter()
+    nbytes = 0
+    for c in out._columns:
+        try:
+            item = c.buffer.values.dtype.itemsize
+        except Exception:  # noqa: BLE001
+            item = 8
+        nbytes += out.height * item + (out.height if c.buffer.validity is not None else 0)
     for sink in _PROF_SINKS:
-        sink.append((_prof_describe(node), t0, t1))
+        sink.append((_prof_describe(node), t0, t1, out.height, nbytes))
     return out
 
 

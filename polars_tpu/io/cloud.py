@@ -45,3 +45,43 @@ class CredentialProviderAzure(CredentialProvider):
     def __init__(self, *, scopes: Any = None, tenant_id: str | None = None, **kw: Any) -> None:
         self.scopes = scopes
         self.tenant_id = tenant_id
+
+
+# ---------------------------------------------------------------------------
+# fsspec-backed object-store access (reference: polars-io/src/cloud/
+# polars_object_store.rs). Any fsspec protocol works (s3/gs/az/http/memory);
+# this zero-egress environment unit-tests against the memory:// filesystem.
+# ---------------------------------------------------------------------------
+
+
+def is_remote_path(path: Any) -> bool:
+    s = str(path)
+    return "://" in s and not s.startswith("file://")
+
+
+def _fs_for(path: Any, storage_options: Any = None):
+    import fsspec
+
+    fs, _, paths = fsspec.get_fs_token_paths(
+        str(path), storage_options=dict(storage_options or {})
+    )
+    return fs, paths
+
+
+def expand_remote_paths(source: Any, suffix: str = "", storage_options: Any = None) -> tuple[str, ...]:
+    """Glob/directory expansion on a remote filesystem (fsspec)."""
+    fs, paths = _fs_for(source, storage_options)
+    proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
+    out: list[str] = []
+    for p in paths:
+        if suffix and fs.isdir(p):
+            out.extend(fs.glob(p.rstrip("/") + f"/**/*{suffix}"))
+        else:
+            out.append(p)
+    return tuple(f"{proto}://{p}" for p in sorted(out))
+
+
+def open_remote(path: Any, mode: str = "rb", storage_options: Any = None):
+    import fsspec
+
+    return fsspec.open(str(path), mode, **dict(storage_options or {})).open()

@@ -26,6 +26,7 @@ def scan_csv(
     infer_schema_length: int | None = 100,
     row_index_name: str | None = None,
     row_index_offset: int = 0,
+    storage_options: Any = None,
     **kwargs: Any,
 ):
     from polars_tpu.io.parquet import _expand_paths
@@ -40,9 +41,10 @@ def scan_csv(
                 (f"column_{i+1}", dt.parse_into_dtype(v)) for i, v in enumerate(schema_overrides)
             )
     node = L.LScan(
-        sources=_expand_paths(source),
+        sources=_expand_paths(source, storage_options=storage_options),
         fmt="csv",
         options=(
+            ("storage_options", tuple(sorted(dict(storage_options).items())) if storage_options else ()),
             ("has_header", has_header),
             ("separator", separator),
             ("quote_char", quote_char),

@@ -8,11 +8,16 @@ from typing import Any
 from polars_tpu.plan import logical as L
 
 
-def scan_ndjson(source: Any, *, n_rows: int | None = None, **kwargs: Any):
+def scan_ndjson(source: Any, *, n_rows: int | None = None, storage_options: Any = None, **kwargs: Any):
     from polars_tpu.io.parquet import _expand_paths
     from polars_tpu.lazyframe import LazyFrame
 
-    node = L.LScan(sources=_expand_paths(source), fmt="ndjson", n_rows=n_rows)
+    node = L.LScan(
+        sources=_expand_paths(source, storage_options=storage_options),
+        fmt="ndjson",
+        options=(("storage_options", tuple(sorted(dict(storage_options).items())) if storage_options else ()),),
+        n_rows=n_rows,
+    )
     return LazyFrame._from_node(node)
 
 

@@ -15,15 +15,19 @@ from typing import Any
 from polars_tpu.plan import logical as L
 
 
-def _expand_paths(source: Any, suffix: str = "") -> tuple[str, ...]:
+def _expand_paths(source: Any, suffix: str = "", storage_options: Any = None) -> tuple[str, ...]:
     import os
 
     if isinstance(source, (list, tuple)):
         out: list[str] = []
         for s in source:
-            out.extend(_expand_paths(s, suffix))
+            out.extend(_expand_paths(s, suffix, storage_options))
         return tuple(out)
     s = str(source)
+    from polars_tpu.io.cloud import expand_remote_paths, is_remote_path
+
+    if is_remote_path(s) and not s.startswith("pyarrow-dataset://"):
+        return expand_remote_paths(s, suffix, storage_options)
     if suffix and os.path.isdir(s):
         # directory dataset (hive layout): every matching file underneath
         return tuple(sorted(_glob.glob(os.path.join(s, "**", f"*{suffix}"), recursive=True)))
@@ -52,7 +56,7 @@ def scan_parquet(
     from polars_tpu.lazyframe import LazyFrame
 
     is_dir = not isinstance(source, (list, tuple)) and os.path.isdir(str(source))
-    sources = _expand_paths(source, suffix=".parquet")
+    sources = _expand_paths(source, suffix=".parquet", storage_options=storage_options)
     # polars semantics: hive partitioning defaults ON for directory datasets
     hive = bool(hive_partitioning) if hive_partitioning is not None else is_dir
     options: tuple = ()
@@ -60,6 +64,8 @@ def scan_parquet(
         options += (("hive", True),)
         if hive_schema is not None:
             options += (("hive_schema", tuple((k, v) for k, v in dict(hive_schema).items())),)
+    if storage_options:
+        options += (("storage_options", tuple(sorted(dict(storage_options).items()))),)
     node = L.LScan(
         sources=sources,
         fmt="parquet",
@@ -97,6 +103,11 @@ def write_parquet(
 ) -> None:
     import pyarrow.parquet as pq
 
+    from polars_tpu.io.cloud import is_remote_path, open_remote
+
+    if isinstance(file, (str, bytes)) or hasattr(file, "__fspath__"):
+        if is_remote_path(file):
+            file = open_remote(file, "wb", kwargs.get("storage_options"))
     table = df.to_arrow()
     comp = compression if compression != "uncompressed" else "none"
     extra = {

@@ -282,21 +282,27 @@ def _read_one_source(node: L.LScan, path: str, columns, conjuncts, hive_sch):
     file_cols = (
         [c for c in columns if c not in parts] if columns is not None else None
     )
+    from polars_tpu.io.cloud import is_remote_path, open_remote
+
+    remote = node.fmt in ("parquet", "csv", "ipc", "ndjson") and is_remote_path(path)
+    so = dict(node.opt("storage_options") or ())
+    src = open_remote(path, "rb", so) if remote else path
     if node.fmt == "parquet":
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(path)
+        pf = pq.ParquetFile(src)
         rgs = list(range(pf.metadata.num_row_groups))
         row_ranges = None
         if conjuncts:
             _SCAN_METRICS["row_groups_total"] += pf.metadata.num_row_groups
             rgs = _prune_row_groups(pf, conjuncts)
-            try:
-                from polars_tpu.io.parquet_index import refine_pruning
+            if not remote:  # the index reader re-opens the local file
+                try:
+                    from polars_tpu.io.parquet_index import refine_pruning
 
-                rgs, row_ranges = refine_pruning(path, pf, rgs, conjuncts, _SCAN_METRICS)
-            except Exception:  # noqa: BLE001 — index pruning is best-effort
-                row_ranges = None
+                    rgs, row_ranges = refine_pruning(path, pf, rgs, conjuncts, _SCAN_METRICS)
+                except Exception:  # noqa: BLE001 — index pruning is best-effort
+                    row_ranges = None
             _SCAN_METRICS["row_groups_kept"] += len(rgs)
         if not rgs:
             return None
@@ -304,17 +310,24 @@ def _read_one_source(node: L.LScan, path: str, columns, conjuncts, hive_sch):
         if row_ranges:
             t = _slice_page_ranges(t, pf, rgs, row_ranges)
     elif node.fmt == "csv":
-        t = _read_csv_arrow(path, dict(node.options))
+        t = _read_csv_arrow(src, dict(node.options))
         if file_cols is not None:
             t = t.select([c for c in file_cols if c in t.column_names])
     elif node.fmt == "ipc":
-        import pyarrow.feather as feather
+        import pyarrow as pa
 
-        t = feather.read_table(path, columns=file_cols)
+        try:
+            t = pa.ipc.open_file(src).read_all()
+        except pa.lib.ArrowInvalid:
+            if hasattr(src, "seek"):
+                src.seek(0)
+            t = pa.ipc.open_stream(src).read_all()
+        if file_cols is not None:
+            t = t.select([c for c in file_cols if c in t.column_names])
     elif node.fmt == "ndjson":
         import pyarrow.json as pj
 
-        t = pj.read_json(path)
+        t = pj.read_json(src)
         if file_cols is not None:
             t = t.select([c for c in file_cols if c in t.column_names])
     elif node.fmt == "pyarrow_dataset":
@@ -473,13 +486,19 @@ def _iter_scan_batches_inner(node: L.LScan, batch_rows: int):
             file_cols = (
                 [c for c in columns if c not in parts] if columns is not None else None
             )
-            pf = pq.ParquetFile(path)
+            from polars_tpu.io.cloud import is_remote_path, open_remote
+
+            remote = is_remote_path(path)
+            so = dict(node.opt("storage_options") or ())
+            pf = pq.ParquetFile(open_remote(path, "rb", so) if remote else path)
             rgs = list(range(pf.metadata.num_row_groups))
             if conjuncts:
                 rgs = _prune_row_groups(pf, conjuncts)
                 try:
                     from polars_tpu.io.parquet_index import refine_pruning
 
+                    if remote:
+                        raise OSError("remote: skip index pruning")
                     rgs, _ = refine_pruning(path, pf, rgs, conjuncts, _SCAN_METRICS)
                 except Exception:  # noqa: BLE001
                     pass

@@ -14,19 +14,24 @@ def _schema_for(sources: tuple[str, ...], fmt: str, options) -> Schema:
     if not sources:
         return Schema()
     path = sources[0]
+    from polars_tpu.io.cloud import is_remote_path, open_remote
+
+    so = dict(dict(options or ()).get("storage_options") or ())
+    remote = fmt in ("parquet", "csv", "ipc", "ndjson") and is_remote_path(path)
     if fmt == "parquet":
         import pyarrow.parquet as pq
 
         from polars_tpu.io._arrow import arrow_schema_to_schema
 
-        return arrow_schema_to_schema(pq.read_schema(path))
+        src = open_remote(path, "rb", so) if remote else path
+        return arrow_schema_to_schema(pq.read_schema(src))
     if fmt == "ipc":
         import pyarrow.feather as feather
         import pyarrow.ipc as ipc
 
         from polars_tpu.io._arrow import arrow_schema_to_schema
 
-        with open(path, "rb") as f:
+        with (open_remote(path, "rb", so) if remote else open(path, "rb")) as f:
             try:
                 reader = ipc.open_file(f)
                 return arrow_schema_to_schema(reader.schema)
@@ -37,7 +42,8 @@ def _schema_for(sources: tuple[str, ...], fmt: str, options) -> Schema:
     if fmt == "csv":
         from polars_tpu.io.scan_exec import _read_csv_arrow
 
-        table = _read_csv_arrow(path, dict(options), n_rows=100)
+        src = open_remote(path, "rb", so) if remote else path
+        table = _read_csv_arrow(src, dict(options), n_rows=100)
         from polars_tpu.io._arrow import arrow_schema_to_schema
 
         sch = arrow_schema_to_schema(table.schema)
@@ -50,7 +56,8 @@ def _schema_for(sources: tuple[str, ...], fmt: str, options) -> Schema:
 
         from polars_tpu.io._arrow import arrow_schema_to_schema
 
-        return arrow_schema_to_schema(pj.read_json(path).schema)
+        src = open_remote(path, "rb", so) if remote else path
+        return arrow_schema_to_schema(pj.read_json(src).schema)
     if fmt == "pyarrow_dataset":
         from polars_tpu.io._arrow import arrow_schema_to_schema
         from polars_tpu.io.extra import get_dataset

@@ -207,11 +207,18 @@ class LazyFrame:
         names = ["optimization"]
         starts = [0]
         ends = [int((t_opt - t0) * 1e6)]
-        for name, s, e in sorted(sink, key=lambda r: (r[1], r[2])):
+        rows_out = [0]
+        bytes_out = [0]
+        for name, s, e, rows, nbytes in sorted(sink, key=lambda r: (r[1], r[2])):
             names.append(name)
             starts.append(int((s - t0) * 1e6))
             ends.append(int((e - t0) * 1e6))
-        timings = DataFrame({"node": names, "start": starts, "end": ends})
+            rows_out.append(rows)
+            bytes_out.append(nbytes)
+        timings = DataFrame({
+            "node": names, "start": starts, "end": ends,
+            "rows": rows_out, "bytes": bytes_out,
+        })
         return out, timings
 
     def lazy(self) -> LazyFrame:
