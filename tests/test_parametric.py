@@ -99,3 +99,68 @@ def test_join_cardinality_vs_pandas(a, b):
     got = la.join(rb, on="k").height
     exp = len(pd.merge(pd.DataFrame({"k": a.to_list()}), pd.DataFrame({"k": b.to_list()}), on="k"))
     assert got == exp
+
+
+# -- py-polars-compatible strategies (round 3: series/dataframes/column) ------
+
+
+from hypothesis import given, settings
+
+from polars_tpu.testing.parametric import column, dataframes as pdataframes, series
+
+
+@given(s=series(excluded_dtypes=[pl.Categorical(), pl.Decimal(38, 2)]))
+@settings(max_examples=30, deadline=None)
+def test_series_strategy_roundtrips(s):
+    # construction -> to_list -> reconstruction is stable
+    again = pl.Series(s.name, s.to_list(), dtype=s.dtype)
+    assert again.to_list() == s.to_list()
+    assert len(s) == s.len()
+
+
+@given(s=series(dtype=pl.Int64(), allow_null=True))
+@settings(max_examples=30, deadline=None)
+def test_series_filter_null_accounting(s):
+    vals = s.to_list()
+    nn = s.is_not_null().sum() or 0
+    assert nn == sum(v is not None for v in vals)
+    assert s.null_count() == sum(v is None for v in vals)
+
+
+@given(df=pdataframes(
+    cols=[column("k", dtype=pl.Int8(), allow_null=False), column("v", dtype=pl.Int64())],
+    min_size=1,
+))
+@settings(max_examples=25, deadline=None)
+def test_group_by_sum_matches_python(df):
+    out = df.group_by("k").agg(pl.col("v").sum()).sort("k")
+    expected: dict = {}
+    for k, v in zip(df["k"].to_list(), df["v"].to_list()):
+        expected[k] = expected.get(k, 0) + (v or 0)
+    got = {r[0]: r[1] for r in out.rows()}
+    assert got == expected
+
+
+@given(df=pdataframes(cols=[column("a", dtype=pl.Float64())], min_size=1))
+@settings(max_examples=25, deadline=None)
+def test_sort_is_ordered(df):
+    out = df.sort("a", nulls_last=True)["a"].to_list()
+    vals = [v for v in out if v is not None]
+    assert vals == sorted(vals)
+    n_null = sum(v is None for v in out)
+    assert out[len(out) - n_null:] == [None] * n_null
+
+
+@given(df=pdataframes(lazy=True, max_cols=3, max_size=8,
+                      excluded_dtypes=[pl.Categorical(), pl.Decimal(38, 2)]))
+@settings(max_examples=20, deadline=None)
+def test_lazy_roundtrip_identity(df):
+    out = df.collect()
+    again = out.lazy().collect()
+    assert again.rows() == out.rows()
+
+
+@given(s=series(dtype=pl.Int64(), unique=True, allow_null=False))
+@settings(max_examples=20, deadline=None)
+def test_unique_strategy_is_unique(s):
+    assert s.n_unique() == len(s)
