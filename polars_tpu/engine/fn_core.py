@@ -475,6 +475,26 @@ def _max_h(ctx, args, opts):
 # -- misc ------------------------------------------------------------------------
 
 
+@register("bitwise_count_ones", dt.UInt32())
+def _bitwise_count_ones(ctx, args, opts):
+    """Per-element popcount (reference: polars-ops bitwise count_ones)."""
+    v = args[0]
+    if not v.dtype.is_integer() and not isinstance(v.dtype, dt.Boolean):
+        raise InvalidOperationError("bitwise_count_ones expects an integer column")
+    ones = jax.lax.population_count(v.values).astype(jnp.uint32)
+    return Val(ones, v.validity, dt.UInt32(), None, v.domain)
+
+
+@register("bitwise_count_zeros", dt.UInt32())
+def _bitwise_count_zeros(ctx, args, opts):
+    v = args[0]
+    if not v.dtype.is_integer() and not isinstance(v.dtype, dt.Boolean):
+        raise InvalidOperationError("bitwise_count_zeros expects an integer column")
+    width = v.values.dtype.itemsize * 8
+    ones = jax.lax.population_count(v.values).astype(jnp.uint32)
+    return Val(jnp.uint32(width) - ones, v.validity, dt.UInt32(), None, v.domain)
+
+
 @register("hash", dt.UInt64())
 def _hash(ctx, args, opts):
     from polars_tpu.kernels.hashing import hash_column

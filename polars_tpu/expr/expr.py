@@ -382,6 +382,12 @@ class Expr:
     def log10(self) -> Expr:
         return self._fn("log10")
 
+    def bitwise_count_ones(self) -> Expr:
+        return self._fn("bitwise_count_ones")
+
+    def bitwise_count_zeros(self) -> Expr:
+        return self._fn("bitwise_count_zeros")
+
     def log1p(self) -> Expr:
         return self._fn("log1p")
 

@@ -818,6 +818,8 @@ class Parser:
                 if nxt and nxt.kind == "str":
                     self.i += 1
                     return SLiteral(nxt.value[1:-1], t.value)
+                if nxt and nxt.kind == "op" and nxt.value == "(":
+                    return self.parse_func_call(t.value)  # DATE(x) etc.
                 raise SQLSyntaxError(f"expected string after {t.value.upper()}")
             if t.value == "interval":
                 nxt = self.next()

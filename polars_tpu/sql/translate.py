@@ -661,19 +661,17 @@ def _window(e: P.SWindow):
             # COUNT(*): count rows in the partition (len, not non-null count)
             return spec(pl.len().cast(dt.UInt32()), force_over=True)
         return spec(_expr_inner(f.args[0]).count(), force_over=True)
-    _CUM = {"sum": "cum_sum", "min": "cum_min", "max": "cum_max"}
-    if name in _AGG_FUNCS or name in _CUM:
+    _CUM = {"sum": "cum_sum", "min": "cum_min", "max": "cum_max", "total": "cum_sum"}
+    if order_exprs:
+        if name not in _CUM:
+            raise SQLInterfaceError(
+                f"{name.upper()} OVER (ORDER BY ...) is not supported; "
+                "only SUM/MIN/MAX/COUNT map to cumulative windows")
         x = _expr_inner(f.args[0])
-        if order_exprs:
-            if name not in _CUM:
-                raise SQLInterfaceError(
-                    f"{name.upper()} OVER (ORDER BY ...) is not supported; "
-                    "only SUM/MIN/MAX/COUNT map to cumulative windows")
-            return getattr(x, _CUM[name])().over(
-                over_parts, order_by=order_exprs, descending=desc)
-        agg = _func(f)
-        return spec(agg, force_over=True)
-    raise SQLInterfaceError(f"{name!r} is not a supported window function")
+        return getattr(x, _CUM[name])().over(
+            over_parts, order_by=order_exprs, descending=desc)
+    # any other aggregate broadcasts over the partition
+    return spec(_func(f), force_over=True)
 
 
 def _interval(text: str):
@@ -817,7 +815,8 @@ def _func(e: P.SFunc):
         return pl.when(a0).then(args[1]).otherwise(args[2])
     if name in ("sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh",
                 "tanh", "cot", "degrees", "radians", "cbrt", "sign"):
-        return getattr(a0, name)()
+        meth = {"asin": "arcsin", "acos": "arccos", "atan": "arctan"}.get(name, name)
+        return getattr(a0, meth)()
     if name == "atan2":
         return a0.arctan2(args[1]) if hasattr(a0, "arctan2") else (a0 / args[1]).arctan()
     if name == "log2":
@@ -900,4 +899,70 @@ def _func(e: P.SFunc):
         return a0.implode()
     if name == "unnest":
         return a0.explode()
+    # ---- degree-argument trig (reference: functions.rs *d variants) --------
+    if name in ("sind", "cosd", "tand", "cotd"):
+        return getattr(a0.radians(), name[:-1])()
+    if name in ("asind", "acosd", "atand"):
+        return getattr(a0, "arc" + name[1:-1])().degrees()
+    if name == "atan2d":
+        base = a0.arctan2(args[1]) if hasattr(a0, "arctan2") else (a0 / args[1]).arctan()
+        return base.degrees()
+    # ---- bitwise ------------------------------------------------------------
+    if name in ("bit_and", "bitand"):
+        return a0 & args[1]
+    if name in ("bit_or", "bitor"):
+        return a0 | args[1]
+    if name in ("bit_xor", "bitxor", "xor"):
+        return a0.xor(args[1])
+    if name in ("bit_count", "bitcount"):
+        return a0.bitwise_count_ones()
+    if name == "div":
+        return a0.floordiv(args[1]).cast(dt.Int64())
+    if name == "concat_ws":
+        sep = e.args[0].value if isinstance(e.args[0], P.SLiteral) else ""
+        return pl.concat_str(args[1:], separator=sep)
+    if name in ("covar_pop",):
+        import polars_tpu as _pl
+
+        return _pl.cov(a0, args[1], ddof=0)
+    if name == "log1p":
+        return a0.log1p()
+    if name == "total":
+        return a0.sum()
+    if name == "truncate":
+        return a0.cast(dt.Int64()).cast(dt.Float64())
+    if name in ("quantile_cont", "quantile_disc"):
+        q = e.args[1].value if len(e.args) > 1 else 0.5
+        interp = "linear" if name == "quantile_cont" else "nearest"
+        return a0.quantile(q, interpolation=interp)
+    if name == "strptime":
+        fmt = e.args[1].value if len(e.args) > 1 else None
+        return a0.str.to_datetime(fmt)
+    if name in ("date", "to_date"):
+        if len(e.args) > 1:
+            return a0.str.to_date(e.args[1].value)
+        return a0.str.to_date()
+    if name == "string_to_array":
+        return a0.str.split(e.args[1].value if len(e.args) > 1 else ",")
+    # ---- array long tail ----------------------------------------------------
+    if name == "array_get":
+        # SQL is 1-indexed; out-of-bounds -> null
+        idx = e.args[1].value
+        idx = idx - 1 if isinstance(idx, int) and idx > 0 else idx
+        return a0.list.get(idx, null_on_oob=True)
+    if name in ("array_max", "array_upper"):
+        return a0.list.max()
+    if name in ("array_min", "array_lower"):
+        return a0.list.min()
+    if name == "array_mean":
+        return a0.list.mean()
+    if name == "array_sum":
+        return a0.list.sum()
+    if name == "array_reverse":
+        return a0.list.reverse()
+    if name == "array_unique":
+        return a0.list.unique(maintain_order=True)
+    if name == "array_to_string":
+        sep = e.args[1].value if len(e.args) > 1 else ","
+        return a0.list.join(sep)
     raise SQLSyntaxError(f"unknown SQL function {name!r}")

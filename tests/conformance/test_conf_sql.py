@@ -296,3 +296,63 @@ def test_register_globals():
     my_frame = pl.DataFrame({"q": [1, 2]})  # noqa: F841
     ctx = pl.SQLContext(register_globals=True, eager=True)
     assert ctx.execute("SELECT COUNT(*) AS n FROM my_frame")["n"].to_list() == [2]
+
+
+# -- function long tail (reference: polars-sql functions.rs ~150 names) -------
+
+
+def test_sql_function_long_tail():
+    df = pl.DataFrame(
+        {
+            "a": [30.0, 90.0],
+            "i": [5, 12],
+            "j": [3, 10],
+            "l": [[3, 1, 2, 1], [5]],
+            "s": ["a,b", "c"],
+            "d": ["2021-01-02", "2022-03-04"],
+        }
+    )
+    ctx = pl.SQLContext(t=df, eager=True)
+    out = ctx.execute(
+        """SELECT
+            SIND(a) AS sd, ATAND(1.0) AS at,
+            BIT_AND(i, j) AS ba, BIT_XOR(i, j) AS bx, BIT_COUNT(i) AS bc,
+            DIV(i, j) AS dv, CONCAT_WS('-', s, s) AS cw,
+            TOTAL(i) OVER () AS tot,
+            ARRAY_GET(l, 1) AS ag, ARRAY_UPPER(l) AS au, ARRAY_LOWER(l) AS al,
+            ARRAY_MEAN(l) AS am, ARRAY_SUM(l) AS asum,
+            ARRAY_TO_STRING(l, '|') AS ats, STRING_TO_ARRAY(s, ',') AS sta,
+            DATE(d) AS dd
+        FROM t"""
+    )
+    assert out["at"].to_list() == [45.0, 45.0]
+    assert abs(out["sd"].to_list()[0] - 0.5) < 1e-12
+    assert out["ba"].to_list() == [1, 8]
+    assert out["bx"].to_list() == [6, 6]
+    assert out["bc"].to_list() == [2, 2]
+    assert out["dv"].to_list() == [1, 1]
+    assert out["cw"].to_list() == ["a,b-a,b", "c-c"]
+    assert out["tot"].to_list() == [17, 17]
+    assert out["ag"].to_list() == [3, 5]
+    assert out["au"].to_list() == [3, 5]
+    assert out["al"].to_list() == [1, 5]
+    assert out["am"].to_list() == [1.75, 5.0]
+    assert out["asum"].to_list() == [7, 5]
+    assert out["ats"].to_list() == ["3|1|2|1", "5"]
+    assert out["sta"].to_list() == [["a", "b"], ["c"]]
+    import datetime
+
+    assert out["dd"].to_list() == [datetime.date(2021, 1, 2), datetime.date(2022, 3, 4)]
+
+
+def test_sql_quantile_and_strptime():
+    df = pl.DataFrame({"i": [1, 2, 3, 4], "d": ["2021-01-02 03:04:05"] * 4})
+    ctx = pl.SQLContext(t=df, eager=True)
+    out = ctx.execute(
+        "SELECT QUANTILE_CONT(i, 0.5) AS qc, QUANTILE_DISC(i, 0.5) AS qd FROM t"
+    )
+    assert out["qc"].to_list() == [2.5]
+    out2 = ctx.execute("SELECT STRPTIME(d, '%Y-%m-%d %H:%M:%S') AS ts FROM t")
+    import datetime
+
+    assert out2["ts"].to_list()[0] == datetime.datetime(2021, 1, 2, 3, 4, 5)

@@ -137,8 +137,10 @@ def test_group_by_sum_matches_python(df):
     expected: dict = {}
     for k, v in zip(df["k"].to_list(), df["v"].to_list()):
         expected[k] = expected.get(k, 0) + (v or 0)
+    # i64 sums wrap on overflow (polars semantics)
+    wrap = {k: ((v + 2**63) % 2**64) - 2**63 for k, v in expected.items()}
     got = {r[0]: r[1] for r in out.rows()}
-    assert got == expected
+    assert got == wrap
 
 
 @given(df=pdataframes(cols=[column("a", dtype=pl.Float64())], min_size=1))
