@@ -213,7 +213,19 @@ def _to_integer(ctx, args, opts):
         except ValueError:
             return None
 
-    return _lut_op(v, f, dt.Int64(), with_validity=True)
+    out = _lut_op(v, f, dt.Int64(), with_validity=True)
+    if opts.get("strict", True) and ctx is not None:
+        # an unparsable NON-NULL value raises at the count sync (reference:
+        # strict str->int conversion errors instead of nulling)
+        from polars_tpu.engine.common import ROW as _ROW
+
+        in_ok = jnp.ones(v.values.shape, bool) if v.validity is None else v.validity
+        out_ok = jnp.ones(v.values.shape, bool) if out.validity is None else out.validity
+        bad = in_ok & ~out_ok
+        if v.domain == _ROW:
+            bad = bad & ctx.rowmask
+        ctx.add_flag(jnp.any(bad), "conversion from `str` to `i64` failed")
+    return out
 
 
 @register("str.to_date", dt.Date())
@@ -348,9 +360,31 @@ def _split(ctx, args, opts):
     raise InvalidOperationError("str.split is a host op (routed via special select)")
 
 
-@register("str.extract_all", SAME, elementwise=False)
+@register("str.extract_all", lambda dts, opts: dt.List(dt.String()), elementwise=False)
 def _extract_all(ctx, args, opts):
-    raise InvalidOperationError("str.extract_all produces List dtype; pending nested layout")
+    raise InvalidOperationError("str.extract_all is a host op (routed via special select)")
+
+
+@register(
+    "str.split_exact",
+    lambda dts, opts: dt.Struct(
+        [(f"field_{i}", dt.String()) for i in range(int(opts.get("n", 0)) + 1)]
+    ),
+    elementwise=False,
+)
+def _split_exact(ctx, args, opts):
+    raise InvalidOperationError("str.split_exact is a host op (routed via special select)")
+
+
+@register(
+    "str.splitn",
+    lambda dts, opts: dt.Struct(
+        [(f"field_{i}", dt.String()) for i in range(int(opts.get("n", 1)))]
+    ),
+    elementwise=False,
+)
+def _splitn(ctx, args, opts):
+    raise InvalidOperationError("str.splitn is a host op (routed via special select)")
 
 
 @register("cat.get_categories", dt.String(), elementwise=False)

@@ -30,7 +30,8 @@ _SPECIAL_FNS = {
     "int_ranges", "date_ranges", "datetime_ranges", "linear_spaces", "time_ranges",
     "gather_every", "unique", "unique_counts", "cat.get_categories",
     "list.join",
-    "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
+    "explode", "str.split", "str.extract_all", "str.split_exact", "str.splitn",
+    "as_struct", "struct.field", "struct.rename_fields",
     "unnest", "sample", "shuffle", "arg_where_self", "rle",
     # round-3 list long tail (host ops; traced fast paths may supersede later)
     "list.slice", "list.head", "list.tail", "list.shift", "list.diff",
@@ -894,6 +895,61 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             else:
                 out.append(v.split(by))
         return Column.from_values(col.name, out, dt.List(dt.String()))
+
+    if e.name == "str.extract_all":
+        import re as _re
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        pat = _re.compile(e.opt("pattern", ""))
+        vals = col.to_pylist()
+        out = [
+            None if v is None else [m.group(0) for m in pat.finditer(v)]
+            for v in vals
+        ]
+        return Column.from_values(col.name, out, dt.List(dt.String()))
+
+    if e.name in ("str.split_exact", "str.splitn"):
+        # struct-of-fields splits (reference: py-polars expr/string.py
+        # split_exact/splitn; crates/polars-ops src/chunked_array/strings/split.rs)
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        by = e.opt("by", " ")
+        vals = col.to_pylist()
+        if e.name == "str.split_exact":
+            nf = int(e.opt("n", 0)) + 1
+            inclusive = e.opt("inclusive", False)
+        else:
+            nf = max(int(e.opt("n", 1)), 1)
+            inclusive = False
+        fields_vals = [[] for _ in range(nf)]
+        validity = []
+        for v in vals:
+            if v is None:
+                validity.append(False)
+                for f in fields_vals:
+                    f.append(None)
+                continue
+            validity.append(True)
+            parts = v.split(by, nf - 1)
+            if inclusive and len(parts) > 1:
+                parts = [p + by for p in parts[:-1]] + [parts[-1]]
+            for i in range(nf):
+                fields_vals[i].append(parts[i] if i < len(parts) else None)
+        kids = [
+            Column.from_values(f"field_{i}", fv, dt.String())
+            for i, fv in enumerate(fields_vals)
+        ]
+        fields_dt = dt.Struct([(c.name, c.dtype) for c in kids])
+        import numpy as _np
+
+        n = len(vals)
+        ids = Buffer.from_numpy(_np.arange(n, dtype=_np.int64), None)
+        if not all(validity):
+            from polars_tpu.core.buffer import pad_to, padded_size
+            import jax.numpy as _jnp
+
+            vmask = pad_to(_jnp.asarray(validity, bool), padded_size(n))
+            ids = Buffer(ids.values, vmask, n)
+        return Column(col.name, fields_dt, ids, None, 0, kids)
 
     if e.name.startswith("list.") or e.name == "explode":
         from polars_tpu.ops import list_ops as LO

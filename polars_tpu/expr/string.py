@@ -94,6 +94,12 @@ class ExprStringNamespace:
     def split(self, by: str, *, inclusive: bool = False) -> Expr:
         return self._fn("split", by=by, inclusive=inclusive)
 
+    def split_exact(self, by: str, n: int, *, inclusive: bool = False) -> Expr:
+        return self._fn("split_exact", by=by, n=n, inclusive=inclusive)
+
+    def splitn(self, by: str, n: int) -> Expr:
+        return self._fn("splitn", by=by, n=n)
+
     def extract(self, pattern: str, group_index: int = 1) -> Expr:
         return self._fn("extract", pattern=pattern, group_index=group_index)
 
