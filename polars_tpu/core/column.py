@@ -138,6 +138,18 @@ class Column:
                 # is µs-resolution); truncate to µs like py-polars does
                 out = out.astype("datetime64[us]")
             out = out.astype(object)
+            if self.dtype.time_zone:
+                # stored as UTC instants; surface tz-aware local datetimes
+                from zoneinfo import ZoneInfo
+
+                tz = ZoneInfo(self.dtype.time_zone)
+                out = np.asarray(
+                    [
+                        None if d is None else d.replace(tzinfo=_dt.timezone.utc).astimezone(tz)
+                        for d in out
+                    ],
+                    dtype=object,
+                )
             return _mask_to_object(out, validity)
         if isinstance(self.dtype, dt.Duration):
             out = vals.astype(f"timedelta64[{self.dtype.time_unit}]")
@@ -336,6 +348,15 @@ def _infer_pylist_dtype(seq: list, *, strict: bool = True) -> dt.DataType:
     if has == {"date"}:
         return dt.Date()
     if has <= {"datetime", "date"}:
+        # a consistent tzinfo across values infers a tz-aware Datetime
+        zones = {
+            str(v.tzinfo)
+            for v in seq
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None
+        }
+        if len(zones) == 1:
+            z = next(iter(zones))
+            return dt.Datetime("us", "UTC" if z in ("UTC", "utc", "UTC+00:00") else z)
         return dt.Datetime("us")
     if has == {"duration"}:
         return dt.Duration("us")

@@ -206,6 +206,11 @@ def _parse_temporal_literal(value: str, dtype: dt.DataType):
     if isinstance(dtype, dt.Date):
         return int(np.datetime64(value, "D").astype(np.int64))
     if isinstance(dtype, dt.Datetime):
+        import datetime as _pydt
+
+        if isinstance(value, _pydt.datetime) and value.tzinfo is not None:
+            # normalize to the stored representation: naive UTC instant
+            value = value.astimezone(_pydt.timezone.utc).replace(tzinfo=None)
         return int(np.datetime64(value, dtype.time_unit).astype(np.int64))
     raise InvalidOperationError(f"cannot parse temporal literal for {dtype!r}")
 
@@ -785,6 +790,42 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         fn = G.seg_any if kind == "any" else G.seg_all
         out = fn(bv, data_mask, gids, cap)
         return Val(out, None, dt.Boolean(), None, dom)
+    if kind in ("bitwise_and", "bitwise_or", "bitwise_xor"):
+        # bit-sliced reduction: per-bit scatter-add counts, then recombine —
+        # AND = (count == group size), OR = (count > 0), XOR = parity
+        # (reference: polars-ops src/series/ops/bitwise.rs and_reduce/or/xor)
+        has = G.seg_count(data_mask, gids, cap) > 0
+        if isinstance(v.dtype, dt.Boolean):
+            bv = v.values.astype(bool)
+            if kind == "bitwise_and":
+                out = G.seg_all(bv, data_mask, gids, cap)
+            elif kind == "bitwise_or":
+                out = G.seg_any(bv, data_mask, gids, cap)
+            else:
+                cnt1 = G.seg_count(data_mask & bv, gids, cap)
+                out = (cnt1 & 1) == 1
+            return Val(out, has, dt.Boolean(), None, dom)
+        if not v.dtype.is_integer():
+            raise InvalidOperationError(f"{kind} expects an integer or boolean column")
+        ivals = v.values
+        nbits = ivals.dtype.itemsize * 8
+        shifts = jnp.arange(nbits, dtype=ivals.dtype)
+        bits = ((ivals[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
+        bits = jnp.where(data_mask[:, None], bits, 0)
+        sums = jnp.zeros((cap, nbits), jnp.int32).at[gids].add(bits, mode="drop")
+        cnt = G.seg_count(data_mask, gids, cap)
+        if kind == "bitwise_and":
+            outbits = sums == cnt[:, None]
+        elif kind == "bitwise_or":
+            outbits = sums > 0
+        else:
+            outbits = (sums & 1) == 1
+        # disjoint bit patterns: summing shifted bits is carry-free, so
+        # wraparound int addition reconstructs the word exactly
+        out = (outbits.astype(ivals.dtype) << shifts[None, :]).sum(
+            axis=1, dtype=ivals.dtype
+        )
+        return Val(out, has, v.dtype, None, dom)
     if kind == "n_unique":
         out = G.seg_nunique(v.values, v.validity, rowmask, gids, cap, v.dtype)
         return Val(out.astype(jnp.uint32), None, dt.UInt32(), None, dom)

@@ -495,6 +495,53 @@ def _bitwise_count_zeros(ctx, args, opts):
     return Val(jnp.uint32(width) - ones, v.validity, dt.UInt32(), None, v.domain)
 
 
+def _bitwise_unary(v, name, int_fn, set_count, unset_count):
+    """Shared body for leading/trailing bit counts; Boolean has width 1
+    (reference: polars-ops src/series/ops/bitwise.rs)."""
+    if isinstance(v.dtype, dt.Boolean):
+        out = jnp.where(v.values, jnp.uint32(set_count), jnp.uint32(unset_count))
+    elif v.dtype.is_integer():
+        out = int_fn(v.values).astype(jnp.uint32)
+    else:
+        raise InvalidOperationError(f"{name} expects an integer or boolean column")
+    return Val(out, v.validity, dt.UInt32(), None, v.domain)
+
+
+@register("bitwise_leading_zeros", dt.UInt32())
+def _bitwise_leading_zeros(ctx, args, opts):
+    return _bitwise_unary(args[0], "bitwise_leading_zeros", jax.lax.clz, 0, 1)
+
+
+@register("bitwise_leading_ones", dt.UInt32())
+def _bitwise_leading_ones(ctx, args, opts):
+    return _bitwise_unary(
+        args[0], "bitwise_leading_ones", lambda x: jax.lax.clz(~x), 1, 0
+    )
+
+
+@register("bitwise_trailing_zeros", dt.UInt32())
+def _bitwise_trailing_zeros(ctx, args, opts):
+    # ctz(x) = popcount(~x & (x-1)); yields the full width for x == 0
+    return _bitwise_unary(
+        args[0],
+        "bitwise_trailing_zeros",
+        lambda x: jax.lax.population_count(~x & (x - jnp.ones((), x.dtype))),
+        0,
+        1,
+    )
+
+
+@register("bitwise_trailing_ones", dt.UInt32())
+def _bitwise_trailing_ones(ctx, args, opts):
+    return _bitwise_unary(
+        args[0],
+        "bitwise_trailing_ones",
+        lambda x: jax.lax.population_count(x & (~x - jnp.ones((), x.dtype))),
+        1,
+        0,
+    )
+
+
 @register("hash", dt.UInt64())
 def _hash(ctx, args, opts):
     from polars_tpu.kernels.hashing import hash_column

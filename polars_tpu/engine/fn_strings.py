@@ -73,6 +73,99 @@ def _contains_any(ctx, args, opts):
     return _lut_op(v, lambda s: any(p in s for p in pats), dt.Boolean())
 
 
+def ac_occurrences(hay, pats, *, overlapping=False, leftmost=False, ascii_ci=False):
+    """Aho-Corasick-equivalent literal multi-matching: (start, end, pat_idx)
+    tuples in reference order — standard semantics order by match END
+    (earliest-end-first), leftmost orders by start then pattern index
+    (reference: polars-ops strings find_many/replace_many via aho-corasick)."""
+    h = _ascii_lower(hay) if ascii_ci else hay
+    occ = []
+    for pi, p in enumerate(pats):
+        if not p:
+            continue
+        pp = _ascii_lower(p) if ascii_ci else p
+        st = h.find(pp)
+        while st >= 0:
+            occ.append((st, st + len(pp), pi))
+            st = h.find(pp, st + 1)
+    if overlapping:
+        occ.sort(key=lambda t: (t[1], t[0]))
+        return occ
+    occ.sort(key=(lambda t: (t[0], t[2])) if leftmost else (lambda t: (t[1], t[0])))
+    out, pos = [], 0
+    for s, e, pi in occ:
+        if s >= pos:
+            out.append((s, e, pi))
+            pos = e
+    return out
+
+
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _ascii_lower(s):
+    return s.translate(_ASCII_LOWER)
+
+
+def group_field_names(pattern: str) -> list[str]:
+    """Capture-group field names for str.extract_groups: named groups keep
+    their name, unnamed groups get their 1-based position as a string
+    (reference: py-polars expr/string.py extract_groups notes)."""
+    rx = re.compile(translate_group_syntax(pattern))
+    names = {v: k for k, v in rx.groupindex.items()}
+    return [names.get(i, str(i)) for i in range(1, rx.groups + 1)]
+
+
+def translate_group_syntax(pattern: str) -> str:
+    """Rust-regex named groups `(?<name>` -> Python `(?P<name>` (lookbehinds
+    `(?<=` / `(?<!` untouched)."""
+    return re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", pattern)
+
+
+@register("str.replace_many", SAME, elementwise=False)
+def _replace_many(ctx, args, opts):
+    v = _require_str(args[0])
+    pats = list(opts["patterns"])
+    reps = list(opts["replace_with"])
+    if len(reps) == 1:
+        reps = reps * len(pats)
+    if len(reps) != len(pats):
+        raise InvalidOperationError(
+            "replace_with must have the same length as patterns (or length 1)"
+        )
+    ci = bool(opts.get("ascii_case_insensitive", False))
+    leftmost = bool(opts.get("leftmost", False))
+
+    def f(s):
+        occ = ac_occurrences(s, pats, leftmost=leftmost, ascii_ci=ci)
+        out, pos = [], 0
+        for st, en, pi in occ:
+            out.append(s[pos:st])
+            out.append(reps[pi])
+            pos = en
+        out.append(s[pos:])
+        return "".join(out)
+
+    return _str_map(v, f)
+
+
+@register("str.escape_regex", SAME, elementwise=False)
+def _escape_regex(ctx, args, opts):
+    return _str_map(_require_str(args[0]), re.escape)
+
+
+@register("str.normalize", SAME, elementwise=False)
+def _normalize(ctx, args, opts):
+    import unicodedata
+
+    form = opts.get("form", "NFC")
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise InvalidOperationError(f"invalid normalization form {form!r}")
+    return _str_map(_require_str(args[0]), lambda s: unicodedata.normalize(form, s))
+
+
 @register("str.starts_with", BOOL)
 def _starts_with(ctx, args, opts):
     v = _require_str(args[0])
@@ -363,6 +456,27 @@ def _split(ctx, args, opts):
 @register("str.extract_all", lambda dts, opts: dt.List(dt.String()), elementwise=False)
 def _extract_all(ctx, args, opts):
     raise InvalidOperationError("str.extract_all is a host op (routed via special select)")
+
+
+@register("str.extract_many", lambda dts, opts: dt.List(dt.String()), elementwise=False)
+def _extract_many(ctx, args, opts):
+    raise InvalidOperationError("str.extract_many is a host op (routed via special select)")
+
+
+@register("str.find_many", lambda dts, opts: dt.List(dt.UInt32()), elementwise=False)
+def _find_many(ctx, args, opts):
+    raise InvalidOperationError("str.find_many is a host op (routed via special select)")
+
+
+@register(
+    "str.extract_groups",
+    lambda dts, opts: dt.Struct(
+        [(n, dt.String()) for n in group_field_names(opts.get("pattern", ""))]
+    ),
+    elementwise=False,
+)
+def _extract_groups(ctx, args, opts):
+    raise InvalidOperationError("str.extract_groups is a host op (routed via special select)")
 
 
 @register(

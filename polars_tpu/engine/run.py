@@ -31,6 +31,7 @@ _SPECIAL_FNS = {
     "gather_every", "unique", "unique_counts", "cat.get_categories",
     "list.join",
     "explode", "str.split", "str.extract_all", "str.split_exact", "str.splitn",
+    "str.extract_many", "str.find_many", "str.extract_groups",
     "as_struct", "struct.field", "struct.rename_fields",
     "unnest", "sample", "shuffle", "arg_where_self", "rle",
     # round-3 list long tail (host ops; traced fast paths may supersede later)
@@ -907,6 +908,63 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             for v in vals
         ]
         return Column.from_values(col.name, out, dt.List(dt.String()))
+
+    if e.name in ("str.extract_many", "str.find_many"):
+        from polars_tpu.engine.fn_strings import ac_occurrences
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        vals = col.to_pylist()
+        if len(e.inputs) > 1:
+            pcol = _eval_special_expr(df, e.inputs[1], schema)
+            per_row = pcol.to_pylist()
+        else:
+            per_row = None
+            pats = list(e.opt("patterns", ()))
+        ci = bool(e.opt("ascii_case_insensitive", False))
+        overlapping = bool(e.opt("overlapping", False))
+        leftmost = bool(e.opt("leftmost", False))
+        out = []
+        for i, v in enumerate(vals):
+            if v is None:
+                out.append(None)
+                continue
+            p = (per_row[i] or []) if per_row is not None else pats
+            occ = ac_occurrences(
+                v, p, overlapping=overlapping, leftmost=leftmost, ascii_ci=ci
+            )
+            if e.name == "str.extract_many":
+                out.append([v[s:en] for s, en, _ in occ])
+            else:
+                # byte offsets (reference: find_many returns utf8 byte starts)
+                out.append([len(v[:s].encode()) for s, _en, _ in occ])
+        out_dt = dt.List(dt.String() if e.name == "str.extract_many" else dt.UInt32())
+        return Column.from_values(col.name, out, out_dt)
+
+    if e.name == "str.extract_groups":
+        import re as _re
+
+        from polars_tpu.engine.fn_strings import (
+            group_field_names,
+            translate_group_syntax,
+        )
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        pattern = e.opt("pattern", "")
+        rx = _re.compile(translate_group_syntax(pattern))
+        fields = group_field_names(pattern)
+        vals = col.to_pylist()
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            m = rx.search(v)
+            if m is None:
+                out.append(dict.fromkeys(fields))
+            else:
+                out.append({f: m.group(i + 1) for i, f in enumerate(fields)})
+        fields_dt = dt.Struct([(f, dt.String()) for f in fields])
+        return Column.from_values(col.name, out, fields_dt)
 
     if e.name in ("str.split_exact", "str.splitn"):
         # struct-of-fields splits (reference: py-polars expr/string.py

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Any
 
+from polars_tpu.plan import exprs as E
+
 if TYPE_CHECKING:
     from polars_tpu.expr.expr import Expr
 
@@ -133,8 +135,96 @@ class ExprDateTimeNamespace:
     def strftime(self, format: str) -> Expr:
         return self._fn("to_string", format=format)
 
-    def replace_time_zone(self, time_zone: str | None, **kwargs: Any) -> Expr:
-        return self._fn("replace_time_zone", time_zone=time_zone)
+    def replace_time_zone(
+        self,
+        time_zone: str | None,
+        *,
+        ambiguous: str = "raise",
+        non_existent: str = "raise",
+    ) -> Expr:
+        return self._fn("replace_time_zone", time_zone=time_zone, ambiguous=ambiguous)
 
     def convert_time_zone(self, time_zone: str) -> Expr:
         return self._fn("convert_time_zone", time_zone=time_zone)
+
+    def base_utc_offset(self) -> Expr:
+        return self._fn("base_utc_offset")
+
+    def dst_offset(self) -> Expr:
+        return self._fn("dst_offset")
+
+    def century(self) -> Expr:
+        return self._fn("century")
+
+    def millennium(self) -> Expr:
+        return self._fn("millennium")
+
+    def combine(self, time: Any, time_unit: str = "us") -> Expr:
+        import datetime as _pydt
+
+        if isinstance(time, _pydt.time):
+            ns = (
+                time.hour * 3_600_000_000_000
+                + time.minute * 60_000_000_000
+                + time.second * 1_000_000_000
+                + time.microsecond * 1_000
+            )
+            return self._fn("combine", time_ns=ns, time_unit=time_unit)
+        from polars_tpu.expr.expr import Expr as _Expr
+
+        node = time._node if isinstance(time, _Expr) else E.EColumn(str(time))
+        return self._fn("combine", node, time_unit=time_unit)
+
+    def replace(
+        self,
+        *,
+        year: int | None = None,
+        month: int | None = None,
+        day: int | None = None,
+        hour: int | None = None,
+        minute: int | None = None,
+        second: int | None = None,
+        microsecond: int | None = None,
+        ambiguous: str = "raise",
+    ) -> Expr:
+        return self._fn(
+            "replace",
+            year=year, month=month, day=day,
+            hour=hour, minute=minute, second=second, microsecond=microsecond,
+            ambiguous=ambiguous,
+        )
+
+    def add_business_days(
+        self,
+        n: int,
+        week_mask: Any = (True, True, True, True, True, False, False),
+        holidays: Any = (),
+        roll: str = "raise",
+    ) -> Expr:
+        return self._fn(
+            "add_business_days",
+            n=int(n),
+            week_mask=tuple(bool(b) for b in week_mask),
+            holidays=_holidays_to_days(holidays),
+            roll=roll,
+        )
+
+    def is_business_day(
+        self,
+        week_mask: Any = (True, True, True, True, True, False, False),
+        holidays: Any = (),
+    ) -> Expr:
+        return self._fn(
+            "is_business_day",
+            week_mask=tuple(bool(b) for b in week_mask),
+            holidays=_holidays_to_days(holidays),
+        )
+
+
+def _holidays_to_days(holidays: Any) -> tuple[int, ...]:
+    import datetime as _pydt
+
+    epoch = _pydt.date(1970, 1, 1)
+    return tuple(
+        (h - epoch).days if isinstance(h, _pydt.date) else int(h) for h in holidays
+    )

@@ -335,6 +335,15 @@ class Expr:
     def all(self, *, ignore_nulls: bool = True) -> Expr:
         return self._agg("all", ignore_nulls=ignore_nulls)
 
+    def bitwise_and(self) -> Expr:
+        return self._agg("bitwise_and")
+
+    def bitwise_or(self) -> Expr:
+        return self._agg("bitwise_or")
+
+    def bitwise_xor(self) -> Expr:
+        return self._agg("bitwise_xor")
+
     def arg_min(self) -> Expr:
         return self._agg("arg_min")
 
@@ -387,6 +396,18 @@ class Expr:
 
     def bitwise_count_zeros(self) -> Expr:
         return self._fn("bitwise_count_zeros")
+
+    def bitwise_leading_ones(self) -> Expr:
+        return self._fn("bitwise_leading_ones")
+
+    def bitwise_leading_zeros(self) -> Expr:
+        return self._fn("bitwise_leading_zeros")
+
+    def bitwise_trailing_ones(self) -> Expr:
+        return self._fn("bitwise_trailing_ones")
+
+    def bitwise_trailing_zeros(self) -> Expr:
+        return self._fn("bitwise_trailing_zeros")
 
     def log1p(self) -> Expr:
         return self._fn("log1p")

@@ -13,6 +13,14 @@ if TYPE_CHECKING:
     from polars_tpu.expr.expr import Expr
 
 
+def _str_seq(x: Any) -> list[str]:
+    if x is None:
+        return []
+    if hasattr(x, "to_list"):  # Series
+        return list(x.to_list())
+    return list(x)
+
+
 class ExprStringNamespace:
     __slots__ = ("_expr",)
 
@@ -93,6 +101,82 @@ class ExprStringNamespace:
 
     def split(self, by: str, *, inclusive: bool = False) -> Expr:
         return self._fn("split", by=by, inclusive=inclusive)
+
+    def replace_many(
+        self,
+        patterns: Any,
+        replace_with: Any = None,
+        *,
+        ascii_case_insensitive: bool = False,
+        leftmost: bool = False,
+    ) -> Expr:
+        if hasattr(patterns, "items"):  # Mapping sugar
+            pats, reps = zip(*patterns.items()) if patterns else ((), ())
+        else:
+            pats = tuple(_str_seq(patterns))
+            reps = (
+                (replace_with,)
+                if isinstance(replace_with, str)
+                else tuple(_str_seq(replace_with))
+            )
+        return self._fn(
+            "replace_many",
+            patterns=pats,
+            replace_with=reps,
+            ascii_case_insensitive=ascii_case_insensitive,
+            leftmost=leftmost,
+        )
+
+    def extract_many(
+        self,
+        patterns: Any,
+        *,
+        ascii_case_insensitive: bool = False,
+        overlapping: bool = False,
+        leftmost: bool = False,
+    ) -> Expr:
+        return self._many_fn(
+            "extract_many", patterns, ascii_case_insensitive, overlapping, leftmost
+        )
+
+    def find_many(
+        self,
+        patterns: Any,
+        *,
+        ascii_case_insensitive: bool = False,
+        overlapping: bool = False,
+        leftmost: bool = False,
+    ) -> Expr:
+        return self._many_fn(
+            "find_many", patterns, ascii_case_insensitive, overlapping, leftmost
+        )
+
+    def _many_fn(self, name, patterns, ci, overlapping, leftmost) -> Expr:
+        if overlapping and leftmost:
+            raise ValueError("can not match overlapping patterns when leftmost == True")
+        opts = dict(
+            ascii_case_insensitive=ci, overlapping=overlapping, leftmost=leftmost
+        )
+        if isinstance(patterns, str):  # column of per-row pattern lists
+            return self._fn(name, E.EColumn(patterns), **opts)
+        from polars_tpu.expr.expr import Expr as _Expr
+
+        if isinstance(patterns, _Expr):
+            return self._fn(name, patterns._node, **opts)
+        return self._fn(name, patterns=tuple(_str_seq(patterns)), **opts)
+
+    def extract_groups(self, pattern: str) -> Expr:
+        return self._fn("extract_groups", pattern=pattern)
+
+    def escape_regex(self) -> Expr:
+        return self._fn("escape_regex")
+
+    def normalize(self, form: str = "NFC") -> Expr:
+        return self._fn("normalize", form=form)
+
+    def explode(self) -> Expr:
+        # one row per character (reference: py-polars expr/string.py explode)
+        return self._fn("extract_all", pattern=r"(?s).").list.explode()
 
     def split_exact(self, by: str, n: int, *, inclusive: bool = False) -> Expr:
         return self._fn("split_exact", by=by, n=n, inclusive=inclusive)
