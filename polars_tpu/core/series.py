@@ -440,6 +440,7 @@ def _ns_property(ns_name: str, ns_cls_path: tuple[str, str]):
 _EXPR_DELEGATED_AGGS = {
     "dot", "nan_max", "nan_min", "bitwise_and", "bitwise_or", "bitwise_xor",
     "approx_n_unique", "has_nulls", "lower_bound", "upper_bound", "index_of",
+    "is_sorted",
 }
 
 

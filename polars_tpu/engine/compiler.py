@@ -790,6 +790,54 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         fn = G.seg_any if kind == "any" else G.seg_all
         out = fn(bv, data_mask, gids, cap)
         return Val(out, None, dt.Boolean(), None, dom)
+    if kind == "item":
+        # exactly one row (reference: Expr.item) — >1 always errors, 0 errors
+        # unless allow_empty, which yields null
+        cnt = G.seg_count(rowmask, gids, cap)
+        ctx.add_flag(jnp.any(cnt > 1), "can only call `.item()` if the dataframe is of shape (1, 1)")
+        if not node.opt("allow_empty", False):
+            ctx.add_flag(jnp.any(cnt == 0), "can only call `.item()` if the dataframe is of shape (1, 1)")
+        idx, has = G.seg_first_idx(rowmask, gids, cap)
+        out = v.values[idx]
+        validity = has if v.validity is None else (has & v.validity[idx])
+        return Val(out, validity, v.dtype, v.table, dom)
+    if kind == "is_sorted":
+        desc_opt = node.opt("descending", False)
+        nl_opt = node.opt("nulls_last", False)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ctx.padded, 1), 0).squeeze(-1)
+        prev_all = jax.lax.cummax(jnp.where(rowmask, iota, jnp.int32(-1)))
+        # previous in-mask row STRICTLY before i: shift the inclusive cummax
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prev_all[:-1]])
+        pi = jnp.clip(prev, 0, ctx.padded - 1)
+        applies = rowmask & (prev >= 0) & (gids[pi] == gids)
+
+        def sorted_ok(descending, nulls_last):
+            from polars_tpu.kernels.argsort import key_words
+
+            words = list(key_words(v.values, v.dtype, descending=bool(descending)))
+            # fold null ordering in as a leading word; zero value words on
+            # null rows so null-null pairs don't compare garbage payloads
+            if v.validity is not None:
+                nullw = jnp.where(v.validity, 0, 1) if nulls_last else jnp.where(v.validity, 1, 0)
+                words = [nullw.astype(jnp.int32)] + [
+                    jnp.where(v.validity, w, jnp.zeros((), w.dtype)) for w in words
+                ]
+            gt = jnp.zeros((ctx.padded,), bool)  # prev > cur decided so far
+            lt = jnp.zeros((ctx.padded,), bool)
+            for w in words:
+                pw = w[pi]
+                gt = gt | (~lt & (pw > w))
+                lt = lt | (~gt & (pw < w))
+            return G.seg_all(~gt | ~applies, rowmask, gids, cap)
+
+        descs = [desc_opt] if desc_opt is not None else [False, True]
+        nls = [nl_opt] if nl_opt is not None else [False, True]
+        acc = None
+        for d_ in descs:
+            for nl_ in nls:
+                r = sorted_ok(d_, nl_)
+                acc = r if acc is None else (acc | r)
+        return Val(acc, None, dt.Boolean(), None, dom)
     if kind in ("bitwise_and", "bitwise_or", "bitwise_xor"):
         # bit-sliced reduction: per-bit scatter-add counts, then recombine —
         # AND = (count == group size), OR = (count > 0), XOR = parity

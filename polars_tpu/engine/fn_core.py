@@ -495,6 +495,109 @@ def _bitwise_count_zeros(ctx, args, opts):
     return Val(jnp.uint32(width) - ones, v.validity, dt.UInt32(), None, v.domain)
 
 
+def _host_only(name):
+    def _f(ctx, args, opts):
+        raise InvalidOperationError(f"{name} is a host op (routed via special select)")
+
+    return _f
+
+
+def _hist_dtype(dts, opts):
+    fields = []
+    if opts.get("include_breakpoint"):
+        fields.append(("breakpoint", dt.Float64()))
+    if opts.get("include_category"):
+        fields.append(("category", dt.Categorical()))
+    if fields:
+        fields.append(("count", dt.UInt32()))
+        return dt.Struct(fields)
+    return dt.UInt32()
+
+
+register("hist", _hist_dtype, elementwise=False)(_host_only("hist"))
+register(
+    "reshape",
+    lambda dts, opts: (
+        dts[0]
+        if len(opts.get("dimensions", ())) <= 1
+        else dt.Array(dts[0], int(opts["dimensions"][1]))
+    ),
+    elementwise=False,
+)(_host_only("reshape"))
+register("rolling_median_by", lambda dts, opts: dt.Float64(), elementwise=False)(
+    _host_only("rolling_median_by")
+)
+register("rolling_quantile_by", lambda dts, opts: dt.Float64(), elementwise=False)(
+    _host_only("rolling_quantile_by")
+)
+register(
+    "rolling_rank_by",
+    lambda dts, opts: dt.Float64() if opts.get("method", "average") == "average" else dt.UInt32(),
+    elementwise=False,
+)(_host_only("rolling_rank_by"))
+register("rolling_map", SAME, elementwise=False)(_host_only("rolling_map"))
+
+
+@register("truncate", SAME)
+def _truncate_decimals(ctx, args, opts):
+    """Truncate toward zero to `decimals` places (reference: Expr.truncate;
+    polars-ops round.rs truncate)."""
+    v = args[0]
+    if not v.dtype.is_float():
+        if v.dtype.is_numeric():
+            return v
+        raise InvalidOperationError("truncate expects a numeric column")
+    decimals = int(opts.get("decimals", 0))
+    scale = 10.0 ** decimals
+    out = jnp.trunc(v.values * scale) / scale
+    return v.with_(values=out.astype(v.values.dtype))
+
+
+_REINTERPRET_PAIRS = {
+    # same-width numeric reinterpretations (reference: Expr.reinterpret)
+    ("Int8", "UInt8"), ("Int16", "UInt16"), ("Int32", "UInt32"), ("Int64", "UInt64"),
+    ("Int32", "Float32"), ("UInt32", "Float32"),
+    ("Int64", "Float64"), ("UInt64", "Float64"),
+}
+
+
+def _reinterpret_dt(dts, opts):
+    src = dts[0]
+    if opts.get("dtype") is not None:
+        return dt.parse_into_dtype(opts["dtype"])
+    name = type(src).__name__
+    signed = opts.get("signed")
+    signed = True if signed is None else bool(signed)
+    for w in ("8", "16", "32", "64"):
+        if name.endswith(w):
+            return getattr(dt, ("Int" if signed else "UInt") + w)()
+    raise InvalidOperationError(f"cannot reinterpret {src!r}")
+
+
+@register("reinterpret", _reinterpret_dt)
+def _reinterpret(ctx, args, opts):
+    v = args[0]
+    out_dt = _reinterpret_dt([v.dtype], opts)
+    a, b = type(v.dtype).__name__, type(out_dt).__name__
+    if a == b:
+        return v
+    if (a, b) not in _REINTERPRET_PAIRS and (b, a) not in _REINTERPRET_PAIRS:
+        raise InvalidOperationError(f"cannot reinterpret {v.dtype!r} as {out_dt!r}")
+    np_t = jnp.dtype(dt.dtype_to_numpy(out_dt))
+    if v.dtype.is_integer() and out_dt.is_integer():
+        # same-width int<->uint: two's-complement astype IS the bitcast
+        out = v.values.astype(np_t)
+    elif v.values.dtype.itemsize == 8 or np_t.itemsize == 8:
+        # 64-bit bitcast_convert_type is unimplemented on the TPU x64
+        # rewriter (CLAUDE.md §2): go through a u32-pair view
+        lo32 = jax.lax.bitcast_convert_type(v.values, jnp.uint32)  # (..., 2)
+        out = jax.lax.bitcast_convert_type(lo32, np_t)
+        out = out.reshape(v.values.shape)
+    else:
+        out = jax.lax.bitcast_convert_type(v.values, np_t)
+    return Val(out, v.validity, out_dt, None, v.domain)
+
+
 def _bitwise_unary(v, name, int_fn, set_count, unset_count):
     """Shared body for leading/trailing bit counts; Boolean has width 1
     (reference: polars-ops src/series/ops/bitwise.rs)."""

@@ -454,6 +454,21 @@ def _field_dt(dts, opts):
     return dt.Unknown()
 
 
+def _list_inner_dt(dts, opts):
+    d = dts[0]
+    return d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+
+
+def _struct_drop_dt(dts, opts):
+    d = dts[0]
+    if not isinstance(d, dt.Struct):
+        return dt.Unknown()
+    drop = set(opts.get("names", ()))
+    return dt.Struct([(f.name, f.dtype) for f in d.fields if f.name not in drop])
+
+
+register("list.item", _list_inner_dt, elementwise=False)(_host("list.item"))
+register("struct.drop", _struct_drop_dt, elementwise=False)(_host("struct.drop"))
 register("as_struct", _struct_dt, elementwise=False)(_host("as_struct"))
 register("struct.field", _field_dt, elementwise=False)(_host("struct.field"))
 register("struct.rename_fields", _same, elementwise=False)(_host("struct.rename_fields"))

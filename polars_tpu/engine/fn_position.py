@@ -679,6 +679,137 @@ def _ewm_mean(ctx, args, opts):
     return Val(out, ok & valid if v.validity is not None else ok, dt.Float64(), None, ROW)
 
 
+def _ewm_alpha(opts, fname):
+    com, span, half_life, alpha = (
+        opts.get("com"), opts.get("span"), opts.get("half_life"), opts.get("alpha"),
+    )
+    if alpha is not None:
+        return float(alpha)
+    if com is not None:
+        return 1.0 / (1.0 + com)
+    if span is not None:
+        return 2.0 / (span + 1.0)
+    if half_life is not None:
+        return 1.0 - 2.0 ** (-1.0 / half_life)
+    raise InvalidOperationError(f"{fname} requires com/span/half_life/alpha")
+
+
+@register("ewm_sum", FLOAT, elementwise=False)
+def _ewm_sum(ctx, args, opts):
+    """y_t = x_t + (1-a) * y_{t-1} via associative scan (reference:
+    Expr.ewm_sum; polars-compute ewm)."""
+    v = _row_domain(ctx, args[0])
+    if ctx.groups is not None:
+        raise InvalidOperationError("ewm over groups pending")
+    a = _ewm_alpha(opts, "ewm_sum")
+    x = v.values.astype(jnp.float64)
+    valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
+    ignore_nulls = bool(opts.get("ignore_nulls", False))
+    # linear recurrence y = contrib + factor * y_prev
+    contrib = jnp.where(valid, x, 0.0)
+    if ignore_nulls:
+        factor = jnp.where(valid, 1.0 - a, 1.0)  # nulls don't decay
+    else:
+        factor = jnp.where(ctx.rowmask, 1.0 - a, 1.0)
+
+    def comb(c1, c2):
+        y1, f1 = c1
+        y2, f2 = c2
+        return (y1 * f2 + y2, f1 * f2)
+
+    y, _ = jax.lax.associative_scan(comb, (contrib, factor))
+    seen = jnp.cumsum(valid.astype(jnp.int32)) > 0
+    min_samples = int(opts.get("min_samples", 1) or 1)
+    cnt = jnp.cumsum(valid.astype(jnp.int32))
+    ok = seen & (cnt >= min_samples)
+    if v.validity is not None:
+        ok = ok & valid
+    return Val(y, ok, dt.Float64(), None, ROW)
+
+
+def _ewm_by_core(ctx, args, opts, *, normalize):
+    """Time-based EWM: alpha_i = 1 - exp(-ln2 * dt_i / half_life); linear
+    recurrence via associative scan over rows SORTED by the time column,
+    scattered back to original order (reference: Expr.ewm_mean_by;
+    polars-ops ewm_by.rs)."""
+    v = _row_domain(ctx, args[0])
+    b = _row_domain(ctx, args[1])
+    if ctx.groups is not None:
+        raise InvalidOperationError("ewm_*_by over groups pending")
+    if not (b.dtype.is_temporal() or b.dtype.is_integer()):
+        raise InvalidOperationError("ewm_*_by needs a temporal/integer 'by' column")
+    from polars_tpu.lazyframe import LazyGroupByDynamic
+
+    tau = float(LazyGroupByDynamic._ticks(opts["half_life"], b.dtype))
+    n = b.values.shape[0]
+    valid = ctx.rowmask & v.valid_or_true() & b.valid_or_true()
+    # stable sort by time, invalid rows last
+    t64 = jnp.where(valid, b.values.astype(jnp.int64), jnp.iinfo(jnp.int64).max)
+    from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
+    perm = stable_argsort_words(key_words(t64, dt.Int64()))
+    xs = v.values.astype(jnp.float64)[perm]
+    ts = t64[perm]
+    vs = valid[perm]
+    dt_prev = jnp.diff(ts, prepend=ts[:1]).astype(jnp.float64)
+    alpha = 1.0 - jnp.exp2(-dt_prev / tau)
+    # first valid row seeds with full weight (alpha treated as 1)
+    first_idx = jnp.argmax(vs)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    alpha = jnp.where(iota == first_idx, 1.0, alpha)
+    contrib = jnp.where(vs, alpha * xs if normalize else xs, 0.0)
+    factor = jnp.where(vs, 1.0 - alpha, 1.0)
+
+    def comb(c1, c2):
+        y1, f1 = c1
+        y2, f2 = c2
+        return (y1 * f2 + y2, f1 * f2)
+
+    y, _ = jax.lax.associative_scan(comb, (contrib, factor))
+    # scatter back to original order
+    out = jnp.zeros((n,), jnp.float64).at[perm].set(y)
+    ok = jnp.zeros((n,), bool).at[perm].set(vs)
+    return Val(out, ok, dt.Float64(), None, ROW)
+
+
+@register("ewm_mean_by", FLOAT, elementwise=False)
+def _ewm_mean_by(ctx, args, opts):
+    return _ewm_by_core(ctx, args, opts, normalize=True)
+
+
+@register("ewm_sum_by", FLOAT, elementwise=False)
+def _ewm_sum_by(ctx, args, opts):
+    return _ewm_by_core(ctx, args, opts, normalize=False)
+
+
+@register("interpolate_by", FLOAT, elementwise=False)
+def _interpolate_by(ctx, args, opts):
+    """Linear interpolation of nulls positioned by another column
+    (reference: Expr.interpolate_by; polars-ops interpolate_by.rs).
+    Prev/next non-null neighbors found with two cummax scans — fully traced."""
+    v = _row_domain(ctx, args[0])
+    b = _row_domain(ctx, args[1])
+    n = v.values.shape[0]
+    valid = ctx.rowmask & v.valid_or_true() & b.valid_or_true()
+    x = v.values.astype(jnp.float64)
+    t = b.values.astype(jnp.float64)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    # index of the most recent valid row at-or-before i / at-or-after i
+    prev = jax.lax.cummax(jnp.where(valid, iota, jnp.int32(-1)))
+    nxt = -jax.lax.cummax(jnp.where(valid, -iota, -jnp.int32(n))[::-1])[::-1]
+    has_prev = prev >= 0
+    has_next = nxt < n
+    pi = jnp.clip(prev, 0, n - 1)
+    ni = jnp.clip(nxt, 0, n - 1)
+    x0, x1 = x[pi], x[ni]
+    t0, t1 = t[pi], t[ni]
+    frac = div_any(t - t0, jnp.where(t1 == t0, 1.0, t1 - t0))
+    interp = x0 + (x1 - x0) * frac
+    out = jnp.where(valid, x, interp)
+    ok = valid | (has_prev & has_next & ctx.rowmask)
+    return Val(out, ok, dt.Float64(), None, ROW)
+
+
 @register("fill_null_with_strategy", SAME, elementwise=False)
 def _fill_null_with_strategy(ctx, args, opts):
     v = args[0]

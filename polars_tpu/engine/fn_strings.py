@@ -247,8 +247,8 @@ def _slice(ctx, args, opts):
         if length is None:
             return s[off:]
         if off < 0:
-            end = len(s) + off + length
-            return s[off:end if end < 0 else None] if end != 0 else s[off:]
+            end = off + length
+            return s[off : end if end < 0 else None]
         return s[off : off + length]
 
     return _str_map(v, f)
@@ -548,6 +548,64 @@ def _table_transform(v: Val, fn, out_dtype):
     lut = jnp.asarray(codes_np if len(codes_np) else np.zeros(1, np.int32))
     out = lut[jnp.clip(v.values, 0, max(len(uniques) - 1, 0))]
     return Val(out, v.validity, out_dtype, table, v.domain)
+
+
+@register("bin.slice", SAME, elementwise=False)
+def _bin_slice(ctx, args, opts):
+    v = _require_str(args[0])
+    off = int(opts.get("offset", 0))
+    length = opts.get("length")
+
+    def f(s):
+        b = _as_bytes(s)
+        if length is None:
+            return b[off:]
+        if off < 0:
+            end = off + int(length)
+            return b[off : end if end < 0 else None]
+        return b[off : off + int(length)]
+
+    return _table_transform(v, f, dt.Binary())
+
+
+@register("bin.get", dt.UInt8())
+def _bin_get(ctx, args, opts):
+    v = _require_str(args[0])
+    idx = int(opts.get("index", 0))
+
+    def f(s):
+        b = _as_bytes(s)
+        i = idx if idx >= 0 else len(b) + idx
+        return b[i] if 0 <= i < len(b) else None
+
+    return _lut_op(v, f, dt.UInt8(), with_validity=True)
+
+
+@register("bin.reinterpret", lambda dts, opts: dt.parse_into_dtype(opts["dtype"]))
+def _bin_reinterpret(ctx, args, opts):
+    """Fixed-width bytes -> numeric (reference: polars-ops binary cast.rs
+    reinterpret); wrong-size payloads become null."""
+    import struct as _struct
+
+    v = _require_str(args[0])
+    out_dt = dt.parse_into_dtype(opts["dtype"])
+    endian = "<" if opts.get("endianness", "little") == "little" else ">"
+    code = {
+        "Int8": "b", "UInt8": "B", "Int16": "h", "UInt16": "H",
+        "Int32": "i", "UInt32": "I", "Int64": "q", "UInt64": "Q",
+        "Float32": "f", "Float64": "d",
+    }.get(type(out_dt).__name__)
+    if code is None:
+        raise InvalidOperationError(f"cannot reinterpret binary as {out_dt!r}")
+    size = _struct.calcsize(code)
+
+    def f(s):
+        b = _as_bytes(s)
+        if len(b) != size:
+            return None
+        return _struct.unpack(endian + code, b)[0]
+
+    return _lut_op(v, f, out_dt, with_validity=True)
 
 
 @register("bin.encode", lambda dts, opts: dt.String())

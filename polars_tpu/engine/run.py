@@ -19,7 +19,7 @@ from polars_tpu.core.buffer import Buffer
 from polars_tpu.core.column import Column
 from polars_tpu.core.frame import DataFrame
 from polars_tpu.engine.executors import _aggs_all_reduce, _expr_needs_host, _is_fusable, run_segment
-from polars_tpu.errors import ComputeError, InvalidOperationError
+from polars_tpu.errors import ComputeError, InvalidOperationError, ShapeError
 from polars_tpu.plan import exprs as E
 from polars_tpu.plan import logical as L
 from polars_tpu.plan.schema_resolve import expand_exprs, node_schema
@@ -32,6 +32,8 @@ _SPECIAL_FNS = {
     "list.join",
     "explode", "str.split", "str.extract_all", "str.split_exact", "str.splitn",
     "str.extract_many", "str.find_many", "str.extract_groups",
+    "hist", "reshape", "rolling_median_by", "rolling_quantile_by",
+    "rolling_rank_by", "rolling_map",
     "as_struct", "struct.field", "struct.rename_fields",
     "unnest", "sample", "shuffle", "arg_where_self", "rle",
     # round-3 list long tail (host ops; traced fast paths may supersede later)
@@ -42,7 +44,7 @@ _SPECIAL_FNS = {
     "list.set_difference", "list.set_symmetric_difference", "list.gather",
     "list.gather_every", "list.concat", "list.to_struct", "list.to_array",
     "list.sample", "list.eval", "list.filter",
-    "struct.with_fields", "struct.json_encode",
+    "struct.with_fields", "struct.json_encode", "struct.drop", "list.item",
     "repeat_by", "extend_constant",
 }
 
@@ -837,6 +839,18 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             out = Column(out.name, out.dtype, Buffer(out.buffer.values, v, out.buffer.length), out.table, 0, getattr(out, "child", None))
         return out
 
+    if e.name == "struct.drop":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        names = set(e.opt("names", ()))
+        if e.opt("strict", True):
+            have = {c.name for c in (col.child or [])}
+            missing = names - have
+            if missing:
+                raise ComputeError(f"struct has no field(s) {sorted(missing)}")
+        kids = [c for c in (col.child or []) if c.name not in names]
+        fields = dt.Struct([(c.name, c.dtype) for c in kids])
+        return Column(col.name, fields, col.buffer, None, 0, kids)
+
     if e.name == "struct.rename_fields":
         col = _eval_special_expr(df, e.inputs[0], schema)
         names = list(e.opt("names"))
@@ -908,6 +922,174 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             for v in vals
         ]
         return Column.from_values(col.name, out, dt.List(dt.String()))
+
+    if e.name == "hist":
+        import numpy as _np
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        xs = _np.asarray(
+            [v for v in col.to_pylist() if v is not None], dtype=_np.float64
+        )
+        bins = e.opt("bins")
+        if bins is not None:
+            edges = _np.asarray(list(bins), _np.float64)
+        else:
+            bc = int(e.opt("bin_count") or 10)
+            lo = float(xs.min()) if len(xs) else 0.0
+            hi = float(xs.max()) if len(xs) else 1.0
+            if lo == hi:
+                lo, hi = lo - 0.5, hi + 0.5
+            edges = _np.linspace(lo, hi, bc + 1)
+        nb = max(len(edges) - 1, 0)
+        counts = _np.zeros(nb, _np.uint32)
+        if nb and len(xs):
+            idx = _np.searchsorted(edges, xs, side="left") - 1
+            idx = _np.where((xs == edges[0]), 0, idx)  # first bin closed both sides
+            sel = (idx >= 0) & (idx < nb) & (xs <= edges[-1]) & (xs >= edges[0])
+            _np.add.at(counts, idx[sel], 1)
+        include_bp = bool(e.opt("include_breakpoint", False))
+        include_cat = bool(e.opt("include_category", False))
+        cname = col.name or "count"
+        if not (include_bp or include_cat):
+            return Column.from_values(cname, counts.tolist(), dt.UInt32())
+        rows = []
+        for i in range(nb):
+            r = {}
+            if include_bp:
+                r["breakpoint"] = float(edges[i + 1])
+            if include_cat:
+                r["category"] = f"({edges[i]:g}, {edges[i + 1]:g}]"
+            r["count"] = int(counts[i])
+            rows.append(r)
+        fields = []
+        if include_bp:
+            fields.append(("breakpoint", dt.Float64()))
+        if include_cat:
+            fields.append(("category", dt.Categorical()))
+        fields.append(("count", dt.UInt32()))
+        return Column.from_values(cname, rows, dt.Struct(fields))
+
+    if e.name == "reshape":
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        dims = tuple(int(d) for d in e.opt("dimensions", ()))
+        if len(dims) == 1:
+            return col
+        if len(dims) != 2:
+            raise InvalidOperationError("reshape supports 1 or 2 dimensions")
+        r, c = dims
+        n = len(col)
+        if c <= 0:
+            raise InvalidOperationError("only the first reshape dimension may be -1")
+        if r == -1:
+            r = n // c
+        if r * c != n:
+            raise ShapeError(f"cannot reshape {n} elements into {r}x{c}")
+        vals = col.to_pylist()
+        rows = [vals[i * c : (i + 1) * c] for i in range(r)]
+        return Column.from_values(col.name, rows, dt.Array(col.dtype, c))
+
+    if e.name in ("rolling_median_by", "rolling_quantile_by", "rolling_rank_by"):
+        import numpy as _np
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        bycol = _eval_special_expr(df, e.inputs[1], schema)
+        from polars_tpu.lazyframe import LazyGroupByDynamic
+
+        ticks = int(LazyGroupByDynamic._ticks(e.opt("window_size"), bycol.dtype))
+        closed = e.opt("closed", "right") or "right"
+        minp = int(e.opt("min_samples", 1) or 1)
+        tvals, tvalid = bycol.buffer.to_numpy()
+        xlist = col.to_pylist()
+        n = len(col)
+        t = _np.asarray(tvals[:n], _np.int64)
+        ok = _np.ones(n, bool) if tvalid is None else _np.asarray(tvalid[:n], bool)
+        x = _np.asarray(
+            [float("nan") if v is None else float(v) for v in xlist], _np.float64
+        )
+        val_ok = ~_np.asarray([v is None for v in xlist], bool)
+        order = _np.argsort(t[ok], kind="stable")
+        ts = t[ok][order]
+        xs = x[ok][order]
+        xs_ok = val_ok[ok][order]
+        out = _np.full(n, _np.nan, _np.float64)
+        has = _np.zeros(n, bool)
+        q = float(e.opt("quantile", 0.5) or 0.5)
+        interp = e.opt("interpolation", "nearest") or "nearest"
+        method = e.opt("method", "average") or "average"
+        desc = bool(e.opt("descending", False))
+        for i in range(n):
+            if not ok[i]:
+                continue
+            lo_b, hi_b = t[i] - ticks, t[i]
+            if closed == "right":
+                lo = _np.searchsorted(ts, lo_b, side="right")
+                hi = _np.searchsorted(ts, hi_b, side="right")
+            elif closed == "left":
+                lo = _np.searchsorted(ts, lo_b, side="left")
+                hi = _np.searchsorted(ts, hi_b, side="left")
+            elif closed == "both":
+                lo = _np.searchsorted(ts, lo_b, side="left")
+                hi = _np.searchsorted(ts, hi_b, side="right")
+            else:  # none
+                lo = _np.searchsorted(ts, lo_b, side="right")
+                hi = _np.searchsorted(ts, hi_b, side="left")
+            w = xs[lo:hi][xs_ok[lo:hi]]
+            if len(w) < minp or len(w) == 0:
+                continue
+            has[i] = True
+            if e.name == "rolling_median_by":
+                out[i] = float(_np.median(w))
+            elif e.name == "rolling_quantile_by":
+                meth = {"nearest": "nearest", "linear": "linear", "lower": "lower",
+                        "higher": "higher", "midpoint": "midpoint"}.get(interp, "nearest")
+                out[i] = float(_np.quantile(w, q, method=meth))
+            else:  # rank of the current value within its window
+                if not val_ok[i]:
+                    has[i] = False
+                    continue
+                cur = x[i]
+                wv = -w if desc else w
+                cv = -cur if desc else cur
+                less = int((wv < cv).sum())
+                ties = int((wv == cv).sum())
+                if method == "min":
+                    out[i] = less + 1
+                elif method == "max":
+                    out[i] = less + ties
+                elif method == "dense":
+                    out[i] = len(_np.unique(wv[wv < cv])) + 1
+                else:  # average
+                    out[i] = less + (ties + 1) / 2.0
+        pyout = [float(v) if h else None for v, h in zip(out.tolist(), has.tolist())]
+        if e.name == "rolling_rank_by" and method != "average":
+            return Column.from_values(col.name, [None if v is None else int(v) for v in pyout], dt.UInt32())
+        return Column.from_values(col.name, pyout, dt.Float64())
+
+    if e.name == "rolling_map":
+        from polars_tpu.core.series import Series as _Series
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        fn = e.opt("function")
+        w = int(e.opt("window_size", 2))
+        minp = int(e.opt("min_samples", w) or w)
+        center = bool(e.opt("center", False))
+        vals = col.to_pylist()
+        n = len(vals)
+        out = []
+        shift = (w - 1) // 2 if center else 0
+        for i in range(n):
+            end = i + 1 + shift
+            start = end - w
+            window = vals[max(start, 0) : min(end, n)]
+            if len(window) < minp:
+                out.append(None)
+                continue
+            r = fn(_Series("", window, dtype=col.dtype))
+            if hasattr(r, "to_list"):
+                lst = r.to_list()
+                r = lst[0] if lst else None
+            out.append(r)
+        return Column.from_values(col.name, out, None)
 
     if e.name in ("str.extract_many", "str.find_many"):
         from polars_tpu.engine.fn_strings import ac_occurrences
@@ -1060,6 +1242,17 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             return LO.list_count_matches(col, val)
         if kind in ("var", "std", "median"):
             return LO.list_moment(col, kind, int(e.opt("ddof", 1)))
+        if kind == "item":
+            allow_empty = bool(e.opt("allow_empty", False))
+            lens = LO.list_len(col).to_pylist()
+            for ln in lens:
+                if ln is None:
+                    continue
+                if ln > 1 or (ln == 0 and not allow_empty):
+                    raise ComputeError(
+                        "can only call `.list.item()` on lists of length 1"
+                    )
+            return LO.list_get(col, 0)
         if kind in (
             "set_union", "set_intersection", "set_difference",
             "set_symmetric_difference",

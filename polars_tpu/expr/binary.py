@@ -34,3 +34,18 @@ class ExprBinaryNamespace:
 
     def decode(self, encoding: str, *, strict: bool = True) -> Expr:
         return self._fn("decode", encoding=encoding)
+
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        return self._fn("slice", offset=offset, length=length)
+
+    def head(self, n: int = 5) -> Expr:
+        return self._fn("slice", offset=0, length=n)
+
+    def tail(self, n: int = 5) -> Expr:
+        return self._fn("slice", offset=-n, length=None)
+
+    def get(self, index: int) -> Expr:
+        return self._fn("get", index=index)
+
+    def reinterpret(self, *, dtype: Any, endianness: str = "little") -> Expr:
+        return self._fn("reinterpret", dtype=dtype, endianness=endianness)

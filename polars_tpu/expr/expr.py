@@ -109,6 +109,37 @@ class Expr:
     def meta(self):
         return ExprMetaNamespace(self)
 
+    @classmethod
+    def deserialize(cls, source: Any, *, format: str = "json") -> Expr:
+        from polars_tpu.plan.serialize import deserialize_expr
+
+        if hasattr(source, "read"):
+            data = source.read()
+        elif isinstance(source, (str, bytes)) and not str(source).lstrip().startswith("{"):
+            with open(source) as f:
+                data = f.read()
+        else:
+            data = source
+        return cls(deserialize_expr(data))
+
+    @classmethod
+    def from_json(cls, value: str) -> Expr:
+        return cls.deserialize(value)
+
+    def register_plugin(self, *args: Any, **kwargs: Any) -> Expr:
+        from polars_tpu.errors import InvalidOperationError as _IOE
+
+        raise _IOE(
+            "expression plugins are compiled against the reference's Rust ABI "
+            "and cannot load into the TPU engine; see polars_tpu.plugins"
+        )
+
+    @property
+    def ext(self):
+        from polars_tpu.errors import InvalidOperationError as _IOE
+
+        raise _IOE("extension expression namespaces are not registered in this build")
+
     # -- binary ops -----------------------------------------------------------------
 
     def _bin(self, op: str, other: Any, *, swap: bool = False) -> Expr:
@@ -334,6 +365,12 @@ class Expr:
 
     def all(self, *, ignore_nulls: bool = True) -> Expr:
         return self._agg("all", ignore_nulls=ignore_nulls)
+
+    def item(self, *, allow_empty: bool = False) -> Expr:
+        return self._agg("item", allow_empty=allow_empty)
+
+    def is_sorted(self, *, descending: bool | None = False, nulls_last: bool | None = False) -> Expr:
+        return self._agg("is_sorted", descending=descending, nulls_last=nulls_last)
 
     def bitwise_and(self) -> Expr:
         return self._agg("bitwise_and")
@@ -605,6 +642,101 @@ class Expr:
 
     def ewm_mean(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False) -> Expr:
         return self._fn("ewm_mean", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
+
+    def ewm_sum(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, min_samples: int = 1, ignore_nulls: bool = False) -> Expr:
+        return self._fn("ewm_sum", com=com, span=span, half_life=half_life, alpha=alpha, min_samples=min_samples, ignore_nulls=ignore_nulls)
+
+    def ewm_mean_by(self, by: Any, *, half_life: Any) -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return Expr(E.EFunction("ewm_mean_by", (self._node, by_e._node), (("half_life", half_life),)))
+
+    def ewm_sum_by(self, by: Any, *, half_life: Any) -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return Expr(E.EFunction("ewm_sum_by", (self._node, by_e._node), (("half_life", half_life),)))
+
+    def interpolate_by(self, by: Any) -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return Expr(E.EFunction("interpolate_by", (self._node, by_e._node), ()))
+
+    def truncate(self, decimals: int = 0) -> Expr:
+        return self._fn("truncate", decimals=decimals)
+
+    def reinterpret(self, *, signed: bool | None = None, dtype: Any = None) -> Expr:
+        return self._fn("reinterpret", signed=signed, dtype=dtype)
+
+    def hist(self, bins: Any = None, *, bin_count: int | None = None, include_category: bool = False, include_breakpoint: bool = False) -> Expr:
+        return self._fn(
+            "hist",
+            bins=tuple(bins) if bins is not None else None,
+            bin_count=bin_count,
+            include_category=include_category,
+            include_breakpoint=include_breakpoint,
+        )
+
+    def reshape(self, dimensions: tuple) -> Expr:
+        return self._fn("reshape", dimensions=tuple(int(d) for d in dimensions))
+
+    def inspect(self, fmt: str = "{}") -> Expr:
+        def _show(s):
+            print(fmt.format(s))
+            return s
+
+        return self.map_batches(_show)
+
+    def rolling_median_by(self, by: Any, window_size: str, *, min_samples: int = 1, closed: str = "right") -> Expr:
+        return self._rolling_by("median", by, window_size, min_samples, closed)
+
+    def rolling_quantile_by(self, by: Any, window_size: str, *, quantile: float = 0.5, interpolation: str = "nearest", min_samples: int = 1, closed: str = "right") -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return Expr(E.EFunction(
+            "rolling_quantile_by", (self._node, by_e._node),
+            (("window_size", window_size), ("min_samples", min_samples), ("closed", closed), ("quantile", quantile), ("interpolation", interpolation)),
+        ))
+
+    def rolling_rank_by(self, by: Any, window_size: str, *, method: str = "average", descending: bool = False, seed: int | None = None, min_samples: int = 1, closed: str = "right") -> Expr:
+        by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
+        return Expr(E.EFunction(
+            "rolling_rank_by", (self._node, by_e._node),
+            (("window_size", window_size), ("min_samples", min_samples), ("closed", closed), ("method", method), ("descending", descending)),
+        ))
+
+    def rolling(self, index_column: Any, *, period: Any, offset: Any = None, closed: str = "right") -> Expr:
+        """Postfix temporal-window grouping on an aggregation expression:
+        `pl.col("v").sum().rolling(index_column="t", period="2d")` desugars to
+        the traced `rolling_sum_by` path (reference: Expr.rolling)."""
+        node = self._node
+        if not isinstance(node, E.EAgg):
+            raise InvalidOperationError(
+                ".rolling() must be applied to an aggregation expression "
+                "(e.g. pl.col('v').sum().rolling(...))"
+            )
+        if offset is not None:
+            raise InvalidOperationError("Expr.rolling with a custom offset is not supported yet")
+        inner = Expr(node.input)
+        kind = node.kind
+        if kind in ("sum", "mean", "min", "max", "first", "last", "count"):
+            return inner._rolling_by(kind, index_column, period, 1, closed)
+        if kind in ("std", "var"):
+            return inner._rolling_by(kind, index_column, period, 1, closed, node.opt("ddof", 1))
+        if kind == "median":
+            return inner.rolling_median_by(index_column, period, closed=closed)
+        if kind == "quantile":
+            return inner.rolling_quantile_by(
+                index_column, period,
+                quantile=node.opt("quantile", 0.5),
+                interpolation=node.opt("interpolation", "nearest"),
+                closed=closed,
+            )
+        raise InvalidOperationError(f".rolling() does not support aggregation {kind!r}")
+
+    def rolling_map(self, function: Any, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
+        return self._fn(
+            "rolling_map",
+            function=function,
+            window_size=window_size,
+            min_samples=min_samples if min_samples is not None else window_size,
+            center=center,
+        )
 
     def peak_min(self) -> Expr:
         return self._fn("peak_min")
@@ -1060,6 +1192,19 @@ class ExprMetaNamespace:
 
     def tree_format(self) -> str:
         return repr(self._expr._node)
+
+    def serialize(self, file: Any = None, *, format: str = "json") -> str | None:
+        from polars_tpu.plan.serialize import serialize_expr
+
+        data = serialize_expr(self._expr._node)
+        if file is None:
+            return data
+        if hasattr(file, "write"):
+            file.write(data)
+        else:
+            with open(file, "w") as f:
+                f.write(data)
+        return None
 
 
 def _flat(items: Any) -> list[Any]:

@@ -48,6 +48,9 @@ class ExprListNamespace:
     def reverse(self) -> Expr:
         return self._fn("reverse")
 
+    def item(self, *, allow_empty: bool = False) -> Expr:
+        return self._fn("item", allow_empty=allow_empty)
+
     def sort(self, *, descending: bool = False, nulls_last: bool = False) -> Expr:
         return self._fn("sort", descending=descending, nulls_last=nulls_last)
 

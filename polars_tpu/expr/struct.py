@@ -25,6 +25,11 @@ class ExprStructNamespace:
     def rename_fields(self, names: list[str]) -> Expr:
         return self._expr._fn("struct.rename_fields", names=tuple(names))
 
+    def drop(self, names: Any, *, strict: bool = True) -> Expr:
+        if isinstance(names, str):
+            names = (names,)
+        return self._expr._fn("struct.drop", names=tuple(names), strict=strict)
+
     def with_fields(self, *exprs: Any, **named_exprs: Any) -> Expr:
         """Add/overwrite struct fields; expressions reference existing fields
         via pl.field(...) (reference: py-polars expr/struct.py with_fields)."""

@@ -499,9 +499,11 @@ def agg_dtype(node: E.EAgg, schema: Schema) -> dt.DataType:
         return dt.Float32() if name == "Float32" else dt.Float64()
     if k in ("std", "var", "skew", "kurtosis", "entropy"):
         return dt.Float32() if name == "Float32" else dt.Float64()
-    if k in ("min", "max", "first", "last", "mode",
+    if k in ("min", "max", "first", "last", "mode", "item",
              "bitwise_and", "bitwise_or", "bitwise_xor"):
         return in_dt
+    if k == "is_sorted":
+        return dt.Boolean()
     if k in ("count", "len", "null_count", "n_unique", "arg_min", "arg_max"):
         return dt.UInt32()
     if k in ("any", "all"):

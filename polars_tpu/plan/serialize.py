@@ -169,6 +169,30 @@ def _node_from_json(o: dict, mod: Any, tag: str) -> Any:
     return cls(**fields)
 
 
+def serialize_expr(node: E.ENode) -> str:
+    """Versioned JSON form of one expression (reference:
+    py-polars Expr.meta.serialize / Expr.deserialize)."""
+    return json.dumps(
+        {
+            "format": "polars_tpu_expr",
+            "version": VERSION,
+            "expr": _value_to_json(node),
+        }
+    )
+
+
+def deserialize_expr(data: str | bytes) -> E.ENode:
+    doc = json.loads(data if isinstance(data, str) else data.decode())
+    if doc.get("format") != "polars_tpu_expr":
+        raise InvalidOperationError("not a serialized polars_tpu expression")
+    if doc.get("version") != VERSION:
+        raise InvalidOperationError(
+            f"serialized expression version {doc.get('version')} is not supported "
+            f"(this build reads version {VERSION})"
+        )
+    return _value_from_json(doc["expr"])
+
+
 def serialize_plan(node: L.LNode) -> str:
     """Plan -> versioned JSON string."""
     doc = {

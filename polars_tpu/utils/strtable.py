@@ -90,6 +90,19 @@ def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray | None, S
     arr = np.asarray(values, dtype=object)
     validity = np.array([v is not None and v == v for v in arr], dtype=bool)
     has_null = not validity.all()
+    if any(isinstance(v, (bytes, bytearray)) for v in arr[validity]):
+        # binary payloads must NOT go through numpy 'S'/str dtypes (S strips
+        # trailing NULs, str decode fails on non-UTF8); dict-encode in python
+        lst = arr.tolist()
+        filled = [bytes(v) if ok else b"" for v, ok in zip(lst, validity.tolist())]
+        uniq = sorted(set(filled))
+        lookup_b = {v: i for i, v in enumerate(uniq)}
+        codes = np.fromiter((lookup_b[v] for v in filled), np.int32, len(lst))
+        codes = codes.reshape(arr.shape)
+        if has_null:
+            codes = np.where(validity, codes, np.int32(0))
+        table = StringTable(np.asarray(uniq, dtype=object), sorted_order=True)
+        return codes, (validity if has_null else None), table
     filled = np.where(validity, arr, "")
     as_str = filled.astype(str)
     uniques, codes = np.unique(as_str, return_inverse=True)
@@ -112,6 +125,17 @@ def unify(
         n = len(left)
         ident = np.arange(n, dtype=np.int32)
         return left, ident, ident
+    if any(isinstance(v, (bytes, bytearray)) for v in left.values) or any(
+        isinstance(v, (bytes, bytearray)) for v in right.values
+    ):
+        lvl = [bytes(v) for v in left.values.tolist()]
+        rvl = [bytes(v) for v in right.values.tolist()]
+        merged_l = sorted(set(lvl) | set(rvl))
+        lk = {v: i for i, v in enumerate(merged_l)}
+        out = StringTable(np.asarray(merged_l, dtype=object), sorted_order=True)
+        lmap = np.fromiter((lk[v] for v in lvl), np.int32, len(lvl))
+        rmap = np.fromiter((lk[v] for v in rvl), np.int32, len(rvl))
+        return out, lmap, rmap
     lv = left.values.astype(str)
     rv = right.values.astype(str)
     merged, inv = np.unique(np.concatenate([lv, rv]), return_inverse=True)
