@@ -301,8 +301,314 @@ class DataFrame:
         )
 
     def set_sorted(self, column: str, *, descending: bool = False) -> DataFrame:
-        out = DataFrame._from_columns(list(self._columns), self._height)
+        from polars_tpu.core.column import SORTED_ASC, SORTED_DESC
+
+        flag = SORTED_DESC if descending else SORTED_ASC
+        cols = [
+            c.with_buffer(c.buffer, sorted_flag=flag) if c.name == column else c
+            for c in self._columns
+        ]
+        return DataFrame._from_columns(cols, self._height)
+
+    @property
+    def flags(self) -> dict:
+        from polars_tpu.core.column import SORTED_ASC, SORTED_DESC
+
+        return {
+            c.name: {
+                "SORTED_ASC": c.sorted_flag == SORTED_ASC,
+                "SORTED_DESC": c.sorted_flag == SORTED_DESC,
+            }
+            for c in self._columns
+        }
+
+    def is_sorted(self, by: Any, *more_by: str, descending: Any = False, nulls_last: Any = False) -> bool:
+        """Whether rows are sorted by the given columns (reference:
+        DataFrame.is_sorted). Multi-column = lexicographic."""
+        names = ([by] if isinstance(by, str) else list(by)) + list(more_by)
+        k = len(names)
+        descs = [descending] * k if isinstance(descending, bool) else list(descending)
+        nls = [nulls_last] * k if isinstance(nulls_last, bool) else list(nulls_last)
+        if k == 1:
+            from polars_tpu.core.series import Series
+
+            return Series._from_column(self._get(names[0])).is_sorted(
+                descending=descs[0], nulls_last=nls[0]
+            )
+        cols = [self._get(n).to_pylist() for n in names]
+
+        def key_for(i):
+            out = []
+            for j in range(k):
+                v = cols[j][i]
+                null_rank = 1 if (v is None) == bool(nls[j]) and v is None else 0
+                # encode: null first/last, then value with direction
+                if v is None:
+                    out.append((1 if nls[j] else -1, 0, 0))
+                else:
+                    out.append((0, -1 if descs[j] else 1, v))
+            return out
+
+        def cmp_rows(a, b):
+            for j in range(k):
+                (na, da, va), (nb, db, vb) = a[j], b[j]
+                if na != nb:
+                    return -1 if na < nb else 1
+                if na == 0 and va != vb:
+                    lt = (va < vb) if da == 1 else (va > vb)
+                    return -1 if lt else 1
+            return 0
+
+        prev = None
+        for i in range(self._height):
+            cur = key_for(i)
+            if prev is not None and cmp_rows(prev, cur) > 0:
+                return False
+            prev = cur
+        return True
+
+    def map_columns(self, column_names: Any, function: Any, *args: Any, **kwargs: Any) -> DataFrame:
+        from polars_tpu.core.series import Series
+
+        names = [column_names] if isinstance(column_names, str) else list(column_names)
+        cols = []
+        for c in self._columns:
+            if c.name in names:
+                out = function(Series._from_column(c), *args, **kwargs)
+                cols.append(out._column.rename(c.name))
+            else:
+                cols.append(c)
+        return DataFrame._from_columns(cols, self._height)
+
+    def map_rows(self, function: Any, return_dtype: Any = None, *, inference_size: int = 256) -> DataFrame:
+        rows = self.rows()
+        outs = [function(r) for r in rows]
+        if outs and isinstance(outs[0], (tuple, list)):
+            k = len(outs[0])
+            data = {
+                f"column_{i}": [o[i] for o in outs] for i in range(k)
+            }
+            return DataFrame(data)
+        from polars_tpu.core.column import Column as _C
+
+        return DataFrame._from_columns(
+            [_C.from_values("map", outs, dt.parse_into_dtype(return_dtype) if return_dtype else None)],
+            len(outs),
+        )
+
+    def remove(self, *predicates: Any, **constraints: Any) -> DataFrame:
+        return self.lazy().remove(*predicates, **constraints).collect()
+
+    def match_to_schema(self, schema: Any, **kwargs: Any) -> DataFrame:
+        return self.lazy().match_to_schema(schema, **kwargs).collect()
+
+    def rows_by_key(self, key: Any, *, named: bool = False, include_key: bool = False, unique: bool = False) -> dict:
+        names = [key] if isinstance(key, str) else list(key)
+        single = len(names) == 1
+        keys_rows = [tuple(self._get(n).to_pylist()) for n in names]
+        data_cols = [
+            c.name for c in self._columns if include_key or c.name not in names
+        ]
+        rows = self.select(data_cols).rows(named=named) if data_cols else [
+            ({} if named else ()) for _ in range(self._height)
+        ]
+        out: dict = {}
+        for i in range(self._height):
+            kv = keys_rows[0][i] if single else tuple(col[i] for col in keys_rows)
+            if unique:
+                out[kv] = rows[i]
+            else:
+                out.setdefault(kv, []).append(rows[i])
         return out
+
+    def select_seq(self, *exprs: Any, **named_exprs: Any) -> DataFrame:
+        return self.select(*exprs, **named_exprs)
+
+    def with_columns_seq(self, *exprs: Any, **named_exprs: Any) -> DataFrame:
+        return self.with_columns(*exprs, **named_exprs)
+
+    def show(self, limit: int = 5, **kwargs: Any) -> None:
+        print(self.head(limit) if limit is not None else self)
+
+    def n_chunks(self, strategy: str = "first"):
+        return 1 if strategy == "first" else [1] * len(self._columns)
+
+    def to_init_repr(self, n: int = 1000) -> str:
+        from polars_tpu.core.series import Series
+
+        inner = ",\n        ".join(
+            Series._from_column(c.rename(c.name)).to_init_repr(n) for c in self._columns
+        )
+        return f"pl.DataFrame(\n    [\n        {inner},\n    ]\n)"
+
+    @property
+    def plot(self):
+        raise ModuleNotFoundError(
+            "altair is required for `.plot` and is not available in this build"
+        )
+
+    @property
+    def style(self):
+        raise ModuleNotFoundError(
+            "great-tables is required for `.style` and is not available in this build"
+        )
+
+    def serialize(self, file: Any = None, *, format: str = "binary"):
+        """Serialize the frame's data (reference: DataFrame.serialize —
+        binary = Arrow IPC payload; json = row-oriented document)."""
+        if format == "json":
+            import json as _json
+
+            data: Any = _json.dumps(
+                {"columns": [
+                    {"name": c.name, "datatype": repr(c.dtype), "values": _json_safe(c.to_pylist())}
+                    for c in self._columns
+                ]}
+            )
+        else:
+            import io as _io
+
+            buf = _io.BytesIO()
+            self.write_ipc(buf)
+            data = buf.getvalue()
+        if file is None:
+            return data
+        mode = "w" if isinstance(data, str) else "wb"
+        if hasattr(file, "write"):
+            file.write(data)
+        else:
+            with open(file, mode) as f:
+                f.write(data)
+        return None
+
+    @classmethod
+    def deserialize(cls, source: Any, *, format: str = "binary") -> DataFrame:
+        if hasattr(source, "read"):
+            source = source.read()
+        if format == "json":
+            import json as _json
+
+            if isinstance(source, bytes):
+                source = source.decode()
+            doc = _json.loads(source)
+            return cls({c["name"]: c["values"] for c in doc["columns"]})
+        import io as _io
+
+        import polars_tpu as pl
+        import pyarrow.ipc as pa_ipc
+
+        buf = _io.BytesIO(bytes(source)) if isinstance(source, (bytes, bytearray)) else source
+        tbl = pa_ipc.open_file(buf).read_all()
+        return pl.from_arrow(tbl)
+
+    def unstack(self, *, step: int, how: str = "vertical", columns: Any = None, fill_values: Any = None) -> DataFrame:
+        """Long -> wide without aggregation (reference: DataFrame.unstack)."""
+        import math
+
+        sel = self if columns is None else self.select(columns)
+        n_cols = math.ceil(self._height / step) if step else 0
+        cols_out = []
+        for c in sel._columns:
+            vals = c.to_pylist()
+            pad = n_cols * step - len(vals)
+            vals = vals + [None] * pad
+            from polars_tpu.core.column import Column as _C
+
+            if how == "vertical":
+                chunks = [vals[i * step : (i + 1) * step] for i in range(n_cols)]
+            else:  # horizontal
+                chunks = [vals[i::n_cols] for i in range(n_cols)]
+            for i, ch in enumerate(chunks):
+                cols_out.append(_C.from_values(f"{c.name}_{i}", ch, c.dtype))
+        return DataFrame._from_columns(cols_out, step)
+
+    def upsample(self, time_column: str, *, every: str, group_by: Any = None, maintain_order: bool = False) -> DataFrame:
+        """Insert missing regular time steps as null rows (reference:
+        DataFrame.upsample) — implemented as a range frame + left join."""
+        import polars_tpu as pl
+
+        tcol = self._get(time_column)
+        gb = [group_by] if isinstance(group_by, str) else list(group_by or [])
+
+        def _range_frame(sub: DataFrame) -> DataFrame:
+            t = sub._get(time_column).to_pylist()
+            ts = [v for v in t if v is not None]
+            if not ts:
+                return sub.clear()
+            lo, hi = min(ts), max(ts)
+            if isinstance(tcol.dtype, dt.Date):
+                rng = pl.date_range(lo, hi, interval=every, eager=True)
+            else:
+                rng = pl.datetime_range(lo, hi, interval=every, eager=True)
+            return DataFrame({time_column: rng.to_list()}).with_columns(
+                pl.col(time_column).cast(tcol.dtype)
+            )
+
+        if not gb:
+            grid = _range_frame(self)
+            return grid.join(self, on=time_column, how="left").sort(time_column)
+        parts = []
+        for kv, sub in self.partition_by(gb, as_dict=True).items():
+            grid = _range_frame(sub)
+            kv_t = kv if isinstance(kv, tuple) else (kv,)
+            grid = grid.with_columns(
+                *[pl.lit(v).alias(g) for g, v in zip(gb, kv_t)]
+            )
+            parts.append(grid.join(sub, on=[*gb, time_column], how="left").sort(time_column))
+        return pl.concat(parts)
+
+    def write_ipc_stream(self, file: Any, *, compression: str | None = "uncompressed", **kwargs: Any) -> None:
+        import pyarrow as pa
+        import pyarrow.ipc as pa_ipc
+
+        tbl = self.to_arrow()
+        with pa_ipc.new_stream(file, tbl.schema) as w:
+            w.write_table(tbl)
+
+    def write_avro(self, file: Any, compression: str = "uncompressed", **kwargs: Any) -> None:
+        from polars_tpu.io.extra import _missing_dep
+
+        try:
+            import fastavro  # noqa: F401
+        except ImportError:
+            _missing_dep("write_avro", "fastavro")
+
+    def write_excel(self, workbook: Any = None, worksheet: Any = None, **kwargs: Any):
+        from polars_tpu.io.extra import _missing_dep
+
+        try:
+            import xlsxwriter  # noqa: F401
+        except ImportError:
+            _missing_dep("write_excel", "xlsxwriter")
+
+    def write_clipboard(self, *, separator: str = "\t", **kwargs: Any) -> None:
+        from polars_tpu.io.extra import _missing_dep
+
+        _missing_dep("write_clipboard", "a clipboard backend (headless environment)")
+
+    def write_database(self, table_name: str, connection: Any, *, if_table_exists: str = "fail", engine: str = "sqlalchemy", **kwargs: Any) -> int:
+        """Write via a DBAPI/SQLAlchemy connection through the pandas bridge
+        (reference: DataFrame.write_database)."""
+        pdf = self.to_pandas()
+        pdf.to_sql(table_name, connection, if_exists={"fail": "fail", "append": "append", "replace": "replace"}[if_table_exists], index=False)
+        return self._height
+
+    def write_delta(self, target: Any, *, mode: str = "error", **kwargs: Any):
+        from polars_tpu.io.extra import _missing_dep
+
+        try:
+            import deltalake
+        except ImportError:
+            _missing_dep("write_delta", "deltalake")
+        deltalake.write_deltalake(target, self.to_arrow(), mode=mode, **kwargs)
+
+    def write_iceberg(self, target: Any, *, mode: str = "append", **kwargs: Any):
+        from polars_tpu.io.extra import _missing_dep
+
+        try:
+            import pyiceberg  # noqa: F401
+        except ImportError:
+            _missing_dep("write_iceberg", "pyiceberg")
 
     def collect_schema(self):
         return self.schema
@@ -1058,6 +1364,20 @@ class DataFrame:
 
     def __iter__(self):
         return iter(self.get_columns())
+
+
+def _json_safe(values: list) -> list:
+    out = []
+    for v in values:
+        if v is None or isinstance(v, (bool, int, float, str)):
+            out.append(v)
+        elif isinstance(v, (list, tuple)):
+            out.append(_json_safe(list(v)))
+        elif isinstance(v, dict):
+            out.append({k: _json_safe([x])[0] for k, x in v.items()})
+        else:
+            out.append(str(v))
+    return out
 
 
 def _schema_items(schema: Any) -> list[tuple[str, Any]]:

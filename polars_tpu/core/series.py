@@ -444,6 +444,120 @@ _EXPR_DELEGATED_AGGS = {
 }
 
 
+def _series_describe(self, percentiles=(0.25, 0.5, 0.75), *, interpolation="nearest"):
+    df = DataFrame._from_columns([self._column], len(self))
+    out = df.describe(percentiles)
+    return out.rename({out.columns[1]: "value"})
+
+
+def _series_to_dummies(self, *, separator: str = "_", drop_first: bool = False):
+    df = DataFrame._from_columns([self._column], len(self))
+    return df.to_dummies(separator=separator, drop_first=drop_first)
+
+
+def _series_scatter(self, indices, values):
+    """Set values at indices (reference: Series.scatter — returns the
+    modified series; host-side rebuild, not a device mutation)."""
+    import numpy as _np
+
+    lst = self.to_list()
+    idx = indices.to_list() if hasattr(indices, "to_list") else _np.asarray(indices).tolist()
+    if isinstance(idx, (int, _np.integer)):
+        idx = [int(idx)]
+    vals = values.to_list() if hasattr(values, "to_list") else values
+    if not isinstance(vals, (list, tuple)):
+        vals = [vals] * len(idx)
+    for i, v in zip(idx, vals):
+        lst[int(i)] = v
+    return Series._from_column(Column.from_values(self.name, lst, self.dtype))
+
+
+def _series_set(self, filter_mask, value):
+    import polars_tpu as pl
+
+    mask = filter_mask if isinstance(filter_mask, Series) else Series("", filter_mask)
+    return self.zip_with(~mask, Series("", [value] * len(self), dtype=self.dtype))
+
+
+def _series_zip_with(self, mask, other):
+    """self where mask else other (reference: Series.zip_with)."""
+    import polars_tpu as pl
+
+    df = DataFrame._from_columns(
+        [
+            self._column.rename("__self__"),
+            (mask._column if isinstance(mask, Series) else Series("", mask)._column).rename("__mask__"),
+            (other._column if isinstance(other, Series) else Series("", other)._column).rename("__other__"),
+        ],
+        len(self),
+    )
+    out = df.select(
+        pl.when(pl.col("__mask__")).then(pl.col("__self__")).otherwise(pl.col("__other__")).alias(self.name or "")
+    )
+    return Series._from_column(out._columns[0])
+
+
+def _series_estimated_size(self, unit: str = "b"):
+    vals = self._column.buffer.values
+    n = int(vals.size) * vals.dtype.itemsize
+    if self._column.table is not None:
+        n += sum(len(str(v).encode()) for v in self._column.table.values)
+    div = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3, "tb": 1024**4}[unit]
+    return n / div if div > 1 else n
+
+
+def _series_new_from_index(self, index: int, length: int):
+    v = self[index]
+    return Series._from_column(Column.from_values(self.name, [v] * length, self.dtype))
+
+
+def _series_to_init_repr(self, n: int = 1000) -> str:
+    vals = self.to_list()[:n]
+    return f"pl.Series({self.name!r}, {vals!r}, dtype=pl.{self.dtype!r})"
+
+
+def _series_sql(self, query: str, *, table_name: str = "self"):
+    import polars_tpu as pl
+
+    df = DataFrame._from_columns([self._column], len(self))
+    ctx = pl.SQLContext(frames={table_name: df.lazy()})
+    return ctx.execute(query).collect().to_series()
+
+
+def _series_to_torch(self):
+    import torch
+
+    return torch.from_numpy(np.ascontiguousarray(self.to_numpy()).copy())
+
+
+def _series_plot(self):
+    raise ModuleNotFoundError(
+        "altair is required for `.plot` and is not available in this build"
+    )
+
+
+Series.describe = _series_describe
+Series.to_dummies = _series_to_dummies
+Series.scatter = _series_scatter
+Series.set = _series_set
+Series.zip_with = _series_zip_with
+Series.estimated_size = _series_estimated_size
+Series.new_from_index = _series_new_from_index
+Series.to_init_repr = _series_to_init_repr
+Series.sql = _series_sql
+Series.to_torch = _series_to_torch
+Series.plot = property(lambda self: _series_plot(self))
+Series.chunk_lengths = lambda self: [len(self)]
+Series.n_chunks = lambda self: 1
+Series.get_chunks = lambda self: [self]
+Series.rechunk = lambda self, *, in_place=False: self
+Series.clear = lambda self, n=0: Series._from_column(
+    Column.from_values(self.name, [None] * n, self.dtype)
+)
+Series.shrink_to_fit = lambda self, *, in_place=False: self
+Series.has_validity = lambda self: self.null_count() > 0
+
+
 def _series_getattr(self, name: str):
     """Fallback: any Expr method not explicitly implemented on Series runs
     through the expression engine (py-polars parity without 120 wrappers)."""

@@ -233,6 +233,72 @@ class LazyFrame:
     def pipe(self, function, *args: Any, **kwargs: Any):
         return function(self, *args, **kwargs)
 
+    def pipe_with_schema(self, function) -> LazyFrame:
+        """Plan-stage pipe that receives the resolved schema (reference:
+        LazyFrame.pipe_with_schema). Schema resolution is cheap and eager
+        here, so the rewrite applies immediately."""
+        return function(self, self.collect_schema())
+
+    def gather(self, indices: Any) -> LazyFrame:
+        import polars_tpu as pl
+
+        idx = list(indices.to_list() if hasattr(indices, "to_list") else indices)
+        return self.select(pl.all().gather(idx))
+
+    def inspect(self, fmt: str = "{}") -> LazyFrame:
+        def _show(df):
+            print(fmt.format(df))
+            return df
+
+        return self.map_batches(_show)
+
+    def show(self, limit: int = 5, **kwargs: Any) -> None:
+        print(self.limit(limit).collect() if limit is not None else self.collect())
+
+    def pivot(self, on: Any, *, index: Any = None, values: Any = None, aggregate_function: Any = None, maintain_order: bool = True, sort_columns: bool = False, separator: str = "_") -> LazyFrame:
+        """Lazy pivot (reference: LazyFrame.pivot) — the spine collects
+        eagerly at this node since output columns depend on the data."""
+        return (
+            self.collect()
+            .pivot(
+                on,
+                index=index,
+                values=values,
+                aggregate_function=aggregate_function,
+                maintain_order=maintain_order,
+                sort_columns=sort_columns,
+                separator=separator,
+            )
+            .lazy()
+        )
+
+    def remote(self, context: Any = None, **kwargs: Any):
+        raise InvalidOperationError(
+            "polars-cloud remote execution contexts are not available in this build"
+        )
+
+    def with_context(self, other: Any) -> LazyFrame:
+        raise InvalidOperationError(
+            "with_context is deprecated upstream and not supported here; "
+            "use a join or pl.concat(..., how='horizontal') to combine frames"
+        )
+
+    def sink_batches(self, lambda_function: Any = None, *, chunk_size: int | None = None, maintain_order: bool = True, **kwargs: Any) -> None:
+        """Stream the result into a callback batch-by-batch (reference:
+        LazyFrame.sink_batches). Returning True from the callback stops early."""
+        fn = lambda_function or kwargs.get("function")
+        if fn is None:
+            raise InvalidOperationError("sink_batches requires a callback")
+        for batch in self.collect_batches(batch_rows=chunk_size):
+            if fn(batch) is True:
+                break
+
+    def sink_delta(self, target: Any, *, mode: str = "error", **kwargs: Any) -> None:
+        self.collect(engine="streaming").write_delta(target, mode=mode, **kwargs)
+
+    def sink_iceberg(self, target: Any, *, mode: str = "append", **kwargs: Any) -> None:
+        self.collect(engine="streaming").write_iceberg(target, mode=mode, **kwargs)
+
     # -- projections / mutations ------------------------------------------------
 
     def select(self, *exprs: Any, **named_exprs: Any) -> LazyFrame:
@@ -484,19 +550,60 @@ class LazyFrame:
     def describe(self, percentiles=(0.25, 0.5, 0.75)):
         return self.collect().describe(percentiles)
 
-    def match_to_schema(self, schema: Any, *, missing_columns: str = "insert", extra_columns: str = "ignore") -> LazyFrame:
+    def match_to_schema(
+        self,
+        schema: Any,
+        *,
+        missing_columns: Any = "raise",
+        extra_columns: str = "raise",
+        integer_cast: str = "forbid",
+        float_cast: str = "forbid",
+        **_unstable: Any,
+    ) -> LazyFrame:
+        """Match/evolve to a target schema with per-column coercion rules
+        (reference: py-polars frame.py match_to_schema)."""
         import polars_tpu as pl
+        from polars_tpu.errors import SchemaError
 
         target = dict(schema.items()) if hasattr(schema, "items") else dict(schema)
+        target = {k: dt.parse_into_dtype(v) for k, v in target.items()}
         cur = self.collect_schema()
+        extra = [n for n in cur.names() if n not in target]
+        if extra and extra_columns == "raise":
+            raise SchemaError(
+                "extra columns in `match_to_schema`: " + ", ".join(map(repr, extra))
+            )
+
+        def _policy(rules, name, default):
+            if isinstance(rules, str):
+                return rules
+            return rules.get(name, default)
+
         exprs = []
         for name, d in target.items():
             if name in cur.names():
+                have = cur[name]
+                if have == d:
+                    exprs.append(pl.col(name))
+                    continue
+                pol_i = _policy(integer_cast, name, "forbid")
+                pol_f = _policy(float_cast, name, "forbid")
+                ok_int = have.is_integer() and d.is_integer() and pol_i == "upcast"
+                ok_float = have.is_float() and d.is_float() and pol_f == "upcast"
+                if not (ok_int or ok_float):
+                    raise SchemaError(
+                        f"type mismatch for column {name!r} in `match_to_schema`: "
+                        f"expected `{d!r}`, got `{have!r}`"
+                    )
                 exprs.append(pl.col(name).cast(d))
-            elif missing_columns == "insert":
+                continue
+            pol = _policy(missing_columns, name, "raise")
+            if pol == "insert":
                 exprs.append(pl.lit(None, dtype=d).alias(name))
+            elif isinstance(pol, pl.Expr):
+                exprs.append(pol.cast(d).alias(name))
             else:
-                raise InvalidOperationError(f"missing column {name!r}")
+                raise SchemaError(f"missing columns in `match_to_schema`: {name!r}")
         return self.select(exprs)
 
     def sql(self, query: str, *, table_name: str = "self") -> LazyFrame:

@@ -82,7 +82,10 @@ def test_lazy_helpers():
     assert lf.shift(1).collect()["a"].to_list() == [None, 1.0, 2.0]
     assert lf.collect_async().result().height == 3
     assert lf.approx_n_unique().collect()["a"].to_list() == [3]
-    m = lf.match_to_schema({"a": pl.Float64(), "b": pl.Float64(), "c": pl.Int64()}).collect()
+    m = lf.match_to_schema(
+        {"a": pl.Float64(), "b": pl.Float64(), "c": pl.Int64()},
+        missing_columns="insert",
+    ).collect()
     assert m.columns == ["a", "b", "c"]
     assert m["c"].to_list() == [None, None, None]
 
