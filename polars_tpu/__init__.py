@@ -247,6 +247,7 @@ from polars_tpu.functions.interop import (
 from polars_tpu.io.partition import FileProviderArgs, PartitionBy
 from polars_tpu.io.scan_options import ScanCastOptions
 from polars_tpu.io.cloud import (
+    Catalog,
     CredentialProvider,
     CredentialProviderAWS,
     CredentialProviderAzure,

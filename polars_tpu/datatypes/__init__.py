@@ -634,6 +634,14 @@ class DataTypeExpr:
                 fields.append((name, d._resolve(schema, self_dtype)
                                if isinstance(d, DataTypeExpr) else d))
             return Struct(fields)
+        if self.kind == "self_to_list":
+            # Array(inner, n) -> List(inner) (arr.to_list)
+            if self_dtype is None:
+                from polars_tpu.errors import InvalidOperationError
+
+                raise InvalidOperationError("self_to_list used outside a cast context")
+            inner = self_dtype.inner if isinstance(self_dtype, (List, Array)) else self_dtype
+            return List(inner)
         raise AssertionError(self.kind)
 
     def collect_dtype(self, context: Any) -> DataType:

@@ -196,6 +196,11 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
                 float(np.iinfo(dt.dtype_to_numpy(target)).max),
             )
         return Val(out_vals.astype(np_dtype), validity, target, None, v.domain)
+    if isinstance(src, dt.Array) and isinstance(target, dt.List):
+        # Array -> List: identical packed (start,len) layout, dtype-only
+        if src.inner == target.inner:
+            return v.with_(dtype=target)
+        src = dt.List(src.inner)  # fall through for an inner cast
     if isinstance(src, dt.List) and isinstance(target, dt.List):
         # element cast: packed words stay, the child casts in place
         from polars_tpu.engine.common import TracedChild

@@ -51,6 +51,13 @@ class ExprListNamespace:
     def item(self, *, allow_empty: bool = False) -> Expr:
         return self._fn("item", allow_empty=allow_empty)
 
+    def to_list(self) -> Expr:
+        # Array -> List cast (reference: expr/array.py to_list); the packed
+        # layout is shared, so this is a dtype-level change
+        from polars_tpu import datatypes as dt
+
+        return self._expr.cast(dt.DataTypeExpr("self_to_list"))
+
     def sort(self, *, descending: bool = False, nulls_last: bool = False) -> Expr:
         return self._fn("sort", descending=descending, nulls_last=nulls_last)
 

@@ -85,3 +85,27 @@ def open_remote(path: Any, mode: str = "rb", storage_options: Any = None):
     import fsspec
 
     return fsspec.open(str(path), mode, **dict(storage_options or {})).open()
+
+
+class Catalog:
+    """Unity Catalog client (reference: py-polars catalog/unity/client.py:47).
+
+    The catalog REST API needs network egress, which this environment does
+    not have; construction is allowed so the symbol round-trips, every call
+    raises with a clear message.
+    """
+
+    def __init__(self, workspace_url: str, *, bearer_token: str | None = "auto", require_https: bool = True) -> None:
+        if require_https and not str(workspace_url).startswith("https://"):
+            msg = f"a non-HTTPS workspace_url requires require_https=False: {workspace_url!r}"
+            raise ValueError(msg)
+        self.workspace_url = workspace_url
+
+    def __getattr__(self, name: str):
+        def _unavailable(*a, **k):
+            raise OSError(
+                f"Catalog.{name}: the Unity Catalog REST API is unreachable "
+                "(this build runs without network egress)"
+            )
+
+        return _unavailable

@@ -184,6 +184,11 @@ def _selector_match(sel: E.ESelector, schema: Schema) -> list[str]:
         "categorical": lambda d: isinstance(d, dt.Categorical),
         "binary": lambda d: isinstance(d, dt.Binary),
         "decimal": lambda d: isinstance(d, dt.Decimal),
+        "enum": lambda d: isinstance(d, dt.Enum),
+        "list": lambda d: isinstance(d, dt.List),
+        "array": lambda d: isinstance(d, dt.Array),
+        "struct": lambda d: isinstance(d, dt.Struct),
+        "nested": lambda d: isinstance(d, (dt.List, dt.Array, dt.Struct)),
     }
     if k in preds:
         return [n for n in names if preds[k](schema[n])]

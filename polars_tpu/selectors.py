@@ -110,6 +110,26 @@ def decimal() -> SelectorExpr:
     return _mk("decimal")
 
 
+def enum() -> SelectorExpr:
+    return _mk("enum")
+
+
+def list(inner: Any = None) -> SelectorExpr:  # noqa: A001
+    return _mk("list")
+
+
+def array(inner: Any = None, *, width: Any = None) -> SelectorExpr:
+    return _mk("array")
+
+
+def struct() -> SelectorExpr:
+    return _mk("struct")
+
+
+def nested() -> SelectorExpr:
+    return _mk("nested")
+
+
 def by_name(*names: str, require_all: bool = True) -> SelectorExpr:
     flat: list[str] = []
     for n in names:
@@ -187,3 +207,7 @@ def expand_selector(target: Any, selector: Expr) -> tuple[str, ...]:
 
 def is_selector(obj: Any) -> bool:
     return isinstance(obj, SelectorExpr)
+
+
+# reference exposes the selector class as `Selector`
+Selector = SelectorExpr
