@@ -570,8 +570,6 @@ def _rolling_by(kind: str, dtype_rule):
     def _(ctx, args, opts):
         from polars_tpu.engine.rolling import rolling_window_core
 
-        if ctx.groups is not None:
-            raise InvalidOperationError("rolling_*_by over groups pending")
         v = _row_domain(ctx, args[0])
         b = _row_domain(ctx, args[1])
         if not (b.dtype.is_temporal() or b.dtype.is_integer()):
@@ -584,11 +582,31 @@ def _rolling_by(kind: str, dtype_rule):
         valid = ctx.rowmask if b.validity is None else (ctx.rowmask & b.validity)
         n = b.values.shape[0]
         kinds = ((kind, opts.get("min_samples") or 1, opts.get("ddof", 1)),)
+        if ctx.groups is not None:
+            # composite-key stride computed IN-TRACE (no readback); overflow
+            # goes through the count-sync error channel
+            t64 = b.values.astype(jnp.int64)
+            tmin = jnp.min(jnp.where(valid, t64, jnp.iinfo(jnp.int64).max))
+            tmax = jnp.max(jnp.where(valid, t64, jnp.iinfo(jnp.int64).min))
+            span = jnp.maximum(tmax - tmin, 0)
+            k_stride = span + jnp.int64(2 * abs(int(ticks)) + 4)
+            cap = ctx.groups.capacity
+            ctx.add_flag(
+                k_stride > (jnp.int64(1) << 62) // jnp.int64(max(cap, 1)),
+                "rolling over groups: time span times group count exceeds "
+                "the composite key range",
+            )
+            gid = ctx.groups.gids.astype(jnp.int64)
+            has_gid = True
+        else:
+            gid = jnp.zeros((n,), jnp.int64)
+            k_stride = jnp.int64(0)
+            has_gid = False
         ((out, ok),) = rolling_window_core(
-            b.values, jnp.zeros((n,), jnp.int64), valid, jnp.int64(0),
+            b.values, gid, valid, k_stride,
             ((v.values, v.validity),),
             period=ticks, offset=-ticks, closed=opts.get("closed") or "right",
-            kinds=kinds, has_gid=False,
+            kinds=kinds, has_gid=has_gid,
         )
         if kind == "count":
             return Val(out, ok, dt.UInt32(), None, ROW)
@@ -621,62 +639,47 @@ _rolling("skew", FLOAT)
 _rolling("kurtosis", FLOAT)
 
 
+def _lin_scan(contrib, factor):
+    """Inclusive scan of y_i = contrib_i + factor_i * y_{i-1}; a zero factor
+    at a row cuts all history before it (the segment-reset trick)."""
+
+    def comb(c1, c2):
+        y1, f1 = c1
+        y2, f2 = c2
+        return (y1 * f2 + y2, f1 * f2)
+
+    y, _ = jax.lax.associative_scan(comb, (contrib, factor))
+    return y
+
+
 @register("ewm_mean", FLOAT, elementwise=False)
 def _ewm_mean(ctx, args, opts):
     v = _row_domain(ctx, args[0])
-    if ctx.groups is not None:
-        raise InvalidOperationError("ewm over groups pending")
-    com, span, half_life, alpha = (
-        opts.get("com"), opts.get("span"), opts.get("half_life"), opts.get("alpha"),
-    )
-    if alpha is None:
-        if com is not None:
-            alpha = 1.0 / (1.0 + com)
-        elif span is not None:
-            alpha = 2.0 / (span + 1.0)
-        elif half_life is not None:
-            alpha = 1.0 - 2.0 ** (-1.0 / half_life)
-        else:
-            raise InvalidOperationError("ewm_mean requires com/span/half_life/alpha")
+    a = _ewm_alpha(opts, "ewm_mean")
     adjust = opts.get("adjust", True)
-    x = v.values.astype(jnp.float64)
-    valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
-    a = float(alpha)
 
-    if adjust:
-        # y_t = sum_{i<=t} (1-a)^(t-i) x_i / sum (1-a)^(t-i) over valid
-        def combine(c1, c2):
-            num1, den1 = c1
-            num2, den2 = c2
-            # c2 applied after c1: decay c1 by c2's step count — track (num, den, decay)
-            return (num1 * den2 + num2, den1 * den2)
-
-        decay = jnp.where(valid, 1.0 - a, 1.0)
-        xi = jnp.where(valid, x, 0.0)
-
-        def comb(c1, c2):
-            n1, w1 = c1
-            n2, w2 = c2
-            return (n1 * w2 + n2, w1 * w2)
-
-        num, _ = jax.lax.associative_scan(comb, (xi, decay))
-        wsum, _ = jax.lax.associative_scan(comb, (valid.astype(jnp.float64), decay))
+    def fn(vals, valid, seg, mask):
+        x = vals.astype(jnp.float64)
+        valid_arr = mask if valid is None else (valid & mask)
+        bnd = _seg_boundary(seg)
+        if adjust:
+            # y_t = sum_{i<=t} (1-a)^(t-i) x_i / sum (1-a)^(t-i) over valid
+            decay = jnp.where(valid_arr, 1.0 - a, 1.0)
+            decay = jnp.where(bnd, 0.0, decay)  # reset per segment
+            num = _lin_scan(jnp.where(valid_arr, x, 0.0), decay)
+            wsum = _lin_scan(valid_arr.astype(jnp.float64), decay)
+        else:
+            factor = jnp.where(valid_arr, 1.0 - a, 1.0)
+            factor = jnp.where(bnd, 0.0, factor)
+            num = _lin_scan(jnp.where(valid_arr, a * x, 0.0), factor)
+            # first valid value seeds with full weight: renormalize
+            wsum = _lin_scan(jnp.where(valid_arr, a, 0.0), factor)
         out = div_any(num, jnp.maximum(wsum, 1e-300))
-        ok = wsum > 0
-    else:
-        def comb(c1, c2):
-            y1, f1 = c1
-            y2, f2 = c2
-            return (y1 * f2 + y2, f1 * f2)
+        ok = (wsum > 0) & (valid_arr if valid is not None else jnp.ones_like(wsum, bool))
+        return out, ok
 
-        contrib = jnp.where(valid, a * x, 0.0)
-        factor = jnp.where(valid, 1.0 - a, 1.0)
-        y, _ = jax.lax.associative_scan(comb, (contrib, factor))
-        # first valid value seeds with full weight: correct by renormalizing
-        wsum, _ = jax.lax.associative_scan(comb, (jnp.where(valid, a, 0.0), factor))
-        out = div_any(y, jnp.maximum(wsum, 1e-300))
-        ok = wsum > 0
-    return Val(out, ok & valid if v.validity is not None else ok, dt.Float64(), None, ROW)
+    res = _apply_in_group_order(ctx, v.with_(values=v.values.astype(jnp.float64), dtype=dt.Float64()), fn)
+    return Val(res.values, res.validity, dt.Float64(), None, ROW)
 
 
 def _ewm_alpha(opts, fname):
@@ -697,45 +700,41 @@ def _ewm_alpha(opts, fname):
 @register("ewm_sum", FLOAT, elementwise=False)
 def _ewm_sum(ctx, args, opts):
     """y_t = x_t + (1-a) * y_{t-1} via associative scan (reference:
-    Expr.ewm_sum; polars-compute ewm)."""
+    Expr.ewm_sum; polars-compute ewm); segment-reset factors make the same
+    scan work per group/window."""
     v = _row_domain(ctx, args[0])
-    if ctx.groups is not None:
-        raise InvalidOperationError("ewm over groups pending")
     a = _ewm_alpha(opts, "ewm_sum")
-    x = v.values.astype(jnp.float64)
-    valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
     ignore_nulls = bool(opts.get("ignore_nulls", False))
-    # linear recurrence y = contrib + factor * y_prev
-    contrib = jnp.where(valid, x, 0.0)
-    if ignore_nulls:
-        factor = jnp.where(valid, 1.0 - a, 1.0)  # nulls don't decay
-    else:
-        factor = jnp.where(ctx.rowmask, 1.0 - a, 1.0)
-
-    def comb(c1, c2):
-        y1, f1 = c1
-        y2, f2 = c2
-        return (y1 * f2 + y2, f1 * f2)
-
-    y, _ = jax.lax.associative_scan(comb, (contrib, factor))
-    seen = jnp.cumsum(valid.astype(jnp.int32)) > 0
     min_samples = int(opts.get("min_samples", 1) or 1)
-    cnt = jnp.cumsum(valid.astype(jnp.int32))
-    ok = seen & (cnt >= min_samples)
-    if v.validity is not None:
-        ok = ok & valid
-    return Val(y, ok, dt.Float64(), None, ROW)
+
+    def fn(vals, valid, seg, mask):
+        x = vals.astype(jnp.float64)
+        valid_arr = mask if valid is None else (valid & mask)
+        bnd = _seg_boundary(seg)
+        contrib = jnp.where(valid_arr, x, 0.0)
+        if ignore_nulls:
+            factor = jnp.where(valid_arr, 1.0 - a, 1.0)  # nulls don't decay
+        else:
+            factor = jnp.where(mask, 1.0 - a, 1.0)
+        factor = jnp.where(bnd, 0.0, factor)
+        y = _lin_scan(contrib, factor)
+        cnt = _segmented_scan(valid_arr.astype(jnp.int32), seg, "sum")
+        ok = (cnt > 0) & (cnt >= min_samples)
+        if valid is not None:
+            ok = ok & valid_arr
+        return y, ok
+
+    res = _apply_in_group_order(ctx, v.with_(values=v.values.astype(jnp.float64), dtype=dt.Float64()), fn)
+    return Val(res.values, res.validity, dt.Float64(), None, ROW)
 
 
 def _ewm_by_core(ctx, args, opts, *, normalize):
     """Time-based EWM: alpha_i = 1 - exp(-ln2 * dt_i / half_life); linear
-    recurrence via associative scan over rows SORTED by the time column,
+    recurrence via associative scan over rows SORTED by (group, time),
     scattered back to original order (reference: Expr.ewm_mean_by;
-    polars-ops ewm_by.rs)."""
+    polars-ops ewm_by.rs). Per-group resets ride the zero-factor trick."""
     v = _row_domain(ctx, args[0])
     b = _row_domain(ctx, args[1])
-    if ctx.groups is not None:
-        raise InvalidOperationError("ewm_*_by over groups pending")
     if not (b.dtype.is_temporal() or b.dtype.is_integer()):
         raise InvalidOperationError("ewm_*_by needs a temporal/integer 'by' column")
     from polars_tpu.lazyframe import LazyGroupByDynamic
@@ -743,29 +742,28 @@ def _ewm_by_core(ctx, args, opts, *, normalize):
     tau = float(LazyGroupByDynamic._ticks(opts["half_life"], b.dtype))
     n = b.values.shape[0]
     valid = ctx.rowmask & v.valid_or_true() & b.valid_or_true()
-    # stable sort by time, invalid rows last
     t64 = jnp.where(valid, b.values.astype(jnp.int64), jnp.iinfo(jnp.int64).max)
+    gids = (
+        jnp.where(valid, ctx.groups.gids, jnp.int32(2**31 - 1))
+        if ctx.groups is not None
+        else jnp.zeros((n,), jnp.int32)
+    )
     from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
-    perm = stable_argsort_words(key_words(t64, dt.Int64()))
+    perm = stable_argsort_words([gids, *key_words(t64, dt.Int64())])
     xs = v.values.astype(jnp.float64)[perm]
     ts = t64[perm]
     vs = valid[perm]
+    gs = gids[perm]
     dt_prev = jnp.diff(ts, prepend=ts[:1]).astype(jnp.float64)
     alpha = 1.0 - jnp.exp2(-dt_prev / tau)
-    # first valid row seeds with full weight (alpha treated as 1)
-    first_idx = jnp.argmax(vs)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    alpha = jnp.where(iota == first_idx, 1.0, alpha)
+    # the first valid row of each segment seeds with full weight
+    bnd = _seg_boundary(gs)
+    alpha = jnp.where(bnd, 1.0, alpha)
     contrib = jnp.where(vs, alpha * xs if normalize else xs, 0.0)
     factor = jnp.where(vs, 1.0 - alpha, 1.0)
-
-    def comb(c1, c2):
-        y1, f1 = c1
-        y2, f2 = c2
-        return (y1 * f2 + y2, f1 * f2)
-
-    y, _ = jax.lax.associative_scan(comb, (contrib, factor))
+    factor = jnp.where(bnd, 0.0, factor)
+    y = _lin_scan(contrib, factor)
     # scatter back to original order
     out = jnp.zeros((n,), jnp.float64).at[perm].set(y)
     ok = jnp.zeros((n,), bool).at[perm].set(vs)

@@ -167,3 +167,31 @@ def test_cat_namespace_string_ops():
     assert c.cat.len_chars().to_list() == [5, 6]
     assert c.cat.slice(1, 3).to_list() == ["ppl", "ana"]
     assert c.cat.physical().to_list() == [0, 1]
+
+
+def test_grouped_window_scans():
+    """ewm/rolling over groups (segment-reset associative scans)."""
+    df = pl.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "v": [1.0, 2.0, 3.0, 10.0, 20.0],
+            "t": [datetime(2020, 1, d) for d in (1, 2, 3)] + [datetime(2020, 1, d) for d in (1, 2)],
+        }
+    )
+    out = df.select(pl.col("v").ewm_mean(alpha=0.5).over("g")).to_series().to_list()
+    import pandas as pd
+
+    oracle = (
+        pd.Series([1.0, 2.0, 3.0]).ewm(alpha=0.5).mean().tolist()
+        + pd.Series([10.0, 20.0]).ewm(alpha=0.5).mean().tolist()
+    )
+    assert out == pytest.approx(oracle)
+    assert df.select(pl.col("v").ewm_sum(alpha=0.5).over("g")).to_series().to_list() == pytest.approx(
+        [1.0, 2.5, 4.25, 10.0, 25.0]
+    )
+    assert df.select(pl.col("v").rolling_sum_by("t", "2d").over("g")).to_series().to_list() == [
+        1.0, 3.0, 5.0, 10.0, 30.0
+    ]
+    assert df.select(pl.col("v").ewm_mean_by("t", half_life="1d").over("g")).to_series().to_list() == pytest.approx(
+        [1.0, 1.5, 2.25, 10.0, 15.0]
+    )
