@@ -37,7 +37,10 @@ def optimize(node: L.LNode, flags=None) -> L.LNode:
     if flags is None or getattr(flags, "simplify_expression", True):
         node = simplify_exprs(node)
     if flags is None or getattr(flags, "check_order_observe", True):
+        from polars_tpu.plan.optimizer.order_observe import order_observe
+
         node = collapse_sorts(node)
+        node = order_observe(node)
     if flags is None or getattr(flags, "predicate_pushdown", True):
         node = push_predicates(node)
     if flags is None or getattr(flags, "collapse_joins", True):

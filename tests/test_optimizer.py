@@ -295,3 +295,32 @@ def test_type_check_raises_early():
     lf = pl.DataFrame({"a": [1]}).lazy().select(pl.col("nope"))
     with pytest.raises(Exception):
         lf.collect()
+
+
+def test_order_observe_drops_unobserved_sorts():
+    """order_observe pass (reference: optimizer CHECK_ORDER_OBSERVE)."""
+    lf = pl.DataFrame({"k": ["b", "a", "a"], "v": [3.0, 1.0, 2.0]}).lazy()
+    # order-agnostic group_by: sort dropped, result unchanged
+    q = lf.sort("v").group_by("k").agg(pl.col("v").sum())
+    assert "SORT" not in q.explain().upper()
+    assert sorted(q.collect().to_dicts(), key=lambda d: d["k"]) == [
+        {"k": "a", "v": 3.0}, {"k": "b", "v": 3.0}
+    ]
+    # first() observes order: sort kept and honored
+    q2 = lf.sort("v").group_by("k").agg(pl.col("v").first())
+    assert "SORT" in q2.explain().upper()
+    assert sorted(q2.collect().to_dicts(), key=lambda d: d["k"]) == [
+        {"k": "a", "v": 1.0}, {"k": "b", "v": 3.0}
+    ]
+    # unique(keep='any') drops, keep='first' keeps
+    assert "SORT" not in lf.sort("v").unique(subset=["k"]).explain().upper()
+    q4 = lf.sort("v").unique(subset=["k"], keep="first")
+    assert "SORT" in q4.explain().upper()
+    # transparent select passes through; cum_sum blocks
+    q5 = lf.sort("v").select("k", (pl.col("v") * 2).alias("v")).group_by("k").agg(pl.col("v").sum())
+    assert "SORT" not in q5.explain().upper()
+    q6 = lf.sort("v").select("k", pl.col("v").cum_sum()).group_by("k").agg(pl.col("v").sum())
+    assert "SORT" in q6.explain().upper()
+    assert sorted(q6.collect().to_dicts(), key=lambda d: d["k"]) == [
+        {"k": "a", "v": 4.0}, {"k": "b", "v": 6.0}
+    ]
