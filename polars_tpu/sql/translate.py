@@ -695,6 +695,19 @@ def _func(e: P.SFunc):
     import polars_tpu as pl
 
     name = e.name
+    if name == "columns":
+        # COLUMNS(regex) / COLUMNS(*) column selector
+        # (reference: polars-sql functions.rs Columns)
+        import polars_tpu.selectors as cs
+
+        if not e.args or isinstance(e.args[0], P.SStar):
+            return cs.all()
+        arg = e.args[0]
+        if isinstance(arg, P.SLiteral) and isinstance(arg.value, str):
+            return cs.matches(arg.value)
+        from polars_tpu.errors import SQLSyntaxError
+
+        raise SQLSyntaxError("COLUMNS expects a regex string literal or *")
     args = [_expr_inner(a) for a in e.args if not isinstance(a, P.SStar)]
     a0 = args[0] if args else None
 
@@ -916,6 +929,16 @@ def _func(e: P.SFunc):
         return a0.xor(args[1])
     if name in ("bit_count", "bitcount"):
         return a0.bitwise_count_ones()
+    if name in ("bit_not", "bitnot"):
+        return ~a0
+    if name == "normalize":
+        # NORMALIZE(s [, NFC|NFD|NFKC|NFKD]) (reference: functions.rs:1017)
+        form = "NFC"
+        if len(e.args) > 1:
+            arg = e.args[1]
+            form = (arg.value if isinstance(arg, P.SLiteral) else getattr(arg, "name", "NFC"))
+            form = str(form).upper()
+        return a0.str.normalize(form)
     if name == "div":
         return a0.floordiv(args[1]).cast(dt.Int64())
     if name == "concat_ws":

@@ -356,3 +356,12 @@ def test_sql_quantile_and_strptime():
     import datetime
 
     assert out2["ts"].to_list()[0] == datetime.datetime(2021, 1, 2, 3, 4, 5)
+
+
+def test_sql_columns_selector_and_normalize():
+    df = pl.DataFrame({"aa": [1], "ab": [2], "bz": [3], "s": ["01²"]})
+    ctx = pl.SQLContext(frames={"t": df.lazy()})
+    assert ctx.execute("select columns('^a') from t").collect().columns == ["aa", "ab"]
+    assert ctx.execute("select columns('^a') + 1 from t").collect().to_dicts() == [{"aa": 2, "ab": 3}]
+    assert ctx.execute("select normalize(s, nfkc) as x from t").collect()["x"].to_list() == ["012"]
+    assert ctx.execute("select bit_not(aa) as b from t").collect()["b"].to_list() == [-2]
