@@ -454,6 +454,30 @@ def _from_pylist(
         buf = Buffer.from_numpy(packed, validity if has_null else None)
         return Column(name, logical, buf, None, UNSORTED, child)
 
+    if isinstance(logical, dt.Enum):
+        # Enum codes ARE category positions (reference: polars Enum physical
+        # = index into the fixed category list; comparisons/sorts follow
+        # category order, not lexicographic order)
+        cats = [str(c) for c in logical.categories]
+        lookup = {c: i for i, c in enumerate(cats)}
+        codes = np.zeros(n, np.int32)
+        ok = validity.copy()
+        for i, v in enumerate(seq):
+            if v is None:
+                continue
+            j = lookup.get(str(v), -1)
+            if j < 0:
+                if strict:
+                    raise InvalidOperationError(
+                        f"value {v!r} is not in the Enum categories {cats}"
+                    )
+                ok[i] = False
+            else:
+                codes[i] = j
+        table = strtable.StringTable(np.asarray(cats, dtype=object), sorted_order=False)
+        buf = Buffer.from_numpy(codes, ok if not ok.all() else None)
+        return Column(name, logical, buf, table)
+
     if _needs_table(logical):
         codes, val2, table = strtable.encode_strings(np.asarray(seq, dtype=object))
         buf = Buffer.from_numpy(codes, val2)

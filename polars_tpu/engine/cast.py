@@ -46,11 +46,11 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
             from polars_tpu.engine.common import combine_validity
             from polars_tpu.utils import strtable
 
-            # table form matches Enum construction: lexicographic code order
-            # (engine invariant; Enum category-order sorting is a documented
-            # divergence, README "Semantics notes")
+            # Enum codes ARE category positions: comparisons and sorts on
+            # codes follow the declared category order (reference semantics)
             cats = strtable.StringTable(
-                np.asarray(sorted(target.categories), dtype=object), sorted_order=True
+                np.asarray([str(c) for c in target.categories], dtype=object),
+                sorted_order=False,
             )
             lut = np.full(max(len(v.table.values), 1), -1, np.int32)
             pos = {u: i for i, u in enumerate(cats.values)}
@@ -65,6 +65,11 @@ def cast_val(v: Val, target: dt.DataType, *, strict: bool = True) -> Val:
         return v.with_(dtype=target)
 
     if needs_table_src:
+        if sn in ("Categorical", "Enum") and target.is_integer():
+            # physical codes (reference: Categorical/Enum -> int gives the
+            # physical representation, not a string parse)
+            np_t = jnp.dtype(dt.dtype_to_numpy(target))
+            return Val(v.values.astype(np_t), v.validity, target, None, v.domain)
         # parse unique values on host at trace time -> constant LUTs
         uniques = v.table.values
         nvals = max(len(uniques), 1)

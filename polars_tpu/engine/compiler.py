@@ -423,6 +423,25 @@ def _temporal_pair(a: Val, b: Val, out_dt: dt.DataType):
     return to_unit(a), to_unit(b)
 
 
+def _enum_remap(v: Val, etable) -> Val:
+    """Remap a dict-coded Val's codes into an Enum table's category-index
+    space; values absent from the categories become null."""
+    if v.table is etable:
+        return v
+    pos = {u: i for i, u in enumerate(etable.values.tolist())}
+    src = v.table.values.tolist()
+    lut = np.full(max(len(src), 1), -1, np.int32)
+    for i, u in enumerate(src):
+        lut[i] = pos.get(u, -1)
+    codes = jnp.asarray(lut)[jnp.clip(v.values, 0, max(len(src) - 1, 0))]
+    ok = codes >= 0
+    return v.with_(
+        values=jnp.maximum(codes, 0),
+        validity=combine_validity(v.validity, ok),
+        table=etable,
+    )
+
+
 def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
     if (a.table is not None) != (b.table is not None):
         # string vs non-string: cast the non-string? polars errors; so do we
@@ -430,8 +449,15 @@ def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
             f"cannot compare {a.dtype!r} with {b.dtype!r}"
         )
     if a.table is not None:
-        a, b = unify_vals(a, b)
-        av, bv = a.values, b.values
+        if isinstance(a.dtype, dt.Enum) or isinstance(b.dtype, dt.Enum):
+            # align onto the enum's category-order code space; values outside
+            # the categories compare as null (reference: enum vs str cmp)
+            e = a if isinstance(a.dtype, dt.Enum) else b
+            a, b = (_enum_remap(a, e.table), _enum_remap(b, e.table))
+            av, bv = a.values, b.values
+        else:
+            a, b = unify_vals(a, b)
+            av, bv = a.values, b.values
     else:
         st = supertype(a.dtype, b.dtype)
         ac = cast_val(a, st, strict=False) if a.dtype != st else a

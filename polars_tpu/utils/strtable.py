@@ -125,6 +125,14 @@ def unify(
         n = len(left)
         ident = np.arange(n, dtype=np.int32)
         return left, ident, ident
+    if len(left) == len(right) and all(
+        a == b for a, b in zip(left.values.tolist(), right.values.tolist())
+    ):
+        # identical payloads (e.g. two Enum tables of the same dtype): keep
+        # the LEFT table so non-lexicographic (category-order) codes survive
+        n = len(left)
+        ident = np.arange(n, dtype=np.int32)
+        return left, ident, ident
     if any(isinstance(v, (bytes, bytearray)) for v in left.values) or any(
         isinstance(v, (bytes, bytearray)) for v in right.values
     ):
