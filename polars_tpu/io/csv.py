@@ -60,11 +60,15 @@ def scan_csv(
     return LazyFrame._from_node(node)
 
 
-def read_csv(source: Any, *, columns: Any = None, **kwargs: Any):
+def read_csv(source: Any, *, columns: Any = None, new_columns: Any = None, **kwargs: Any):
     lf = scan_csv(source, **kwargs)
     if columns is not None:
         lf = lf.select(list(columns))
-    return lf.collect()
+    out = lf.collect()
+    if new_columns:
+        mapping = dict(zip(out.columns, list(new_columns)))
+        out = out.rename(mapping)
+    return out
 
 
 def write_csv(

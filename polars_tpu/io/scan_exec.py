@@ -40,7 +40,19 @@ def _read_csv_arrow(path: str, options: dict, n_rows: int | None = None):
         skip_rows=options.get("skip_rows", 0),
         autogenerate_column_names=not options.get("has_header", True),
     )
-    table = pacsv.read_csv(path, read_options=read_opts, parse_options=parse_opts, convert_options=convert)
+    src: Any = path
+    comment = options.get("comment_prefix")
+    if comment:
+        # Arrow's CSV reader has no comment support: strip commented lines
+        # host-side (reference: polars-io csv comment_prefix)
+        import io as _io
+
+        cb = comment.encode() if isinstance(comment, str) else comment
+        opener = open(path, "rb") if isinstance(path, str) else path
+        with opener as f:
+            lines = [ln for ln in f.readlines() if not ln.lstrip().startswith(cb)]
+        src = _io.BytesIO(b"".join(lines))
+    table = pacsv.read_csv(src, read_options=read_opts, parse_options=parse_opts, convert_options=convert)
     if not options.get("has_header", True):
         table = table.rename_columns([f"column_{i+1}" for i in range(table.num_columns)])
     if n_rows is not None:

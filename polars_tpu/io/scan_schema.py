@@ -9,8 +9,22 @@ from polars_tpu.errors import ComputeError
 from polars_tpu.plan import logical as L
 
 
+def _fingerprint(sources: tuple[str, ...]) -> tuple:
+    """(mtime_ns, size) of the first local source — makes the schema cache
+    observe file overwrites instead of serving a stale schema."""
+    import os
+
+    if not sources:
+        return ()
+    try:
+        st = os.stat(sources[0])
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
+
 @functools.lru_cache(maxsize=512)
-def _schema_for(sources: tuple[str, ...], fmt: str, options) -> Schema:
+def _schema_for(sources: tuple[str, ...], fmt: str, options, _fp: tuple = ()) -> Schema:
     if not sources:
         return Schema()
     path = sources[0]
@@ -67,7 +81,9 @@ def _schema_for(sources: tuple[str, ...], fmt: str, options) -> Schema:
 
 
 def scan_schema(node: L.LScan) -> Schema:
-    sch = _schema_for(node.sources, node.fmt, node.options).copy()
+    sch = _schema_for(
+        node.sources, node.fmt, node.options, _fingerprint(node.sources)
+    ).copy()
     if node.opt("hive") and node.sources:
         from polars_tpu import datatypes as dt
         from polars_tpu.io.scan_exec import hive_parts
