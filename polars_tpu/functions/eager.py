@@ -8,7 +8,7 @@ from polars_tpu import datatypes as dt
 from polars_tpu.core.buffer import concat_buffers
 from polars_tpu.core.column import Column
 from polars_tpu.core.frame import DataFrame
-from polars_tpu.errors import SchemaError, ShapeError
+from polars_tpu.errors import InvalidOperationError, SchemaError, ShapeError
 from polars_tpu.utils import strtable
 
 
@@ -102,7 +102,21 @@ def concat(items: Any, *, how: str = "vertical", rechunk: bool = False, parallel
             cols.append(_concat_columns([f._columns[i] for f in frames], n))
         return DataFrame._from_columns(cols, sum(f.height for f in frames))
 
-    if how in ("horizontal", "align"):
+    if how in ("align", "align_full", "align_left", "align_right"):
+        # outer-join on the common columns, sorted by them
+        # (reference: py-polars functions/eager.py concat how="align")
+        common = [n for n in items[0].columns if all(n in f.columns for f in items[1:])]
+        if not common:
+            raise InvalidOperationError(
+                "'align' strategy requires at least one common column"
+            )
+        join_how = {"align": "full", "align_full": "full", "align_left": "left", "align_right": "right"}[how]
+        out = items[0]
+        for f in items[1:]:
+            out = out.join(f, on=common, how=join_how, coalesce=True)
+        return out.sort(common)
+
+    if how == "horizontal":
         seen: set[str] = set()
         cols = []
         height = max(f.height for f in items)
