@@ -10,6 +10,8 @@ reductions in engine/groupby.py (GroupedReduction analogue).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -963,6 +965,18 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         if node.opt("fisher", True):
             g2 = g2 - 3.0
         return Val(g2, has, dt.Float64(), None, dom)
+    if kind == "entropy":
+        # -sum(p ln p); normalize=True (default) scales x to a distribution
+        # (reference: Expr.entropy; polars-ops entropy.rs)
+        acc = v.values.astype(jnp.float64)
+        base = float(node.opt("base", math.e))
+        normalize = bool(node.opt("normalize", True))
+        s = G.seg_sum(jnp.where(data_mask, acc, 0.0), data_mask, gids, cap)
+        p = div_any(acc, jnp.maximum(s[gids], 1e-300)) if normalize else acc
+        plogp = jnp.where(data_mask & (p > 0), p * jnp.log(jnp.maximum(p, 1e-300)), 0.0)
+        ent = -G.seg_sum(plogp, data_mask, gids, cap) / math.log(base)
+        has = G.seg_count(data_mask, gids, cap) > 0
+        return Val(ent, has, dt.Float64(), None, dom)
     raise InvalidOperationError(f"aggregation {kind!r} not implemented")
 
 

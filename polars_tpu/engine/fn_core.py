@@ -538,6 +538,16 @@ register(
 register("rolling_map", SAME, elementwise=False)(_host_only("rolling_map"))
 
 
+def _value_counts_dt(dts, opts):
+    cnt = dt.Float64() if opts.get("normalize") else dt.UInt32()
+    return dt.Struct(
+        [(opts.get("_field") or "", dts[0]), (opts.get("count_name", "count"), cnt)]
+    )
+
+
+register("value_counts", _value_counts_dt, elementwise=False)(_host_only("value_counts"))
+
+
 @register("truncate", SAME)
 def _truncate_decimals(ctx, args, opts):
     """Truncate toward zero to `decimals` places (reference: Expr.truncate;

@@ -35,7 +35,7 @@ _SPECIAL_FNS = {
     "hist", "reshape", "rolling_median_by", "rolling_quantile_by",
     "rolling_rank_by", "rolling_map",
     "as_struct", "struct.field", "struct.rename_fields",
-    "unnest", "sample", "shuffle", "arg_where_self", "rle",
+    "unnest", "sample", "shuffle", "arg_where_self", "rle", "value_counts",
     # round-3 list long tail (host ops; traced fast paths may supersede later)
     "list.slice", "list.head", "list.tail", "list.shift", "list.diff",
     "list.drop_nulls", "list.arg_min", "list.arg_max", "list.any", "list.all",
@@ -292,6 +292,11 @@ def _needs_special(node: L.LNode) -> bool:
         for ex in exprs:
             if _expr_needs_host(ex, schema):
                 return True
+            if _has_bare_filter(ex):
+                # select-context filter/drop_nulls/drop_nans shortens the
+                # column (reference: Expr::filter outside agg); filters under
+                # an aggregation stay traced
+                return True
             for sub in E.walk(ex):
                 if isinstance(sub, E.ESlice):
                     return True
@@ -302,6 +307,14 @@ def _needs_special(node: L.LNode) -> bool:
                 if _is_special_fn(sub, schema):
                     return True
     return False
+
+
+def _has_bare_filter(ex: E.ENode) -> bool:
+    if isinstance(ex, E.EFilter):
+        return True
+    if isinstance(ex, (E.EAgg, E.EWindow)):
+        return False
+    return any(_has_bare_filter(c) for c in ex.children())
 
 
 def _groupby_needs_host(node: L.LGroupBy) -> bool:
@@ -547,6 +560,19 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
         off = e.offset if e.offset >= 0 else max(0, len(inner) + e.offset)
         ln = e.length if e.length is not None else len(inner) - off
         return inner.with_buffer(inner.buffer.slice(off, ln))
+
+    if isinstance(e, E.EFilter):
+        # select-context filter: shorten the column by the predicate
+        # (reference: Expr::filter outside aggregation)
+        from polars_tpu.engine.gather import gather_column
+
+        inner = _eval_special_expr(df, e.input, schema)
+        pred = _eval_special_expr(df, e.by, schema)
+        keep_vals = pred.to_pylist()
+        idx = np.asarray(
+            [i for i, k in enumerate(keep_vals) if k is True], dtype=np.int64
+        )
+        return gather_column(inner, idx)
 
     if isinstance(e, E.EGather):
         from polars_tpu.engine.gather import gather_column
@@ -922,6 +948,25 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             for v in vals
         ]
         return Column.from_values(col.name, out, dt.List(dt.String()))
+
+    if e.name == "value_counts":
+        from polars_tpu.core.series import Series as _Series
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        s = _Series._from_column(col)
+        vc = s.value_counts(sort=bool(e.opt("sort", False)), name=e.opt("count_name", "count"))
+        cname = e.opt("count_name", "count")
+        counts = vc[cname].to_list()
+        values = vc[col.name or ""].to_list() if (col.name or "") in vc.columns else vc[vc.columns[0]].to_list()
+        if e.opt("normalize", False):
+            total = sum(counts) or 1
+            counts = [c / total for c in counts]
+            cnt_dt = dt.Float64()
+        else:
+            cnt_dt = dt.UInt32()
+        rows = [{(col.name or ""): v, cname: c} for v, c in zip(values, counts)]
+        fields = dt.Struct([((col.name or ""), col.dtype), (cname, cnt_dt)])
+        return Column.from_values(col.name, rows, fields)
 
     if e.name == "hist":
         import numpy as _np

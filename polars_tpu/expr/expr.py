@@ -136,9 +136,7 @@ class Expr:
 
     @property
     def ext(self):
-        from polars_tpu.errors import InvalidOperationError as _IOE
-
-        raise _IOE("extension expression namespaces are not registered in this build")
+        return _ExtNamespaceShim()
 
     # -- binary ops -----------------------------------------------------------------
 
@@ -581,8 +579,12 @@ class Expr:
     def unique_counts(self) -> Expr:
         return self._fn("unique_counts")
 
-    def value_counts(self, *, sort: bool = False, name: str = "count") -> Expr:
-        raise NotImplementedError("value_counts as expression requires struct dtype")
+    def value_counts(self, *, sort: bool = False, parallel: bool = False, name: str = "count", normalize: bool = False) -> Expr:
+        return self._fn(
+            "value_counts",
+            sort=sort, count_name=name, normalize=normalize,
+            _field=E.output_name(self._node) or "",
+        )
 
     def mode(self) -> Expr:
         return self._agg("mode")
@@ -1006,10 +1008,6 @@ class Expr:
     def dot(self, other: Any) -> Expr:
         return (self * other).sum()
 
-    def least_squares(self, *args):
-        raise NotImplementedError
-
-
     # -- py-polars parity batch (round 1) ---------------------------------------
 
     def neg(self) -> Expr:
@@ -1158,6 +1156,16 @@ class ExprNameNamespace:
 
     def map(self, function: Callable) -> Expr:
         return Expr(E.ERenameFn(self._expr._node, "map", function))
+
+
+class _ExtNamespaceShim:
+    """Placeholder for registered extension-expression namespaces: any access
+    raises, since no extension dtypes register expression namespaces here."""
+
+    def __getattr__(self, name: str):
+        raise InvalidOperationError(
+            f"extension expression namespace {name!r} is not registered in this build"
+        )
 
 
 class ExprMetaNamespace:
