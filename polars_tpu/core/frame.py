@@ -443,15 +443,15 @@ class DataFrame:
 
     @property
     def plot(self):
-        raise ModuleNotFoundError(
-            "altair is required for `.plot` and is not available in this build"
-        )
+        from polars_tpu.core.series import _PlotShim
+
+        return _PlotShim()
 
     @property
     def style(self):
-        raise ModuleNotFoundError(
-            "great-tables is required for `.style` and is not available in this build"
-        )
+        from polars_tpu.core.series import _PlotShim
+
+        return _PlotShim()
 
     def serialize(self, file: Any = None, *, format: str = "binary"):
         """Serialize the frame's data (reference: DataFrame.serialize —
@@ -1228,9 +1228,16 @@ class DataFrame:
         return pa.table({c.name: column_to_arrow(c) for c in self._columns})
 
     def to_struct(self, name: str = "") -> Series:
+        """All columns as one Struct series (reference: DataFrame.to_struct)."""
+        import numpy as np_
+
+        from polars_tpu.core.buffer import Buffer
         from polars_tpu.core.series import Series
 
-        raise NotImplementedError("Struct series are not yet supported")
+        ids = Buffer.from_numpy(np_.arange(self._height, dtype=np_.int64), None)
+        fields = dt.Struct([(c.name, c.dtype) for c in self._columns])
+        col = Column(name, fields, ids, None, 0, list(self._columns))
+        return Series._from_column(col)
 
     # -- IO ------------------------------------------------------------------------------------
 

@@ -530,10 +530,18 @@ def _series_to_torch(self):
     return torch.from_numpy(np.ascontiguousarray(self.to_numpy()).copy())
 
 
+class _PlotShim:
+    """`.plot` namespace placeholder: accessing any plot method raises (the
+    reference requires altair, which this image lacks)."""
+
+    def __getattr__(self, name: str):
+        raise ModuleNotFoundError(
+            "altair is required for `.plot` and is not available in this build"
+        )
+
+
 def _series_plot(self):
-    raise ModuleNotFoundError(
-        "altair is required for `.plot` and is not available in this build"
-    )
+    return _PlotShim()
 
 
 Series.describe = _series_describe

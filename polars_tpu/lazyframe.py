@@ -323,6 +323,8 @@ class LazyFrame:
         nodes = parse_into_expr_list(preds)
         for name, value in constraints.items():
             nodes.append(E.EBinary(E.EColumn(name), "==", parse_into_expr(value, str_as_lit=True)))
+        if not nodes:
+            return self
         node = self._node
         pred = nodes[0]
         for p in nodes[1:]:
@@ -336,6 +338,8 @@ class LazyFrame:
         for name, value in constraints.items():
             c = Expr(E.EBinary(E.EColumn(name), "==", parse_into_expr(value, str_as_lit=True)))
             pred = c if pred is None else (pred & c)
+        if pred is None:
+            return self
         return self.filter(~pred)
 
     def drop(self, *columns: Any, strict: bool = True) -> LazyFrame:
