@@ -156,7 +156,7 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
     return False
 
 
-HOST_AGG_KINDS = {"str_concat", "implode"}
+HOST_AGG_KINDS = {"str_concat", "implode", "mode"}
 
 
 def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:

@@ -369,10 +369,21 @@ def _backward_fill(ctx, args, opts):
     return _apply_in_group_order(ctx, v, fn)
 
 
-@register("interpolate", SAME, elementwise=False)
+def _interpolate_dt(dts, opts):
+    # linear on ints -> Float64; nearest keeps the dtype (reference:
+    # Expr.interpolate return types)
+    d = dts[0]
+    if opts.get("method", "linear") == "linear" and d.is_integer():
+        return dt.Float64()
+    return d
+
+
+@register("interpolate", _interpolate_dt, elementwise=False)
 def _interpolate(ctx, args, opts):
     v = _row_domain(ctx, args[0])
     if v.validity is None:
+        if v.dtype.is_integer() and opts.get("method", "linear") == "linear":
+            return v.with_(values=v.values.astype(jnp.float64), dtype=dt.Float64())
         return v
     if not v.dtype.is_numeric():
         return v
@@ -399,14 +410,20 @@ def _interpolate(ctx, args, opts):
         p = jnp.maximum(prev_i, 0)
         q = jnp.maximum(next_i, 0)
         frac = jnp.where(q > p, div_any((iota - p).astype(jnp.float64), jnp.maximum(q - p, 1).astype(jnp.float64)), 0.0)
-        interp = x[p] + (x[q] - x[p]) * frac
+        if opts.get("method", "linear") == "nearest":
+            interp = jnp.where(frac < 0.5, x[p], x[q])
+        else:
+            interp = x[p] + (x[q] - x[p]) * frac
         out = jnp.where(valid, x, interp)
         ok = valid | (has_prev & has_next)
         return out.astype(vals.dtype) if vals.dtype.kind == "f" else out, ok
 
     out = _apply_in_group_order(ctx, v, fn)
     if v.dtype.is_integer():
-        return out.with_(dtype=v.dtype)
+        if opts.get("method", "linear") == "nearest":
+            # nearest keeps the integer dtype; values are picked, not blended
+            return out.with_(values=out.values.astype(v.values.dtype), dtype=v.dtype)
+        return out.with_(values=out.values.astype(jnp.float64), dtype=dt.Float64())
     return out
 
 

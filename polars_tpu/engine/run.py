@@ -539,9 +539,21 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
     if isinstance(e, E.EColumn):
         return df._get(e.name)
 
-    if isinstance(e, E.EAgg) and e.kind in ("str_concat", "implode"):
+    if isinstance(e, E.EAgg) and e.kind in ("str_concat", "implode", "mode"):
         in_col = _eval_special_expr(df, e.input, schema)
         vals = in_col.to_pylist()
+        if e.kind == "mode":
+            # all most-occurring values, first-seen order (reference:
+            # Expr.mode "can return multiple values")
+            from collections import Counter
+
+            items = [v for v in vals if v is not None]
+            if not items:
+                return Column.from_values(in_col.name, [], in_col.dtype)
+            c = Counter(items)
+            mx = max(c.values())
+            modes = [v for v in dict.fromkeys(items) if c[v] == mx]
+            return Column.from_values(in_col.name, modes, in_col.dtype)
         if e.kind == "str_concat":
             sep = e.opt("delimiter", "-")
             ignore_nulls = e.opt("ignore_nulls", True)
@@ -1422,7 +1434,9 @@ def _exec_groupby_host_aggs(node: L.LGroupBy) -> DataFrame:
         agg_node = next(s for s in E.walk(a) if isinstance(s, E.EAgg) and s.kind in _HOST_AGGS)
         if agg_node is not a and not (isinstance(a, E.EAlias) and a.input is agg_node):
             raise InvalidOperationError(
-                "host aggregations cannot be nested in larger expressions yet"
+                "host aggregations (mode/implode/str_concat) cannot be nested "
+                "in larger agg expressions yet; aggregate first, then operate "
+                "on the resulting List column"
             )
         name = E.output_name(a) or "literal"
         in_col = _eval_subexpr(df, agg_node.input)
@@ -1443,13 +1457,21 @@ def _exec_groupby_host_aggs(node: L.LGroupBy) -> DataFrame:
                     out_vals.append(sep.join(str(v) for v in items if v is not None))
             extra_cols.append(Column.from_values(name, out_vals, dt.String()))
         elif agg_node.kind == "mode":
+            # all most-occurring values per group -> List (reference:
+            # Expr.mode "can return multiple values")
             from collections import Counter
 
             out_vals = []
             for kr in key_rows:
                 items = [v for v in buckets[kr] if v is not None]
-                out_vals.append(Counter(items).most_common(1)[0][0] if items else None)
-            extra_cols.append(Column.from_values(name, out_vals, in_col.dtype if in_col.table is None else dt.String()))
+                if not items:
+                    out_vals.append(None)
+                    continue
+                c = Counter(items)
+                mx = max(c.values())
+                out_vals.append([v for v in dict.fromkeys(items) if c[v] == mx])
+            inner = in_col.dtype if in_col.table is None else dt.String()
+            extra_cols.append(Column.from_values(name, out_vals, dt.List(inner)))
         elif agg_node.kind == "implode":
             out_vals = [buckets[kr] for kr in key_rows]
             inner_dt = in_col.dtype
@@ -1493,7 +1515,8 @@ def _exec_groupby_apply(node: L.LGroupBy) -> DataFrame:
             e = e.input
         if isinstance(e, E.EAnonymous):
             return e.returns_scalar
-        return isinstance(e, E.EAgg) and e.kind not in ("implode",)
+        # mode yields multiple values -> List per group (reference Expr.mode)
+        return isinstance(e, E.EAgg) and e.kind not in ("implode", "mode")
 
     agg_names = [E.output_name(a) or "literal" for a in aggs]
     results: list[list] = [[] for _ in aggs]

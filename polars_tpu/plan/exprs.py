@@ -371,7 +371,11 @@ def reduces_in_agg(node: ENode) -> bool:
     def rec(e: ENode) -> bool:
         while isinstance(e, (EAlias, EKeepName, ERenameFn)):
             e = e.input
-        if isinstance(e, (EAgg, ELen)):
+        if isinstance(e, EAgg):
+            # mode "can return multiple values" (reference Expr.mode): in a
+            # group context it implodes to a List per group via the apply path
+            return e.kind != "mode"
+        if isinstance(e, ELen):
             return True
         if isinstance(e, EAnonymous):
             return bool(e.returns_scalar)

@@ -401,3 +401,27 @@ def test_repeat_by():
     df = pl.DataFrame({"a": ["x", "y"], "n": [2, 1]})
     out = df.select(pl.col("a").repeat_by("n"))
     assert out["a"].to_list() == [["x", "x"], ["y"]]
+
+
+def test_mode_multi_value():
+    """mode returns ALL most-occurring values (reference: Expr.mode)."""
+    assert sorted(pl.Series("a", [1, 1, 2, 2, 3]).mode().to_list()) == [1, 2]
+    assert pl.Series("a", [1, 1, 2]).mode().to_list() == [1]
+    out = (
+        pl.DataFrame({"g": ["x", "x", "y"], "a": [1, 1, 2]})
+        .group_by("g")
+        .agg(pl.col("a").mode())
+        .sort("g")
+    )
+    assert out.schema["a"] == pl.List(pl.Int64())
+    assert out.to_dicts() == [{"g": "x", "a": [1]}, {"g": "y", "a": [2]}]
+
+
+def test_interpolate_methods():
+    s = pl.Series("a", [1, None, None, 4], dtype=pl.Int64())
+    lin = s.interpolate()
+    assert lin.dtype == pl.Float64()
+    assert lin.to_list() == [1.0, 2.0, 3.0, 4.0]
+    near = s.interpolate("nearest")
+    assert near.dtype == pl.Int64()
+    assert near.to_list() == [1, 1, 4, 4]

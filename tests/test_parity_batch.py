@@ -14,9 +14,11 @@ def test_series_expr_delegation():
 
 def test_mode():
     assert pl.Series("a", [3.0, 1.0, 2.0, 2.0, None]).mode().to_list() == [2.0]
+    # grouped mode implodes to List; ties return every mode (reference
+    # Expr.mode "can return multiple values")
     df = pl.DataFrame({"g": ["x", "x", "x", "y", "y"], "v": [1, 1, 2, 5, 7]})
     out = df.group_by("g").agg(pl.col("v").mode().alias("m")).sort("g")
-    assert out["m"].to_list() == [1, 5]
+    assert [sorted(m) for m in out["m"].to_list()] == [[1], [5, 7]]
 
 
 def test_rle_and_friends():
