@@ -207,8 +207,15 @@ def _is_fusable(node: L.LNode) -> bool:
         return False
     schema = in_schemas[0] if in_schemas else Schema()
     if isinstance(node, L.LExplode):
-        # traced explode needs the packed-List layout (Array/Struct -> host)
-        return all(c in schema and isinstance(schema[c], dt.List) for c in node.columns)
+        # traced explode needs the packed-List layout with a FLAT inner:
+        # Array/Struct columns and nested inners (List-of-Struct keeps its
+        # fields only through the host child-passthrough) -> host path
+        return all(
+            c in schema
+            and isinstance(schema[c], dt.List)
+            and not isinstance(schema[c].inner, dt.Struct)
+            for c in node.columns
+        )
     for e in node.exprs():
         if e is None:
             continue

@@ -425,3 +425,18 @@ def test_interpolate_methods():
     near = s.interpolate("nearest")
     assert near.dtype == pl.Int64()
     assert near.to_list() == [1, 1, 4, 4]
+
+
+def test_explode_nested_inners():
+    """explode of List(Struct)/List(List) keeps the child payloads."""
+    s = pl.Series("a", [[{"x": 1}, {"x": 2}], [{"x": 3}]])
+    assert s.explode().to_list() == [{"x": 1}, {"x": 2}, {"x": 3}]
+    s3 = pl.Series("c", [[[1, 2]], [[3], [4, 5]]])
+    assert s3.explode().to_list() == [[1, 2], [3], [4, 5]]
+    assert s3.explode().explode().to_list() == [1, 2, 3, 4, 5]
+    df = pl.DataFrame({"g": [1, 2], "a": [[{"x": 1}, {"x": 2}], [{"x": 3}]]})
+    assert df.explode("a").to_dicts() == [
+        {"g": 1, "a": {"x": 1}},
+        {"g": 1, "a": {"x": 2}},
+        {"g": 2, "a": {"x": 3}},
+    ]
