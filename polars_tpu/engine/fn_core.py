@@ -799,9 +799,8 @@ def _set_sorted(ctx, args, opts):
     return args[0]
 
 
-@register("shrink_dtype", SAME)
-def _shrink_dtype(ctx, args, opts):
-    return args[0]
+register("shrink_dtype", SAME, elementwise=False)(_host_only("shrink_dtype"))
+register("cumulative_eval", SAME, elementwise=False)(_host_only("cumulative_eval"))
 
 
 @register("to_physical", lambda dts, opts: _physical_dtype(dts[0]))

@@ -36,6 +36,7 @@ _SPECIAL_FNS = {
     "rolling_rank_by", "rolling_map",
     "as_struct", "struct.field", "struct.rename_fields",
     "unnest", "sample", "shuffle", "arg_where_self", "rle", "value_counts",
+    "shrink_dtype", "cumulative_eval",
     # round-3 list long tail (host ops; traced fast paths may supersede later)
     "list.slice", "list.head", "list.tail", "list.shift", "list.diff",
     "list.drop_nulls", "list.arg_min", "list.arg_max", "list.any", "list.all",
@@ -307,6 +308,12 @@ def _needs_special(node: L.LNode) -> bool:
                 if _is_special_fn(sub, schema):
                     return True
     return False
+
+
+def jnp_itemsize(d: dt.DataType) -> int:
+    import numpy as _np
+
+    return _np.dtype(dt.dtype_to_numpy(d)).itemsize
 
 
 def _has_bare_filter(ex: E.ENode) -> bool:
@@ -960,6 +967,51 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             for v in vals
         ]
         return Column.from_values(col.name, out, dt.List(dt.String()))
+
+    if e.name == "shrink_dtype":
+        # value-dependent narrowing: pick the smallest dtype that holds the
+        # observed range (reference: Expr.shrink_dtype)
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        d = col.dtype
+        if not d.is_numeric() or isinstance(d, dt.Decimal):
+            return col
+        vals = [v for v in col.to_pylist() if v is not None]
+        from polars_tpu.ops.cast import cast_column
+
+        if d.is_float():
+            return cast_column(col, dt.Float32(), strict=False) if type(d).__name__ == "Float64" else col
+        if not vals:
+            return cast_column(col, dt.Int8(), strict=False)
+        lo, hi = min(vals), max(vals)
+        if d.is_unsigned_integer():
+            for cand in (dt.UInt8(), dt.UInt16(), dt.UInt32(), dt.UInt64()):
+                if hi <= 2 ** (8 * jnp_itemsize(cand)) - 1:
+                    return cast_column(col, cand, strict=False)
+            return col
+        for cand in (dt.Int8(), dt.Int16(), dt.Int32(), dt.Int64()):
+            b = 8 * jnp_itemsize(cand) - 1
+            if -(2**b) <= lo and hi <= 2**b - 1:
+                return cast_column(col, cand, strict=False)
+        return col
+
+    if e.name == "cumulative_eval":
+        import polars_tpu as pl
+        from polars_tpu.core.series import Series as _Series
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        sub = e.opt("expr")
+        minp = int(e.opt("min_samples", 1) or 1)
+        vals = col.to_pylist()
+        out = []
+        for i in range(len(vals)):
+            if i + 1 < minp:
+                out.append(None)
+                continue
+            prefix = _Series("", vals[: i + 1], dtype=col.dtype)
+            fr = DataFrame._from_columns([prefix._column.rename("")], i + 1)
+            r = fr.select(pl.Expr(sub))._columns[0].to_pylist()
+            out.append(r[0] if r else None)
+        return Column.from_values(col.name, out, None)
 
     if e.name == "value_counts":
         from polars_tpu.core.series import Series as _Series

@@ -622,7 +622,7 @@ class Expr:
         return self._fn("cum_count", reverse=reverse)
 
     def cumulative_eval(self, expr: Expr, *, min_samples: int = 1) -> Expr:
-        raise NotImplementedError
+        return self._fn("cumulative_eval", expr=expr._node, min_samples=min_samples)
 
     def rolling_sum(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
         return self._fn("rolling_sum", window_size=window_size, min_samples=min_samples, center=center)
