@@ -699,6 +699,28 @@ def _ewm_mean(ctx, args, opts):
     return Val(res.values, res.validity, dt.Float64(), None, ROW)
 
 
+@register("arg_sort_by", lambda dts, opts: dt.UInt32(), elementwise=False)
+def _arg_sort_by(ctx, args, opts):
+    """Row indices that would sort by the key columns (reference:
+    pl.arg_sort_by; polars-ops arg_sort_multiple) — one variadic word sort."""
+    from polars_tpu.kernels.argsort import key_words, stable_argsort_words
+
+    keys = [_row_domain(ctx, a) for a in args]
+    desc = opts.get("descending", (False,) * len(keys))
+    if isinstance(desc, bool):
+        desc = (desc,) * len(keys)
+    words: list[jax.Array] = [(~ctx.rowmask).astype(jnp.int8)]  # padding last
+    for k, d_ in zip(keys, desc):
+        kw = list(key_words(k.values, k.dtype, descending=bool(d_)))
+        if k.validity is not None:
+            # nulls first (polars sort default); zero null rows' payload words
+            words.append(jnp.where(k.validity, 1, 0).astype(jnp.int8))
+            kw = [jnp.where(k.validity, w, jnp.zeros((), w.dtype)) for w in kw]
+        words.extend(kw)
+    perm = stable_argsort_words(words)
+    return Val(perm.astype(jnp.uint32), None, dt.UInt32(), None, ROW)
+
+
 def _ewm_alpha(opts, fname):
     com, span, half_life, alpha = (
         opts.get("com"), opts.get("span"), opts.get("half_life"), opts.get("alpha"),

@@ -153,7 +153,14 @@ def _to_days(d: Any) -> int:
     return int(d)
 
 
-def from_epoch(column: Any, time_unit: str = "s") -> Expr:
+def from_epoch(column: Any, time_unit: str = "s"):
+    from polars_tpu.core.series import Series
+
+    if isinstance(column, Series):
+        # eager form (reference: from_epoch on a Series returns a Series)
+        name = column.name
+        out = column.to_frame().select(from_epoch(_col(name or ""), time_unit))
+        return out.to_series()
     c = _col(column)
     if time_unit == "d":
         return c.cast(dt.Date())

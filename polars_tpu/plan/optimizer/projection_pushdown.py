@@ -57,6 +57,20 @@ def _push(node: L.LNode, needed: set[str] | None) -> L.LNode:
     if isinstance(node, L.LSelect):
         in_schema = node_schema(node.input)
         exprs = node.expressions
+        # freeze position/dtype-dependent selectors (nth/by_index/by_dtype)
+        # against the PRE-pushdown schema: once the child is pruned their
+        # positional meaning changes, so they must become concrete columns
+        if any(
+            isinstance(s, (E.ESelector, E.EDtypeColumns))
+            for e in exprs
+            for s in E.walk(e)
+        ):
+            try:
+                exprs = tuple(
+                    x for e in exprs for x in expand_exprs((e,), in_schema)
+                )
+            except Exception:  # noqa: BLE001
+                pass
         if needed is not None:
             kept = []
             try:

@@ -440,3 +440,43 @@ def test_explode_nested_inners():
         {"g": 1, "a": {"x": 2}},
         {"g": 2, "a": {"x": 3}},
     ]
+
+
+def test_positional_selectors_survive_pushdown():
+    """nth/by_index resolve against the pre-pushdown schema."""
+    import polars_tpu.selectors as cs
+
+    df = pl.DataFrame({"a": [1.0], "b": [3], "s": ["x"]})
+    assert df.select(pl.nth(1)).columns == ["b"]
+    assert df.select(pl.nth(0, 2)).columns == ["a", "s"]
+    assert df.select(pl.last()).columns == ["s"]
+    assert df.select(cs.by_index(2)).columns == ["s"]
+    lf = df.lazy().select(pl.nth(1))
+    assert lf.collect().columns == ["b"]
+
+
+def test_arg_sort_by():
+    df = pl.DataFrame({"a": [2.0, 1.0, 3.0], "b": [1, 2, 0]})
+    assert df.select(pl.arg_sort_by("a")).to_series().to_list() == [1, 0, 2]
+    assert df.select(pl.arg_sort_by("a", descending=True)).to_series().to_list() == [2, 0, 1]
+    assert df.select(pl.arg_sort_by(["b", "a"])).to_series().to_list() == [2, 0, 1]
+    assert pl.DataFrame({"a": [2.0, None, 1.0]}).select(
+        pl.arg_sort_by("a")
+    ).to_series().to_list() == [1, 2, 0]
+
+
+def test_shrink_and_cumulative_eval():
+    assert pl.Series("a", [1, 2]).shrink_dtype().dtype == pl.Int8()
+    assert pl.Series("a", [1, 300]).shrink_dtype().dtype == pl.Int16()
+    assert pl.Series("a", [1.5]).shrink_dtype().dtype == pl.Float32()
+    assert pl.Series("a", [1, 2, 3]).cumulative_eval(pl.element().sum()).to_list() == [1, 3, 6]
+    assert pl.Series("a", [1, 2, 3]).cumulative_eval(
+        pl.element().sum(), min_samples=2
+    ).to_list() == [None, 3, 6]
+
+
+def test_from_epoch_eager():
+    from datetime import date, datetime
+
+    assert pl.from_epoch(pl.Series("t", [86400]), time_unit="s").to_list() == [datetime(1970, 1, 2)]
+    assert pl.from_epoch(pl.Series("t", [1]), time_unit="d").to_list() == [date(1970, 1, 2)]
