@@ -307,9 +307,13 @@ def _to_integer(ctx, args, opts):
             return None
 
     out = _lut_op(v, f, dt.Int64(), with_validity=True)
+    return _strict_parse_flag(ctx, v, out, opts, "i64")
+
+
+def _strict_parse_flag(ctx, v, out, opts, what):
+    """Strict str->X conversion: an unparsable NON-NULL value raises at the
+    count sync (reference: strict casts error instead of nulling)."""
     if opts.get("strict", True) and ctx is not None:
-        # an unparsable NON-NULL value raises at the count sync (reference:
-        # strict str->int conversion errors instead of nulling)
         from polars_tpu.engine.common import ROW as _ROW
 
         in_ok = jnp.ones(v.values.shape, bool) if v.validity is None else v.validity
@@ -317,7 +321,7 @@ def _to_integer(ctx, args, opts):
         bad = in_ok & ~out_ok
         if v.domain == _ROW:
             bad = bad & ctx.rowmask
-        ctx.add_flag(jnp.any(bad), "conversion from `str` to `i64` failed")
+        ctx.add_flag(jnp.any(bad), f"conversion from `str` to `{what}` failed")
     return out
 
 
@@ -329,14 +333,18 @@ def _to_date(ctx, args, opts):
     def f(s):
         try:
             if fmt is None:
-                return int(np.datetime64(str(s), "D").astype(np.int64))
+                d64 = np.datetime64(str(s), "D")
+                if np.isnat(d64):  # "" parses to NaT without raising
+                    return None
+                return int(d64.astype(np.int64))
             import datetime as _dt
 
             return (_dt.datetime.strptime(str(s), fmt).date() - _dt.date(1970, 1, 1)).days
         except (ValueError, TypeError):
             return None
 
-    return _lut_op(v, f, dt.Date(), with_validity=True)
+    out = _lut_op(v, f, dt.Date(), with_validity=True)
+    return _strict_parse_flag(ctx, v, out, opts, "date")
 
 
 @register("str.to_datetime", lambda dts, opts: dt.Datetime(opts.get("time_unit", "us")))
@@ -349,7 +357,10 @@ def _to_datetime(ctx, args, opts):
     def f(s):
         try:
             if fmt is None:
-                return int(np.datetime64(str(s), tu).astype(np.int64))
+                d64 = np.datetime64(str(s), tu)
+                if np.isnat(d64):
+                    return None
+                return int(d64.astype(np.int64))
             import datetime as _dt
 
             d = _dt.datetime.strptime(str(s), fmt).replace(tzinfo=_dt.timezone.utc)
@@ -358,7 +369,7 @@ def _to_datetime(ctx, args, opts):
             return None
 
     out = _lut_op(v, f, dt.Datetime(tu), with_validity=True)
-    return out
+    return _strict_parse_flag(ctx, v, out, opts, "datetime")
 
 
 @register("str.to_time", dt.Time())
@@ -381,6 +392,17 @@ def _to_time(ctx, args, opts):
             return None
 
     return _lut_op(v, f, dt.Time(), with_validity=True)
+
+
+def _json_decode_dt(dts, opts):
+    return opts.get("dtype") or dt.Unknown()
+
+
+register("str.json_decode", _json_decode_dt, elementwise=False)(
+    lambda ctx, args, opts: (_ for _ in ()).throw(
+        InvalidOperationError("str.json_decode is a host op (routed via special select)")
+    )
+)
 
 
 @register("str.json_path_match", dt.String())

@@ -31,7 +31,7 @@ _SPECIAL_FNS = {
     "gather_every", "unique", "unique_counts", "cat.get_categories",
     "list.join",
     "explode", "str.split", "str.extract_all", "str.split_exact", "str.splitn",
-    "str.extract_many", "str.find_many", "str.extract_groups",
+    "str.extract_many", "str.find_many", "str.extract_groups", "str.json_decode",
     "hist", "reshape", "rolling_median_by", "rolling_quantile_by",
     "rolling_rank_by", "rolling_map",
     "as_struct", "struct.field", "struct.rename_fields",
@@ -1199,6 +1199,23 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
                 r = lst[0] if lst else None
             out.append(r)
         return Column.from_values(col.name, out, None)
+
+    if e.name == "str.json_decode":
+        import json as _json
+
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        vals = col.to_pylist()
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+            else:
+                try:
+                    out.append(_json.loads(v))
+                except Exception:  # noqa: BLE001
+                    out.append(None)
+        target = e.opt("dtype")
+        return Column.from_values(col.name, out, target)
 
     if e.name in ("str.extract_many", "str.find_many"):
         from polars_tpu.engine.fn_strings import ac_occurrences

@@ -233,8 +233,13 @@ class ExprStringNamespace:
 
         raise InvalidOperationError(f"strptime target must be temporal, got {dtype!r}")
 
-    def json_decode(self, dtype: Any = None) -> Expr:
-        raise NotImplementedError
+    def json_decode(self, dtype: Any = None, *, infer_schema_length: int | None = 100) -> Expr:
+        from polars_tpu import datatypes as dt
+
+        return self._fn(
+            "json_decode",
+            dtype=dt.parse_into_dtype(dtype) if dtype is not None else None,
+        )
 
     def json_path_match(self, json_path: str) -> Expr:
         return self._fn("json_path_match", json_path=json_path)
