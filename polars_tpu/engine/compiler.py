@@ -125,6 +125,8 @@ def _eval_expr_uncached(node: E.ENode, ctx: EvalCtx) -> Val:
     if isinstance(node, E.EFunction):
         spec = get_spec(node.name)
         args = [eval_expr(i, ctx) for i in node.inputs]
+        if spec.elementwise and len(args) > 1:
+            args = _align_group_row(ctx, args)
         return spec.impl(ctx, args, dict(node.options))
     if isinstance(node, E.EWindow):
         return _eval_window(node, ctx)
@@ -242,10 +244,31 @@ def collect_literals(nodes) -> list[E.ELiteral]:
 # ---------------------------------------------------------------------------
 
 
+def _group_broadcast(v: Val, ctx: EvalCtx) -> Val:
+    """Broadcast a GROUP-domain value back to rows via the group map — the
+    reference's AggregatedScalar-combined-with-NotAggregated behavior in group
+    context (e.g. ``x - x.mean()`` demeaning inside agg,
+    polars-expr/src/expressions/mod.rs AggState handling)."""
+    g = ctx.groups
+    vals = v.values[g.gids]
+    valid = None if v.validity is None else v.validity[g.gids]
+    return v.with_(values=vals, validity=valid, domain=ROW)
+
+
+def _align_group_row(ctx: EvalCtx, vals):
+    """If GROUP- and ROW-domain values meet inside a group context, map the
+    GROUP side back to rows so elementwise ops can combine them."""
+    doms = {v.domain for v in vals}
+    if ctx.groups is not None and GROUP in doms and ROW in doms:
+        return [(_group_broadcast(v, ctx) if v.domain == GROUP else v) for v in vals]
+    return list(vals)
+
+
 def _eval_binary(node: E.EBinary, ctx: EvalCtx) -> Val:
     op = node.op
     a = eval_expr(node.left, ctx)
     b = eval_expr(node.right, ctx)
+    a, b = _align_group_row(ctx, (a, b))
     a, b, dom = broadcast_pair(a, b)
 
     if op in ("&", "|") and all(
@@ -539,6 +562,7 @@ def _eval_ternary(node: E.ETernary, ctx: EvalCtx) -> Val:
     p = eval_expr(node.predicate, ctx)
     t = eval_expr(node.truthy, ctx)
     f = eval_expr(node.falsy, ctx)
+    p, t, f = _align_group_row(ctx, (p, t, f))
     t, f = _unify_branches(t, f)
     # reconcile domains
     doms = {p.domain, t.domain, f.domain} - {SCALAR}
@@ -812,7 +836,14 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
                     has_nan[gids], jnp.isnan(v.values), v.values == ext[gids]
                 )
         idx, has = G.seg_first_idx(is_best, gids, cap)
-        return Val(idx.astype(jnp.uint32), has, dt.UInt32(), None, dom)
+        # polars returns the position WITHIN the group's element list (post
+        # expression filter, nulls counted as elements), not the global row
+        # index: count in-group rows preceding the winner.
+        n = rowmask.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        before = rowmask & (iota < idx[gids])
+        pos = G.seg_count(before, gids, cap)
+        return Val(pos.astype(jnp.uint32), has, dt.UInt32(), None, dom)
     if kind in ("any", "all"):
         bv = v.values.astype(bool)
         fn = G.seg_any if kind == "any" else G.seg_all
@@ -1047,24 +1078,53 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
 # ---------------------------------------------------------------------------
 
 
+def _grouped_reorder(
+    v: Val, key_words_list: list, ctx: EvalCtx
+) -> Val:
+    """Reorder values WITHIN each group by the given key words: the k-th
+    in-group row (original order) receives the k-th in-group value in key
+    order. Two stable word sorts + one scatter — no per-group loops."""
+    from polars_tpu.kernels.argsort import stable_argsort_words
+
+    g = ctx.groups
+    gkey = jnp.where(ctx.rowmask, g.gids, jnp.int32(2**31 - 1))
+    perm_vals = stable_argsort_words([gkey] + key_words_list)
+    perm_slots = stable_argsort_words([gkey])
+    out_vals = jnp.zeros_like(v.values).at[perm_slots].set(v.values[perm_vals])
+    if v.validity is not None:
+        out_valid = (
+            jnp.zeros(v.validity.shape, bool)
+            .at[perm_slots]
+            .set(v.validity[perm_vals])
+        )
+    else:
+        out_valid = None
+    return v.with_(values=out_vals, validity=out_valid, domain=ROW)
+
+
 def _eval_sort(node: E.ESort, ctx: EvalCtx) -> Val:
-    from polars_tpu.engine.sort import apply_perm, sort_perm
+    from polars_tpu.engine.sort import apply_perm, sort_perm, sort_words_for_key
 
     v = eval_expr(node.input, ctx)
     if v.domain != ROW:
         raise InvalidOperationError("sort() requires a row-domain expression")
     if ctx.groups is not None:
-        raise InvalidOperationError("expression sort in group context not supported")
+        # within-group sort (the reference sorts the group's element list)
+        words = sort_words_for_key(v, node.descending, node.nulls_last, None)
+        return _grouped_reorder(v, words, ctx)
     perm = sort_perm([v], [node.descending], [node.nulls_last], ctx.rowmask)
     return apply_perm(v, perm).with_(domain=ROW)
 
 
 def _eval_sort_by(node: E.ESortBy, ctx: EvalCtx) -> Val:
-    from polars_tpu.engine.sort import apply_perm, sort_perm
+    from polars_tpu.engine.sort import apply_perm, sort_perm, sort_words_for_key
 
     v = eval_expr(node.input, ctx)
-    if ctx.groups is not None:
-        raise InvalidOperationError("sort_by in group context not supported yet")
     keys = [eval_expr(b, ctx) for b in node.by]
+    if ctx.groups is not None:
+        words: list = []
+        for k, desc, nl in zip(keys, list(node.descending), list(node.nulls_last)):
+            words.extend(sort_words_for_key(k, desc, nl, None))
+        return _grouped_reorder(v, words, ctx)
     perm = sort_perm(keys, list(node.descending), list(node.nulls_last), ctx.rowmask)
     return apply_perm(v, perm).with_(domain=ROW)

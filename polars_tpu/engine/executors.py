@@ -165,6 +165,13 @@ def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
     for n in E.walk(node):
         if isinstance(n, E.EAnonymous):
             return True
+        if isinstance(n, E.EBinary) and n.op == "+":
+            try:
+                lt = expr_dtype(n.left, schema)
+            except Exception:
+                return True
+            if type(lt).__name__ in ("String", "Binary"):
+                return True
         if isinstance(n, E.EAgg) and n.kind in HOST_AGG_KINDS:
             return True
         if isinstance(n, E.EFunction) and (
@@ -176,12 +183,24 @@ def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
                 target = dt.resolve_dtype(n.dtype, schema, expr_dtype(n.input, schema))
             except Exception:
                 return True
+
+            def _stringy(d) -> bool:
+                return type(d).__name__ in ("String", "Categorical", "Enum", "Binary")
+
             if type(target).__name__ in ("String",):
                 try:
                     src = expr_dtype(n.input, schema)
                 except Exception:
                     return True
-                if type(src).__name__ not in ("String", "Categorical", "Enum", "Binary"):
+                if not _stringy(src):
+                    return True
+            if isinstance(target, (dt.List, dt.Array)) and _stringy(target.inner):
+                try:
+                    src = expr_dtype(n.input, schema)
+                except Exception:
+                    return True
+                inner = getattr(src, "inner", None)
+                if inner is not None and not _stringy(inner):
                     return True
     return False
 
@@ -863,6 +882,11 @@ def _expr_key(node: E.ENode) -> tuple:
         col = node.column
         return (
             "slit",
+            # the column's DATA is baked into the trace as a constant, so its
+            # identity must be part of the key: two hoisted host-op results
+            # with equal shape/dtype (e.g. list.sample then list.shift over
+            # the same frame) otherwise collide and replay the stale program
+            node.ident,
             repr(col.dtype),
             col.buffer.padded,
             col.buffer.length,

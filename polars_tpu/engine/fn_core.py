@@ -329,7 +329,9 @@ def _distinct_flags(ctx, v: Val, kind: str) -> Val:
     invalid = jnp.zeros((n,), jnp.int8) if v.validity is None else (~v.validity).astype(jnp.int8)
     oob = (~ctx.rowmask).astype(jnp.int8)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    words = [oob, invalid, *key_words(v.values, v.dtype)]
+    # group context: distinctness is per group — the group id is a key
+    gid_words = [] if ctx.groups is None else [ctx.groups.gids]
+    words = [oob, *gid_words, invalid, *key_words(v.values, v.dtype)]
     perm = stable_argsort_words(words)
     s_oob = oob[perm]
     first_pos = iota == 0

@@ -512,19 +512,29 @@ def _rolling(kind: str, dtype_rule):
         w = opts["window_size"]
         min_samples = opts.get("min_samples") or w
         center = opts.get("center", False)
-        if ctx.groups is not None:
-            raise InvalidOperationError("rolling over groups pending")
         acc_t = jnp.float32 if isinstance(v.dtype, dt.Float32) else jnp.float64
         n = v.values.shape[0]
         valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
-        x = jnp.where(valid, v.values.astype(acc_t), 0.0)
+        vals = v.values
+        order = _group_order(ctx)
+        seg = None
+        if order is not None:
+            # window context: arrange rows in group order; windows never
+            # cross a segment (group) boundary
+            perm, seg = order
+            vals = vals[perm]
+            valid = valid[perm]
+        x = jnp.where(valid, vals.astype(acc_t), 0.0)
         offs = (w - 1) // 2 if center else 0
 
         def window_stack():
             cols = []
             for i in range(w):
                 sh = i - (w - 1) + offs
-                cols.append((jnp.roll(x, -sh), jnp.roll(valid, -sh) & _inb(n, -sh)))
+                m = jnp.roll(valid, -sh) & _inb(n, -sh)
+                if seg is not None:
+                    m = m & (jnp.roll(seg, -sh) == seg)
+                cols.append((jnp.roll(x, -sh), m))
             return cols
 
         cols = window_stack()
@@ -562,6 +572,10 @@ def _rolling(kind: str, dtype_rule):
                 m4 = div_any(jnp.sum(d**4, axis=0), c)
                 out = div_any(m4, jnp.maximum(m2, 1e-300) ** 2) - 3.0
         ok = cnt >= min_samples
+        if order is not None:
+            # scatter back from group order to row order
+            out = jnp.zeros_like(out).at[perm].set(out)
+            ok = jnp.zeros(ok.shape, bool).at[perm].set(ok)
         if kind in ("sum",) and v.dtype.is_integer():
             return Val(out.astype(v.values.dtype), ok, v.dtype, None, ROW)
         if kind in ("min", "max") and not v.dtype.is_float():
@@ -663,7 +677,10 @@ def _lin_scan(contrib, factor):
     def comb(c1, c2):
         y1, f1 = c1
         y2, f2 = c2
-        return (y1 * f2 + y2, f1 * f2)
+        # a zero right-factor is a hard reset: select y2 directly instead of
+        # y1*0 + y2 so NaN history cannot leak across segment boundaries
+        # (0 * NaN = NaN would otherwise poison every later segment)
+        return (jnp.where(f2 == 0.0, y2, y1 * f2 + y2), f1 * f2)
 
     y, _ = jax.lax.associative_scan(comb, (contrib, factor))
     return y
@@ -864,6 +881,27 @@ def _fill_null_with_strategy(ctx, args, opts):
         )
     if strategy in ("min", "max", "mean"):
         mask = ctx.rowmask & v.validity
+        if ctx.groups is not None:
+            # per-group fill value (over() window context)
+            from polars_tpu.engine import groupby as G
+
+            g = ctx.groups
+            if strategy == "mean":
+                m, has = G.seg_mean(
+                    v.values.astype(jnp.float64), mask, g.gids, g.capacity
+                )
+                fillv = m[g.gids].astype(v.values.dtype)
+            else:
+                fn = G.seg_min if strategy == "min" else G.seg_max
+                ext = fn(v.values, mask, g.gids, g.capacity)
+                has = G.seg_count(mask, g.gids, g.capacity) > 0
+                fillv = ext[g.gids]
+            validity = v.validity | has[g.gids]
+            return Val(
+                jnp.where(v.validity, v.values, fillv),
+                validity, v.dtype, v.table, v.domain,
+            )
+        has_any = jnp.any(mask)
         if strategy == "mean":
             x = v.values.astype(jnp.float64)
             s = jnp.sum(jnp.where(mask, x, 0.0))
@@ -873,44 +911,68 @@ def _fill_null_with_strategy(ctx, args, opts):
             fillv = jnp.min(jnp.where(mask, v.values, _pos_inf(v.values.dtype)))
         else:
             fillv = jnp.max(jnp.where(mask, v.values, _neg_inf(v.values.dtype)))
+        # an all-null column stays null (no fill value exists)
+        validity = v.validity | jnp.broadcast_to(has_any, v.validity.shape)
         return Val(
-            jnp.where(v.validity, v.values, fillv), None, v.dtype, v.table, v.domain
+            jnp.where(v.validity, v.values, fillv), validity, v.dtype, v.table, v.domain
         )
     raise InvalidOperationError(f"unknown fill_null strategy {strategy!r}")
 
 
-@register("peak_min", BOOL, elementwise=False)
-def _peak_min(ctx, args, opts):
-    v = _row_domain(ctx, args[0])
+def _peak_impl(ctx, v: Val, is_max: bool) -> Val:
+    """Reference peak semantics (polars-ops/src/chunked_array/peaks.rs +
+    polars-expr/src/dispatch/misc.rs:904-910): compare against shift-filled
+    neighbors where the fill at every boundary is literal 0, null neighbors
+    propagate through Kleene AND, and segment (group) edges count as
+    boundaries."""
 
     def fn(vals, valid, seg, mask):
         n = vals.shape[0]
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        prev = jnp.roll(vals, 1)
-        nxt = jnp.roll(vals, -1)
-        first = (iota == 0) | (seg != jnp.roll(seg, 1))
-        last = (iota == n - 1) | (seg != jnp.roll(seg, -1))
-        out = (first | (vals < prev)) & (last | (vals < nxt))
-        return out, valid
+        # nearest preceding / following in-mask row (exclusive), clipped to seg
+        incl_prev = jax.lax.cummax(jnp.where(mask, iota, jnp.int32(-1)))
+        prev_idx = jnp.where(mask, jnp.roll(incl_prev, 1), incl_prev)
+        prev_idx = prev_idx.at[0].set(jnp.where(mask[0], -1, prev_idx[0]))
+        incl_next = -jax.lax.cummax(jnp.where(mask, -iota, -jnp.int32(n))[::-1])[::-1]
+        next_idx = jnp.where(mask, jnp.roll(incl_next, -1), incl_next)
+        next_idx = next_idx.at[n - 1].set(jnp.where(mask[n - 1], n, next_idx[n - 1]))
+        pi = jnp.clip(prev_idx, 0, n - 1)
+        ni = jnp.clip(next_idx, 0, n - 1)
+        has_prev = (prev_idx >= 0) & (seg[pi] == seg)
+        has_next = (next_idx < n) & (seg[ni] == seg)
+        zero = jnp.zeros((), vals.dtype)
+        pv = jnp.where(has_prev, vals[pi], zero)
+        nv = jnp.where(has_next, vals[ni], zero)
+        if valid is None:
+            p_ok = jnp.ones((n,), bool)
+            n_ok = jnp.ones((n,), bool)
+            self_ok = jnp.ones((n,), bool)
+        else:
+            p_ok = jnp.where(has_prev, valid[pi], True)
+            n_ok = jnp.where(has_next, valid[ni], True)
+            self_ok = valid
+        if is_max:
+            lv, rv = pv < vals, nv < vals
+        else:
+            lv, rv = pv > vals, nv > vals
+        l_ok = p_ok & self_ok
+        r_ok = n_ok & self_ok
+        # Kleene AND of (lv, l_ok) and (rv, r_ok)
+        out_ok = (l_ok & r_ok) | (l_ok & ~lv) | (r_ok & ~rv)
+        out = (lv | ~l_ok) & (rv | ~r_ok) & out_ok
+        return out, out_ok
 
     return _apply_in_group_order(ctx, v, fn).with_(dtype=dt.Boolean())
+
+
+@register("peak_min", BOOL, elementwise=False)
+def _peak_min(ctx, args, opts):
+    return _peak_impl(ctx, _row_domain(ctx, args[0]), is_max=False)
 
 
 @register("peak_max", BOOL, elementwise=False)
 def _peak_max(ctx, args, opts):
-    v = _row_domain(ctx, args[0])
-
-    def fn(vals, valid, seg, mask):
-        n = vals.shape[0]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        prev = jnp.roll(vals, 1)
-        nxt = jnp.roll(vals, -1)
-        first = (iota == 0) | (seg != jnp.roll(seg, 1))
-        last = (iota == n - 1) | (seg != jnp.roll(seg, -1))
-        out = (first | (vals > prev)) & (last | (vals > nxt))
-        return out, valid
-
-    return _apply_in_group_order(ctx, v, fn).with_(dtype=dt.Boolean())
+    return _peak_impl(ctx, _row_domain(ctx, args[0]), is_max=True)
 
 
 def _rolling_order(kind: str):
@@ -919,11 +981,16 @@ def _rolling_order(kind: str):
         v = _row_domain(ctx, args[0])
         w = opts["window_size"]
         min_samples = opts.get("min_samples") or w
-        if ctx.groups is not None:
-            raise InvalidOperationError("rolling over groups pending")
         n = v.values.shape[0]
         valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
-        acc = v.values.astype(jnp.float64)
+        vals = v.values
+        order = _group_order(ctx)
+        seg = None
+        if order is not None:
+            perm, seg = order
+            vals = vals[perm]
+            valid = valid[perm]
+        acc = vals.astype(jnp.float64)
         cols = []
         ms = []
         for i in range(w):
@@ -931,7 +998,10 @@ def _rolling_order(kind: str):
             cols.append(jnp.roll(acc, -sh))
             iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
             inb = iota >= -sh if sh <= 0 else iota < n - sh
-            ms.append(jnp.roll(valid, -sh) & inb)
+            m = jnp.roll(valid, -sh) & inb
+            if seg is not None:
+                m = m & (jnp.roll(seg, -sh) == seg)
+            ms.append(m)
         vs = jnp.stack(cols)
         mm = jnp.stack(ms)
         cnt = jnp.sum(mm, axis=0)
@@ -975,6 +1045,9 @@ def _rolling_order(kind: str):
             eq = jnp.sum(jnp.where(mm, (vs == cur[None, :]), False), axis=0)
             out = less.astype(jnp.float64) + (eq.astype(jnp.float64) + 1.0) * 0.5
         ok = cnt >= min_samples
+        if order is not None:
+            out = jnp.zeros_like(out).at[perm].set(out)
+            ok = jnp.zeros(ok.shape, bool).at[perm].set(ok)
         return Val(out, ok, dt.Float64(), None, ROW)
 
     return _

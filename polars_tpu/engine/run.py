@@ -371,6 +371,15 @@ def _hoist_one(df: DataFrame, node: E.ENode, schema) -> E.ENode:
 def _is_host_root(node: E.ENode, schema) -> bool:
     if isinstance(node, E.EAnonymous):
         return True
+    if isinstance(node, E.EBinary) and node.op == "+":
+        from polars_tpu.plan.schema_resolve import expr_dtype
+
+        try:
+            lt = expr_dtype(node.left, schema)
+        except Exception:
+            return False
+        if type(lt).__name__ in ("String", "Binary"):
+            return True
     if isinstance(node, E.EFunction) and node.name in ("concat_str", "dt.to_string", "cat.get_categories"):
         return True
     if isinstance(node, E.ECast):
@@ -380,6 +389,9 @@ def _is_host_root(node: E.ENode, schema) -> bool:
             target = dt.resolve_dtype(node.dtype, schema, _edt(node.input, schema))
         except Exception:
             return False
+        def _stringy(d) -> bool:
+            return type(d).__name__ in ("String", "Categorical", "Enum", "Binary")
+
         if isinstance(target, dt.String):
             from polars_tpu.plan.schema_resolve import expr_dtype
 
@@ -387,7 +399,21 @@ def _is_host_root(node: E.ENode, schema) -> bool:
                 src = expr_dtype(node.input, schema)
             except Exception:
                 return False
-            if type(src).__name__ not in ("String", "Categorical", "Enum", "Binary"):
+            if not _stringy(src):
+                return True
+        if isinstance(target, (dt.List, dt.Array)) and _stringy(
+            getattr(target, "inner", None) or dt.Null()
+        ):
+            # List(non-string) -> List(String) stringifies every element on
+            # the host, like the flat int->String cast above
+            from polars_tpu.plan.schema_resolve import expr_dtype
+
+            try:
+                src = expr_dtype(node.input, schema)
+            except Exception:
+                return False
+            inner = getattr(src, "inner", None)
+            if inner is not None and not _stringy(inner):
                 return True
     return False
 
@@ -405,6 +431,21 @@ def _eval_subexpr(df: DataFrame, node: E.ENode) -> Column:
 def _eval_host(df: DataFrame, node: E.ENode, schema) -> Column:
     """Evaluate a host-op root: inputs via the engine, op on the host."""
     from polars_tpu.core.series import Series
+
+    if isinstance(node, E.EBinary) and node.op == "+":
+        # string/binary concatenation (reference: Add on Utf8/BinaryChunked)
+        a = _eval_subexpr(df, node.left)
+        b = _eval_subexpr(df, node.right)
+        av, bv = a.to_pylist(), b.to_pylist()
+        if len(av) == 1 and len(bv) > 1:
+            av = av * len(bv)
+        if len(bv) == 1 and len(av) > 1:
+            bv = bv * len(av)
+        out = [
+            None if (x is None or y is None) else x + y for x, y in zip(av, bv)
+        ]
+        d = dt.Binary() if isinstance(a.dtype, dt.Binary) else dt.String()
+        return Column.from_values(E.output_name(node) or "literal", out, d)
 
     if isinstance(node, E.EAnonymous):
         in_cols = [

@@ -455,6 +455,8 @@ def binary_dtype(op: str, lt: dt.DataType, rt: dt.DataType) -> dt.DataType:
             return supertype(lt, rt)
         if ln == "String" and rn == "String":
             return dt.String()
+        if ln == "Binary" and rn == "Binary":
+            return dt.Binary()
     if op == "/":
         if ln == "Duration" and rt.is_numeric():
             return lt
@@ -533,6 +535,13 @@ def exprs_schema(nodes: tuple[E.ENode, ...], schema: Schema) -> Schema:
     out = Schema()
     for n in nodes:
         name = E.output_name(n) or "literal"
+        if name in out:
+            raise DuplicateError(
+                f"the name {name!r} is duplicate\n\nIt's possible that multiple "
+                "expressions are returning the same default column name. If this "
+                "is the case, try renaming the columns with "
+                '`.alias("new_name")` to avoid duplicate column names.'
+            )
         out[name] = expr_dtype(n, schema)
     return out
 
@@ -591,6 +600,8 @@ def _node_schema(node: L.LNode) -> Schema:
             out[name] = expr_dtype(k, in_s)
         for a in aggs:
             name = E.output_name(a) or "literal"
+            if name in out:
+                raise DuplicateError(f"the name {name!r} is duplicate")
             d = expr_dtype(a, in_s, in_agg=True)
             # non-reducing agg exprs (bare columns, rank, x - x.mean()...)
             # implode to a List per group (the reference's AggState::

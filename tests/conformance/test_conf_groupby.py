@@ -406,3 +406,76 @@ def test_group_by_iteration():
     assert set(groups) == {"a", "b"}
     assert groups["a"]["x"].to_list() == [1, 2]
     assert groups["b"]["x"].to_list() == [3]
+
+
+def test_group_by_arg_min_max_within_group_position():
+    # reference: arg_min/arg_max return the position within the group's
+    # element list, not a global row index
+    df = pl.DataFrame({"g": [1, 1, 2, 2, 2], "x": [5, 3, 9, 1, 7]})
+    out = df.group_by("g", maintain_order=True).agg(
+        pl.col("x").arg_min().alias("amin"),
+        pl.col("x").arg_max().alias("amax"),
+    )
+    assert out.rows() == [(1, 1, 0), (2, 1, 0)]
+    # position is within the post-filter element list
+    out2 = df.group_by("g", maintain_order=True).agg(
+        pl.col("x").filter(pl.col("x") > 2).arg_min().alias("p")
+    )
+    assert out2.rows() == [(1, 1), (2, 1)]
+    # nulls count as elements (but are not candidates)
+    df3 = pl.DataFrame({"g": [1, 1, 1], "x": [None, 9, 3]})
+    assert df3.group_by("g").agg(pl.col("x").arg_min()).rows() == [(1, 2)]
+    # over() broadcasts the group result
+    assert df.select(pl.col("x").arg_min().over("g")).to_series().to_list() == [
+        1, 1, 1, 1, 1]
+
+
+def test_select_duplicate_output_name_raises():
+    df = pl.DataFrame({"x": [1, 2, 3]})
+    with pytest.raises(pl.exceptions.DuplicateError):
+        df.select(pl.col("x").min(), pl.col("x").max())
+    with pytest.raises(pl.exceptions.DuplicateError):
+        df.group_by(pl.col("x").alias("g")).agg(
+            pl.col("x").min(), pl.col("x").max()
+        )
+
+
+def test_group_scalar_broadcasts_to_rows_in_agg():
+    # reference: AggregatedScalar combined with NotAggregated broadcasts the
+    # per-group scalar back to the group's rows (x - x.mean() demeaning)
+    df = pl.DataFrame({"g": [1, 1, 2, 2, 2], "x": [5, 3, 9, 1, 7]})
+    out = df.group_by("g", maintain_order=True).agg(
+        (pl.col("x") - pl.col("x").mean()).max().alias("dm"),
+        (pl.col("x") / pl.col("x").sum()).sum().alias("fracsum"),
+        pl.when(pl.col("x") > pl.col("x").mean())
+        .then(pl.col("x")).otherwise(None).count().alias("above"),
+    )
+    rows = out.rows()
+    assert rows[0][0] == 1 and abs(rows[0][1] - 1.0) < 1e-12
+    assert abs(rows[0][2] - 1.0) < 1e-12 and rows[0][3] == 1
+    assert abs(rows[1][1] - (9 - 17 / 3)) < 1e-12
+    assert abs(rows[1][2] - 1.0) < 1e-12 and rows[1][3] == 2
+    # over() path
+    d = df.with_columns(d=pl.col("x") - pl.col("x").mean().over("g"))
+    assert d.get_column("d").to_list() == [1.0, -1.0, 9 - 17 / 3, 1 - 17 / 3, 7 - 17 / 3]
+
+
+def test_grouped_expression_sort():
+    df = pl.DataFrame(
+        {"g": [1, 1, 2, 2, 2], "x": [5, 3, 9, 1, 7], "y": [1, 2, 3, 4, 5]}
+    )
+    out = df.group_by("g", maintain_order=True).agg(
+        pl.col("x").sort().alias("s"),
+        pl.col("x").sort(descending=True).first().alias("mx"),
+        pl.col("x").sort_by("y", descending=True).alias("byy"),
+        pl.col("x").sort_by("y", descending=True).first().alias("x_at_max_y"),
+    )
+    assert out.rows() == [
+        (1, [3, 5], 5, [3, 5], 3),
+        (2, [1, 7, 9], 9, [7, 1, 9], 7),
+    ]
+    dfn = pl.DataFrame({"g": [1, 1, 1], "x": [None, 9, 3]})
+    out2 = dfn.group_by("g").agg(
+        pl.col("x").sort().alias("a"), pl.col("x").sort(nulls_last=True).alias("b")
+    )
+    assert out2.rows() == [(1, [None, 3, 9], [3, 9, None])]

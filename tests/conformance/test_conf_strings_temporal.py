@@ -170,3 +170,20 @@ def test_temporal_min_max_filter():
     assert df.select(pl.col("t").max())["t"].to_list() == [datetime(2022, 6, 1)]
     out = df.filter(pl.col("t") > datetime(2021, 6, 1))
     assert out["t"].to_list() == [datetime(2022, 6, 1)]
+
+
+def test_string_add_concatenates():
+    # reference: Add on String/Binary chunked arrays concatenates
+    df = pl.DataFrame({"s": ["a", None, "c"], "t": ["x", "y", "z"]})
+    assert df.select((pl.col("s") + pl.col("t")).alias("r")).to_series().to_list() == [
+        "ax", None, "cz"]
+    assert df.select((pl.col("s") + "_suf").alias("r")).to_series().to_list() == [
+        "a_suf", None, "c_suf"]
+    assert df.select(("pre_" + pl.col("t")).alias("r")).to_series().to_list() == [
+        "pre_x", "pre_y", "pre_z"]
+    b = pl.DataFrame({"b": pl.Series("b", [b"ab", b"cd"], dtype=pl.Binary)})
+    assert b.select((pl.col("b") + pl.col("b")).alias("r")).to_series().to_list() == [
+        b"abab", b"cdcd"]
+    df2 = pl.DataFrame({"g": [1, 1], "s": ["a", "b"]})
+    assert df2.group_by("g").agg((pl.col("s") + "!").alias("r")).rows() == [
+        (1, ["a!", "b!"])]

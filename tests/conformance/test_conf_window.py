@@ -153,3 +153,81 @@ def test_diff_pct_change_over():
     assert out["d"].to_list() == [None, 1.0, 2.0, None, 10.0]
     out2 = df.select(pl.col("v").pct_change().over("g").alias("p"))
     assert out2["p"].to_list() == [None, 1.0, 1.0, None, 1.0]
+
+
+def test_distinct_flags_are_per_group_in_window():
+    # nulls and equal values must not match across group boundaries
+    df = pl.DataFrame({"g": [1, 1, 2, 2], "x": [7, 3, 7, 7]})
+    assert df.select(
+        pl.col("x").is_duplicated().over("g")
+    ).to_series().to_list() == [False, False, True, True]
+    dfn = pl.DataFrame({"g": [1, 1, 2], "x": [None, 1, None]})
+    assert dfn.select(
+        pl.col("x").is_first_distinct().over("g")
+    ).to_series().to_list() == [True, True, True]
+    assert dfn.select(
+        pl.col("x").is_unique().over("g")
+    ).to_series().to_list() == [True, True, True]
+
+
+def test_fill_null_strategy_per_group():
+    df = pl.DataFrame({"g": [1, 1, 1, 2, 2], "x": [4, None, 8, 1, None]})
+    assert df.select(
+        pl.col("x").fill_null(strategy="mean").over("g")
+    ).to_series().to_list() == [4, 6, 8, 1, 1]
+    assert df.select(
+        pl.col("x").fill_null(strategy="min").over("g")
+    ).to_series().to_list() == [4, 4, 8, 1, 1]
+    assert df.select(
+        pl.col("x").fill_null(strategy="max").over("g")
+    ).to_series().to_list() == [4, 8, 8, 1, 1]
+    # a group with no non-null values keeps its nulls
+    dfa = pl.DataFrame({"g": [1, 2], "x": [None, 3]})
+    assert dfa.select(
+        pl.col("x").fill_null(strategy="mean").over("g")
+    ).to_series().to_list() == [None, 3]
+    # flat all-null column stays null too
+    assert pl.Series("x", [None, None], dtype=pl.Int64).fill_null(
+        strategy="min"
+    ).to_list() == [None, None]
+
+
+def test_rolling_over_groups():
+    df = pl.DataFrame({"g": [1, 1, 1, 2, 2], "x": [1, 2, 3, 10, 20]})
+    assert df.select(
+        pl.col("x").rolling_sum(2).over("g")
+    ).to_series().to_list() == [None, 3, 5, None, 30]
+    assert df.select(
+        pl.col("x").rolling_mean(2, min_samples=1).over("g")
+    ).to_series().to_list() == [1.0, 1.5, 2.5, 10.0, 15.0]
+    assert df.select(
+        pl.col("x").rolling_max(3, min_samples=1).over("g")
+    ).to_series().to_list() == [1, 2, 3, 10, 20]
+    assert df.select(
+        pl.col("x").rolling_median(2, min_samples=1).over("g")
+    ).to_series().to_list() == [1.0, 1.5, 2.5, 10.0, 15.0]
+
+
+def test_ewm_mean_nan_does_not_leak_across_groups():
+    df = pl.DataFrame(
+        {"g": [1, 1, 2, 2], "f": [float("nan"), 1.0, 2.0, 4.0]}
+    )
+    out = df.select(pl.col("f").ewm_mean(alpha=0.5).over("g")).to_series().to_list()
+    import math
+    assert math.isnan(out[0]) and math.isnan(out[1])
+    assert out[2] == 2.0 and abs(out[3] - (2 + 4 * 2) / 3) < 1e-12
+
+
+def test_peak_max_reference_semantics():
+    # reference peaks.rs: boundaries compare against literal 0; null
+    # comparisons propagate through Kleene AND
+    s = pl.Series("x", [1, 5, 2, 4, 3])
+    assert s.peak_max().to_list() == [False, True, False, True, False]
+    assert s.peak_min().to_list() == [False, False, True, False, False]
+    assert pl.Series("y", [5, None, 3]).peak_max().to_list() == [None, None, None]
+    assert pl.Series("z", [-5, -10, -20]).peak_max().to_list() == [
+        False, False, False]
+    df = pl.DataFrame({"g": [1, 1, 1, 2, 2], "x": [1, 5, 2, 9, 1]})
+    assert df.select(
+        pl.col("x").peak_max().over("g")
+    ).to_series().to_list() == [False, True, False, True, False]

@@ -165,8 +165,10 @@ def test_groupby_arg_minmax(gdf):
         am=pl.col("x").arg_min(),
         ax=pl.col("x").arg_max(),
     ).sort("g")
-    # indices are within-frame row indices of the min/max per group
-    assert out.get_column("am").to_list()[1] in (1,)  # g=b: min x=2 at row 1
+    # indices are within-GROUP element positions (reference semantics):
+    # a: x=[1,3,None] -> 0/1; b: x=[2,4] -> 0/1; c: x=[5] -> 0/0
+    assert out.get_column("am").to_list() == [0, 0, 0]
+    assert out.get_column("ax").to_list() == [1, 1, 0]
 
 
 def test_bool_keys():

@@ -168,3 +168,27 @@ def test_groupby_implodes_non_reducing_aggs():
         df.lazy().group_by("g").agg(pl.col("x").rank().alias("r")).sort("g").collect()
     )
     assert out2["r"].to_list() == [[1.0, 2.0], [1.0]]
+
+
+def test_chained_host_list_ops_no_stale_cache():
+    # two structurally-equal chains over sig-equal hoisted literal columns
+    # must not share a jit cache entry (the ESeriesLit ident is in the key)
+    df = pl.DataFrame({"l": pl.Series("l", [[3, 1, 2], [5]], dtype=pl.List(pl.Int64))})
+    assert df.select(
+        pl.col("l").list.sample(0).list.len()
+    ).to_series().to_list() == [0, 0]
+    assert df.select(
+        pl.col("l").list.shift(1).list.len()
+    ).to_series().to_list() == [3, 1]
+    assert df.select(
+        pl.col("l").list.sample(0).list.sum()
+    ).to_series().to_list() == [0, 0]
+
+
+def test_cast_list_inner_to_string():
+    df = pl.DataFrame({"l": pl.Series("l", [[3, 1], [], [5]], dtype=pl.List(pl.Int64))})
+    out = df.select(pl.col("l").cast(pl.List(pl.String)))
+    assert out.to_series().to_list() == [["3", "1"], [], ["5"]]
+    assert out.schema["l"] == pl.List(pl.String)
+    joined = df.select(pl.col("l").cast(pl.List(pl.String)).list.join("-"))
+    assert joined.to_series().to_list() == ["3-1", "", "5"]
