@@ -588,6 +588,32 @@ def _series_getattr(self, name: str):
 Series.__getattr__ = _series_getattr
 
 
+def _series_search_sorted(self, element, side: str = "any"):
+    """Eager binary search (reference: Series.search_sorted — scalar needle
+    returns an int, list needle a Series; output length = needle count, not
+    the frame height, so this cannot ride the select context)."""
+    is_many = isinstance(element, (list, tuple, np.ndarray, Series))
+    needles = list(element) if not isinstance(element, Series) and is_many else (
+        element.to_list() if isinstance(element, Series) else [element]
+    )
+    vals = self.to_list()
+    n_null = sum(1 for v in vals if v is None)  # nulls sort first
+    arr = np.asarray([v for v in vals if v is not None])
+    np_side = "right" if side == "right" else "left"
+    idx = [int(np.searchsorted(arr, e, side=np_side)) + n_null for e in needles]
+    if is_many:
+        from polars_tpu.core.column import Column as _C
+        from polars_tpu import datatypes as _dt
+
+        return Series._from_column(
+            _C.from_values(self.name, idx, _dt.UInt32())
+        )
+    return idx[0]
+
+
+Series.search_sorted = _series_search_sorted
+
+
 def _series_explode(self):
     from polars_tpu.core.frame import DataFrame
 

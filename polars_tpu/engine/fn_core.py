@@ -873,8 +873,18 @@ def _arg_where(ctx, args, opts):
 
 @register("search_sorted", dt.UInt32(), elementwise=False)
 def _search_sorted(ctx, args, opts):
+    from polars_tpu.engine.groupby import _big
+
     v, elem = args
-    idx = jnp.searchsorted(v.values, elem.values)
+    # padding rows (and nulls) would break the binary search: replace them
+    # with the dtype's max sentinel so the padded array stays sorted, then
+    # results naturally clip to the logical length
+    mask = ctx.rowmask
+    if v.validity is not None:
+        mask = mask & v.validity
+    x = jnp.where(mask, v.values, _big(v.values.dtype))
+    side = opts.get("side", "any")
+    idx = jnp.searchsorted(x, elem.values, side="right" if side == "right" else "left")
     return Val(idx.astype(jnp.uint32), None, dt.UInt32(), None, elem.domain)
 
 

@@ -113,12 +113,38 @@ def plan_cache_scope():
         _PLAN_CACHES.remove(cache)
 
 
+def _with_sorted_flags(node: L.LNode, df: DataFrame) -> DataFrame:
+    """Stamp sortedness metadata on the first sort key when the plan root is a
+    sort (the reference sets IS_SORTED_ASC/DESC on sort output,
+    polars-core/src/chunked_array/ops/sort/mod.rs)."""
+    root = node
+    while isinstance(root, (L.LSlice, L.LCache)):
+        root = root.input
+    if not isinstance(root, L.LSort) or not root.by:
+        return df
+    first = root.by[0]
+    while isinstance(first, E.EAlias):
+        first = first.input
+    if not isinstance(first, E.EColumn):
+        return df
+    name = first.name
+    from polars_tpu.core.column import SORTED_ASC, SORTED_DESC
+
+    desc = bool(root.descending[0]) if root.descending else False
+    flag = SORTED_DESC if desc else SORTED_ASC
+    cols = [
+        c.with_buffer(c.buffer, sorted_flag=flag) if c.name == name else c
+        for c in df._columns
+    ]
+    return DataFrame._from_columns(cols, df.height)
+
+
 def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
     if not _PLAN_CACHES:
         with plan_cache_scope():
             return execute_plan(node, sync=sync)
     if _PROF_SINKS:
-        return _timed_execute(node, sync)
+        return _with_sorted_flags(node, _timed_execute(node, sync))
     if _cfg_config().track_metrics:
         import sys
 
@@ -132,8 +158,8 @@ def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
                     f"{rows} rows  {nbytes / 1e6:.2f} MB out",
                     file=sys.stderr,
                 )
-        return out
-    return _execute_node(node, sync=sync)
+        return _with_sorted_flags(node, out)
+    return _with_sorted_flags(node, _execute_node(node, sync=sync))
 
 
 def _timed_execute(node: L.LNode, sync: bool) -> DataFrame:

@@ -37,7 +37,8 @@ def parse_into_expr(value: Any, *, str_as_lit: bool = False) -> E.ENode:
     if isinstance(value, _pydt.date):
         return E.ELiteral(value.isoformat(), dt.Date())
     if isinstance(value, _pydt.timedelta):
-        return E.ELiteral(value.total_seconds(), dt.Duration("us"))
+        # Duration("us") stores MICROseconds
+        return E.ELiteral(round(value.total_seconds() * 1_000_000), dt.Duration("us"))
     if isinstance(value, np.generic):
         return E.ELiteral(value.item(), dt.numpy_to_dtype(value.dtype))
     return E.ELiteral(value)

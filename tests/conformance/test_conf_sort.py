@@ -185,3 +185,33 @@ def test_sort_i64_extremes():
     lo, hi = -(2**63), 2**63 - 1
     df = pl.DataFrame({"a": [5, lo, hi, -1]})
     assert df.sort("a")["a"].to_list() == [lo, -1, 5, hi]
+
+
+def test_search_sorted_ignores_padding():
+    s = pl.Series("s", [1, 3, 5])
+    assert s.search_sorted(4) == 2
+    assert s.search_sorted(0) == 0
+    assert s.search_sorted(9) == 3
+    many = pl.DataFrame({"s": [1, 3, 5]}).select(
+        pl.col("s").search_sorted([0, 4, 9])
+    ).to_series().to_list()
+    assert many == [0, 2, 3]
+    s2 = pl.Series("s", [1, 2, 2, 3])
+    assert s2.search_sorted(2, side="left") == 1
+    assert s2.search_sorted(2, side="right") == 3
+
+
+def test_sort_sets_sortedness_flags():
+    df = pl.DataFrame({"a": [3, 1, 2], "b": [1, 2, 3]})
+    out = df.sort("a")
+    assert out.get_column("a").flags["SORTED_ASC"]
+    assert not out.get_column("b").flags["SORTED_ASC"]
+    outd = df.sort("a", descending=True)
+    assert outd.get_column("a").flags["SORTED_DESC"]
+    lz = df.lazy().sort("a").collect()
+    assert lz.get_column("a").flags["SORTED_ASC"]
+
+
+def test_timedelta_sort_is_stable_with_limit():
+    df = pl.DataFrame({"a": [3, 1, 2]})
+    assert df.sort("a").head(2).get_column("a").flags["SORTED_ASC"]

@@ -187,3 +187,18 @@ def test_string_add_concatenates():
     df2 = pl.DataFrame({"g": [1, 1], "s": ["a", "b"]})
     assert df2.group_by("g").agg((pl.col("s") + "!").alias("r")).rows() == [
         (1, ["a!", "b!"])]
+
+
+def test_timedelta_literal_arithmetic():
+    # timedelta literals store microseconds in Duration("us")
+    from datetime import datetime, timedelta
+
+    df = pl.DataFrame(
+        {"d": pl.Series("d", [datetime(2021, 1, 1, 10, 0, 0)], dtype=pl.Datetime("us"))}
+    )
+    out = df.select((pl.col("d") + timedelta(days=1, hours=2)).alias("r"))
+    assert out.to_series().to_list() == [datetime(2021, 1, 2, 12, 0, 0)]
+    out2 = df.select((pl.col("d") - timedelta(minutes=30)).alias("r"))
+    assert out2.to_series().to_list() == [datetime(2021, 1, 1, 9, 30, 0)]
+    # filter comparison against datetime +- timedelta
+    assert df.filter(pl.col("d") > datetime(2021, 1, 1) + timedelta(hours=9)).height == 1
