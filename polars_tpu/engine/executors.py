@@ -172,6 +172,13 @@ def _expr_needs_host(node: E.ENode, schema: Schema) -> bool:
                 return True
             if type(lt).__name__ in ("String", "Binary"):
                 return True
+        if isinstance(n, E.EBinary) and n.op in ("==", "!="):
+            try:
+                lt = expr_dtype(n.left, schema)
+            except Exception:
+                return True
+            if isinstance(lt, dt.Struct):
+                return True
         if isinstance(n, E.EAgg) and n.kind in HOST_AGG_KINDS:
             return True
         if isinstance(n, E.EFunction) and (

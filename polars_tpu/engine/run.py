@@ -253,6 +253,27 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
     if isinstance(node, (L.LSelect, L.LWithColumns)) and _needs_special(node):
         return _exec_special_select(node)
 
+    if isinstance(node, L.LSort) and not _is_fusable(node):
+        # sort keyed by host expressions (struct.field, UDFs, ...): evaluate
+        # the keys eagerly, sort by the materialized columns, drop them
+        df = execute_plan(node.input)
+        schema = node_schema(node.input)
+        key_names = []
+        cols = list(df._columns)
+        for i, b in enumerate(node.by):
+            kn = f"__pl_sortkey_{i}"
+            key_names.append(kn)
+            cols.append(_eval_special_expr(df, b, schema).rename(kn))
+        tmp = DataFrame._from_columns(cols, df.height)
+        inner = L.LSort(
+            L.LDataFrameScan(df=tmp, ident=obj_token(tmp)),
+            tuple(E.EColumn(n) for n in key_names),
+            node.descending, node.nulls_last, node.maintain_order, node.limit,
+        )
+        out = execute_plan(inner, sync=sync)
+        keep = [c for c in out._columns if c.name not in set(key_names)]
+        return DataFrame._from_columns(keep, out.height)
+
     if isinstance(node, L.LGroupBy) and any(
         isinstance(s, E.EAgg) and s.kind == "agg_groups"
         for a in node.aggs
@@ -406,6 +427,15 @@ def _is_host_root(node: E.ENode, schema) -> bool:
             return False
         if type(lt).__name__ in ("String", "Binary"):
             return True
+    if isinstance(node, E.EBinary) and node.op in ("==", "!="):
+        from polars_tpu.plan.schema_resolve import expr_dtype
+
+        try:
+            lt = expr_dtype(node.left, schema)
+        except Exception:
+            return False
+        if isinstance(lt, dt.Struct):
+            return True
     if isinstance(node, E.EFunction) and node.name in ("concat_str", "dt.to_string", "cat.get_categories"):
         return True
     if isinstance(node, E.ECast):
@@ -457,6 +487,20 @@ def _eval_subexpr(df: DataFrame, node: E.ENode) -> Column:
 def _eval_host(df: DataFrame, node: E.ENode, schema) -> Column:
     """Evaluate a host-op root: inputs via the engine, op on the host."""
     from polars_tpu.core.series import Series
+
+    if isinstance(node, E.EBinary) and node.op in ("==", "!="):
+        # struct equality: field-wise host compare (reference: struct eq kernels)
+        a = _eval_subexpr(df, node.left)
+        b = _eval_subexpr(df, node.right)
+        av, bv = a.to_pylist(), b.to_pylist()
+        if len(av) == 1 and len(bv) > 1:
+            av = av * len(bv)
+        if len(bv) == 1 and len(av) > 1:
+            bv = bv * len(av)
+        eq = [x == y for x, y in zip(av, bv)]
+        if node.op == "!=":
+            eq = [not v for v in eq]
+        return Column.from_values(E.output_name(node) or "literal", eq, dt.Boolean())
 
     if isinstance(node, E.EBinary) and node.op == "+":
         # string/binary concatenation (reference: Add on Utf8/BinaryChunked)

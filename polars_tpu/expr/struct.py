@@ -14,13 +14,24 @@ class ExprStructNamespace:
     def __init__(self, expr: Expr) -> None:
         self._expr = expr
 
-    def field(self, name: str) -> Expr:
+    def field(self, name: str | list[str], *more_names: str) -> Expr:
         from polars_tpu.plan import exprs as E
         from polars_tpu.expr.expr import Expr as _Expr
 
+        names = list(name) if isinstance(name, (list, tuple)) else [name]
+        names.extend(more_names)
+        if len(names) > 1 or "*" in names:
+            # multi-name / wildcard form expands at schema resolution (like
+            # py-polars' field("*") — one output column per matched field)
+            return _Expr(
+                E.EFunction(
+                    "struct.multifield", (self._expr._node,),
+                    (("names", tuple(names)),),
+                )
+            )
         return _Expr(
-            E.EFunction("struct.field", (self._expr._node,), (("name", name),))
-        ).alias(name)
+            E.EFunction("struct.field", (self._expr._node,), (("name", names[0]),))
+        ).alias(names[0])
 
     def rename_fields(self, names: list[str]) -> Expr:
         return self._expr._fn("struct.rename_fields", names=tuple(names))

@@ -50,6 +50,16 @@ def supertype(a: dt.DataType, b: dt.DataType) -> dt.DataType:
         return b
     if bn == "Boolean" and a.is_numeric():
         return a
+    if an == "Struct" and bn == "Struct":
+        # same field names in order -> struct of field supertypes
+        a_names = [f.name for f in a.fields]
+        if a_names == [f.name for f in b.fields]:
+            return dt.Struct(
+                [
+                    (fa.name, supertype(fa.dtype, fb.dtype))
+                    for fa, fb in zip(a.fields, b.fields)
+                ]
+            )
     if an == "Decimal" and bn == "Decimal":
         # reference: decimal arithmetic unifies to max scale at max precision
         # (polars-core arithmetic/decimal.rs: scale = left_s.max(right_s))
@@ -306,6 +316,23 @@ def expand_expr(node: E.ENode, schema: Schema) -> list[E.ENode]:
                 f.name,
             )
             for f in d.fields
+        ]
+    if isinstance(node, E.EFunction) and node.name == "struct.multifield":
+        # field("*") / field("a", "b") — one output column per matched field
+        d = expr_dtype(node.inputs[0], schema)
+        if not isinstance(d, dt.Struct):
+            raise InvalidOperationError(f"struct.field needs a Struct, got {d!r}")
+        want = node.opt("names", ())
+        names = (
+            [f.name for f in d.fields]
+            if "*" in want
+            else [n for n in want]
+        )
+        return [
+            E.EAlias(
+                E.EFunction("struct.field", node.inputs, (("name", n),)), n
+            )
+            for n in names
         ]
     selectors = _selector_roots(node)
     if not selectors:

@@ -95,9 +95,15 @@ def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray | None, S
         # trailing NULs, str decode fails on non-UTF8); dict-encode in python
         lst = arr.tolist()
         filled = [bytes(v) if ok else b"" for v, ok in zip(lst, validity.tolist())]
-        uniq = sorted(set(filled))
+        # the dictionary holds VALID values only — the b"" null fill must not
+        # leak into the table (it would surface in cat.get_categories)
+        uniq = sorted({v for v, ok in zip(filled, validity.tolist()) if ok})
+        if not uniq:
+            uniq = [b""]  # placeholder so code 0 resolves (all-null column)
         lookup_b = {v: i for i, v in enumerate(uniq)}
-        codes = np.fromiter((lookup_b[v] for v in filled), np.int32, len(lst))
+        codes = np.fromiter(
+            (lookup_b.get(v, 0) for v in filled), np.int32, len(lst)
+        )
         codes = codes.reshape(arr.shape)
         if has_null:
             codes = np.where(validity, codes, np.int32(0))
@@ -105,9 +111,15 @@ def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray | None, S
         return codes, (validity if has_null else None), table
     filled = np.where(validity, arr, "")
     as_str = filled.astype(str)
-    uniques, codes = np.unique(as_str, return_inverse=True)
-    codes = codes.astype(np.int32).reshape(arr.shape)
-    if has_null:
+    uniques = np.unique(as_str[validity]) if has_null else None
+    if not has_null:
+        uniques, codes = np.unique(as_str, return_inverse=True)
+        codes = codes.astype(np.int32).reshape(arr.shape)
+    else:
+        if uniques.size == 0:
+            uniques = np.asarray([""], dtype=as_str.dtype)
+        codes = np.searchsorted(uniques, as_str).astype(np.int32)
+        codes = np.clip(codes, 0, len(uniques) - 1).reshape(arr.shape)
         codes = np.where(validity, codes, np.int32(0))
     table = StringTable(uniques.astype(object), sorted_order=True)
     return codes, (validity if has_null else None), table

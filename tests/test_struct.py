@@ -43,3 +43,43 @@ def test_struct_rename_fields():
     df = pl.DataFrame({"a": [1], "b": [2]})
     out = df.select(pl.struct("a", "b").struct.rename_fields(["x", "y"]).alias("s"))
     assert out["s"].to_list() == [{"x": 1, "y": 2}]
+
+
+def test_struct_field_wildcard_and_multi():
+    df = pl.DataFrame({"st": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]})
+    out = df.select(pl.col("st").struct.field("*"))
+    assert out.columns == ["a", "b"]
+    assert out.rows() == [(1, "x"), (2, "y")]
+    out2 = df.select(pl.col("st").struct.field("b", "a"))
+    assert out2.columns == ["b", "a"]
+    assert out2.rows() == [("x", 1), ("y", 2)]
+
+
+def test_struct_equality():
+    df = pl.DataFrame({"x": [1, 2]})
+    out = df.select((pl.struct(a=pl.col("x")) == pl.struct(a=pl.lit(2))).alias("r"))
+    assert out.to_series().to_list() == [False, True]
+    two = pl.DataFrame({"s": [{"a": 1}, {"a": 2}], "t": [{"a": 1}, {"a": 3}]})
+    assert two.select((pl.col("s") == pl.col("t")).alias("r")).to_series().to_list() == [
+        True, False]
+    assert two.select((pl.col("s") != pl.col("t")).alias("r")).to_series().to_list() == [
+        False, True]
+
+
+def test_sort_by_struct_field_expr():
+    df = pl.DataFrame({"st": [{"a": 2, "b": "y"}, {"a": 1, "b": "x"}, {"a": 3, "b": "z"}]})
+    out = df.sort(pl.col("st").struct.field("a"), descending=True)
+    assert out.unnest("st").rows() == [(3, "z"), (2, "y"), (1, "x")]
+    # lazy too
+    out2 = df.lazy().sort(pl.col("st").struct.field("a")).collect()
+    assert out2.unnest("st").rows() == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_get_categories_excludes_null_sentinel():
+    c = pl.DataFrame({"c": pl.Series("c", ["b", "a", None], dtype=pl.Categorical)})
+    cats = c.select(pl.col("c").cat.get_categories()).to_series().to_list()
+    assert sorted(cats) == ["a", "b"]
+    # an actual empty-string category IS kept
+    c2 = pl.DataFrame({"c": pl.Series("c", ["", "a", None], dtype=pl.Categorical)})
+    cats2 = c2.select(pl.col("c").cat.get_categories()).to_series().to_list()
+    assert sorted(cats2) == ["", "a"]
