@@ -178,7 +178,15 @@ def _decompose_aggs(aggs):
             partial.append(E.EAlias(E.EAgg(base.input, "count", base.options), pc))
             merge.append(E.EAlias(E.EAgg(E.EColumn(ps), "sum", ()), ps))
             merge.append(E.EAlias(E.EAgg(E.EColumn(pc), "sum", ()), pc))
-            final.append((pl.col(ps) / pl.col(pc)).alias(name)._node)
+            # count == 0 -> null (0/0 would yield NaN; the in-memory engine
+            # and the reference both return null for an all-null group mean)
+            final.append(
+                pl.when(pl.col(pc) > 0)
+                .then(pl.col(ps) / pl.col(pc))
+                .otherwise(None)
+                .alias(name)
+                ._node
+            )
         elif k in ("var", "std"):
             ddof = base.opt("ddof", 1)
             ps, p2, pc = f"__p{idx}_s", f"__p{idx}_2", f"__p{idx}_c"

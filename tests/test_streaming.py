@@ -72,3 +72,14 @@ def test_streaming_batches_iterator(parquet_path):
         nb += 1
     assert total == 50_000
     assert nb >= 6
+
+
+def test_streaming_mean_all_null_group_is_null():
+    # the streaming mean finalizer (sum/count) must yield null, not 0/0=NaN,
+    # for groups whose count is zero
+    df = pl.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 3.0, None]})
+    lf = df.lazy().group_by("g").agg(pl.col("x").mean())
+    mem = {r[0]: r[1] for r in lf.collect().rows()}
+    st = {r[0]: r[1] for r in lf.collect(engine="streaming", batch_rows=1).rows()}
+    assert mem == {"a": 2.0, "b": None}
+    assert st == mem
