@@ -22,7 +22,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>"[^"]*")
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><>|!=|>=|<=|\|\||::|[-+*/%(),.<>=])
+  | (?P<op><>|!=|>=|<=|\|\||::|//|[-+*/%(),.<>=])
     """,
     re.VERBOSE,
 )
@@ -120,6 +120,23 @@ class SCast:
 class SIn:
     operand: Any
     items: list
+    negated: bool = False
+
+
+@dataclass
+class SExists:
+    """[NOT] EXISTS (subquery) — rewritten to a semi/anti join when the
+    subquery's correlation predicates are equi (reference:
+    polars-sql/src/subquery.rs)."""
+
+    query: Any
+    negated: bool = False
+
+
+@dataclass
+class SInSubquery:
+    operand: Any
+    query: Any
     negated: bool = False
 
 
@@ -706,7 +723,22 @@ class Parser:
             left = SBinary(left, "and", self.parse_not())
         return left
 
+    def _parse_exists(self, negated: bool) -> SExists:
+        self.expect_kw("exists")
+        self.expect_op("(")
+        q = self.parse_query()
+        self.expect_op(")")
+        return SExists(q, negated)
+
     def parse_not(self) -> Any:
+        t = self.peek()
+        if t and t.kind == "kw" and t.value == "exists":
+            return self._parse_exists(False)
+        if t and t.kind == "kw" and t.value == "not":
+            nxt = self.peek(1)
+            if nxt and nxt.kind == "kw" and nxt.value == "exists":
+                self.i += 1
+                return self._parse_exists(True)
         if self.accept_kw("not"):
             return SUnary("not", self.parse_not())
         return self.parse_comparison()
@@ -728,6 +760,11 @@ class Parser:
             if t.value == "in":
                 self.i += 1
                 self.expect_op("(")
+                nx = self.peek()
+                if nx and nx.kind == "kw" and nx.value in ("select", "with"):
+                    q = self.parse_query()
+                    self.expect_op(")")
+                    return SInSubquery(left, q, negated)
                 items = [self.parse_expr()]
                 while self.accept_op(","):
                     items.append(self.parse_expr())
@@ -765,7 +802,7 @@ class Parser:
     def parse_multiplicative(self) -> Any:
         left = self.parse_unary()
         while True:
-            op = self.accept_op("*", "/", "%")
+            op = self.accept_op("*", "//", "/", "%")
             if op is None:
                 break
             left = SBinary(left, op, self.parse_unary())

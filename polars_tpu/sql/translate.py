@@ -283,7 +283,7 @@ def _build_inner(stmt: P.SelectStmt, tables: dict[str, Any]):
             lo, ro = _join_keys(j.on)
             lf = lf.join(right, left_on=lo, right_on=ro, how=j.kind)
     if stmt.where is not None:
-        lf = lf.filter(_expr(stmt.where))
+        lf = _apply_where(lf, stmt.where, tables)
 
     has_aggs = any(_has_agg(it.expr) for it in stmt.items)
     if stmt.group_by:
@@ -331,6 +331,141 @@ def _build_inner(stmt: P.SelectStmt, tables: dict[str, Any]):
         if stmt.distinct:
             lf = lf.unique(maintain_order=True)
     return lf
+
+
+def _split_conjuncts(e: Any) -> list:
+    if isinstance(e, P.SBinary) and e.op == "and":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _ref_scope(e: Any, inner_alias: str | None, inner_names: set, outer_names: set) -> str:
+    """'inner' / 'outer' / 'mixed' / 'none' — which scope an expr's column
+    refs resolve to (unprefixed names resolve inner-first, SQL scoping)."""
+    scopes: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, P.SColumn):
+            if n.table is not None:
+                scopes.add("inner" if n.table == inner_alias else "outer")
+            elif n.name in inner_names:
+                scopes.add("inner")
+            elif n.name in outer_names:
+                scopes.add("outer")
+            else:
+                scopes.add("outer")  # unknown -> be conservative
+            return
+        for c in _children(n):
+            walk(c)
+
+    walk(e)
+    if not scopes:
+        return "none"
+    if len(scopes) > 1:
+        return "mixed"
+    return scopes.pop()
+
+
+def _apply_where(lf, where: Any, tables: dict[str, Any]):
+    """WHERE with `[NOT] EXISTS` / `[NOT] IN (subquery)` conjuncts lowered to
+    semi/anti joins by decorrelating equi-correlation predicates (reference:
+    polars-sql/src/subquery.rs rewrite_subquery_conjuncts)."""
+    residual = []
+    for conj in _split_conjuncts(where):
+        node = conj
+        neg = False
+        while isinstance(node, P.SUnary) and node.op == "not" and isinstance(
+            node.operand, (P.SExists, P.SInSubquery)
+        ):
+            neg = not neg
+            node = node.operand
+        new = None
+        if isinstance(node, P.SExists):
+            new = _rewrite_exists(lf, node.query, node.negated ^ neg, tables)
+        elif isinstance(node, P.SInSubquery):
+            new = _rewrite_in_subquery(lf, node, neg, tables)
+        if new is not None:
+            lf = new
+            continue
+        residual.append(conj)
+    if residual:
+        pred = _expr(residual[0])
+        for c in residual[1:]:
+            pred = pred & _expr(c)
+        lf = lf.filter(pred)
+    return lf
+
+
+def _subquery_select(q) -> "P.SelectStmt | None":
+    body = q.body if isinstance(q, P.Query) else q
+    while isinstance(body, P.Query):
+        body = body.body
+    if isinstance(body, P.SelectStmt) and body.table is not None and not body.joins:
+        return body
+    return None
+
+
+def _rewrite_exists(lf, query, negated: bool, tables: dict[str, Any]):
+    import polars_tpu as pl
+
+    sel = _subquery_select(query)
+    if sel is None or sel.group_by:
+        return None
+    inner_ref = sel.table
+    try:
+        inner_lf = _table(inner_ref, tables)
+    except Exception:
+        return None
+    inner_alias = inner_ref.alias or inner_ref.name
+    inner_names = set(inner_lf.collect_schema().names())
+    outer_names = set(lf.collect_schema().names())
+    left_on, right_on, local = [], [], []
+    conjs = _split_conjuncts(sel.where) if sel.where is not None else []
+    for c in conjs:
+        if isinstance(c, P.SBinary) and c.op == "=":
+            ls = _ref_scope(c.left, inner_alias, inner_names, outer_names)
+            rs = _ref_scope(c.right, inner_alias, inner_names, outer_names)
+            if {ls, rs} == {"inner", "outer"}:
+                inner_side = c.left if ls == "inner" else c.right
+                outer_side = c.right if ls == "inner" else c.left
+                right_on.append(_expr(inner_side))
+                left_on.append(_expr(outer_side))
+                continue
+        sc = _ref_scope(c, inner_alias, inner_names, outer_names)
+        if sc in ("inner", "none"):
+            local.append(c)
+            continue
+        return None  # outer-referencing non-equi correlation: filter path
+    for c in local:
+        inner_lf = inner_lf.filter(_expr(c))
+    if not left_on:
+        # uncorrelated EXISTS: constant truth value over the whole frame
+        nonempty = inner_lf.limit(1).collect().height > 0
+        return lf if (nonempty != negated) else lf.head(0)
+    return lf.join(
+        inner_lf, left_on=left_on, right_on=right_on,
+        how="anti" if negated else "semi",
+    )
+
+
+def _rewrite_in_subquery(lf, node: "P.SInSubquery", extra_neg: bool, tables: dict[str, Any]):
+    negated = node.negated ^ extra_neg
+    try:
+        inner_lf = _query(node.query, tables)
+        names = inner_lf.collect_schema().names()
+    except Exception:
+        return None
+    if len(names) != 1:
+        raise SQLInterfaceError(
+            f"IN (subquery) must select exactly one column, got {len(names)}"
+        )
+    key = _expr(node.operand)
+    import polars_tpu as pl
+
+    return lf.join(
+        inner_lf.unique(), left_on=[key], right_on=[pl.col(names[0])],
+        how="anti" if negated else "semi",
+    )
 
 
 def _rewrite_having(having: Any, items: list) -> tuple[Any, list]:
@@ -528,6 +663,12 @@ def _expr_inner(e: Any):
             return a * b
         if op == "/":
             return a / b
+        if op == "//":
+            # sqlparser DuckIntegerDivide: floor_div cast to Int64
+            # (polars-sql/src/sql_expr.rs:661)
+            from polars_tpu import datatypes as _dt
+
+            return (a // b).cast(_dt.Int64())
         if op == "%":
             return a % b
         if op == "and":
@@ -715,7 +856,8 @@ def _func(e: P.SFunc):
         if not args or isinstance(e.args[0], P.SStar):
             return pl.len().cast(dt.UInt32())
         if e.distinct:
-            return a0.n_unique()
+            # SQL COUNT(DISTINCT x) excludes NULLs (n_unique counts null)
+            return a0.drop_nulls().n_unique()
         return a0.count()
     if name in ("sum",):
         return a0.sum()

@@ -365,3 +365,46 @@ def test_sql_columns_selector_and_normalize():
     assert ctx.execute("select columns('^a') + 1 from t").collect().to_dicts() == [{"aa": 2, "ab": 3}]
     assert ctx.execute("select normalize(s, nfkc) as x from t").collect()["x"].to_list() == ["012"]
     assert ctx.execute("select bit_not(aa) as b from t").collect()["b"].to_list() == [-2]
+
+
+def test_sql_count_distinct_excludes_nulls():
+    df = pl.DataFrame({"g": ["a", "a", "b", None]})
+    ctx = pl.SQLContext(frames={"t": df.lazy()})
+    out = ctx.execute("SELECT COUNT(DISTINCT g) AS c FROM t").collect()
+    assert out.rows() == [(2,)]
+
+
+def test_sql_floor_division():
+    df = pl.DataFrame({"x": [7, -7]})
+    ctx = pl.SQLContext(frames={"t": df.lazy()})
+    out = ctx.execute("SELECT x // 2 AS d FROM t").collect()
+    # DuckIntegerDivide: floor_div cast Int64 (polars-sql/src/sql_expr.rs:661)
+    assert out.to_series().to_list() == [3, -4]
+    assert out.schema["d"] == pl.Int64()
+
+
+def test_sql_exists_and_in_subquery():
+    df = pl.DataFrame({"g": ["a", "a", "b", None], "x": [1, 2, 3, 4]})
+    o = pl.DataFrame({"k": [2, 3, None]})
+    ctx = pl.SQLContext(frames={"t": df.lazy(), "o": o.lazy()})
+
+    def q(s):
+        return ctx.execute(s).collect().rows()
+
+    assert q("SELECT x FROM t WHERE x IN (SELECT k FROM o)") == [(2,), (3,)]
+    assert q(
+        "SELECT x FROM t WHERE x NOT IN (SELECT k FROM o WHERE k IS NOT NULL)"
+    ) == [(1,), (4,)]
+    assert q(
+        "SELECT x FROM t WHERE EXISTS (SELECT 1 FROM o WHERE o.k = t.x)"
+    ) == [(2,), (3,)]
+    assert q(
+        "SELECT x FROM t WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.k = t.x)"
+    ) == [(1,), (4,)]
+    # local (inner-only) filters compose with the correlation key
+    assert q(
+        "SELECT x FROM t WHERE EXISTS (SELECT 1 FROM o WHERE o.k = t.x AND o.k > 2)"
+    ) == [(3,)]
+    # uncorrelated EXISTS is a constant truth value
+    assert q("SELECT x FROM t WHERE EXISTS (SELECT 1 FROM o) AND x = 1") == [(1,)]
+    assert q("SELECT x FROM t WHERE EXISTS (SELECT 1 FROM o WHERE k > 100)") == []
