@@ -141,6 +141,14 @@ class SInSubquery:
 
 
 @dataclass
+class SScalarSubquery:
+    """(SELECT ...) used as a scalar expression — must yield one column and
+    at most one row (0 rows -> NULL)."""
+
+    query: Any
+
+
+@dataclass
 class SBetween:
     operand: Any
     low: Any
@@ -893,6 +901,11 @@ class Parser:
                     return self.parse_func_call(t.value)
             raise SQLSyntaxError(f"unexpected keyword {t.value.upper()}")
         if t.kind == "op" and t.value == "(":
+            nx = self.peek()
+            if nx and nx.kind == "kw" and nx.value in ("select", "with"):
+                q = self.parse_query()
+                self.expect_op(")")
+                return SScalarSubquery(q)
             e = self.parse_expr()
             self.expect_op(")")
             return e

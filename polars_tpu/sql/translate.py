@@ -37,6 +37,7 @@ def _parse_type(name: str) -> dt.DataType:
 
 # named-WINDOW scopes for the SELECT core currently being translated
 _WINDOW_SCOPES: list[dict] = []
+_TABLE_SCOPES: list[dict] = []  # table registry stack for scalar subqueries
 
 
 def translate(query: str, tables: dict[str, Any]):
@@ -259,10 +260,12 @@ def _build(stmt: P.SelectStmt, tables: dict[str, Any]):
     import polars_tpu as pl
 
     _WINDOW_SCOPES.append(stmt.windows)
+    _TABLE_SCOPES.append(tables)
     try:
         return _build_inner(stmt, tables)
     finally:
         _WINDOW_SCOPES.pop()
+        _TABLE_SCOPES.pop()
 
 
 def _build_inner(stmt: P.SelectStmt, tables: dict[str, Any]):
@@ -630,6 +633,16 @@ def _expr_inner(e: Any):
 
     if isinstance(e, P.SColumn):
         return pl.col(e.name)
+    if isinstance(e, P.SScalarSubquery):
+        tables = _TABLE_SCOPES[-1] if _TABLE_SCOPES else {}
+        out = _query(e.query, tables).collect()
+        if out.width != 1:
+            raise SQLInterfaceError(
+                f"scalar subquery must select one column, got {out.width}"
+            )
+        if out.height > 1:
+            raise SQLInterfaceError("scalar subquery returned more than one row")
+        return pl.lit(out.rows()[0][0] if out.height == 1 else None)
     if isinstance(e, P.SStar):
         return pl.col("*")
     if isinstance(e, P.SLiteral):

@@ -408,3 +408,20 @@ def test_sql_exists_and_in_subquery():
     # uncorrelated EXISTS is a constant truth value
     assert q("SELECT x FROM t WHERE EXISTS (SELECT 1 FROM o) AND x = 1") == [(1,)]
     assert q("SELECT x FROM t WHERE EXISTS (SELECT 1 FROM o WHERE k > 100)") == []
+
+
+def test_sql_scalar_subquery():
+    df = pl.DataFrame({"x": [1, 2, 3]})
+    o = pl.DataFrame({"k": [10, 20]})
+    ctx = pl.SQLContext(frames={"t": df.lazy(), "o": o.lazy()})
+    out = ctx.execute("SELECT x, (SELECT MAX(k) FROM o) AS m FROM t").collect()
+    assert out.rows() == [(1, 20), (2, 20), (3, 20)]
+    out2 = ctx.execute("SELECT x FROM t WHERE x > (SELECT MIN(k) FROM o) - 9").collect()
+    assert out2.rows() == [(2,), (3,)]
+    # 0 rows -> NULL (broadcast alongside a column)
+    out3 = ctx.execute(
+        "SELECT x, (SELECT k FROM o WHERE k > 99) AS n FROM t"
+    ).collect()
+    assert out3.get_column("n").to_list() == [None, None, None]
+    with pytest.raises(pl.exceptions.SQLInterfaceError):
+        ctx.execute("SELECT (SELECT k FROM o) AS n FROM t").collect()
