@@ -281,6 +281,11 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
     ):
         return execute_plan(_rewrite_agg_groups(node), sync=sync)
 
+    if isinstance(node, L.LGroupBy) and _has_nested_host_aggs(node):
+        # a host agg nested under a larger expression (mode().min()):
+        # per-group apply path evaluates the whole chain on each sub-frame
+        return _exec_groupby_apply(node)
+
     if isinstance(node, L.LGroupBy) and _has_host_aggs(node):
         return _exec_groupby_host_aggs(node)
 
@@ -720,21 +725,22 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
     if isinstance(e, E.EFunction) and _is_special_fn(e, schema):
         return _eval_generator(df, e, schema)
 
-    # otherwise traceable — check for nested special parts
-    has_special = any(
-        isinstance(s, (E.ESlice,)) or _is_special_fn(s, schema)
-        for s in E.walk(e)
-        if s is not e
-    )
+    # otherwise traceable — check for nested special parts (incl. host aggs
+    # like mode/implode nested under a larger agg: mode().min())
+    def _is_special_sub(s) -> bool:
+        return (
+            isinstance(s, E.ESlice)
+            or _is_special_fn(s, schema)
+            or (isinstance(s, E.EAgg) and s.kind in ("str_concat", "implode", "mode"))
+        )
+
+    has_special = any(_is_special_sub(s) for s in E.walk(e) if s is not e)
     if has_special:
         # hoist nested special subtrees
         kids = e.children()
         new_kids = []
         for k in kids:
-            if any(
-                isinstance(s, E.ESlice) or _is_special_fn(s, schema)
-                for s in E.walk(k)
-            ):
+            if any(_is_special_sub(s) for s in E.walk(k)):
                 col = _eval_special_expr(df, k, schema)
                 new_kids.append(_lit_node_for_column(col))
             else:
@@ -746,10 +752,16 @@ def _eval_special_expr(df: DataFrame, e: E.ENode, schema) -> Column:
         # int_range arithmetic over pl.select / DataFrame({})) set the
         # output length; re-base the empty frame so the trace isn't
         # clipped to height 0
+        hoisted = [k.column for k in new_kids if isinstance(k, E.ESeriesLit)]
         if df.height == 0 and not df._columns:
-            hoisted = [k.column for k in new_kids if isinstance(k, E.ESeriesLit)]
             if hoisted:
                 df = DataFrame._from_columns([], max(len(c) for c in hoisted))
+        elif hoisted and not any(isinstance(s, E.EColumn) for s in E.walk(e)):
+            # the rebuilt expr references ONLY the hoisted literals (e.g.
+            # mode().min()): evaluate at the literal's length, not the source
+            # frame's — padding rows of a shorter literal would otherwise
+            # count as valid data
+            df = DataFrame._from_columns([], max(len(c) for c in hoisted))
     return _eval_subexpr(df, e)
 
 
@@ -1582,6 +1594,19 @@ def _has_host_aggs(node: L.LGroupBy) -> bool:
     return False
 
 
+def _has_nested_host_aggs(node: L.LGroupBy) -> bool:
+    """True when a host agg sits UNDER a larger agg expression (not at the
+    alias-stripped root) — those need the per-group apply path."""
+    for a in node.aggs:
+        root = a
+        while isinstance(root, (E.EAlias, E.EKeepName)):
+            root = root.input
+        for sub in E.walk(a):
+            if isinstance(sub, E.EAgg) and sub.kind in _HOST_AGGS and sub is not root:
+                return True
+    return False
+
+
 def _exec_groupby_host_aggs(node: L.LGroupBy) -> DataFrame:
     """Group-by with host-only aggs (string concat / implode / mode): run the
     traceable part on device, host-compute the rest, align on key order."""
@@ -1696,7 +1721,11 @@ def _exec_groupby_apply(node: L.LGroupBy) -> DataFrame:
         if isinstance(e, E.EAnonymous):
             return e.returns_scalar
         # mode yields multiple values -> List per group (reference Expr.mode)
-        return isinstance(e, E.EAgg) and e.kind not in ("implode", "mode")
+        if isinstance(e, E.EAgg):
+            return e.kind not in ("implode", "mode")
+        # compound exprs (implode().list.len(), max().dt.year()): static
+        # AggState analysis decides whether one value per group survives
+        return E.reduces_in_agg(e)
 
     agg_names = [E.output_name(a) or "literal" for a in aggs]
     results: list[list] = [[] for _ in aggs]

@@ -389,6 +389,12 @@ def reduces_in_agg(node: ENode) -> bool:
             return rec(e.predicate) and rec(e.truthy) and rec(e.falsy)
         if isinstance(e, EFunction) and e.name in ELEMENTWISE_FNS:
             return all(rec(c) for c in e.inputs)
+        if isinstance(e, EFunction) and e.name.split(".")[0] in (
+            "list", "arr", "struct", "str", "bin", "cat", "dt"
+        ):
+            # namespace ops are length-preserving per parent row: an agg
+            # result stays one-per-group through them (implode().list.len())
+            return all(rec(c) for c in e.inputs if isinstance(c, ENode))
         return False
 
     return rec(node)

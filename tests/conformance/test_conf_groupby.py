@@ -479,3 +479,17 @@ def test_grouped_expression_sort():
         pl.col("x").sort().alias("a"), pl.col("x").sort(nulls_last=True).alias("b")
     )
     assert out2.rows() == [(1, [None, 3, 9], [3, 9, None])]
+
+
+def test_nested_host_aggs():
+    # host aggs (mode/implode) nested under larger agg expressions
+    df = pl.DataFrame({"g": [1, 1, 1, 2, 2], "x": [7, 7, 9, 3, 3]})
+    out = df.group_by("g", maintain_order=True).agg(
+        pl.col("x").mode().min().alias("m"))
+    assert out.rows() == [(1, 7), (2, 3)]
+    out2 = df.group_by("g", maintain_order=True).agg(
+        pl.col("x").implode().list.len().alias("n"))
+    assert out2.rows() == [(1, 3), (2, 2)]
+    # select context too
+    assert df.select(pl.col("x").mode().min()).rows() == [(3,)]
+    assert df.select(pl.col("x").implode().list.len()).rows() == [(5,)]
