@@ -125,6 +125,8 @@ def _eval_expr_uncached(node: E.ENode, ctx: EvalCtx) -> Val:
     if isinstance(node, E.EFunction):
         spec = get_spec(node.name)
         args = [eval_expr(i, ctx) for i in node.inputs]
+        if len(args) > 1:
+            args = _adapt_dyn_literal_vals(node.inputs, args, ctx)
         if spec.elementwise and len(args) > 1:
             args = _align_group_row(ctx, args)
         return spec.impl(ctx, args, dict(node.options))
@@ -264,10 +266,35 @@ def _align_group_row(ctx: EvalCtx, vals):
     return list(vals)
 
 
+def _adapt_dyn_literal_vals(nodes, vals, ctx: EvalCtx):
+    """Runtime mirror of schema_resolve.adapt_dyn_literal_dtypes: untyped
+    numeric literals take the first concrete numeric operand's dtype so the
+    traced program matches the resolved schema (col_i8 + 1 stays Int8)."""
+    from polars_tpu.plan.schema_resolve import dyn_literal_value, fit_dyn_dtype
+
+    target = None
+    for n, v in zip(nodes, vals):
+        if dyn_literal_value(n) is None and v.dtype.is_numeric():
+            target = v.dtype
+            break
+    if target is None:
+        return list(vals)
+    out = list(vals)
+    for i, n in enumerate(nodes):
+        lv = dyn_literal_value(n)
+        if lv is None:
+            continue
+        nd = fit_dyn_dtype(lv, target)
+        if nd is not None and nd != out[i].dtype:
+            out[i] = cast_val(out[i], nd, strict=False)
+    return out
+
+
 def _eval_binary(node: E.EBinary, ctx: EvalCtx) -> Val:
     op = node.op
     a = eval_expr(node.left, ctx)
     b = eval_expr(node.right, ctx)
+    a, b = _adapt_dyn_literal_vals((node.left, node.right), (a, b), ctx)
     a, b = _align_group_row(ctx, (a, b))
     a, b, dom = broadcast_pair(a, b)
 

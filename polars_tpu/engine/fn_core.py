@@ -78,6 +78,22 @@ def _abs(ctx, args, opts):
     return v.with_(values=jnp.abs(v.values) if v.values.dtype != jnp.bool_ else v.values)
 
 
+@register("negate", SAME)
+def _negate(ctx, args, opts):
+    """Reference: FunctionExpr::Negate (polars-ops negate.rs) — same dtype;
+    unsigned/bool/string unsupported."""
+    v = args[0]
+    d = v.dtype
+    ok = (
+        (d.is_integer() and not d.is_unsigned_integer())
+        or d.is_float()
+        or type(d).__name__ in ("Duration", "Decimal")
+    )
+    if not ok:
+        raise InvalidOperationError(f"`neg` operation not supported for dtype `{d!r}`")
+    return v.with_(values=-v.values)
+
+
 @register("sign", SAME)
 def _sign(ctx, args, opts):
     v = args[0]

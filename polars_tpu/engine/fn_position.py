@@ -15,6 +15,7 @@ from polars_tpu.kernels.fastmath import div_any, floordiv_const, mod_const
 
 from polars_tpu import datatypes as dt
 from polars_tpu.engine.common import GROUP, ROW, Val, combine_validity
+from polars_tpu.engine.cast import cast_val
 from polars_tpu.engine.registry import BOOL, FLOAT, SAME, register
 from polars_tpu.errors import InvalidOperationError
 
@@ -119,10 +120,38 @@ def _shift_fill(ctx, args, opts):
     return _apply_in_group_order(ctx, v, fn)
 
 
-@register("diff", SAME, elementwise=False)
+def _diff_dtype(dts, opts):
+    """Reference: function_expr/schema.rs Diff — unsigned widens to signed,
+    temporal becomes Duration."""
+    d = dts[0]
+    name = type(d).__name__
+    if name == "Datetime":
+        return dt.Duration(d.time_unit)
+    if name == "Date":
+        return dt.Duration("us")
+    if name == "Time":
+        return dt.Duration("ns")
+    if name == "UInt8":
+        return dt.Int16()
+    if name == "UInt16":
+        return dt.Int32()
+    if name in ("UInt32", "UInt64"):
+        return dt.Int64()
+    return d
+
+
+@register("diff", _diff_dtype, elementwise=False)
 def _diff(ctx, args, opts):
     v = _row_domain(ctx, args[0])
     n_sh = opts.get("n", 1)
+    out_dt = _diff_dtype([v.dtype], opts)
+    scale = 1
+    if v.dtype.is_temporal():
+        # physical int64 difference; Date diffs (days) scale to us
+        scale = 86_400_000_000 if type(v.dtype).__name__ == "Date" else 1
+        v = v.with_(values=v.values.astype(jnp.int64), dtype=dt.Int64())
+    elif out_dt != v.dtype:
+        v = cast_val(v, out_dt, strict=False)
 
     def fn(vals, valid, seg, mask):
         n = vals.shape[0]
@@ -135,7 +164,10 @@ def _diff(ctx, args, opts):
         ok = in_bounds & (seg_src == seg) & prev_valid & valid_arr
         return jnp.where(ok, vals - prev, jnp.zeros((), vals.dtype)), ok
 
-    return _apply_in_group_order(ctx, v, fn)
+    res = _apply_in_group_order(ctx, v, fn)
+    if scale != 1:
+        res = res.with_(values=res.values * jnp.int64(scale))
+    return res.with_(dtype=out_dt)
 
 
 @register("pct_change", FLOAT, elementwise=False)

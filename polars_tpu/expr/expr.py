@@ -225,7 +225,8 @@ class Expr:
         return self._fn("not")
 
     def __neg__(self) -> Expr:
-        return Expr(E.EBinary(E.ELiteral(0), "-", self._node))
+        # reference: FunctionExpr::Negate, same dtype, unsigned unsupported
+        return self._fn("negate")
 
     def __pos__(self) -> Expr:
         return self

@@ -395,6 +395,7 @@ def expr_dtype(node: E.ENode, schema: Schema, *, in_agg: bool = False) -> dt.Dat
     if isinstance(node, E.EBinary):
         lt = expr_dtype(node.left, schema, in_agg=in_agg)
         rt = expr_dtype(node.right, schema, in_agg=in_agg)
+        lt, rt = adapt_dyn_literal_dtypes((node.left, node.right), [lt, rt])
         return binary_dtype(node.op, lt, rt)
     if isinstance(node, E.ETernary):
         tt = expr_dtype(node.truthy, schema, in_agg=in_agg)
@@ -408,6 +409,7 @@ def expr_dtype(node: E.ENode, schema: Schema, *, in_agg: bool = False) -> dt.Dat
         from polars_tpu.engine.registry import get_spec
 
         in_dts = [expr_dtype(i, schema, in_agg=in_agg) for i in node.inputs]
+        in_dts = adapt_dyn_literal_dtypes(node.inputs, in_dts)
         return get_spec(node.name).dtype_rule(in_dts, dict(node.options))
     if isinstance(node, (E.ESort, E.ESlice)):
         return expr_dtype(node.input, schema, in_agg=in_agg)
@@ -424,6 +426,72 @@ def expr_dtype(node: E.ENode, schema: Schema, *, in_agg: bool = False) -> dt.Dat
             return node.return_dtype
         return dt.Unknown()
     raise InvalidOperationError(f"cannot resolve dtype of {type(node).__name__}")
+
+
+def dyn_literal_value(node: E.ENode):
+    """The python value of an UNTYPED numeric literal (the reference's
+    Unknown(UnknownKind::Int/Float) dynamic literal), else None."""
+    n = node
+    while isinstance(n, (E.EAlias, E.EKeepName)):
+        n = n.input
+    if (
+        isinstance(n, E.ELiteral)
+        and n.dtype is None
+        and not isinstance(n.value, bool)
+        and isinstance(n.value, (int, float))
+    ):
+        return n.value
+    return None
+
+
+def fit_dyn_dtype(value, target: dt.DataType) -> dt.DataType | None:
+    """Unify a dynamic numeric literal with a concrete numeric dtype
+    (reference: get_supertype Unknown(Int(v)) arm, supertype.rs:514-536 —
+    supertype(target, smallest dtype fitting v))."""
+    import numpy as np
+
+    if isinstance(value, float):
+        return target if target.is_float() else None
+    if not isinstance(value, int):
+        return None
+    if target.is_float():
+        return target
+    if not target.is_integer():
+        return None
+    if target.is_unsigned_integer() and value >= 0:
+        ladder = [dt.UInt8(), dt.UInt16(), dt.UInt32(), dt.UInt64()]
+    else:
+        ladder = [dt.Int8(), dt.Int16(), dt.Int32(), dt.Int64()]
+    smallest = None
+    for d in ladder:
+        info = np.iinfo(dt.dtype_to_numpy(d))
+        if info.min <= value <= info.max:
+            smallest = d
+            break
+    if smallest is None:
+        return None
+    return supertype(target, smallest)
+
+
+def adapt_dyn_literal_dtypes(nodes, dts: list) -> list:
+    """Adapt untyped numeric literals to the first concrete numeric operand's
+    dtype (col_i8 + 1 stays Int8; fill_null(0) keeps the column dtype)."""
+    target = None
+    for n, d in zip(nodes, dts):
+        if dyn_literal_value(n) is None and d.is_numeric():
+            target = d
+            break
+    if target is None:
+        return list(dts)
+    out = list(dts)
+    for i, n in enumerate(nodes):
+        v = dyn_literal_value(n)
+        if v is None:
+            continue
+        nd = fit_dyn_dtype(v, target)
+        if nd is not None:
+            out[i] = nd
+    return out
 
 
 def _literal_dtype(value: Any) -> dt.DataType:

@@ -210,12 +210,48 @@ def test_boolean_kleene_logic():
         None, False, None]
 
 
-def test_unsigned_subtraction_overflow():
+def test_unsigned_subtraction_wraps():
+    # reference: a positive dynamic int literal materializes to the unsigned
+    # operand's dtype (supertype.rs:522) and unsigned subtraction wraps
+    # (tests/unit/operations/arithmetic/test_list.py: 2 - 3 == 255 on UInt8)
     s = pl.Series("a", [1], dtype=dtt.UInt8())
     df = pl.DataFrame({"a": s})
     out = df.select((pl.col("a") - 2).alias("d"))
-    # u8 - int literal promotes (literal is Int32-ish) — must not wrap to 255
-    assert out["d"].to_list() == [-1]
+    assert out.schema["d"] == dtt.UInt8()
+    assert out["d"].to_list() == [255]
+    # a NEGATIVE literal picks the signed ladder instead
+    out2 = df.select((pl.col("a") + (-2)).alias("d"))
+    assert out2.schema["d"] == dtt.Int16()
+    assert out2["d"].to_list() == [-1]
+
+
+def test_dynamic_literal_unification():
+    df = pl.DataFrame({"i8": pl.Series("i8", [1, 2], dtype=dtt.Int8()),
+                       "f32": pl.Series("f32", [1.5], dtype=dtt.Float32())})
+    assert df.select((pl.col("i8") + 1).alias("r")).schema["r"] == dtt.Int8()
+    assert df.select((pl.col("i8") + 300).alias("r")).schema["r"] == dtt.Int16()
+    assert df.select(pl.col("i8").fill_null(0).alias("r")).schema["r"] == dtt.Int8()
+    assert df.select((pl.col("f32") + 0.5).alias("r")).schema["r"] == dtt.Float32()
+    assert df.select(pl.col("i8").clip(0, 1).alias("r")).schema["r"] == dtt.Int8()
+
+
+def test_diff_dtype_and_negate():
+    u = pl.DataFrame({"u8": pl.Series("u8", [5, 3, 10], dtype=dtt.UInt8())})
+    out = u.select(pl.col("u8").diff().alias("r"))
+    assert out.schema["r"] == dtt.Int16()
+    assert out.to_series().to_list() == [None, -2, 7]
+    from datetime import date, timedelta
+    dd = pl.DataFrame({"d": pl.Series("d", [date(2021, 1, 1), date(2021, 1, 3)], dtype=dtt.Date())})
+    o2 = dd.select(pl.col("d").diff().alias("r"))
+    assert o2.schema["r"] == dtt.Duration("us")
+    assert o2.to_series().to_list() == [None, timedelta(days=2)]
+    # negate keeps dtype; unsigned unsupported (negate.rs)
+    with pytest.raises(pl.exceptions.InvalidOperationError):
+        u.select(-pl.col("u8"))
+    i = pl.DataFrame({"i8": pl.Series("i8", [5], dtype=dtt.Int8())})
+    out3 = i.select((-pl.col("i8")).alias("r"))
+    assert out3.schema["r"] == dtt.Int8()
+    assert out3.to_series().to_list() == [-5]
 
 
 def test_pow_dtype():
