@@ -589,6 +589,7 @@ def _eval_ternary(node: E.ETernary, ctx: EvalCtx) -> Val:
     p = eval_expr(node.predicate, ctx)
     t = eval_expr(node.truthy, ctx)
     f = eval_expr(node.falsy, ctx)
+    t, f = _adapt_dyn_literal_vals((node.truthy, node.falsy), (t, f), ctx)
     p, t, f = _align_group_row(ctx, (p, t, f))
     t, f = _unify_branches(t, f)
     # reconcile domains

@@ -400,6 +400,7 @@ def expr_dtype(node: E.ENode, schema: Schema, *, in_agg: bool = False) -> dt.Dat
     if isinstance(node, E.ETernary):
         tt = expr_dtype(node.truthy, schema, in_agg=in_agg)
         ft = expr_dtype(node.falsy, schema, in_agg=in_agg)
+        tt, ft = adapt_dyn_literal_dtypes((node.truthy, node.falsy), [tt, ft])
         return supertype(tt, ft)
     if isinstance(node, E.EAgg):
         return agg_dtype(node, schema)

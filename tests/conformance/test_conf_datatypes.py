@@ -303,3 +303,11 @@ def test_lit_dtype_override():
     assert out.schema["x"] == dtt.Int8()
     out2 = df.select(pl.lit("2020-01-01", dtype=dtt.Date()).alias("d"))
     assert out2["d"].to_list() == [date(2020, 1, 1)]
+
+
+def test_when_then_dynamic_literal():
+    df = pl.DataFrame({"i8": pl.Series("i8", [1, 2], dtype=dtt.Int8())})
+    out = df.select(pl.when(pl.col("i8") > 1).then(pl.col("i8")).otherwise(0).alias("r"))
+    assert out.schema["r"] == dtt.Int8()
+    out2 = df.select(pl.when(pl.col("i8") > 1).then(0).otherwise(pl.col("i8")).alias("r"))
+    assert out2.schema["r"] == dtt.Int8()
