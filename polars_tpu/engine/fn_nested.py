@@ -467,11 +467,38 @@ def _struct_drop_dt(dts, opts):
     return dt.Struct([(f.name, f.dtype) for f in d.fields if f.name not in drop])
 
 
+def _rename_fields_dt(dts, opts):
+    d = dts[0]
+    if not isinstance(d, dt.Struct):
+        return dt.Unknown()
+    names = list(opts.get("names", ()))
+    return dt.Struct(
+        [(names[i] if i < len(names) else f.name, f.dtype) for i, f in enumerate(d.fields)]
+    )
+
+
+def _map_field_names_dt(dts, opts):
+    d = dts[0]
+    if not isinstance(d, dt.Struct):
+        return dt.Unknown()
+    kind = opts.get("kind")
+    arg = opts.get("arg")
+    ren = {
+        "prefix": lambda n: f"{arg}{n}",
+        "suffix": lambda n: f"{n}{arg}",
+        "map": arg,
+    }[kind]
+    return dt.Struct([(ren(f.name), f.dtype) for f in d.fields])
+
+
 register("list.item", _list_inner_dt, elementwise=False)(_host("list.item"))
 register("struct.drop", _struct_drop_dt, elementwise=False)(_host("struct.drop"))
 register("as_struct", _struct_dt, elementwise=False)(_host("as_struct"))
 register("struct.field", _field_dt, elementwise=False)(_host("struct.field"))
-register("struct.rename_fields", _same, elementwise=False)(_host("struct.rename_fields"))
+register("struct.rename_fields", _rename_fields_dt, elementwise=False)(_host("struct.rename_fields"))
+register("struct.map_field_names", _map_field_names_dt, elementwise=False)(
+    _host("struct.map_field_names")
+)
 
 
 register("sample", _same, elementwise=False)(_host("sample"))

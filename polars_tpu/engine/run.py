@@ -34,7 +34,7 @@ _SPECIAL_FNS = {
     "str.extract_many", "str.find_many", "str.extract_groups", "str.json_decode",
     "hist", "reshape", "rolling_median_by", "rolling_quantile_by",
     "rolling_rank_by", "rolling_map",
-    "as_struct", "struct.field", "struct.rename_fields",
+    "as_struct", "struct.field", "struct.rename_fields", "struct.map_field_names",
     "unnest", "sample", "shuffle", "arg_where_self", "rle", "value_counts",
     "shrink_dtype", "cumulative_eval",
     # round-3 list long tail (host ops; traced fast paths may supersede later)
@@ -1023,6 +1023,20 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         col = _eval_special_expr(df, e.inputs[0], schema)
         names = list(e.opt("names"))
         kids = [c.rename(n) for c, n in zip(col.child or [], names)]
+        fields = dt.Struct([(c.name, c.dtype) for c in kids])
+        return Column(col.name, fields, col.buffer, None, 0, kids)
+
+    if e.name == "struct.map_field_names":
+        # name.map_fields / prefix_fields / suffix_fields (reference:
+        # py-polars expr/name.py)
+        col = _eval_special_expr(df, e.inputs[0], schema)
+        kind, arg = e.opt("kind"), e.opt("arg")
+        ren = {
+            "prefix": lambda n: f"{arg}{n}",
+            "suffix": lambda n: f"{n}{arg}",
+            "map": arg,
+        }[kind]
+        kids = [c.rename(ren(c.name)) for c in (col.child or [])]
         fields = dt.Struct([(c.name, c.dtype) for c in kids])
         return Column(col.name, fields, col.buffer, None, 0, kids)
 

@@ -1159,6 +1159,33 @@ class ExprNameNamespace:
     def map(self, function: Callable) -> Expr:
         return Expr(E.ERenameFn(self._expr._node, "map", function))
 
+    def replace(self, pattern: str, value: str, *, literal: bool = False) -> Expr:
+        return Expr(E.ERenameFn(self._expr._node, "replace", (pattern, value, literal)))
+
+    def map_fields(self, function: Callable) -> Expr:
+        return Expr(
+            E.EFunction(
+                "struct.map_field_names", (self._expr._node,),
+                (("kind", "map"), ("arg", function)),
+            )
+        )
+
+    def prefix_fields(self, prefix: str) -> Expr:
+        return Expr(
+            E.EFunction(
+                "struct.map_field_names", (self._expr._node,),
+                (("kind", "prefix"), ("arg", prefix)),
+            )
+        )
+
+    def suffix_fields(self, suffix: str) -> Expr:
+        return Expr(
+            E.EFunction(
+                "struct.map_field_names", (self._expr._node,),
+                (("kind", "suffix"), ("arg", suffix)),
+            )
+        )
+
 
 class _ExtNamespaceShim:
     """Placeholder for registered extension-expression namespaces: any access
@@ -1215,6 +1242,74 @@ class ExprMetaNamespace:
             with open(file, "w") as f:
                 f.write(data)
         return None
+
+    def write_json(self, file: Any = None) -> str | None:
+        """Deprecated alias of serialize(format='json')."""
+        return self.serialize(file)
+
+    def is_literal(self, *, allow_aliasing: bool = False) -> bool:
+        n = self._expr._node
+        while allow_aliasing and isinstance(n, (E.EAlias, E.EKeepName)):
+            n = n.input
+        return isinstance(n, (E.ELiteral, E.ESeriesLit))
+
+    def is_column_selection(self, *, allow_aliasing: bool = False) -> bool:
+        n = self._expr._node
+        while allow_aliasing and isinstance(n, (E.EAlias, E.EKeepName)):
+            n = n.input
+        return isinstance(n, (E.EColumn, E.EColumns, E.EDtypeColumns, E.ESelector))
+
+    def is_regex_projection(self) -> bool:
+        n = self._expr._node
+        return isinstance(n, E.EColumns) and any(
+            isinstance(x, str) and x.startswith("^") for x in (n.names or ())
+        )
+
+    def pop(self, *, schema: Any = None) -> list[Expr]:
+        """The root node's direct input expressions."""
+        return [Expr(c) for c in self._expr._node.children()]
+
+    def undo_aliases(self) -> Expr:
+        def strip(n: E.ENode) -> E.ENode:
+            while isinstance(n, (E.EAlias, E.EKeepName)):
+                n = n.input
+            kids = n.children()
+            if not kids:
+                return n
+            new = tuple(strip(k) for k in kids)
+            if new == kids:
+                return n
+            from polars_tpu.plan.schema_resolve import _rebuild_expr
+
+            return _rebuild_expr(n, new)
+
+        return Expr(strip(self._expr._node))
+
+    def as_selector(self):
+        import polars_tpu.selectors as cs
+
+        n = self._expr._node
+        if isinstance(n, E.EColumn):
+            return cs.by_name(n.name)
+        if isinstance(n, E.EColumns) and n.names:
+            return cs.by_name(*n.names)
+        if isinstance(n, E.ESelector):
+            from polars_tpu.selectors import Selector
+
+            return Selector(n) if not isinstance(self._expr, Selector) else self._expr
+        raise InvalidOperationError("expression is not a column selection")
+
+    def as_expression(self) -> Expr:
+        return Expr(self._expr._node)
+
+    def show_graph(self, *, show: bool = True, output_path: Any = None,
+                   raw_output: bool = False, figsize: Any = None) -> str | None:
+        """Render the expression tree (text form — no graphviz in this build)."""
+        out = self.tree_format()
+        if output_path is not None:
+            with open(output_path, "w") as f:
+                f.write(out)
+        return out
 
 
 def _flat(items: Any) -> list[Any]:

@@ -310,6 +310,13 @@ def output_name(node: ENode, *, raise_on_multi: bool = True) -> str | None:
             return base.upper()
         if node.kind == "map":
             return node.arg(base)
+        if node.kind == "replace":
+            import re as _re
+
+            pattern, value, literal = node.arg
+            if literal:
+                return base.replace(pattern, value)
+            return _re.sub(pattern, value, base)
     for c in node.children():
         n = output_name(c, raise_on_multi=raise_on_multi)
         if n is not None:

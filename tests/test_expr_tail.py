@@ -195,3 +195,29 @@ def test_grouped_window_scans():
     assert df.select(pl.col("v").ewm_mean_by("t", half_life="1d").over("g")).to_series().to_list() == pytest.approx(
         [1.0, 1.5, 2.25, 10.0, 15.0]
     )
+
+
+def test_name_fields_and_replace():
+    df = pl.DataFrame({"st": [{"a": 1, "b": 2}], "x": [5]})
+    out = df.select(pl.col("st").name.prefix_fields("p_"))
+    assert [f.name for f in out.schema["st"].fields] == ["p_a", "p_b"]
+    assert out.to_series().to_list() == [{"p_a": 1, "p_b": 2}]
+    out2 = df.select(pl.col("st").name.suffix_fields("_s").struct.field("a_s"))
+    assert out2.rows() == [(1,)]
+    out3 = df.select(pl.col("st").name.map_fields(lambda n: n.upper()))
+    assert [f.name for f in out3.schema["st"].fields] == ["A", "B"]
+    assert df.select(pl.col("x").name.replace("x", "y")).columns == ["y"]
+    assert df.select(pl.col("x").name.replace("^(.)$", r"c_\1")).columns == ["c_x"]
+
+
+def test_meta_tail():
+    e = (pl.col("x") * 2).alias("z")
+    assert e.meta.undo_aliases().meta.output_name() == "x"
+    assert pl.col("x").meta.is_column_selection()
+    assert not pl.col("x").meta.is_literal()
+    assert pl.lit(1).meta.is_literal()
+    assert len((pl.col("x") + pl.col("y")).meta.pop()) == 2
+    sel = pl.col("x").meta.as_selector()
+    assert pl.DataFrame({"x": [1], "y": [2]}).select(sel).columns == ["x"]
+    assert isinstance(pl.col("x").meta.show_graph(show=False), str)
+    assert pl.col("x").meta.write_json() == pl.col("x").meta.serialize()
