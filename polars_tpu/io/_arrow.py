@@ -92,11 +92,23 @@ def arrow_array_to_column(name: str, arr: Any, override: dt.DataType | None = No
             validity = np.asarray(codes.is_valid())
         codes_np = codes.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int32)
         # renormalize to sorted (ordinal) dictionary
-        uniq, inv = np.unique(np.asarray(dict_vals, dtype=object).astype(str), return_inverse=True)
+        if isinstance(logical, dt.Binary):
+            # bytes payloads must NOT go through numpy str coercion (non-UTF8)
+            uniq_list = sorted({bytes(v) for v in dict_vals})
+            lookup = {v: i for i, v in enumerate(uniq_list)}
+            inv = np.fromiter(
+                (lookup[bytes(v)] for v in dict_vals), np.int32, len(dict_vals)
+            )
+            uniq = np.asarray(uniq_list, dtype=object)
+        else:
+            uniq, inv = np.unique(
+                np.asarray(dict_vals, dtype=object).astype(str), return_inverse=True
+            )
         codes_np = inv.astype(np.int32)[codes_np] if len(dict_vals) else codes_np
         table = strtable.StringTable(uniq.astype(object), sorted_order=True)
         buf = Buffer.from_numpy(codes_np, validity)
-        col = Column(name, dt.String() if not isinstance(logical, dt.Categorical) else logical, buf, table)
+        out_dt = logical if isinstance(logical, (dt.Categorical, dt.Binary)) else dt.String()
+        col = Column(name, out_dt, buf, table)
         return _maybe_cast(col, override)
 
     if isinstance(logical, (dt.List, dt.Array, dt.Struct)):
@@ -113,11 +125,22 @@ def arrow_array_to_column(name: str, arr: Any, override: dt.DataType | None = No
         vals = arr.to_numpy(zero_copy_only=False)
         col = Column(name, logical, Buffer.from_numpy(vals, validity))
         return _maybe_cast(col, override)
-    if pa.types.is_date32(t):
+    if pa.types.is_date32(t) or pa.types.is_date64(t):
+        if pa.types.is_date64(t):
+            arr = arr.cast(pa.date32())
         vals = np.asarray(arr.cast(pa.int32()))
         col = Column(name, logical, Buffer.from_numpy(vals, validity))
         return _maybe_cast(col, override)
     if pa.types.is_timestamp(t) or pa.types.is_duration(t):
+        # rescale non-{ms,us,ns} units (pyarrow.json infers timestamp[s]) to
+        # the logical dtype's unit BEFORE taking the physical int64
+        target = logical.time_unit
+        if t.unit != target:
+            arr = arr.cast(
+                pa.timestamp(target, t.tz)
+                if pa.types.is_timestamp(t)
+                else pa.duration(target)
+            )
         vals = np.asarray(arr.cast(pa.int64()))
         col = Column(name, logical, Buffer.from_numpy(vals, validity))
         return _maybe_cast(col, override)
@@ -211,12 +234,28 @@ def column_to_arrow(c: Column) -> Any:
     d = c.dtype
     if c.table is not None:
         vals, validity = c.buffer.to_numpy()
-        return pa.array(
+        arr = pa.array(
             c.table.take(np.where(validity, vals, -1) if validity is not None else vals)
         )
+        if isinstance(d, (dt.Categorical, dt.Enum)):
+            # dictionary-encode so parquet/ipc round-trips restore Categorical
+            import pyarrow.compute as pc
+
+            return pc.dictionary_encode(arr)
+        return arr
     if isinstance(d, (dt.List, dt.Array, dt.Struct, dt.Decimal)):
         return pa.array(c.to_pylist(), type=dtype_to_arrow(d))
-    return pa.array(c.to_numpy(), from_pandas=True)
+    # build from the physical buffer with an explicit null mask: from_pandas
+    # would turn float NaN VALUES into nulls (polars keeps NaN distinct)
+    vals, validity = c.buffer.to_numpy()
+    mask = None if validity is None else ~np.asarray(validity, bool)
+    at = dtype_to_arrow(d)
+    name = type(d).__name__
+    if name == "Date":
+        return pa.array(np.asarray(vals).astype(np.int32), type=at, mask=mask)
+    if name in ("Datetime", "Duration", "Time"):
+        return pa.array(np.asarray(vals).astype(np.int64), type=at, mask=mask)
+    return pa.array(np.asarray(vals), type=at, mask=mask)
 
 
 def arrow_to_columns(table: Any, overrides: dict | None = None) -> list[Column]:

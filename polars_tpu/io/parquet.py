@@ -105,6 +105,19 @@ def write_parquet(
 
     from polars_tpu.io.cloud import is_remote_path, open_remote
 
+    partition_by = kwargs.pop("partition_by", None)
+    if partition_by is not None:
+        # hive-style partitioned dataset (reference: py-polars write_parquet
+        # partition_by -> io_sinks partitioned pipelines)
+        from polars_tpu.io.partition import PartitionBy, write_partitioned
+
+        pb = PartitionBy(file, key=partition_by)
+        write_partitioned(
+            df, pb, "parquet",
+            {"compression": compression, "compression_level": compression_level,
+             "statistics": statistics, "row_group_size": row_group_size},
+        )
+        return
     if isinstance(file, (str, bytes)) or hasattr(file, "__fspath__"):
         if is_remote_path(file):
             file = open_remote(file, "wb", kwargs.get("storage_options"))

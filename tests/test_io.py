@@ -129,3 +129,51 @@ def test_pandas_roundtrip(df):
     pdf = df.to_pandas()
     back = pl.from_pandas(pdf)
     assert back.get_column("i").to_list() == [1, 2, 3, None]
+
+
+def test_parquet_preserves_nan_vs_null():
+    df = pl.DataFrame({"f": [1.5, None, float("nan")]})
+    df.write_parquet("/tmp/_nan.parquet")
+    out = pl.read_parquet("/tmp/_nan.parquet").get_column("f").to_list()
+    assert out[0] == 1.5 and out[1] is None and out[2] != out[2]
+    a = df.to_arrow().column("f").to_pylist()
+    assert a[1] is None and a[2] != a[2]
+
+
+def test_parquet_binary_column_scan_filter():
+    df = pl.DataFrame({"i": [1, 2], "bin": pl.Series("bin", [b"ab", b"\x00\xff"], dtype=pl.Binary)})
+    df.write_parquet("/tmp/_bin.parquet")
+    out = pl.scan_parquet("/tmp/_bin.parquet").filter(pl.col("i") == 2).collect()
+    assert out.get_column("bin").to_list() == [b"\x00\xff"]
+    assert out.schema["bin"] == pl.Binary()
+
+
+def test_parquet_categorical_round_trip():
+    df = pl.DataFrame({"c": pl.Series("c", ["p", None, "q"], dtype=pl.Categorical)})
+    df.write_parquet("/tmp/_cat.parquet")
+    rt = pl.read_parquet("/tmp/_cat.parquet")
+    assert rt.schema["c"] == pl.Categorical()
+    assert rt.get_column("c").to_list() == ["p", None, "q"]
+
+
+def test_write_parquet_partition_by(tmp_path):
+    base = tmp_path / "hive"
+    pl.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 3]}).write_parquet(
+        str(base), partition_by=["k"])
+    out = pl.scan_parquet(str(base) + "/**/*.parquet", hive_partitioning=True)
+    assert out.filter(pl.col("k") == "a").collect().height == 2
+    assert pl.scan_parquet(str(base) + "/**/*.parquet").collect().height == 3
+
+
+def test_ndjson_temporal_values_round_trip():
+    from datetime import date, datetime
+
+    df = pl.DataFrame({
+        "d": pl.Series("d", [date(2021, 1, 1), None], dtype=pl.Date),
+        "t": pl.Series("t", [datetime(2021, 1, 1, 12), None], dtype=pl.Datetime("us")),
+    })
+    df.write_ndjson("/tmp/_nd.ndjson")
+    rt = pl.read_ndjson("/tmp/_nd.ndjson")
+    # pyarrow infers ISO strings as timestamps; VALUES must be exact
+    assert rt.get_column("t").to_list() == df.get_column("t").to_list()
+    assert rt.get_column("d").cast(pl.Date).to_list() == df.get_column("d").to_list()
