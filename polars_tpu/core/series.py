@@ -399,15 +399,21 @@ def _series_sort(self: Series, *, descending: bool = False, nulls_last: bool = F
     )
 
 
-def _series_value_counts(self: Series, *, sort: bool = False, name: str = "count") -> DataFrame:
+def _series_value_counts(
+    self: Series, *, sort: bool = False, parallel: bool = False,
+    name: str | None = None, normalize: bool = False,
+) -> DataFrame:
     import polars_tpu as pl
 
+    if name is None:
+        name = "proportion" if normalize else "count"
     colname = self.name or ""
-    out = (
-        self._frame()
-        .group_by(colname)
-        .agg(pl.len().alias(name).cast(dt.UInt32()))
-    )
+    agg = pl.len().alias(name)
+    if normalize:
+        agg = (agg.cast(dt.Float64()) / self.len()).alias(name)
+    else:
+        agg = agg.cast(dt.UInt32())
+    out = self._frame().group_by(colname).agg(agg)
     if sort:
         out = out.sort(name, descending=True)
     return out

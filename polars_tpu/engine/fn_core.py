@@ -19,7 +19,7 @@ from polars_tpu import datatypes as dt
 from polars_tpu.engine.cast import cast_val
 from polars_tpu.engine.common import ROW, SCALAR, Val, combine_validity
 from polars_tpu.engine.registry import BOOL, FLOAT, SAME, SUPER, register
-from polars_tpu.errors import InvalidOperationError
+from polars_tpu.errors import InvalidOperationError, ShapeError
 
 
 def _float_vals(v: Val) -> tuple[jax.Array, dt.DataType]:
@@ -287,6 +287,11 @@ def _is_in(ctx, args, opts):
     # list, so O(n*m) elementwise beats a sort (switch to searchsorted for big m)
     v, other = args
     nulls_equal = opts.get("nulls_equal", False)
+    if isinstance(other.dtype, dt.List):
+        # per-row membership: v[i] in other[i] == other.list.contains(v)
+        from polars_tpu.engine.fn_nested import _list_contains
+
+        return _list_contains(ctx, [other, v], opts)
     if v.table is not None:
         if other.table is None:
             raise InvalidOperationError("is_in on strings requires string values")
@@ -1001,17 +1006,28 @@ def _extend_constant(ctx, args, opts):
     raise InvalidOperationError("extend_constant changes length; handled by the executor")
 
 
-def _cut_impl(v: Val, breaks: list, labels, left_closed: bool) -> Val:
-    from polars_tpu.utils import strtable
-
-    brks = [float(b) for b in breaks]
+def _cut_labels(breaks, labels, left_closed: bool) -> list:
+    """Interval labels in bin order (reference cut returns an Enum of these,
+    py-polars tests/unit/operations/test_cut.py::test_cut)."""
     if labels is None:
-        edges = ["-inf"] + [_fmt_break(b) for b in brks] + ["inf"]
+        edges = ["-inf"] + [_fmt_break(float(b)) for b in breaks] + ["inf"]
         if left_closed:
             labels = [f"[{a}, {b})" for a, b in zip(edges[:-1], edges[1:])]
         else:
             labels = [f"({a}, {b}]" for a, b in zip(edges[:-1], edges[1:])]
     labels = [str(l) for l in labels]
+    if len(labels) != len(list(breaks)) + 1:
+        raise ShapeError(
+            f"expected {len(list(breaks)) + 1} labels, got {len(labels)}"
+        )
+    return labels
+
+
+def _cut_impl(v: Val, breaks: list, labels, left_closed: bool) -> Val:
+    from polars_tpu.utils import strtable
+
+    brks = [float(b) for b in breaks]
+    labels = _cut_labels(brks, labels, left_closed)
     # bin index per row
     x = v.values.astype(jnp.float64)
     idx = jnp.zeros(x.shape, jnp.int32)
@@ -1020,13 +1036,48 @@ def _cut_impl(v: Val, breaks: list, labels, left_closed: bool) -> Val:
             idx = idx + (x >= b).astype(jnp.int32)
         else:
             idx = idx + (x > b).astype(jnp.int32)
-    # ordinal-code the labels
-    uniq = sorted(set(labels))
-    code_of = {s: i for i, s in enumerate(uniq)}
-    lut = jnp.asarray(np.asarray([code_of[l] for l in labels], np.int32))
-    codes = lut[idx]
-    table = strtable.StringTable(np.asarray(uniq, object), sorted_order=True)
-    return Val(codes, v.validity, dt.Categorical(), table, v.domain)
+    # Enum of the labels in bin order: codes are category positions
+    table = strtable.StringTable(np.asarray(labels, object), sorted_order=False)
+    return Val(idx, v.validity, dt.Enum(list(labels)), table, v.domain)
+
+
+@register("cut_breakpoint", dt.Float64(), elementwise=True)
+def _cut_breakpoint(ctx, args, opts):
+    """Right bin edge per row for cut(include_breaks=True) (reference struct
+    field 'breakpoint', py-polars tests test_cut_include_breaks)."""
+    v = args[0]
+    brks = [float(b) for b in opts["breaks"]]
+    left_closed = opts.get("left_closed", False)
+    x = v.values.astype(jnp.float64)
+    idx = jnp.zeros(x.shape, jnp.int32)
+    for b in brks:
+        idx = idx + ((x >= b) if left_closed else (x > b)).astype(jnp.int32)
+    edges = jnp.asarray(np.asarray(brks + [np.inf], np.float64))
+    return Val(edges[idx], v.validity, dt.Float64(), None, v.domain)
+
+
+@register("qcut_breakpoint", dt.Float64(), elementwise=False)
+def _qcut_breakpoint(ctx, args, opts):
+    v = args[0]
+    qs = list(opts["quantiles"])
+    left_closed = opts.get("left_closed", False)
+    mask = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
+    from polars_tpu.engine.groupby import seg_quantile
+
+    gz = jnp.zeros((ctx.padded,), jnp.int32)
+    brks = []
+    for q in qs:
+        bq, _ = seg_quantile(v.values, mask, gz, 1, float(q), "linear")
+        brks.append(bq[0])
+    x = v.values.astype(jnp.float64)
+    idx = jnp.zeros(x.shape, jnp.int32)
+    for b in brks:
+        idx = idx + ((x >= b) if left_closed else (x > b)).astype(jnp.int32)
+    edges = jnp.concatenate(
+        [jnp.stack([b.astype(jnp.float64) for b in brks]) if brks else jnp.zeros((0,), jnp.float64),
+         jnp.asarray([np.inf], jnp.float64)]
+    )
+    return Val(edges[idx], v.validity, dt.Float64(), None, v.domain)
 
 
 def _fmt_break(b: float) -> str:
@@ -1035,12 +1086,19 @@ def _fmt_break(b: float) -> str:
     return str(b)
 
 
-@register("cut", dt.Categorical(), elementwise=True)
+def _cut_dtype(dts, opts):
+    return dt.Enum(_cut_labels(
+        list(opts.get("breaks", opts.get("quantiles", ()))),
+        opts.get("labels"), opts.get("left_closed", False),
+    ))
+
+
+@register("cut", _cut_dtype, elementwise=True)
 def _cut(ctx, args, opts):
     return _cut_impl(args[0], list(opts["breaks"]), opts.get("labels"), opts.get("left_closed", False))
 
 
-@register("qcut", dt.Categorical(), elementwise=False)
+@register("qcut", _cut_dtype, elementwise=False)
 def _qcut(ctx, args, opts):
     v = args[0]
     qs = list(opts["quantiles"])
@@ -1053,12 +1111,11 @@ def _qcut(ctx, args, opts):
     for q in qs:
         bq, _ = seg_quantile(v.values, mask, gz, 1, float(q), "linear")
         brks.append(bq[0])
-    # breaks are traced -> compare directly (labels static from quantile fracs)
-    labels = opts.get("labels")
-    if labels is None:
-        edges = ["-inf"] + [str(q) for q in qs] + ["inf"]
-        labels = [f"({a}, {b}]" for a, b in zip(edges[:-1], edges[1:])]
-    labels = [str(l) for l in labels]
+    # breaks are traced -> compare directly; labels are static from the
+    # quantile FRACTIONS (the reference labels with the data-dependent break
+    # values, which cannot live in a static Enum dtype under tracing — a
+    # documented divergence; explicit labels= match exactly)
+    labels = _cut_labels(qs, opts.get("labels"), opts.get("left_closed", False))
     x = v.values.astype(jnp.float64)
     idx = jnp.zeros(x.shape, jnp.int32)
     for b in brks:
@@ -1068,12 +1125,8 @@ def _qcut(ctx, args, opts):
             idx = idx + (x > b).astype(jnp.int32)
     from polars_tpu.utils import strtable
 
-    uniq = sorted(set(labels))
-    code_of = {s: i for i, s in enumerate(uniq)}
-    lut = jnp.asarray(np.asarray([code_of[l] for l in labels], np.int32))
-    codes = lut[idx]
-    table = strtable.StringTable(np.asarray(uniq, object), sorted_order=True)
-    return Val(codes, v.validity, dt.Categorical(), table, v.domain)
+    table = strtable.StringTable(np.asarray(labels, object), sorted_order=False)
+    return Val(idx, v.validity, dt.Enum(list(labels)), table, v.domain)
 
 @register("rle_id", dt.UInt32(), elementwise=False)
 def _rle_id(ctx, args, opts):

@@ -202,16 +202,54 @@ def _list_get(ctx, args, opts):
 
 @register("list.contains", dt.Boolean(), elementwise=False)
 def _list_contains(ctx, args, opts):
+    import jax
     import jax.numpy as jnp
 
     from polars_tpu.engine.common import Val
 
     v = args[0]
-    ch, ok = _traced_child(v, "list.contains")
     item = args[1]
-    hit = (ch.values == item.values.astype(ch.values.dtype)) & ok
-    cnt = _range_sum(v.values, hit.astype(jnp.int32), ch.values.shape[0])
-    return Val(cnt > 0, v.validity, dt.Boolean(), None, v.domain)
+    nulls_equal = opts.get("nulls_equal", False)
+    scalar_item = item.domain == "scalar" or getattr(item.values, "ndim", 1) == 0
+    if scalar_item:
+        ch, ok = _traced_child(v, "list.contains")
+        hit = (ch.values == item.values.astype(ch.values.dtype)) & ok
+        cnt = _range_sum(v.values, hit.astype(jnp.int32), ch.values.shape[0])
+        return Val(cnt > 0, v.validity, dt.Boolean(), None, v.domain)
+    # per-row item (Expr.is_in against a List column routes here): gather the
+    # child contiguous in parent order, compare each slot against ITS parent's
+    # item, scatter-count matches per parent
+    # (reference: is_in with list rhs, polars-ops/src/series/ops/is_in.rs)
+    if item.table is not None:
+        ch0, _ = _traced_child(v, "list.contains")
+        if ch0.table is None or ch0.table.ident != item.table.ident:
+            raise InvalidOperationError(
+                "per-row list.contains on strings requires a shared dictionary"
+            )
+    ch, ok, _new_packed, pc, _within, src, in_data, _lens = _contiguize(
+        ctx, v, "list.contains"
+    )
+    n = v.values.shape[0]
+    g = ch.values[src]
+    gok = ok[src] & in_data
+    it = item.values[pc]
+    hit = (g == it.astype(g.dtype)) & gok
+    if item.validity is not None:
+        hit = hit & item.validity[pc]
+    tgt = jnp.where(in_data, pc, n)
+    out = jnp.zeros((n,), jnp.int32).at[tgt].add(hit.astype(jnp.int32), mode="drop") > 0
+    validity = v.validity
+    if item.validity is not None:
+        if nulls_equal:
+            # null item: membership of null among the row's list elements
+            hitn = (~gok) & in_data
+            out_null = (
+                jnp.zeros((n,), jnp.int32).at[tgt].add(hitn.astype(jnp.int32), mode="drop") > 0
+            )
+            out = jnp.where(item.validity, out, out_null)
+        else:
+            validity = item.validity if validity is None else (validity & item.validity)
+    return Val(out, validity, dt.Boolean(), None, v.domain)
 
 
 register("list.join", dt.String(), elementwise=False)(_host("list.join"))

@@ -479,7 +479,20 @@ def _rank(ctx, args, opts):
         # segmented rank: group id is the leading sort word, ranks restart at
         # each group (reference: rank inside WindowExpr partitions)
         gid_words = [jnp.where(ctx.rowmask, ctx.groups.gids, 2**31 - 1)]
-    words = [oob.astype(jnp.int8), *gid_words, *key_words(v.values, v.dtype, descending=descending)]
+    tie_words = []
+    if method == "random":
+        # seeded pseudorandom tie-break word, then ordinal rank (reference
+        # rank method="random"); splitmix-style position hash so a seed gives
+        # a deterministic permutation
+        seed = opts.get("seed")
+        seed = 0 if seed is None else int(seed)
+        h = (iota.astype(jnp.uint32) + jnp.uint32(seed * 2654435761 & 0xFFFFFFFF)) * jnp.uint32(2654435761)
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x45D9F3B)
+        h = h ^ (h >> 16)
+        tie_words = [h.astype(jnp.int32)]
+        method = "ordinal"
+    words = [oob.astype(jnp.int8), *gid_words, *key_words(v.values, v.dtype, descending=descending), *tie_words]
     perm = stable_argsort_words(words)
     pos = iota + 1  # 1-based rank in sorted order
     newval = boundaries_from_words(words, perm)

@@ -1470,8 +1470,25 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             return LO.list_get(col, int(e.opt("index", 0)))
         if kind == "contains":
             item = e.inputs[1]
-            val = item.value if isinstance(item, E.ELiteral) else item
-            return LO.list_contains(col, val)
+            if isinstance(item, E.ELiteral):
+                return LO.list_contains(col, item.value)
+            # per-row item column: python fallback (host path already
+            # materialized; the traced path handles the fused case)
+            item_col = _eval_special_expr(df, item, schema)
+            nulls_equal = bool(e.opt("nulls_equal", False))
+            vals = col.to_pylist()
+            items = item_col.to_pylist()
+            out = []
+            for v, it in zip(vals, items):
+                if v is None:
+                    out.append(None)
+                elif it is None and not nulls_equal:
+                    out.append(None)
+                else:
+                    out.append(it in v)
+            from polars_tpu.core.column import Column as _Col
+
+            return _Col.from_values(col.name, out, dt.Boolean())
         if kind == "join":
             return LO.list_join(col, e.opt("separator", "-"), e.opt("ignore_nulls", True))
         if kind == "sort":

@@ -795,12 +795,29 @@ class Expr:
         return self._fn("ewm_var", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
 
     def cut(self, breaks: Any, *, labels: Any = None, left_closed: bool = False, include_breaks: bool = False) -> Expr:
-        return self._fn("cut", breaks=tuple(breaks), labels=tuple(labels) if labels is not None else None, left_closed=left_closed)
+        cat = self._fn("cut", breaks=tuple(breaks), labels=tuple(labels) if labels is not None else None, left_closed=left_closed)
+        if not include_breaks:
+            return cat
+        bp = self._fn("cut_breakpoint", breaks=tuple(breaks), left_closed=left_closed)
+        return self._include_breaks_struct(bp, cat)
 
     def qcut(self, quantiles: Any, *, labels: Any = None, left_closed: bool = False, allow_duplicates: bool = False, include_breaks: bool = False) -> Expr:
         if isinstance(quantiles, int):
             quantiles = [i / quantiles for i in range(1, quantiles)]
-        return self._fn("qcut", quantiles=tuple(quantiles), labels=tuple(labels) if labels is not None else None, left_closed=left_closed)
+        cat = self._fn("qcut", quantiles=tuple(quantiles), labels=tuple(labels) if labels is not None else None, left_closed=left_closed)
+        if not include_breaks:
+            return cat
+        bp = self._fn("qcut_breakpoint", quantiles=tuple(quantiles), left_closed=left_closed)
+        return self._include_breaks_struct(bp, cat)
+
+    def _include_breaks_struct(self, bp: Expr, cat: Expr) -> Expr:
+        """struct{breakpoint, category} for include_breaks=True (reference
+        py-polars tests test_cut_include_breaks)."""
+        from polars_tpu.functions.lazy import struct as _struct
+
+        out = _struct(bp.alias("breakpoint"), cat.alias("category"))
+        name = self.meta_output_name()
+        return out.alias(name) if name else out
 
     def interpolate(self, method: str = "linear") -> Expr:
         return self._fn("interpolate", method=method)
@@ -812,7 +829,7 @@ class Expr:
         return self._fn("backward_fill", limit=limit)
 
     def rank(self, method: str = "average", *, descending: bool = False, seed: int | None = None) -> Expr:
-        return self._fn("rank", method=method, descending=descending)
+        return self._fn("rank", method=method, descending=descending, seed=seed)
 
     def reverse(self) -> Expr:
         return self._fn("reverse")

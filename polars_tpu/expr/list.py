@@ -120,17 +120,36 @@ class ExprListNamespace:
     def median(self) -> Expr:
         return self._fn("median")
 
+    def _set_other(self, other: Any) -> Any:
+        """A str names a column; a plain collection is a literal list
+        (reference py-polars expr/list.py set_union arg handling)."""
+        from polars_tpu.expr.expr import Expr as _Expr
+        from polars_tpu.functions.lazy import col, lit
+
+        if isinstance(other, str):
+            return col(other)
+        if isinstance(other, _Expr):
+            return other
+        if isinstance(other, (set, frozenset)):
+            other = list(other)
+        if isinstance(other, (list, tuple)):
+            # one-row List literal, broadcast over rows by list_set_op
+            from polars_tpu.core.series import Series as _Series
+
+            return lit(_Series("literal", [list(other)]))
+        return other
+
     def set_union(self, other: Any) -> Expr:
-        return self._fn("set_union", other)
+        return self._fn("set_union", self._set_other(other))
 
     def set_intersection(self, other: Any) -> Expr:
-        return self._fn("set_intersection", other)
+        return self._fn("set_intersection", self._set_other(other))
 
     def set_difference(self, other: Any) -> Expr:
-        return self._fn("set_difference", other)
+        return self._fn("set_difference", self._set_other(other))
 
     def set_symmetric_difference(self, other: Any) -> Expr:
-        return self._fn("set_symmetric_difference", other)
+        return self._fn("set_symmetric_difference", self._set_other(other))
 
     def union(self, other: Any) -> Expr:
         return self.set_union(other)

@@ -412,7 +412,11 @@ def list_set_op(col: Column, other: Column, kind: str) -> Column:
             != ((_MISSING if x is None else x) in bset),
         )
 
-    out = [op(a, b) for a, b in zip(col.to_pylist(), other.to_pylist())]
+    avals = col.to_pylist()
+    bvals = other.to_pylist()
+    if len(bvals) == 1 and len(avals) != 1:
+        bvals = bvals * len(avals)  # broadcast a literal list rhs
+    out = [op(a, b) for a, b in zip(avals, bvals)]
     return Column.from_values(col.name, out, col.dtype)
 
 
