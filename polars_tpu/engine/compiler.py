@@ -876,7 +876,17 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         bv = v.values.astype(bool)
         fn = G.seg_any if kind == "any" else G.seg_all
         out = fn(bv, data_mask, gids, cap)
-        return Val(out, None, dt.Boolean(), None, dom)
+        if node.opt("ignore_nulls", True) or v.validity is None:
+            return Val(out, None, dt.Boolean(), None, dom)
+        # Kleene: any -> null when no true but nulls present; all -> null
+        # when no false but nulls present (reference BooleanChunked any/all
+        # with ignore_nulls=False)
+        has_null = G.seg_any(~v.validity, rowmask, gids, cap)
+        if kind == "any":
+            validity = out | ~has_null
+        else:
+            validity = ~out | ~has_null
+        return Val(out, validity, dt.Boolean(), None, dom)
     if kind == "item":
         # exactly one row (reference: Expr.item) — >1 always errors, 0 errors
         # unless allow_empty, which yields null

@@ -455,16 +455,18 @@ def _encode(ctx, args, opts):
     raise InvalidOperationError(f"unknown encoding {enc!r}")
 
 
-@register("str.decode", dt.String())
+@register("str.decode", dt.Binary())
 def _decode(ctx, args, opts):
+    # reference returns Binary (py-polars expr/string.py decode) — raw bytes,
+    # not re-interpreted UTF-8
     v = _require_str(args[0])
     enc = opts["encoding"]
     if enc == "base64":
         import base64
 
-        return _str_map(v, lambda s: base64.b64decode(s).decode())
+        return _table_transform(v, lambda s: base64.b64decode(s), dt.Binary())
     if enc == "hex":
-        return _str_map(v, lambda s: bytes.fromhex(s).decode())
+        return _table_transform(v, lambda s: bytes.fromhex(s), dt.Binary())
     raise InvalidOperationError(f"unknown encoding {enc!r}")
 
 
