@@ -336,7 +336,7 @@ def main() -> None:
 
     def per_call(label):
         sp = spans.get(label)
-        if not sp:
+        if not sp or sp.get("error"):
             return None
         t = max(sp["s"] - rtt, 1e-9) / sp["n"]
         suspicious = sp["s"] < 3 * rtt  # phase finished before probes read

@@ -270,7 +270,10 @@ def _truncate_naive(ctx, v, opts):
         per_us = _TU[v.dtype.time_unit] // 1_000_000 or 1
         if unit in _UNIT_TICKS_US and _UNIT_TICKS_US[unit] > 0:
             step = n * _UNIT_TICKS_US[unit] * per_us
-            out = floordiv_any(v.values, step) * step
+            # weeks anchor on Monday; the epoch (1970-01-01) is a Thursday,
+            # so shift by 3 days before flooring (reference polars-time)
+            anchor = 3 * 86_400_000_000 * per_us if unit == "w" else 0
+            out = floordiv_any(v.values + anchor, step) * step - anchor
             return v.with_(values=out)
         if unit in ("mo", "q", "y"):
             per_day = _TU[v.dtype.time_unit] * 86_400
@@ -360,11 +363,13 @@ def _dt_round_naive(v, opts):
     if isinstance(v.dtype, dt.Datetime) and unit in _UNIT_TICKS_US and _UNIT_TICKS_US[unit] > 0:
         per_us = _TU[v.dtype.time_unit] // 1_000_000 or 1
         step = n * _UNIT_TICKS_US[unit] * per_us
-        out = floordiv_any(v.values + step // 2, step) * step
+        anchor = 3 * 86_400_000_000 * per_us if unit == "w" else 0  # Monday weeks
+        out = floordiv_any(v.values + anchor + step // 2, step) * step - anchor
         return v.with_(values=out)
     if isinstance(v.dtype, dt.Date) and unit in ("d", "w"):
         step = n * (7 if unit == "w" else 1)
-        out = (floordiv_any(v.values.astype(jnp.int64) + step // 2, step) * step).astype(jnp.int32)
+        anchor = 3 if unit == "w" else 0
+        out = (floordiv_any(v.values.astype(jnp.int64) + anchor + step // 2, step) * step - anchor).astype(jnp.int32)
         return v.with_(values=out)
     raise InvalidOperationError(f"dt.round by {unit!r} unsupported")
 

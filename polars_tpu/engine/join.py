@@ -632,6 +632,44 @@ def _asof_match_jit(strategy: str, tolerance: float | None):
     return jax.jit(match)
 
 
+def _tolerance_ticks(tol: str, key_dtype) -> int:
+    """Duration-string asof tolerance -> ticks of the key column's unit
+    (reference join_asof tolerance; calendar units mo/q/y are rejected there
+    too because they are not constant durations)."""
+    import re as _re
+
+    from polars_tpu.errors import InvalidOperationError
+
+    parts = _re.findall(r"(\d+)(ns|us|ms|s|m|h|d|w)", tol)
+    if not parts or "".join(n + u for n, u in parts) != tol.replace(" ", ""):
+        raise InvalidOperationError(
+            f"cannot parse tolerance {tol!r} (calendar units mo/q/y are not "
+            "fixed durations and are unsupported)"
+        )
+    us_per = {
+        "ns": 0.001, "us": 1, "ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+        "h": 3_600_000_000, "d": 86_400_000_000, "w": 604_800_000_000,
+    }
+    total_us = sum(int(n) * us_per[u] for n, u in parts)
+    name = type(key_dtype).__name__
+    if name == "Datetime":
+        per_us = {"ns": 1_000, "us": 1, "ms": 1e-3}[key_dtype.time_unit]
+        return int(total_us * per_us)
+    if name == "Date":
+        ticks = total_us / 86_400_000_000
+        if ticks != int(ticks):
+            raise InvalidOperationError(
+                f"tolerance {tol!r} is not a whole number of days for Date keys"
+            )
+        return int(ticks)
+    if name == "Time" or name == "Duration":
+        per_us = {"ns": 1_000, "us": 1, "ms": 1e-3}[getattr(key_dtype, "time_unit", "ns" if name == "Time" else "us")]
+        return int(total_us * per_us)
+    raise InvalidOperationError(
+        f"duration-string tolerance requires a temporal asof key, got {key_dtype!r}"
+    )
+
+
 def asof_join_frames(
     left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     strategy: str, suffix: str, tolerance, out_schema,
@@ -639,6 +677,12 @@ def asof_join_frames(
 ) -> DataFrame:
     lcol = left._get(left_on)
     rcol = right._get(right_on)
+    if isinstance(tolerance, str):
+        tolerance = _tolerance_ticks(tolerance, lcol.dtype)
+    elif tolerance is not None and hasattr(tolerance, "total_seconds"):
+        # datetime.timedelta
+        us = int(round(tolerance.total_seconds() * 1e6))
+        tolerance = _tolerance_ticks(f"{us}us", lcol.dtype)
     lk = lcol.buffer.values.astype(jnp.int64) if not lcol.dtype.is_float() else lcol.buffer.values
     rk = rcol.buffer.values.astype(jnp.int64) if not rcol.dtype.is_float() else rcol.buffer.values
     nl = lcol.buffer.padded

@@ -64,7 +64,16 @@ class DeviceTimeline:
         t_prev: float | None = None
         t0 = time.perf_counter()
         for label, k, p in self._marks:
-            np.asarray(p)
+            try:
+                np.asarray(p)
+            except Exception as e:  # noqa: BLE001
+                # device fault (e.g. UNAVAILABLE mid-queue): salvage the
+                # phases that already resolved instead of losing the run
+                out[label] = {"s": -1.0, "n": k, "error": str(e)[:200]}
+                import sys
+
+                print(f"device_timer: probe {label!r} failed: {e}", file=sys.stderr)
+                continue
             t = time.perf_counter()
             base = t_prev if t_prev is not None else t0
             out[label] = {"s": t - base, "n": k}
