@@ -116,6 +116,9 @@ def cast_column(col: Column, dtype: dt.DataType, *, strict: bool = True) -> Colu
             text = np.asarray([_format_scalar(col, i) for i in range(buf.length)], dtype=object)
         elif isinstance(src, dt.FloatType):
             text = np.asarray([_trim_float(x) for x in vals.tolist()], dtype=object)
+        elif isinstance(src, dt.Boolean):
+            # reference stringifies booleans lowercase ("true"/"false")
+            text = np.where(vals, "true", "false").astype(object)
         else:
             text = vals.astype(str).astype(object)
         if validity_np is not None:
