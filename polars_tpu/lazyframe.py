@@ -1180,21 +1180,27 @@ class LazyRolling:
                 inner = inner.input
             if isinstance(inner, E.EAgg) and isinstance(inner.input, E.EColumn):
                 src, kind = inner.input.name, inner.kind
-            elif isinstance(inner, E.EFunction) and inner.name == "len":
+            elif isinstance(inner, E.ELen) or (
+                isinstance(inner, E.EFunction) and inner.name == "len"
+            ):
                 src, kind = self._index, "len"
+                if not out_name:
+                    out_name = "len"
             else:
                 raise InvalidOperationError(
                     "rolling().agg supports simple column aggregations "
                     "(sum/mean/count/len/min/max/first/last/var/std)"
                 )
-            if kind == "count":
+            if kind in ("count", "len"):
                 out_dt = dt.UInt32()
-            elif kind == "len":
-                out_dt = dt.UInt32()
-            elif kind in ("first", "last"):
+            elif kind in ("first", "last", "min", "max"):
                 out_dt = schema[src]
-            elif kind in ("sum",):
-                out_dt = schema[src] if schema[src].is_float() else dt.Float64()
+            elif kind == "sum":
+                # reference agg dtype rule (small ints widen to 64-bit);
+                # resolved by the schema resolver for consistency
+                from polars_tpu.plan.schema_resolve import expr_dtype as _edt
+
+                out_dt = _edt(E.EAgg(E.EColumn(src), "sum", ()), schema)
             else:
                 out_dt = dt.Float64()
             specs.append((src, kind, out_name, out_dt))
