@@ -1100,6 +1100,8 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
         flags=ctx.flags,
     )
     res = eval_expr(node.function, inner)
+    if node.mapping_strategy == "join":
+        return _window_join_lists(res, gctx, ctx)
     if res.domain == GROUP:
         values = res.values[gctx.gids]
         validity = None if res.validity is None else res.validity[gctx.gids]
@@ -1109,6 +1111,41 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
         return res
     # scalar: broadcast
     return res.with_(domain=ROW)
+
+
+def _window_join_lists(res: Val, gctx, ctx: EvalCtx) -> Val:
+    """mapping_strategy='join': every row receives its GROUP's values as a
+    List (reference expressions/window.rs Join strategy). Rows of one group
+    SHARE the child range — packed (start,len) pairs are position-independent
+    so that is legal in the TracedChild layout."""
+    from polars_tpu.engine.common import TracedChild
+    from polars_tpu.kernels.argsort import stable_argsort_words
+
+    n = ctx.padded
+    gids = gctx.gids
+    cap = gctx.capacity
+    gkey = jnp.where(ctx.rowmask, gids, jnp.int32(2**31 - 1))
+    if res.domain == GROUP:
+        # aggregate: one-element list per row, child = per-group values
+        counts = jnp.ones((cap,), jnp.int32)
+        gstart = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+        child_vals = res.values
+        child_ok = jnp.ones((cap,), bool) if res.validity is None else res.validity
+        total = jnp.int32(cap)
+    else:
+        if res.domain != ROW:
+            res = res.with_(values=jnp.broadcast_to(res.values, (n,)), domain=ROW)
+        perm = stable_argsort_words([gkey])
+        child_vals = res.values[perm]
+        ok = ctx.rowmask if res.validity is None else (ctx.rowmask & res.validity)
+        child_ok = ok[perm]
+        counts = G.seg_count(ctx.rowmask, gids, cap)
+        csum = jnp.cumsum(counts)
+        gstart = (csum - counts).astype(jnp.int32)
+        total = csum[-1].astype(jnp.int32)
+    packed = (gstart[gids].astype(jnp.int64) << 32) | counts[gids].astype(jnp.int64)
+    child = TracedChild(child_vals, child_ok, res.dtype, res.table, total, None, None)
+    return Val(packed, None, dt.List(res.dtype), None, ROW, child)
 
 
 # ---------------------------------------------------------------------------

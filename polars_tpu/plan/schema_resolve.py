@@ -419,7 +419,10 @@ def expr_dtype(node: E.ENode, schema: Schema, *, in_agg: bool = False) -> dt.Dat
     if isinstance(node, E.EFilter):
         return expr_dtype(node.input, schema, in_agg=in_agg)
     if isinstance(node, E.EWindow):
-        return expr_dtype(node.function, schema, in_agg=True)
+        inner_dt = expr_dtype(node.function, schema, in_agg=True)
+        if node.mapping_strategy == "join":
+            return dt.List(inner_dt)
+        return inner_dt
     if isinstance(node, E.EGather):
         return expr_dtype(node.input, schema, in_agg=in_agg)
     if isinstance(node, E.EAnonymous):
