@@ -1342,14 +1342,20 @@ class DataFrame:
             data[c.name] = [r[i + 1] for r in rows]
         return DataFrame(data, strict=False)
 
-    def glimpse(self) -> str:
+    def glimpse(
+        self, *, max_items_per_column: int = 10,
+        max_colname_length: int = 50, return_as_string: bool = False,
+    ) -> str | None:
         lines = [f"Rows: {self._height}", f"Columns: {self.width}"]
         for c in self._columns:
-            vals = self.get_column(c.name).head(5).to_list()
-            lines.append(f"$ {c.name:<15} <{c.dtype!r}> {vals}")
+            vals = self.get_column(c.name).head(max_items_per_column).to_list()
+            name = c.name[:max_colname_length]
+            lines.append(f"$ {name:<15} <{c.dtype!r}> {vals}")
         out = "\n".join(lines)
+        if return_as_string:
+            return out
         print(out)
-        return out
+        return None
 
     # -- repr ----------------------------------------------------------------------------------------
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import builtins as _builtins  # `list`/`object` below shadow the builtins
 from typing import Any
 
 from polars_tpu import datatypes as dt
@@ -143,7 +144,7 @@ def by_name(*names: str, require_all: bool = True) -> SelectorExpr:
 def by_dtype(*dtypes: Any) -> SelectorExpr:
     flat: list[Any] = []
     for d in dtypes:
-        if isinstance(d, (list, tuple)):
+        if isinstance(d, (_builtins.list, tuple)):
             flat.extend(d)
         else:
             flat.append(d)
