@@ -32,6 +32,7 @@ def scan_csv(
     from polars_tpu.io.parquet import _expand_paths
     from polars_tpu.lazyframe import LazyFrame
 
+    source = _materialize_filelike(source)
     overrides = ()
     if schema_overrides:
         if isinstance(schema_overrides, dict):
@@ -58,6 +59,27 @@ def scan_csv(
         row_index=(row_index_name, row_index_offset) if row_index_name else None,
     )
     return LazyFrame._from_node(node)
+
+
+def _materialize_filelike(source: Any) -> Any:
+    """File-like objects and raw bytes become a temp file the Arrow reader
+    can open (reference read_csv accepts str paths, Path, BytesIO/StringIO
+    and bytes)."""
+    import tempfile
+
+    data = None
+    if hasattr(source, "read"):
+        data = source.read()
+    elif isinstance(source, (bytes, bytearray)):
+        data = bytes(source)
+    if data is None:
+        return source
+    if isinstance(data, str):
+        data = data.encode()
+    f = tempfile.NamedTemporaryFile(suffix=".csv", delete=False)
+    f.write(data)
+    f.close()
+    return f.name
 
 
 def read_csv(source: Any, *, columns: Any = None, new_columns: Any = None, **kwargs: Any):

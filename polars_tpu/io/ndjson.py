@@ -9,9 +9,11 @@ from polars_tpu.plan import logical as L
 
 
 def scan_ndjson(source: Any, *, n_rows: int | None = None, storage_options: Any = None, **kwargs: Any):
+    from polars_tpu.io.csv import _materialize_filelike
     from polars_tpu.io.parquet import _expand_paths
     from polars_tpu.lazyframe import LazyFrame
 
+    source = _materialize_filelike(source)
     node = L.LScan(
         sources=_expand_paths(source, storage_options=storage_options),
         fmt="ndjson",
