@@ -185,7 +185,21 @@ class DataFrame:
         return self.lazy().select(*exprs, **named_exprs).collect()
 
     def with_columns(self, *exprs: Any, **named_exprs: Any) -> DataFrame:
+        self._check_series_heights(exprs, named_exprs)
         return self.lazy().with_columns(*exprs, **named_exprs).collect()
+
+    def _check_series_heights(self, exprs, named_exprs) -> None:
+        """Eager contexts raise on length-mismatched Series inputs
+        (reference ShapeError; length-1 broadcasts)."""
+        from polars_tpu.core.series import Series as _S
+        from polars_tpu.errors import ShapeError
+
+        for v in (*exprs, *named_exprs.values()):
+            if isinstance(v, _S) and len(v) not in (1, self._height):
+                raise ShapeError(
+                    f"unable to add a column of length {len(v)} to a "
+                    f"DataFrame of height {self._height}"
+                )
 
     def filter(self, *predicates: Any, **constraints: Any) -> DataFrame:
         return self.lazy().filter(*predicates, **constraints).collect()

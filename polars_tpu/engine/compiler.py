@@ -320,6 +320,15 @@ def _eval_binary(node: E.EBinary, ctx: EvalCtx) -> Val:
         raise InvalidOperationError(f"operator {op!r} not supported for strings")
 
     out_dt = binary_dtype(op, a.dtype, b.dtype)
+    if op == "**" and out_dt.is_integer():
+        # reference raises on negative integer exponents (pow of int dtype is
+        # int; a negative exponent would need a float result) — count-sync
+        # error channel, no readback inside the trace
+        ctx.add_flag(
+            jnp.any(b.values < 0),
+            "InvalidOperationError: exponent of an integer pow must be >= 0; "
+            "cast to Float64 for negative exponents",
+        )
     a2, b2, values, validity = _arith(op, a, b, out_dt)
     if validity is not None and validity.shape != values.shape:
         validity = jnp.broadcast_to(validity, values.shape)

@@ -303,6 +303,12 @@ class LazyFrame:
 
     def select(self, *exprs: Any, **named_exprs: Any) -> LazyFrame:
         nodes = tuple(parse_into_expr_list(list(exprs), named_exprs))
+        if not nodes:
+            # select() with no columns is an EMPTY frame (reference (0, 0))
+            from polars_tpu.core.frame import DataFrame as _DF
+
+            empty = _DF._from_columns([], 0)
+            return self._wrap(L.LDataFrameScan(df=empty, ident=obj_token(empty)))
         return self._wrap(L.LSelect(self._node, nodes))
 
     def select_seq(self, *exprs: Any, **named_exprs: Any) -> LazyFrame:
