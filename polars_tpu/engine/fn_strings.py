@@ -166,9 +166,31 @@ def _normalize(ctx, args, opts):
     return _str_map(_require_str(args[0]), lambda s: unicodedata.normalize(form, s))
 
 
+def _lut2_op(v: Val, p: Val, fn, out_dtype):
+    """Row-wise string predicate with an EXPRESSION rhs: both sides are
+    dict-coded, so a host |t1|x|t2| truth matrix + one traced 2-D gather keeps
+    the op fused (dictionaries are small by engine invariant)."""
+    t1 = v.table.values
+    t2 = p.table.values
+    m = np.asarray(
+        [[fn(a, b) for b in t2] for a in t1] or [[0]],
+        dt.dtype_to_numpy(out_dtype),
+    )
+    if m.size == 0:
+        m = np.zeros((max(len(t1), 1), max(len(t2), 1)), dt.dtype_to_numpy(out_dtype))
+    lut = jnp.asarray(m)
+    i = jnp.clip(v.values, 0, max(len(t1) - 1, 0))
+    j = jnp.clip(p.values, 0, max(len(t2) - 1, 0))
+    out = lut[i, j]
+    validity = combine_validity(v.validity, p.validity)
+    return Val(out, validity, dt.parse_into_dtype(out_dtype), None, v.domain)
+
+
 @register("str.starts_with", BOOL)
 def _starts_with(ctx, args, opts):
     v = _require_str(args[0])
+    if len(args) > 1:
+        return _lut2_op(v, _require_str(args[1]), lambda a, b: a.startswith(b), dt.Boolean())
     p = opts["prefix"]
     return _lut_op(v, lambda s: s.startswith(p), dt.Boolean())
 
@@ -176,6 +198,8 @@ def _starts_with(ctx, args, opts):
 @register("str.ends_with", BOOL)
 def _ends_with(ctx, args, opts):
     v = _require_str(args[0])
+    if len(args) > 1:
+        return _lut2_op(v, _require_str(args[1]), lambda a, b: a.endswith(b), dt.Boolean())
     p = opts["suffix"]
     return _lut_op(v, lambda s: s.endswith(p), dt.Boolean())
 

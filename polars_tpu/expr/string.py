@@ -36,10 +36,14 @@ class ExprStringNamespace:
     def contains_any(self, patterns: list[str], *, ascii_case_insensitive: bool = False) -> Expr:
         return self._fn("contains_any", patterns=tuple(patterns), ascii_case_insensitive=ascii_case_insensitive)
 
-    def starts_with(self, prefix: str) -> Expr:
+    def starts_with(self, prefix: Any) -> Expr:
+        if not isinstance(prefix, str) and prefix is not None:
+            return self._fn("starts_with", prefix)  # expression rhs
         return self._fn("starts_with", prefix=prefix)
 
-    def ends_with(self, suffix: str) -> Expr:
+    def ends_with(self, suffix: Any) -> Expr:
+        if not isinstance(suffix, str) and suffix is not None:
+            return self._fn("ends_with", suffix)
         return self._fn("ends_with", suffix=suffix)
 
     def to_lowercase(self) -> Expr:
