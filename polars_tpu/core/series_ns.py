@@ -43,6 +43,17 @@ class SeriesStructNamespace(_SeriesNamespace):
     def fields(self):
         return [c.name for c in (self._s._column.child or [])]
 
+    @property
+    def schema(self):
+        """{field name: dtype} (reference series/struct.py schema property)."""
+        from polars_tpu.core.schema import Schema
+
+        return Schema({c.name: c.dtype for c in (self._s._column.child or [])})
+
+    def unnest(self):
+        """One column per field, as a DataFrame (reference series/struct.py)."""
+        return self._s.to_frame().select(self._s._expr().struct.unnest())
+
 
 class SeriesArrayNamespace(_SeriesNamespace):
     _expr_ns = "arr"
@@ -54,6 +65,21 @@ class SeriesBinaryNamespace(_SeriesNamespace):
 
 class SeriesCatNamespace(_SeriesNamespace):
     _expr_ns = "cat"
+
+    def is_local(self) -> bool:
+        """Always False (reference series/categorical.py: local
+        representations are deprecated)."""
+        return False
+
+    def to_local(self):
+        return self._s
+
+    def uses_lexical_ordering(self) -> bool:
+        """Always True (reference series/categorical.py)."""
+        return True
+
+    def physical(self):
+        return self._s.to_physical()
 
     def get_categories(self):
         from polars_tpu.core.series import Series
