@@ -72,6 +72,11 @@ def _join_fusable(node: L.LJoin) -> bool:
     (output ⊆ left rows), so they fuse too when the key comparison is exact
     (single non-float key: the in-trace matcher verifies only the first
     candidate of a hash run, which is only sound for exact key words)."""
+    if _os.environ.get("POLARS_TPU_NO_FUSED_JOIN"):
+        # escape hatch: the fused join program crashed the TPU worker on
+        # 60M-row probe sides (axon v5e, 2026-08-19); the barrier join path
+        # is immune
+        return False
     if node.validate in ("m:1", "1:1"):
         return node.how in ("inner", "left", "semi", "anti")
     if node.validate == "1:m":
