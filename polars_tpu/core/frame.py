@@ -8,6 +8,7 @@ py-polars does for filter/sort/join/group_by — one engine, two entry points.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterable, Mapping, Sequence
 from typing import TYPE_CHECKING, Any
 
@@ -878,28 +879,50 @@ class DataFrame:
         on_vals = self.get_column(on_name).unique(maintain_order=maintain_order).to_list()
         if sort_columns:
             on_vals = sorted(on_vals, key=lambda x: (x is None, x))
-        idx_frame = base.select(index_names).unique(maintain_order=maintain_order)
-        key_of = {tuple(r[: len(index_names)]): i for i, r in enumerate(idx_frame.rows())}
-        n_out = idx_frame.height
-        cols = list(idx_frame._columns)
-        base_rows = base.rows()
-        base_cols = base.columns
-        on_pos = base_cols.index(on_name)
-        for v in on_vals:
-            for vn in value_names:
-                vpos = base_cols.index(vn)
-                out_vals: list = [None] * n_out
-                for r in base_rows:
-                    if r[on_pos] == v:
-                        out_vals[key_of[tuple(r[: len(index_names)])]] = r[vpos]
-                name = (
-                    str(v)
-                    if len(value_names) == 1
-                    else f"{vn}{separator}{v}"
-                )
-                cols.append(
-                    Column.from_values(name, out_vals, base.schema[vn], strict=False)
-                )
+
+        # Device scatter path (reference: polars-ops/src/frame/pivot/mod.rs —
+        # there a parallel row-index kernel; here ONE batched scatter per value
+        # column): each base row lands at cell (group_id, on_id) of a dense
+        # (n_on, n_out) matrix. group_id/on_id come from m:1 joins against the
+        # distinct-index / distinct-on frames, so no per-row Python runs.
+        work = base
+        if index_names:
+            idx_frame = base.select(index_names).unique(maintain_order=maintain_order)
+            n_out = idx_frame.height
+            idx_with_id = idx_frame.with_row_index("__pv_gid")
+            work = work.join(idx_with_id, on=index_names, how="left", nulls_equal=True)
+            cols = list(idx_frame._columns)
+        else:
+            n_out = 1
+            cols = []
+        on_col = Column.from_values(on_name, on_vals, base.schema[on_name], strict=False)
+        onf = DataFrame._from_columns([on_col], len(on_vals)).with_row_index("__pv_oid")
+        work = work.join(onf, on=on_name, how="left", nulls_equal=True)
+
+        import jax.numpy as jnp
+
+        from polars_tpu.core.buffer import Buffer, padded_size as _psize
+
+        oid_buf = work.get_column("__pv_oid")._column.buffer
+        keep = oid_buf.valid_mask()
+        oid = oid_buf.values
+        if index_names:
+            gid_buf = work.get_column("__pv_gid")._column.buffer
+            keep = keep & gid_buf.valid_mask()
+            gid = gid_buf.values
+        else:
+            gid = jnp.zeros_like(oid)
+
+        out_padded = _psize(n_out)
+        scat = _pivot_scatter(len(on_vals), out_padded)
+        for vn in value_names:
+            c = work.get_column(vn)._column
+            buf = c.buffer
+            out, valid = scat(buf.values, buf.valid_mask(), gid, oid, keep)
+            for j, v in enumerate(on_vals):
+                name = str(v) if len(value_names) == 1 else f"{vn}{separator}{v}"
+                vb = Buffer(out[j], valid[j], n_out)
+                cols.append(Column(name, c.dtype, vb, table=c.table, child=c.child))
         return DataFrame._from_columns(cols, n_out)
 
     def transpose(self, *, include_header: bool = False, header_name: str = "column", column_names: Any = None) -> DataFrame:
@@ -1553,3 +1576,25 @@ def _build_columns(
         return [Column.from_values(name, data, dtype_for(name), strict=strict)]
 
     raise TypeError(f"cannot create DataFrame from {type(data).__name__}")
+
+
+@_functools.lru_cache(maxsize=None)
+def _pivot_scatter(n_on: int, out_padded: int):
+    """Jitted dense cell scatter for :meth:`DataFrame.pivot` (reference:
+    polars-ops/src/frame/pivot/positioning.rs — there a parallel row-index
+    kernel, here one batched XLA scatter). Cached per output shape so repeated
+    pivots reuse one compiled program (CLAUDE.md rule 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(vals, src_valid, gid, oid, keep):
+        # dropped rows are routed out of bounds; mode="drop" discards them
+        o = jnp.where(keep, oid.astype(jnp.int32), n_on)
+        g = jnp.where(keep, gid.astype(jnp.int32), out_padded)
+        out = jnp.zeros((n_on, out_padded), dtype=vals.dtype)
+        out = out.at[o, g].set(vals, mode="drop")
+        valid = jnp.zeros((n_on, out_padded), dtype=bool)
+        valid = valid.at[o, g].set(src_valid, mode="drop")
+        return out, valid
+
+    return jax.jit(fn)

@@ -14,6 +14,7 @@ cache), so repeated eager calls do not re-trace.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from dataclasses import dataclass
 from typing import Any
 
