@@ -46,6 +46,12 @@ class _GlobalConfig:
         self.hot_table_size: int = _env_int("POLARS_TPU_HOT_TABLE_SIZE", 4096)
         # Default max unique groups before falling back to sort-based group-by
         self.max_hash_groups: int = _env_int("POLARS_TPU_MAX_HASH_GROUPS", 1 << 22)
+        # String dictionaries at or below this size are ordinalized (host
+        # sort: code order == lex order) at ingest; larger ones keep their
+        # insertion order and ordinalize lazily only when an order-sensitive
+        # op touches them (reference analogue: hash_keys.rs — raw hash keys
+        # for high-cardinality strings, no global sorted registry)
+        self.ordinal_dict_max: int = _env_int("POLARS_TPU_ORDINAL_DICT_MAX", 1 << 16)
         # Force engine: "", "xla", "interpret"
         self.engine_affinity: str = os.environ.get("POLARS_ENGINE_AFFINITY", "")
         # Number of partitions for distributed shuffle ops (0 = #devices)

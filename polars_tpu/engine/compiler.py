@@ -503,12 +503,49 @@ def _enum_remap(v: Val, etable) -> Val:
     )
 
 
+def _scalar_one_table(v: Val) -> Val | None:
+    """The Val if it is a SCALAR with a single-entry dictionary (i.e. a string
+    literal whose value is host-known at trace time), else None."""
+    if v.domain == SCALAR and v.table is not None and len(v.table) == 1:
+        return v
+    return None
+
+
+def _compare_vs_scalar_lut(base: str, a: Val, b: Val, dom: str) -> Val:
+    """Ordering compare of a dict column against ONE host-known value via a
+    host bool LUT over the dictionary — O(|dict|) elementwise compares, no
+    ordinalization (the high-cardinality literal-filter path)."""
+    flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+    if _scalar_one_table(b) is not None and _scalar_one_table(a) is None:
+        col, lit_val, opx = a, b, base
+    else:
+        col, lit_val, opx = b, a, flip[base]
+    lit = lit_val.table.values[0]
+    vals = col.table.values
+    if opx == "<":
+        lut_np = vals < lit
+    elif opx == "<=":
+        lut_np = vals <= lit
+    elif opx == ">":
+        lut_np = vals > lit
+    else:
+        lut_np = vals >= lit
+    lut = jnp.asarray(np.asarray(lut_np, dtype=bool))
+    values = lut[jnp.clip(col.values, 0, max(len(vals) - 1, 0))]
+    validity = combine_validity(
+        a.validity if a.validity is None else jnp.broadcast_to(a.validity, values.shape),
+        b.validity if b.validity is None else jnp.broadcast_to(b.validity, values.shape),
+    )
+    return Val(values, validity, dt.Boolean(), None, dom)
+
+
 def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
     if (a.table is not None) != (b.table is not None):
         # string vs non-string: cast the non-string? polars errors; so do we
         raise InvalidOperationError(
             f"cannot compare {a.dtype!r} with {b.dtype!r}"
         )
+    base = {"eq_missing": "==", "ne_missing": "!="}.get(op, op)
     if a.table is not None:
         if isinstance(a.dtype, dt.Enum) or isinstance(b.dtype, dt.Enum):
             # align onto the enum's category-order code space; values outside
@@ -516,8 +553,34 @@ def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
             e = a if isinstance(a.dtype, dt.Enum) else b
             a, b = (_enum_remap(a, e.table), _enum_remap(b, e.table))
             av, bv = a.values, b.values
+        elif base in ("==", "!="):
+            # equality never needs ordinal codes: hash-probe the smaller
+            # dictionary into the bigger one's code space (-1 = absent, which
+            # can never equal a valid code) — O(u), no host sort
+            if a.table is b.table:
+                av, bv = a.values, b.values
+            elif len(a.table) == 0 or len(b.table) == 0:
+                # an empty dictionary (all-null literal): codes never equal
+                av = a.values
+                bv = jnp.full(b.values.shape, -1, a.values.dtype)
+            elif len(b.table) <= len(a.table):
+                rmap = strtable.index_in(b.table.values, a.table.values)
+                bv = jnp.asarray(rmap)[jnp.clip(b.values, 0, len(rmap) - 1)]
+                av = a.values
+            else:
+                lmap = strtable.index_in(a.table.values, b.table.values)
+                av = jnp.asarray(lmap)[jnp.clip(a.values, 0, len(lmap) - 1)]
+                bv = b.values
         else:
-            a, b = unify_vals(a, b)
+            from polars_tpu.engine.strings import ensure_ordinal_val, needs_ordinal
+
+            lit = _scalar_one_table(b) or _scalar_one_table(a)
+            if lit is not None and (needs_ordinal(a) or needs_ordinal(b)):
+                # ordering compare vs ONE value on a big unordered dict: a
+                # host bool LUT over the dictionary beats ordinalizing it
+                return _compare_vs_scalar_lut(base, a, b, dom)
+            a, b = ensure_ordinal_val(a), ensure_ordinal_val(b)
+            a, b = unify_vals(a, b, require_ordinal=True)
             av, bv = a.values, b.values
     else:
         st = supertype(a.dtype, b.dtype)
@@ -525,7 +588,6 @@ def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
         bc = cast_val(b, st, strict=False) if b.dtype != st else b
         av, bv = ac.values, bc.values
 
-    base = {"eq_missing": "==", "ne_missing": "!="}.get(op, op)
     if base == "==":
         values = av == bv
     elif base == "!=":
@@ -816,6 +878,9 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         p = jnp.where(zeros > 0, 0.0, jnp.round(s) * sign)
         return Val(p.astype(jnp.int64), None, dt.Int64(), None, dom)
     if kind in ("min", "max"):
+        from polars_tpu.engine.strings import ensure_ordinal_val
+
+        v = ensure_ordinal_val(v)  # lex min/max on unordered dicts
         fn = G.seg_min if kind == "min" else G.seg_max
         has = G.seg_count(data_mask, gids, cap) > 0
         out = fn(v.values, data_mask, gids, cap)
@@ -860,6 +925,9 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         validity = has if v.validity is None else (has & v.validity[idx])
         return Val(out, validity, v.dtype, v.table, dom)
     if kind in ("arg_min", "arg_max"):
+        from polars_tpu.engine.strings import ensure_ordinal_val
+
+        v = ensure_ordinal_val(v)
         # sort-free: find the extreme value per group, then its first row index
         ext = (G.seg_min if kind == "arg_min" else G.seg_max)(
             v.values, data_mask, gids, cap
@@ -908,6 +976,9 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
         validity = has if v.validity is None else (has & v.validity[idx])
         return Val(out, validity, v.dtype, v.table, dom)
     if kind == "is_sorted":
+        from polars_tpu.engine.strings import ensure_ordinal_val
+
+        v = ensure_ordinal_val(v)
         desc_opt = node.opt("descending", False)
         nl_opt = node.opt("nulls_last", False)
         iota = jax.lax.broadcasted_iota(jnp.int32, (ctx.padded, 1), 0).squeeze(-1)
@@ -992,6 +1063,9 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
             return Val(out.astype(jnp.int64), has, out_dt, None, dom)
         return Val(out.astype(jnp.dtype(dt.dtype_to_numpy(out_dt))), has, out_dt, None, dom)
     if kind == "mode":
+        from polars_tpu.engine.strings import ensure_ordinal_val
+
+        v = ensure_ordinal_val(v)  # tie-break picks the lex-smallest value
         # sort by (gid, value); the mode of each gid is the longest equal-run
         # (ties -> smallest value, polars' convention for a single mode)
         from polars_tpu.kernels.argsort import (
@@ -1093,8 +1167,10 @@ def _eval_window(node: E.EWindow, ctx: EvalCtx) -> Val:
 
         desc = node.order_descending or (False,) * len(node.order_by)
         owords: list = []
+        from polars_tpu.engine.strings import ensure_ordinal_val
+
         for ob, d in zip(node.order_by, desc):
-            ov = eval_expr(ob, ctx)
+            ov = ensure_ordinal_val(eval_expr(ob, ctx))
             owords.extend(key_words(ov.values, ov.dtype, descending=bool(d)))
         gctx.order_words = owords
     inner = EvalCtx(

@@ -897,6 +897,14 @@ def _search_sorted(ctx, args, opts):
     from polars_tpu.engine.groupby import _big
 
     v, elem = args
+    if v.table is not None and elem.table is not None:
+        # align both dictionaries onto one ORDINAL code space — binary search
+        # compares codes, so they must share one lex-ordered mapping
+        from polars_tpu.engine.strings import ensure_ordinal_val, unify_vals
+
+        v, elem = ensure_ordinal_val(v), ensure_ordinal_val(elem)
+        if v.table is not elem.table:
+            v, elem = unify_vals(v, elem, require_ordinal=True)
     # padding rows (and nulls) would break the binary search: replace them
     # with the dtype's max sentinel so the padded array stays sorted, then
     # results naturally clip to the logical length

@@ -132,6 +132,11 @@ def _list_minmax(kind):
         inner = v.dtype.inner
         starts, lens = _unpack(v.values)
         cv = ch.values
+        out_table = ch.table
+        if out_table is not None and not out_table.sorted_order and not isinstance(inner, dt.Enum):
+            # unordered dictionary: lex min/max needs ordinal codes
+            out_table, _rk = out_table.ordinal()
+            cv = jnp.asarray(_rk)[jnp.clip(cv, 0, len(_rk) - 1)]
         # exact fills per accumulator class: int64 keeps temporal ns exact
         # (an f64 cast would round ticks above 2^53); string codes are
         # ordinal so min/max code == lexicographic min/max
@@ -173,7 +178,7 @@ def _list_minmax(kind):
         if v.validity is not None:
             validity = validity & v.validity
         np_dt = jnp.dtype(dt.dtype_to_numpy(inner))
-        return Val(out.astype(np_dt), validity, inner, ch.table, v.domain)
+        return Val(out.astype(np_dt), validity, inner, out_table, v.domain)
 
 
 _list_minmax("min")
@@ -336,7 +341,13 @@ def _sorted_gather(ctx, v, name, descending, nulls_last=False):
     seg0 = jnp.where(in_data, pc, jnp.int32(2**31 - 1))
     null_rank = (~gok0).astype(jnp.int32)
     null_word = null_rank if nulls_last else -null_rank  # -1 sorts first
-    vwords = key_words(g0, v_inner)
+    gk = g0
+    if ch.table is not None and not ch.table.sorted_order and not isinstance(v_inner, dt.Enum):
+        # unordered dictionary: sort KEYS by lex rank; the payload (g0) keeps
+        # the original codes so the gathered output decodes unchanged
+        _, _rk = ch.table.ordinal()
+        gk = jnp.asarray(_rk)[jnp.clip(g0, 0, len(_rk) - 1)]
+    vwords = key_words(gk, v_inner)
     if descending:
         vwords = [jnp.bitwise_not(w) for w in vwords]
     words0 = [null_word, *vwords]
@@ -446,8 +457,11 @@ def _concat_list_impl(ctx, args, opts, as_array: bool):
                 remapped.append(v)
                 continue
             _, m, _ = strtable.unify(src, merged)
-            lut = jnp.asarray(m if len(m) else np.zeros(1, np.int32))
-            codes = lut[jnp.clip(v.values, 0, max(len(m) - 1, 0))]
+            if len(m) == 0:  # empty remap = identity (strtable convention)
+                remapped.append(v.with_(table=merged))
+                continue
+            lut = jnp.asarray(m)
+            codes = lut[jnp.clip(v.values, 0, len(m) - 1)]
             remapped.append(v.with_(values=codes, table=merged))
         vals = remapped
         table = merged

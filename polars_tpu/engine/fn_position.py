@@ -492,6 +492,9 @@ def _rank(ctx, args, opts):
         h = h ^ (h >> 16)
         tie_words = [h.astype(jnp.int32)]
         method = "ordinal"
+    from polars_tpu.engine.strings import ensure_ordinal_val
+
+    v = ensure_ordinal_val(v)
     words = [oob.astype(jnp.int8), *gid_words, *key_words(v.values, v.dtype, descending=descending), *tie_words]
     perm = stable_argsort_words(words)
     pos = iota + 1  # 1-based rank in sorted order
@@ -535,6 +538,9 @@ def _rank(ctx, args, opts):
 @register("arg_sort", dt.UInt32(), elementwise=False)
 def _arg_sort(ctx, args, opts):
     v = _row_domain(ctx, args[0])
+    from polars_tpu.engine.strings import ensure_ordinal_val
+
+    v = ensure_ordinal_val(v)
     descending = opts.get("descending", False)
     nulls_last = opts.get("nulls_last", False)
     from polars_tpu.kernels.argsort import key_words, stable_argsort_words
@@ -767,7 +773,9 @@ def _arg_sort_by(ctx, args, opts):
     pl.arg_sort_by; polars-ops arg_sort_multiple) — one variadic word sort."""
     from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
-    keys = [_row_domain(ctx, a) for a in args]
+    from polars_tpu.engine.strings import ensure_ordinal_val
+
+    keys = [ensure_ordinal_val(_row_domain(ctx, a)) for a in args]
     desc = opts.get("descending", (False,) * len(keys))
     if isinstance(desc, bool):
         desc = (desc,) * len(keys)

@@ -44,8 +44,10 @@ def _key_word(col: Column, other: Column | None) -> tuple[jax.Array, jax.Array |
     if col.table is not None:
         if other is not None and other.table is not col.table:
             merged, lmap, _ = strtable.unify(col.table, other.table)
-            lut = jnp.asarray(lmap if len(lmap) else np.zeros(1, np.int32))
-            codes = lut[jnp.clip(buf.values, 0, max(len(lmap) - 1, 0))]
+            if len(lmap) == 0:  # identity remap (insertion-order merge)
+                return buf.values.astype(jnp.int64), buf.validity, False
+            lut = jnp.asarray(lmap)
+            codes = lut[jnp.clip(buf.values, 0, len(lmap) - 1)]
             return codes.astype(jnp.int64), buf.validity, False
         return buf.values.astype(jnp.int64), buf.validity, False
     if col.dtype.is_float():
@@ -254,15 +256,22 @@ def _range_values(col: Column, other: Column):
     rmask = row_mask(buf.padded, buf.length)
     ok = rmask if buf.validity is None else (rmask & buf.validity)
     if col.table is not None:
-        if other.table is None or not (col.table.sorted_order and other.table.sorted_order):
+        if other.table is None:
             return None
         if other.table is col.table:
+            if not col.table.sorted_order:
+                _, ranks = col.table.ordinal()
+                lut = jnp.asarray(ranks)
+                return lut[jnp.clip(buf.values, 0, len(ranks) - 1)].astype(jnp.int64), ok
             return buf.values.astype(jnp.int64), ok
-        # unify() merges into a canonical sorted code space, so the two sides'
-        # independent unify calls agree; first returned remap belongs to `col`
-        _, mapping, _ = strtable.unify(col.table, other.table)
-        lut = jnp.asarray(mapping if len(mapping) else np.zeros(1, np.int32))
-        codes = lut[jnp.clip(buf.values, 0, max(len(mapping) - 1, 0))]
+        # unify(require_ordinal) merges into a canonical SORTED code space
+        # (range predicates compare codes), so the two sides' independent
+        # unify calls agree; first returned remap belongs to `col`
+        _, mapping, _ = strtable.unify(col.table, other.table, require_ordinal=True)
+        if len(mapping) == 0:
+            return buf.values.astype(jnp.int64), ok
+        lut = jnp.asarray(mapping)
+        codes = lut[jnp.clip(buf.values, 0, len(mapping) - 1)]
         return codes.astype(jnp.int64), ok
     if other.table is not None or isinstance(d, (dt.Null, dt.String, dt.Binary)):
         return None
@@ -545,12 +554,25 @@ def join_frames(
 
 
 def _coalesce_cols(a: Column, b: Column) -> Column:
+    table = a.table
+    if a.table is not None and b.table is not None and a.table is not b.table:
+        # both sides' codes must live in ONE code space before mixing
+        table, lmap, rmap = strtable.unify(a.table, b.table)
+
+        def _remapped(col: Column, m: np.ndarray) -> Column:
+            if len(m) == 0:
+                return col
+            lut = jnp.asarray(m)
+            vals = lut[jnp.clip(col.buffer.values, 0, len(m) - 1)]
+            return Column(col.name, col.dtype, Buffer(vals, col.buffer.validity, col.buffer.length), table)
+
+        a, b = _remapped(a, lmap), _remapped(b, rmap)
     av, bv = a.buffer, b.buffer
     if av.validity is None:
-        return a
+        return Column(a.name, a.dtype, av, table, a.sorted_flag, a.child)
     values = jnp.where(av.validity, av.values, bv.values)
     validity = av.validity if bv.validity is None else (av.validity | bv.validity)
-    return Column(a.name, a.dtype, Buffer(values, validity, av.length), a.table)
+    return Column(a.name, a.dtype, Buffer(values, validity, av.length), table)
 
 
 def _cross_join(left: DataFrame, right: DataFrame, suffix: str, out_schema) -> DataFrame:

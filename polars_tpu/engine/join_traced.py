@@ -40,8 +40,10 @@ def _key_word_traced(v: Val, other: Val) -> tuple[jax.Array, jax.Array | None, b
     if v.table is not None:
         if other.table is not None and other.table is not v.table:
             _, lmap, _ = strtable.unify(v.table, other.table)
-            lut = jnp.asarray(lmap if len(lmap) else np.zeros(1, np.int32))
-            codes = lut[jnp.clip(v.values, 0, max(len(lmap) - 1, 0))]
+            if len(lmap) == 0:  # empty remap = identity (strtable convention)
+                return v.values.astype(jnp.int64), v.validity, True
+            lut = jnp.asarray(lmap)
+            codes = lut[jnp.clip(v.values, 0, len(lmap) - 1)]
             return codes.astype(jnp.int64), v.validity, True
         return v.values.astype(jnp.int64), v.validity, True
     if v.dtype.is_float():

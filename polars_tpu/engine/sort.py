@@ -22,6 +22,9 @@ def sort_words_for_key(
 ) -> list[jax.Array]:
     """(rank word, *key words) for one sort key. Rank orders: nulls-first
     nulls < values < nulls-last nulls < out-of-mask rows."""
+    from polars_tpu.engine.strings import ensure_ordinal_val
+
+    v = ensure_ordinal_val(v)  # unordered dicts: codes -> lex ranks (cached)
     n = v.values.shape[0]
     if v.validity is None:
         rank = jnp.ones((n,), jnp.int8)

@@ -85,27 +85,45 @@ def arrow_array_to_column(name: str, arr: Any, override: dt.DataType | None = No
         # dictionary-encode on the host (Arrow C++), ship codes to device
         if not pa.types.is_dictionary(t):
             arr = pc.dictionary_encode(arr)
-        dict_vals = arr.dictionary.to_pylist()
         codes = arr.indices
         validity = None
         if codes.null_count:
             validity = np.asarray(codes.is_valid())
         codes_np = codes.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int32)
-        # renormalize to sorted (ordinal) dictionary
-        if isinstance(logical, dt.Binary):
-            # bytes payloads must NOT go through numpy str coercion (non-UTF8)
-            uniq_list = sorted({bytes(v) for v in dict_vals})
-            lookup = {v: i for i, v in enumerate(uniq_list)}
-            inv = np.fromiter(
-                (lookup[bytes(v)] for v in dict_vals), np.int32, len(dict_vals)
+        n_dict = len(arr.dictionary)
+        from polars_tpu.config import config
+
+        if n_dict > config().ordinal_dict_max:
+            # high-cardinality path (reference: hash_keys.rs — string keys
+            # are hash-probed, never globally ordered): keep Arrow's
+            # insertion-order dictionary as-is — ingest is O(n) C++ hashing,
+            # flat in uniqueness; lex order is recovered lazily via
+            # StringTable.ordinal() only if an order-sensitive op needs it
+            dict_np = arr.dictionary.to_numpy(zero_copy_only=False)
+            if isinstance(logical, dt.Binary):
+                dict_np = np.asarray(
+                    [bytes(v) for v in dict_np.tolist()], dtype=object
+                )
+            table = strtable.StringTable(
+                np.asarray(dict_np, dtype=object), sorted_order=False
             )
-            uniq = np.asarray(uniq_list, dtype=object)
         else:
-            uniq, inv = np.unique(
-                np.asarray(dict_vals, dtype=object).astype(str), return_inverse=True
-            )
-        codes_np = inv.astype(np.int32)[codes_np] if len(dict_vals) else codes_np
-        table = strtable.StringTable(uniq.astype(object), sorted_order=True)
+            dict_vals = arr.dictionary.to_pylist()
+            # renormalize to sorted (ordinal) dictionary
+            if isinstance(logical, dt.Binary):
+                # bytes payloads must NOT go through numpy str coercion (non-UTF8)
+                uniq_list = sorted({bytes(v) for v in dict_vals})
+                lookup = {v: i for i, v in enumerate(uniq_list)}
+                inv = np.fromiter(
+                    (lookup[bytes(v)] for v in dict_vals), np.int32, len(dict_vals)
+                )
+                uniq = np.asarray(uniq_list, dtype=object)
+            else:
+                uniq, inv = np.unique(
+                    np.asarray(dict_vals, dtype=object).astype(str), return_inverse=True
+                )
+            codes_np = inv.astype(np.int32)[codes_np] if len(dict_vals) else codes_np
+            table = strtable.StringTable(uniq.astype(object), sorted_order=True)
         buf = Buffer.from_numpy(codes_np, validity)
         out_dt = logical if isinstance(logical, (dt.Categorical, dt.Binary)) else dt.String()
         col = Column(name, out_dt, buf, table)

@@ -30,13 +30,15 @@ class StringTable:
     order, so device-side sort/comparison on codes matches string semantics.
     """
 
-    __slots__ = ("values", "sorted_order", "_lookup", "ident")
+    __slots__ = ("values", "sorted_order", "_lookup", "_ordinal", "_unify_cache", "ident")
 
     def __init__(self, values: np.ndarray, *, sorted_order: bool = False) -> None:
         vals = np.asarray(values, dtype=object)
         self.values = vals
         self.sorted_order = sorted_order
         self._lookup: dict | None = None
+        self._ordinal: tuple | None = None
+        self._unify_cache: dict | None = None
         self.ident = next(_NEXT_IDENT)
 
     def __len__(self) -> int:
@@ -62,6 +64,30 @@ class StringTable:
     def find(self, value: str) -> int:
         """Code for ``value``, or -1 if absent."""
         return self.lookup().get(value, -1)
+
+    def ordinal(self) -> tuple["StringTable", np.ndarray]:
+        """(sorted table, old-code -> new-code remap). The lazy half of the
+        high-cardinality strategy: unordered (ingest-order) dictionaries pay
+        the host sort ONLY when an order-sensitive op (lex sort/compare,
+        min/max) touches them, and only once — the result is cached here."""
+        if self.sorted_order:
+            return self, np.empty(0, np.int32)  # empty remap = identity
+        if self._ordinal is None:
+            vals = self.values
+            if any(isinstance(v, (bytes, bytearray)) for v in vals[:8]):
+                order = np.asarray(
+                    sorted(range(len(vals)), key=lambda i: bytes(vals[i])),
+                    dtype=np.int64,
+                )
+            else:
+                order = np.argsort(vals.astype(str), kind="stable")
+            ranks = np.empty(len(vals), np.int32)
+            ranks[order] = np.arange(len(vals), dtype=np.int32)
+            self._ordinal = (
+                StringTable(vals[order], sorted_order=True),
+                ranks,
+            )
+        return self._ordinal
 
     def take(self, codes: np.ndarray) -> np.ndarray:
         """Decode codes -> object array of strings (codes < 0 -> None)."""
@@ -109,6 +135,33 @@ def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray | None, S
             codes = np.where(validity, codes, np.int32(0))
         table = StringTable(np.asarray(uniq, dtype=object), sorted_order=True)
         return codes, (validity if has_null else None), table
+    from polars_tpu.config import config
+
+    if len(arr) > config().ordinal_dict_max:
+        # big input: Arrow C++ hash encode (O(n), flat in uniqueness); keep
+        # insertion order when the dictionary itself comes out big
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            enc = pc.dictionary_encode(pa.array(arr, pa.string()))
+            idx = enc.indices
+            val2 = np.asarray(idx.is_valid()) if idx.null_count else None
+            codes = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int32)
+            dict_np = enc.dictionary.to_numpy(zero_copy_only=False)
+            dict_np = np.asarray(dict_np, dtype=object)
+            if len(dict_np) == 0:
+                dict_np = np.asarray([""], dtype=object)
+            if len(dict_np) <= config().ordinal_dict_max:
+                uniq, inv = np.unique(dict_np.astype(str), return_inverse=True)
+                codes = inv.astype(np.int32)[codes]
+                table = StringTable(uniq.astype(object), sorted_order=True)
+            else:
+                table = StringTable(dict_np, sorted_order=False)
+            return codes.reshape(arr.shape), val2, table
+        except (Exception,):  # noqa: BLE001 — non-str payloads: python path
+            pass
+
     filled = np.where(validity, arr, "")
     as_str = filled.astype(str)
     uniques = np.unique(as_str[validity]) if has_null else None
@@ -125,18 +178,90 @@ def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray | None, S
     return codes, (validity if has_null else None), table
 
 
+def index_in(needles: np.ndarray, haystack: np.ndarray) -> np.ndarray:
+    """Position of each needle in ``haystack`` (-1 if absent) — the C++ hash
+    probe (pyarrow index_in) that replaces sorted-merge unification on the
+    equality-only paths (reference: polars-expr/src/hash_keys.rs — string keys
+    hash-probe, they are never globally ordered)."""
+    needles = np.asarray(needles, dtype=object)
+    haystack = np.asarray(haystack, dtype=object)
+    if len(needles) == 0:
+        return np.empty(0, np.int32)
+    if len(haystack) == 0:
+        return np.full(len(needles), -1, np.int32)
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        is_bytes = isinstance(haystack[0], (bytes, bytearray))
+        typ = pa.binary() if is_bytes else pa.string()
+        out = pc.index_in(pa.array(needles, typ), value_set=pa.array(haystack, typ))
+        return out.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int32)
+    except Exception:  # noqa: BLE001 — pyarrow missing/typed edge: host dict
+        lk = {v: i for i, v in enumerate(haystack.tolist())}
+        return np.fromiter(
+            (lk.get(v, -1) for v in needles.tolist()), np.int32, len(needles)
+        )
+
+
+# sorted-merge unification is O((l+r)·log) host string sorting — above this
+# size unify() switches to the O(l+r) insertion-order hash merge and returns
+# an UNORDERED table (consumers needing lex order call .ordinal())
+_UNIFY_SORTED_MAX = 1 << 16
+
+
 def unify(
-    left: StringTable, right: StringTable
+    left: StringTable, right: StringTable, *, require_ordinal: bool = False
 ) -> tuple[StringTable, np.ndarray, np.ndarray]:
     """Merge two tables; returns (merged, left_remap, right_remap).
 
-    remap arrays map old codes -> new codes. The merged table is sorted, so the
-    result keeps ordinal ordering.
+    remap arrays map old codes -> new codes (an EMPTY remap means identity —
+    the convention of :func:`remap_codes` / engine.strings._remap). The merged
+    table is ordinal iff both inputs are small/sorted or ``require_ordinal``
+    is set; otherwise it is an insertion-order hash merge (O(l+r), no sort).
     """
     if left is right:
         n = len(left)
         ident = np.arange(n, dtype=np.int32)
         return left, ident, ident
+    big = len(left) + len(right) > _UNIFY_SORTED_MAX
+    if not require_ordinal and (big or not (left.sorted_order and right.sorted_order)):
+        # CANONICAL anchoring: both unify(A,B) and unify(B,A) must land every
+        # value on the SAME code (join keys unify each side independently and
+        # compare the results) — anchor on the older table and cache the pair
+        if right.ident < left.ident:
+            merged, rmap, lmap = unify(right, left)
+            return merged, lmap, rmap
+        cache = left._unify_cache
+        if cache is None:
+            cache = left._unify_cache = {}
+        hit = cache.get(right.ident)
+        if hit is not None:
+            return hit
+        rpos = index_in(right.values, left.values)
+        missing = rpos < 0
+        n_new = int(missing.sum())
+        rmap = rpos.copy()
+        if n_new:
+            rmap[missing] = len(left) + np.arange(n_new, dtype=np.int32)
+            merged = StringTable(
+                np.concatenate([left.values, right.values[missing]]),
+                sorted_order=False,
+            )
+        else:
+            merged = left  # right ⊆ left: keep the left table's identity
+        out = (merged, np.empty(0, np.int32), rmap)
+        cache[right.ident] = out
+        return out
+    if require_ordinal and not (left.sorted_order and right.sorted_order):
+        # route through the cached per-table ordinalizations, then merge two
+        # sorted tables below
+        ls, lmap0 = left.ordinal()
+        rs, rmap0 = right.ordinal()
+        merged, lmap1, rmap1 = unify(ls, rs, require_ordinal=True)
+        lmap = lmap1 if len(lmap0) == 0 else lmap1[lmap0]
+        rmap = rmap1 if len(rmap0) == 0 else rmap1[rmap0]
+        return merged, lmap, rmap
     if len(left) == len(right) and all(
         a == b for a, b in zip(left.values.tolist(), right.values.tolist())
     ):

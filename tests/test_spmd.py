@@ -90,14 +90,37 @@ def test_dist_join_shuffle_path(facts, monkeypatch):
 
 
 def test_dist_shuffle_overflow_retry(facts, monkeypatch):
-    # lossy capacity of 2 rows/bucket must overflow and trigger the lossless
-    # retry, still producing exact results
+    # capacity of 2 rows/bucket at rung 1 must overflow; the ladder retries at
+    # the measured pow2 rung (cap 2*scale), still producing exact results
     orig = spmd._shuffle_cap
     monkeypatch.setattr(
-        spmd, "_shuffle_cap", lambda rows, d, lossless: rows if lossless else 2
+        spmd, "_shuffle_cap",
+        lambda rows, d, scale: rows if scale <= 0 else 2 * max(scale, 1),
     )
     _cmp(facts.lazy().group_by("s").agg(md=pl.col("v").median()).sort("s"))
     monkeypatch.setattr(spmd, "_shuffle_cap", orig)
+
+
+def test_dist_overflow_single_pow2_retry(facts, monkeypatch):
+    """One overflow = exactly ONE extra compile at the measured pow2 rung —
+    never the unbounded recompile walk (VERDICT r3 item 6)."""
+    calls = []
+    orig = spmd.run_spmd_segment
+
+    def spy(root, leaf_dfs, mesh, lossless=False, cap_scale=1, sync=True):
+        calls.append(0 if lossless else cap_scale)
+        return orig(root, leaf_dfs, mesh, lossless=lossless, cap_scale=cap_scale, sync=sync)
+
+    monkeypatch.setattr(spmd, "run_spmd_segment", spy)
+    monkeypatch.setattr(
+        spmd, "_shuffle_cap",
+        lambda rows, d, scale: rows if scale <= 0 else 2 * max(scale, 1),
+    )
+    spmd._SPMD_JIT_CACHE.clear()
+    _cmp(facts.lazy().group_by("s").agg(md=pl.col("v").median()).sort("s"))
+    assert len(calls) == 2, calls           # first attempt + ONE retry
+    assert calls[0] == 1
+    assert calls[1] >= 2 and (calls[1] & (calls[1] - 1)) == 0  # pow2 rung
 
 
 def test_dist_skewed_keys(rng_mod):
@@ -180,9 +203,9 @@ def test_skew_routed_shuffle_join(monkeypatch, rng_mod):
     )
     orig = spmd.run_spmd_segment
 
-    def guard(root, leaf_dfs, mesh, lossless=False, sync=True):
-        assert not lossless, "lossless retry fired — skew routing failed"
-        return orig(root, leaf_dfs, mesh, lossless=lossless, sync=sync)
+    def guard(root, leaf_dfs, mesh, lossless=False, cap_scale=1, sync=True):
+        assert not lossless and cap_scale == 1, "capacity retry fired — skew routing failed"
+        return orig(root, leaf_dfs, mesh, lossless=lossless, cap_scale=cap_scale, sync=sync)
 
     monkeypatch.setattr(spmd, "run_spmd_segment", guard)
     monkeypatch.setattr(spmd, "CAPTURE_HLO", True)
