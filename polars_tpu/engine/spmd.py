@@ -107,6 +107,19 @@ def _classify(node: L.LNode, leaves: list[L.LNode], counters: dict) -> None:
         counters["reductions"] += 1
         _classify(node.input, leaves, counters)
         return
+    if isinstance(node, L.LSort) and _is_fusable(node) and node.limit is None:
+        # range-partitioned distributed sort (splitter exchange = a reduction)
+        counters["reductions"] += 1
+        _classify(node.input, leaves, counters)
+        return
+    if (
+        isinstance(node, L.LDistinct)
+        and not node.maintain_order
+        and node.keep in ("any", "first", "last", "none")
+    ):
+        counters["reductions"] += 1
+        _classify(node.input, leaves, counters)
+        return
     if isinstance(node, _DIST_CHAIN) and _is_fusable(node):
         if _node_rowlocal(node):
             _classify(node.inputs()[0], leaves, counters)
@@ -142,16 +155,22 @@ def _find_dist_root(node: L.LNode) -> tuple[L.LNode, list[L.LNode], list[L.LNode
 # ---------------------------------------------------------------------------
 
 
-def _shuffle_ttable(tt: TTable, h: jax.Array, d: int, cap: int) -> tuple[TTable, jax.Array]:
-    """Hash-partitioned all_to_all of a per-shard table block.
+def _shuffle_ttable(
+    tt: TTable, h: jax.Array | None, d: int, cap: int, part_ids: jax.Array | None = None
+) -> tuple[TTable, jax.Array]:
+    """Partitioned all_to_all of a per-shard table block.
 
-    ``h``: int64 row hash (consistent across shards). Each local row goes to
-    shard ``partition_of(h, d)``; rows beyond ``cap`` per destination bucket
-    are dropped and flagged (overflow -> host retries at lossless capacity).
-    Returns (shuffled local TTable with ``d*cap`` rows, overflow int32).
+    ``h``: int64 row hash (consistent across shards) — each local row goes to
+    shard ``partition_of(h, d)``; or pass ``part_ids`` (int32 in [0, d)) for
+    an explicit routing (range partitioning for distributed sort). Rows
+    beyond ``cap`` per destination bucket are dropped and the returned ratio
+    says what capacity multiple WOULD have fit (host retries one pow2 rung).
+    Within a destination shard, received rows keep (source shard, source
+    position) order — the original global row order.
+    Returns (shuffled local TTable with ``d*cap`` rows, ratio int32).
     """
     n = tt.padded
-    part = jnp.where(tt.rowmask, partition_of(h, d), d)
+    part = jnp.where(tt.rowmask, partition_of(h, d) if part_ids is None else part_ids, d)
     perm = stable_argsort_words([part])
     part_s = part[perm]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
@@ -312,6 +331,125 @@ def _dist_groupby(node: L.LGroupBy, tt: TTable, tc: _TraceCtx, d: int, cap_scale
     return tt_g, ofl
 
 
+def _dist_sort(node: L.LSort, tt: TTable, tc: _TraceCtx, d: int, cap_scale: int):
+    """Distributed sort: sample-based range partitioning + local stable sort
+    (reference: polars-stream Sort node + rayon par_sort,
+    polars-core/src/chunked_array/ops/sort/mod.rs:80-114 — re-designed as one
+    shard_map program: stride-sample sort words on every shard, all_gather
+    the samples, pick d-1 quantile splitters IN-TRACE, route rows by
+    splitter bucket through the capacity-laddered all_to_all, then one local
+    radix word-sort per shard. Shard i ends up holding the i-th global key
+    range, and within a shard the received (src, pos) order makes the final
+    tie word stable — concatenating shards in order IS the sorted frame."""
+    from polars_tpu.engine.sort import sort_words_for_key
+
+    ctx = _eval_ctx(tt, tc.literals)
+    keys = []
+    for e in node.by:
+        exprs = expand_exprs((e,), tt.schema())
+        keys.append(eval_expr(exprs[0], ctx))
+    desc = list(node.descending) or [False] * len(keys)
+    nlast = list(node.nulls_last) or [False] * len(keys)
+    words: list[jax.Array] = []
+    first = True
+    for v, de, nl in zip(keys, desc, nlast):
+        words.extend(sort_words_for_key(v, de, nl, tt.rowmask if first else None))
+        first = False
+
+    n = tt.padded
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    # ---- splitters: stride-sample each shard's words, gather, sort, take
+    # global quantiles among the VALID samples (invalid ones carry MAX rank
+    # and sort last, so quantile positions just index the valid prefix)
+    S = max(32, min(256, n))
+    stride = max(n // S, 1)
+    sidx = jnp.arange(S, dtype=jnp.int32) * stride % n
+    sample_ok = tt.rowmask[sidx]
+    sampled = []
+    for w in words:
+        sw = w[sidx]
+        big = jnp.asarray(jnp.iinfo(w.dtype).max, w.dtype) if jnp.issubdtype(w.dtype, jnp.integer) else sw
+        sampled.append(jnp.where(sample_ok, sw, big))
+    gathered = [jax.lax.all_gather(s, AXIS, axis=0, tiled=True) for s in sampled]
+    sperm = stable_argsort_words(gathered)
+    sorted_samples = [g[sperm] for g in gathered]
+    n_valid = jax.lax.psum(jnp.sum(sample_ok.astype(jnp.int32)), AXIS)
+    # splitter positions: i * n_valid / d for i in 1..d-1 (traced gathers)
+    pos = (jnp.arange(1, d, dtype=jnp.int32) * n_valid) // jnp.maximum(d, 1)
+    pos = jnp.clip(pos, 0, d * S - 1)
+    splitters = [s[pos] for s in sorted_samples]  # each (d-1,) per word
+
+    # ---- bucket id: number of splitters strictly below the row (ties join
+    # the LOWER bucket, keeping equal keys on one shard)
+    bucket = jnp.zeros((n,), jnp.int32)
+    for i in range(d - 1):
+        gt = jnp.zeros((n,), bool)
+        eq = jnp.ones((n,), bool)
+        for w, sw in zip(words, splitters):
+            sv = sw[i]
+            gt = gt | (eq & (w > sv))
+            eq = eq & (w == sv)
+        bucket = bucket + gt.astype(jnp.int32)
+
+    cap = _shuffle_cap(n, d, cap_scale)
+    # global source position rides along as the stability tie word
+    shard = jax.lax.axis_index(AXIS).astype(jnp.int64)
+    gid = shard * jnp.int64(n) + iota.astype(jnp.int64)
+    tt2 = TTable(
+        dict(tt.cols, __sort_gid__=Val(gid, None, dt.Int64(), None, ROW)),
+        tt.rowmask, tt.padded,
+    )
+    tt_s, ofl = _shuffle_ttable(tt2, None, d, cap, part_ids=bucket)
+
+    # ---- local stable sort of the received range
+    ctx2 = _eval_ctx(tt_s, tc.literals)
+    words2: list[jax.Array] = []
+    first = True
+    for e, de, nl in zip(node.by, desc, nlast):
+        exprs = expand_exprs((e,), tt_s.schema())
+        v = eval_expr(exprs[0], ctx2)
+        words2.extend(sort_words_for_key(v, de, nl, tt_s.rowmask if first else None))
+        first = False
+    g2 = tt_s.cols["__sort_gid__"].values
+    # split the 62-bit global position into two non-negative int32 words so
+    # the signed radix word compare never sees a set sign bit
+    words2.append((g2 >> 31).astype(jnp.int32))
+    words2.append((g2 & jnp.int64(0x7FFFFFFF)).astype(jnp.int32))
+    perm = stable_argsort_words(words2)
+    cols: dict[str, Val] = {}
+    for name, v in tt_s.cols.items():
+        if name == "__sort_gid__":
+            continue
+        cols[name] = v.with_(
+            values=v.values[perm],
+            validity=None if v.validity is None else v.validity[perm],
+        )
+    return TTable(cols, tt_s.rowmask[perm], tt_s.padded), ofl
+
+
+def _dist_distinct(node: L.LDistinct, tt: TTable, tc: _TraceCtx, d: int, cap_scale: int):
+    """Distributed distinct: hash-shuffle rows so equal keys co-locate
+    (received rows keep global original order), then the ordinary local
+    distinct kernel decides keep=first/last/any/none — its local decision is
+    the global one because each key's rows all live on one shard, in order.
+    (reference: polars-stream distinct via partitioned group-by)."""
+    subset = node.subset if node.subset is not None else tuple(tt.schema().names())
+    ctx = _eval_ctx(tt, tc.literals)
+    h = None
+    for name in subset:
+        v = ctx.cols[name]
+        hc = hash_column(v.values, v.validity, 17)
+        h = hc if h is None else combine_hashes(h, hc)
+    cap = _shuffle_cap(tt.padded, d, cap_scale)
+    tt_s, ofl = _shuffle_ttable(tt, h, d, cap)
+    local = L.LDistinct(node.input, node.subset, node.keep, False)
+    tc.leaf_tables[id(node.input)] = tt_s
+    tt_out = trace_node(local, tc)
+    del tc.leaf_tables[id(node.input)]
+    return tt_out, ofl
+
+
 def _join_side_hash(keys_self: list[Val], keys_other: list[Val]) -> jax.Array:
     """Side-symmetric shuffle hash: equal keys on either side hash equal."""
     from polars_tpu.engine.join_traced import _key_word_traced
@@ -447,6 +585,18 @@ def _trace_dist(node: L.LNode, tc: _TraceCtx, d: int, cap_scale: int, ofl_acc: l
     if isinstance(node, L.LGroupBy):
         tt_in = _trace_dist(node.input, tc, d, cap_scale, ofl_acc)
         tt, ofl = _dist_groupby(node, tt_in, tc, d, cap_scale)
+        ofl_acc.append(ofl)
+        tc.leaf_tables[id(node)] = tt
+        return tt
+    if isinstance(node, L.LSort):
+        tt_in = _trace_dist(node.input, tc, d, cap_scale, ofl_acc)
+        tt, ofl = _dist_sort(node, tt_in, tc, d, cap_scale)
+        ofl_acc.append(ofl)
+        tc.leaf_tables[id(node)] = tt
+        return tt
+    if isinstance(node, L.LDistinct):
+        tt_in = _trace_dist(node.input, tc, d, cap_scale, ofl_acc)
+        tt, ofl = _dist_distinct(node, tt_in, tc, d, cap_scale)
         ofl_acc.append(ofl)
         tc.leaf_tables[id(node)] = tt
         return tt

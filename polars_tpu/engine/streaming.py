@@ -441,8 +441,14 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
             return (run_chain(b) for b in _iter_batches(leaf, batch_rows))
 
     def splice(result: DataFrame, at: L.LNode) -> DataFrame:
-        """Substitute ``result`` for ``at`` in the full plan and finish
-        in-memory (everything above the terminal is small). Replacement is by
+        """Substitute ``result`` for ``at`` in the full plan and finish the
+        rest RECURSIVELY through the streaming engine: if another stateful
+        node sits above this terminal (group-by -> sort, distinct ->
+        group-by, join -> group-by -> join ... — the multi-stateful spines of
+        polars-stream/src/physical_plan/lower_ir.rs:155), the spliced plan
+        streams again with the combined result as its new leaf; each pass
+        consumes exactly one terminal, so the recursion terminates at a plan
+        with no streamable terminal (-> in-memory). Replacement is by
         STRUCTURAL equality: the optimizer may have duplicated a shared
         subplan (Q15-style self-joins), and a float aggregate recomputed
         in-memory can differ in the last ulp from the streamed one — both
@@ -450,7 +456,7 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         if at is root:
             return result
         rebuilt = _replace_equal(root, at, L.LDataFrameScan(df=result, ident=obj_token(result)))
-        return execute_plan(rebuilt)
+        return collect_streaming(rebuilt, batch_rows=batch_rows)
 
     import polars_tpu as pl  # noqa: F401
 

@@ -36,6 +36,13 @@ def optimize(node: L.LNode, flags=None) -> L.LNode:
         node_schema(node)
     if flags is None or getattr(flags, "simplify_expression", True):
         node = simplify_exprs(node)
+    if flags is None or getattr(flags, "comm_subexpr_elim", True):
+        # expensive agg/window subexpressions recomputed above a barrier
+        # collapse to column references of their first computation — BEFORE
+        # the pushdown passes, so they see the new column dependencies
+        from polars_tpu.plan.optimizer.cse_expr import cse_expressions
+
+        node = cse_expressions(node)
     if flags is None or getattr(flags, "check_order_observe", True):
         from polars_tpu.plan.optimizer.order_observe import order_observe
 

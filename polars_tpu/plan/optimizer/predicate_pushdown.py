@@ -57,6 +57,14 @@ def _push(node: L.LNode, preds: list[E.ENode]) -> L.LNode:
         return _with_filters(node, preds)
 
     if isinstance(node, (L.LSelect, L.LWithColumns)):
+        if not all(E.is_elementwise(e) for e in node.expressions):
+            # a window/aggregate in the projection is ROW-SET sensitive:
+            # filtering below it would change its input rows and therefore
+            # its values (reference: pushdown blocks on non-elementwise
+            # projections, polars-plan/src/plans/optimizer/predicate_pushdown)
+            new_input = _push(node.input, [])
+            out = dataclasses.replace(node, input=new_input)
+            return _with_filters(out, preds)
         # predicates referencing only pass-through input columns can move below
         in_schema = node_schema(node.input)
         if isinstance(node, L.LWithColumns):

@@ -268,3 +268,33 @@ def normalize(values) -> list:
         else:
             out.append(v)
     return out
+
+
+def gen_plan(rng: np.random.Generator, lf):
+    """Random small plan: 2-4 ops drawn from {filter, with_columns(window /
+    cumulative), sort, head, unique} — the shapes that stress optimizer
+    passes (pushdown past projections, sort collapse, slice pushdown)."""
+    n_ops = int(rng.integers(2, 5))
+    for _ in range(n_ops):
+        op = rng.random()
+        if op < 0.3:
+            cond, _, kc = gen_oracle_expr(rng, depth=2)
+            if kc != "bool":
+                cond = pl.col("f") > 0
+            lf = lf.filter(cond)
+        elif op < 0.6:
+            e = gen_engine_expr(rng, depth=2)
+            lf = lf.with_columns(e.alias(f"w{int(rng.integers(0, 1 << 30))}"))
+        elif op < 0.8:
+            # maintain_order pins tie order: plain sort leaves ties
+            # UNSPECIFIED, which a strict opt-vs-none comparison may not see
+            lf = lf.sort(
+                ["i", "f", "g"][rng.integers(0, 3)],
+                nulls_last=bool(rng.integers(0, 2)),
+                maintain_order=True,
+            )
+        elif op < 0.9:
+            lf = lf.head(int(rng.integers(1, 30)))
+        else:
+            lf = lf.unique(subset=["g"], keep="first", maintain_order=True)
+    return lf

@@ -105,3 +105,23 @@ def test_fuzz_groupby_distributed(chunk):
                 fuzz.normalize(got[c].to_list()),
                 fuzz.normalize(want[c].tolist()),
             )
+
+
+@pytest.mark.parametrize("chunk", range(4))
+def test_fuzz_optimizer_differential(chunk):
+    """Random plans executed with the full optimizer pipeline vs with every
+    pass disabled must agree exactly — the oracle class that catches unsound
+    pushdowns (e.g. a filter pushed below a window projection)."""
+    rng = np.random.default_rng(5000 + chunk)
+    df, _ = fuzz.random_frame(rng, n_rows=43)
+    for case in range(12):
+        lf = fuzz.gen_plan(rng, df.lazy())
+        opt = lf.collect()
+        raw = lf.collect(optimizations=pl.QueryOptFlags.none())
+        assert opt.columns == raw.columns, f"seed={5000+chunk} case={case}"
+        for c in opt.columns:
+            _assert_same(
+                f"seed={5000+chunk} case={case} col={c} [optimized vs none]",
+                fuzz.normalize(opt[c].to_list()),
+                fuzz.normalize(raw[c].to_list()),
+            )

@@ -213,3 +213,42 @@ def test_skew_routed_shuffle_join(monkeypatch, rng_mod):
     _cmp(q)
     text = spmd.LAST_LOWERED
     assert "all_to_all" in text and "all_gather" in text
+
+
+def test_dist_sort_range_partitioned(facts, monkeypatch):
+    """Distributed sort (VERDICT r3 item 5): sample splitters + all_to_all +
+    local radix sort must reproduce the single-chip sort exactly, including
+    stability, null placement, and multi-key descending."""
+    monkeypatch.setattr(spmd, "CAPTURE_HLO", True)
+    spmd._SPMD_JIT_CACHE.clear()
+    lf = facts.lazy().sort("v")
+    _cmp(lf)
+    assert "all_to_all" in spmd.LAST_LOWERED  # the exchange really happened
+
+    # multi-key with descending + string key + nulls_last
+    withnull = facts.with_columns(
+        pl.when(pl.col("w") % 11 == 0).then(None).otherwise(pl.col("v")).alias("v")
+    )
+    _cmp(withnull.lazy().sort(["s", "v"], descending=[True, False], nulls_last=True))
+    # stability: equal keys keep original order
+    _cmp(facts.lazy().sort("s", maintain_order=True))
+
+
+def test_dist_sort_after_groupby(facts):
+    # sort above a distributed group-by stays inside ONE shard_map program
+    _cmp(facts.lazy().group_by("k").agg(t=pl.col("v").sum()).sort("t"))
+
+
+def test_dist_distinct(facts):
+    base = facts.lazy().select("s", "k").with_columns(kk=pl.col("k") % 7)
+    for keep in ("any", "first", "last", "none"):
+        exp = base.unique(subset=["s", "kk"], keep=keep).sort("s", "kk", "k").collect()
+        got = (
+            base.unique(subset=["s", "kk"], keep=keep)
+            .sort("s", "kk", "k")
+            .collect(engine="distributed")
+        )
+        pd.testing.assert_frame_equal(
+            got.to_pandas().reset_index(drop=True),
+            exp.to_pandas().reset_index(drop=True),
+        )
