@@ -194,6 +194,78 @@ def _build_roofline(n: int):
     return ops, anchors
 
 
+def _build_ops_cmp(n: int):
+    """Pallas-vs-XLA receipts (VERDICT r3 item 9): the two demoted Pallas
+    kernels (kernels/pallas_groupagg.py, pallas_compact.py) timed against the
+    XLA paths that replaced them, same probe-chain protocol, identical bytes
+    model per pair so the GB/s compare directly. (n, 4) f64 payload,
+    cap=4096 groups — the dense-key group-by shape both were built for."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from polars_tpu.kernels import pallas_compact as PC
+    from polars_tpu.kernels import pallas_groupagg as PG
+
+    # cap=1024: BLOCK(2048) x cap f32 one-hot = 8MB VMEM; 4096 measured
+    # 18.49M > 16M scoped-vmem AOT OOM. n=2^22: 2^23 with 4 barrier-pinned
+    # reps measured 16.03G > 15.75G HBM AOT OOM. Per-op reps sized so each
+    # phase runs >> 3x tunnel RTT (~90ms) — the XLA paths are fast and need
+    # more reps than the Pallas ones to be honestly timeable.
+    cap = 1024
+    barrier = jax.lax.optimization_barrier
+    n = min(n, 1 << 22)
+    n = (n // 2048) * 2048  # groupagg BLOCK=2048, compact BLOCK=512
+
+    key = jnp.arange(n, dtype=jnp.int64) * 2654435761 % n
+    vals = (jnp.arange(n, dtype=jnp.float64) * 0.37)[:, None] + jnp.arange(
+        4, dtype=jnp.float64
+    )
+    gids = (key % cap).astype(jnp.int32)
+    mask = (key & 7) != 0
+
+    def ga(impl, reps):
+        @jax.jit
+        def f(x, g, m):
+            for _ in range(reps):
+                acc = impl(g, x, m, cap)
+                x = barrier(x + acc[0, 0])
+            return x
+
+        return f, (4 * 8 + 4 + 1) * n * reps  # k f64 read + i32 gids + mask
+
+    def cp(reps, pallas):
+        # column-stack (k, n) layout: the engine's native shape and the only
+        # one Mosaic can DMA at a dynamic row offset
+        @jax.jit
+        def f(xt, m):
+            for _ in range(reps):
+                if pallas:
+                    packed, _cnt = PC.compact_columns_pallas(xt, m)
+                    xt = barrier(packed[:, :n] + 0.5)
+                else:
+                    v, _cnt = PC.compact_columns_xla(xt, m)
+                    xt = barrier(v + 0.5)
+            return xt
+
+        return f, (2 * 4 * 8 + 1) * n * reps  # k f64 read + write + mask
+
+    ga_p, ga_p_b = ga(PG.groupagg_sums_pallas, 2)
+    ga_x, ga_x_b = ga(PG.groupagg_sums_xla, 16)
+    cp_p, cp_p_b = cp(4, pallas=True)
+    cp_x, cp_x_b = cp(4, pallas=False)
+    vals_t = jnp.ascontiguousarray(vals.T)
+    ops = [
+        ("groupagg_pallas_gbps", ga_p, (vals, gids, mask), ga_p_b),
+        ("groupagg_xla_gbps", ga_x, (vals, gids, mask), ga_x_b),
+        ("compact_pallas_gbps", cp_p, (vals_t, mask), cp_p_b),
+        ("compact_xla_gbps", cp_x, (vals_t, mask), cp_x_b),
+    ]
+    anchors = {label: fn(*args) for label, fn, args, _ in ops}
+    return ops, anchors
+
+
 def _enqueue_roofline(timeline, ops, anchors, k: int) -> dict:
     """Enqueue the pre-compiled roofline probe chains (k calls per phase)."""
     bytes_per_call: dict = {}
@@ -226,6 +298,43 @@ def pandas_q1(line_pd):
         count_order=("l_quantity", "count"),
     ).reset_index()
     return out, time.perf_counter() - t0
+
+
+def _main_opscmp() -> None:
+    """Fault-isolated Pallas-vs-XLA kernel comparison (own child: a Mosaic
+    runtime fault must not poison the query children's probe timelines)."""
+    from polars_tpu.utils.device_timer import DeviceTimeline
+
+    try:
+        ops, anchors = _build_ops_cmp(1 << 23)
+        log("pallas-vs-xla cmp ops compiled")
+    except Exception as e:  # noqa: BLE001
+        log(f"ops-cmp build failed: {e}")
+        print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
+                          "unit": "rows/s", "vs_baseline": 0.0,
+                          "detail": {"ops": {"cmp_error": str(e)[:200]}}}))
+        return
+    timeline = DeviceTimeline()
+    timeline.mark("warm")
+    timeline.mark("rtt")
+    bytes_per = _enqueue_roofline(timeline, ops, anchors, k=24)
+    log("resolving ops-cmp timeline...")
+    spans = timeline.resolve()
+    log(f"timeline: { {k: round(v['s'], 4) for k, v in spans.items()} }")
+    rtt = spans.get("rtt", {}).get("s", 0.0)
+    out_ops: dict = {}
+    for label, nbytes in bytes_per.items():
+        sp = spans.get(label)
+        if not sp or sp.get("error"):
+            continue
+        t = max(sp["s"] - rtt, 1e-9) / sp["n"]
+        out_ops[label] = round(nbytes / t / 1e9, 2)
+        if sp["s"] < 3 * rtt:
+            out_ops[label + "_suspect"] = True
+    log(f"pallas-vs-xla (GB/s): {out_ops}")
+    print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
+                      "unit": "rows/s", "vs_baseline": 0.0,
+                      "detail": {"ops": out_ops}}))
 
 
 def _device_preflight(timeout_s: int) -> bool:
@@ -279,7 +388,7 @@ def _main_isolated() -> None:
 
     signal.signal(signal.SIGTERM, _on_term)
 
-    queries = os.environ.get("BENCH_QUERIES", "q1,q3,q4").split(",")
+    queries = os.environ.get("BENCH_QUERIES", "q1,q3,q4,opscmp").split(",")
     scale = float(os.environ.get("BENCH_SCALE", "10.0"))
 
     # datagen up-front in the orchestrator (numpy+pyarrow only, no device
@@ -334,8 +443,10 @@ def _main_isolated() -> None:
             j = {}
         d = j.get("detail", {})
         q_detail.update(d.get("queries", {}))
+        if "ops" in d:
+            merged.setdefault("ops", {}).update(d["ops"])
         for k in ("scale", "k", "methodology", "flip_penalty_s", "rtt_ms",
-                  "ops", "scan", "validated"):
+                  "scan", "validated"):
             if k in d and k not in merged:
                 merged[k] = d[k]
         if q == "q1":
@@ -373,6 +484,9 @@ def main() -> None:
     only = None
     if "--single" in sys.argv:
         only = sys.argv[sys.argv.index("--single") + 1]
+    if only == "opscmp":
+        _main_opscmp()
+        return
     want_roofline = only is None or only == "q1"
 
     scale = float(os.environ.get("BENCH_SCALE", "10.0"))
@@ -382,17 +496,28 @@ def main() -> None:
     paths = _gen_parquet(scale, seed=42)
 
     # ---- phase 2: scan (parquet -> device), projection-pruned --------------
-    scan_cols = sorted(set(Q1_COLS + Q3_LINE_COLS + Q4_LINE_COLS))
-    lineitem, t_scan_li = _scan(paths["lineitem"], scan_cols)
+    # transfer ONLY what this child's query touches: host->device ingest rides
+    # the tunnel and sits ahead of every probe in the FIFO queue, so each
+    # extra byte delays the whole timeline (the r3 q1 child transferred
+    # orders+customer plus the q3/q4 lineitem columns it never read)
+    line_sets = {"q1": Q1_COLS, "q3": Q3_LINE_COLS, "q4": Q4_LINE_COLS}
+    scan_cols = sorted(set(line_sets.get(only) or sum(line_sets.values(), [])))
+    lineitem, t_scan = _scan(paths["lineitem"], scan_cols)
     n_rows = lineitem.height
-    orders, t_scan_o = _scan(paths["orders"], sorted(set(Q3_ORD_COLS + Q4_ORD_COLS)))
-    customer, t_scan_c = _scan(paths["customer"], Q3_CUST_COLS)
-    t_scan = t_scan_li + t_scan_o + t_scan_c
-    scan_bytes = (
-        _bytes_of(lineitem, scan_cols)
-        + _bytes_of(orders, Q3_ORD_COLS + Q4_ORD_COLS)
-        + _bytes_of(customer, Q3_CUST_COLS)
-    )
+    scan_bytes = _bytes_of(lineitem, scan_cols)
+    orders = customer = None
+    if only in (None, "q3", "q4"):
+        ord_cols = sorted(set(
+            (Q3_ORD_COLS if only in (None, "q3") else [])
+            + (Q4_ORD_COLS if only in (None, "q4") else [])
+        ))
+        orders, t_scan_o = _scan(paths["orders"], ord_cols)
+        t_scan += t_scan_o
+        scan_bytes += _bytes_of(orders, ord_cols)
+    if only in (None, "q3"):
+        customer, t_scan_c = _scan(paths["customer"], Q3_CUST_COLS)
+        t_scan += t_scan_c
+        scan_bytes += _bytes_of(customer, Q3_CUST_COLS)
     detail["scan"] = {
         "s": round(t_scan, 2),
         "gbps": round(scan_bytes / t_scan / 1e9, 3),
@@ -450,6 +575,7 @@ def main() -> None:
             log("roofline ops compiled")
         except Exception as e:  # noqa: BLE001
             log(f"roofline build failed: {e}")
+
 
     timeline.mark("warm")      # first readback: flip penalty + warm waits
     timeline.mark("rtt")       # empty phase: per-readback round trip

@@ -74,6 +74,104 @@ def _broadcast_rows() -> int:
 
 
 # ---------------------------------------------------------------------------
+# window rewrite: scalar-agg windows -> group-by + m:1 join
+# ---------------------------------------------------------------------------
+
+
+def _scalar_over_group(e: E.ENode) -> bool:
+    """True when ``e`` evaluates to ONE scalar per group, so the
+    ``group_to_rows`` broadcast of ``e.over(k)`` equals a left join of the
+    per-key aggregate back onto the rows."""
+    if isinstance(e, E.EAlias):
+        return _scalar_over_group(e.input)
+    if isinstance(e, (E.ELiteral, E.ELen)):
+        return True
+    if isinstance(e, E.EAgg):
+        return E.is_elementwise(e.input)
+    if isinstance(e, E.EBinary):
+        return _scalar_over_group(e.left) and _scalar_over_group(e.right)
+    if isinstance(e, E.ECast):
+        return _scalar_over_group(e.input)
+    return False
+
+
+def _rewrite_windows(node: L.LNode) -> L.LNode:
+    """Rewrite projections containing scalar-agg window expressions into
+    group-by + m:1 left join + projection, so the existing distributed
+    group-by/join machinery parallelizes ``sum(x).over(k)`` without moving
+    raw rows twice (reference: polars-expr window.rs evaluates via a
+    group-by + broadcast; here the broadcast IS the broadcast/shuffled join).
+    Rows never leave their shard: the per-key aggregate table is small and
+    rides the partial-shuffle + broadcast paths."""
+    inputs = node.inputs()
+    new_inputs = tuple(_rewrite_windows(i) for i in inputs)
+    if any(a is not b for a, b in zip(new_inputs, inputs)):
+        node = L.rebuild(node, new_inputs)
+    if not isinstance(node, (L.LSelect, L.LWithColumns)):
+        return node
+    exprs = node.exprs()
+    wins: list[E.EWindow] = []
+    for e in exprs:
+        for w in E.walk(e):
+            if isinstance(w, E.EWindow) and all(w is not x for x in wins):
+                wins.append(w)
+    if not wins:
+        return node
+    for w in wins:
+        if (
+            w.mapping_strategy != "group_to_rows"
+            or w.order_by
+            or not w.partition_by
+            or not _scalar_over_group(w.function)
+            or not all(E.is_elementwise(p) for p in w.partition_by)
+        ):
+            return node
+
+    from polars_tpu.plan.optimizer.cse_expr import _replace_expr
+
+    src = node.input
+    cur = src
+    new_exprs = list(exprs)
+    by_keys: dict[tuple, list[tuple[int, E.EWindow]]] = {}
+    uniq: list[E.EWindow] = []
+    for w in wins:
+        if w in uniq:
+            continue
+        uniq.append(w)
+        try:
+            by_keys.setdefault(w.partition_by, []).append((len(uniq) - 1, w))
+        except TypeError:
+            return node  # unhashable key payload: leave the plan alone
+    temps: list[str] = []
+    for gi, (keyset, group) in enumerate(by_keys.items()):
+        knames = [f"__wk{gi}_{ki}__" for ki in range(len(keyset))]
+        key_aliases = tuple(E.EAlias(p, kn) for kn, p in zip(knames, keyset))
+        aggs = tuple(E.EAlias(w.function, f"__w{j}__") for j, w in group)
+        gb = L.LGroupBy(src, key_aliases, aggs, False)
+        cur = L.LJoin(
+            cur, gb,
+            left_on=tuple(keyset),
+            right_on=tuple(E.EColumn(kn) for kn in knames),
+            how="left", suffix="__wjoin__", nulls_equal=True,
+            coalesce=False, validate="m:1",
+        )
+        temps.extend(knames)
+        temps.extend(f"__w{j}__" for j, _ in group)
+        for j, w in group:
+            new_exprs = [
+                _replace_expr(e, w, E.EColumn(f"__w{j}__")) for e in new_exprs
+            ]
+
+    import dataclasses as _dc
+
+    out = _dc.replace(node, input=cur, expressions=tuple(new_exprs))
+    if isinstance(node, L.LWithColumns):
+        # with_columns passes every input column through: drop the join temps
+        out = L.LDrop(out, tuple(t for t in temps if t in node_schema(out).names()))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # plan classification
 # ---------------------------------------------------------------------------
 
@@ -847,6 +945,7 @@ def collect_spmd(node: L.LNode, mesh=None, *, sync: bool = True) -> DataFrame:
     d = int(mesh.devices.size)
     if d <= 1:
         return execute_plan(node)
+    node = _rewrite_windows(node)
     found = _find_dist_root(node)
     if found is None:
         return execute_plan(node)

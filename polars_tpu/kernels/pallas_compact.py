@@ -8,20 +8,35 @@ on the MXU (dynamic scatter is unsupported in Mosaic; a 512x512 f32 one-hot
 matmul costs ~1ns/row on the MXU, cheaper than a round-trip to XLA sort), then
 DMA-writes the packed block at the running global offset carried in SMEM.
 
+Layout is COLUMN-MAJOR (k, n) — the engine's native stack-of-columns shape,
+and the only one Mosaic can DMA at a dynamic row offset (the minor dim of an
+HBM slice must be 128-aligned; rows are, a k=4 column axis is not).
+
 f64 payloads split into hi/lo f32 pairs: each output element receives exactly
 one input's hi and lo parts, so f64(hi)+f64(lo) reconstructs the value EXACTLY.
 
 Fallback: XLA stable-sort compaction (used on CPU and for odd sizes).
+
+Mosaic/JAX-0.9 constraints baked in (all measured on v5e via the remote
+compile service, 2026-08-19):
+- jnp.cumsum does not lower (KernelType.TC): prefix sums run as a
+  lower-triangular ones contraction on the MXU;
+- scalar jnp.sum re-enters jnp.sum WITHOUT a dtype inside Mosaic's reduce
+  proxy at lowering time, where ambient x64 promotes to the unsupported
+  i64 — totals come from the prefix sum's last lane instead;
+- ANY-space (HBM) outputs only accept explicit async DMA from VMEM scratch;
+- the kernel must trace under jax.enable_x64(False) (i64 index types).
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
-BLOCK = 512
+# 1024: XLA lays out 1-D (mask) operands at tile T(1024); a smaller row block
+# fails Mosaic's operand-layout verification ("XLA layout {0:T(1024)} does
+# not match Mosaic layout {0:T(512)}")
+BLOCK = 1024
 
 try:
     from jax.experimental import pallas as pl
@@ -32,36 +47,89 @@ except Exception:  # noqa: BLE001
     _PALLAS_OK = False
 
 
-def _compact_kernel(mask_ref, hi_ref, lo_ref, out_hi_ref, out_lo_ref, cnt_ref, off_ref):
+def _compact_kernel(
+    mask_ref, hi_ref, lo_ref, out_hi_ref, out_lo_ref, cnt_ref,
+    off_ref, cc_ref, st_hi, st_lo, ca_hi, ca_lo, sem_h, sem_l,
+):
+    """Aligned compress-store: survivors land in a (k, 2*BLOCK) staging window
+    at carry_count + prefix-rank; full BLOCK-aligned chunks DMA out (HBM DMA
+    offsets must be provably 128-aligned — ``pl.multiple_of`` carries the
+    proof, truthfully: the offset only ever advances by BLOCK), the partial
+    tail stays in a VMEM carry for the next grid step."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         off_ref[0] = 0
+        cc_ref[0] = 0
 
     m = mask_ref[:].astype(jnp.int32)  # (BLOCK,)
-    incl = jnp.cumsum(m)
-    excl = incl - m
-    n_sel = incl[-1]
-    # permutation one-hot: P[i, j] = mask[i] and excl[i] == j
+    # inclusive prefix sum via tril-ones on the MXU (exact in f32: <= BLOCK)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-    onehot = ((excl[:, None] == cols) & (m[:, None] == 1)).astype(jnp.float32)
-    packed_hi = jax.lax.dot_general(
-        onehot, hi_ref[:, :], dimension_numbers=(((0,), (0,)), ((), ())),
+    tril = (cols <= rows_i).astype(jnp.float32)
+    incl = jax.lax.dot_general(
+        tril, m.astype(jnp.float32)[:, None],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, 0].astype(jnp.int32)
+    excl = incl - m
+    n_sel = incl[BLOCK - 1]
+    cc = cc_ref[0]
+    # permutation one-hot into the staging window: row i -> lane cc + excl[i]
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 2 * BLOCK), 1)
+    onehot = (((excl + cc)[:, None] == cols2) & (m[:, None] == 1)).astype(jnp.float32)
+    # stage[c, j] = sum_i values[c, i] * P[i, j]
+    stage_hi = jax.lax.dot_general(
+        hi_ref[:, :], onehot, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    packed_lo = jax.lax.dot_general(
-        onehot, lo_ref[:, :], dimension_numbers=(((0,), (0,)), ((), ())),
+    stage_lo = jax.lax.dot_general(
+        lo_ref[:, :], onehot, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    base = off_ref[0]
-    out_hi_ref[pl.ds(base, BLOCK), :] = packed_hi
-    out_lo_ref[pl.ds(base, BLOCK), :] = packed_lo
-    off_ref[0] = base + n_sel
+    lanes = jax.lax.broadcasted_iota(jnp.int32, stage_hi.shape, 1)
+    zpad = jnp.zeros(ca_hi.shape, jnp.float32)
+    merged_hi = jnp.where(lanes < cc, jnp.concatenate([ca_hi[:, :], zpad], 1), stage_hi)
+    merged_lo = jnp.where(lanes < cc, jnp.concatenate([ca_lo[:, :], zpad], 1), stage_lo)
+    total = cc + n_sel
+
+    @pl.when(total >= BLOCK)
+    def _():
+        st_hi[:, :] = merged_hi[:, :BLOCK]
+        st_lo[:, :] = merged_lo[:, :BLOCK]
+        base = pl.multiple_of(off_ref[0], BLOCK)
+        cp_h = pltpu.make_async_copy(st_hi, out_hi_ref.at[:, pl.ds(base, BLOCK)], sem_h)
+        cp_l = pltpu.make_async_copy(st_lo, out_lo_ref.at[:, pl.ds(base, BLOCK)], sem_l)
+        cp_h.start()
+        cp_l.start()
+        cp_h.wait()
+        cp_l.wait()
+        ca_hi[:, :] = merged_hi[:, BLOCK:]
+        ca_lo[:, :] = merged_lo[:, BLOCK:]
+        off_ref[0] = off_ref[0] + BLOCK
+        cc_ref[0] = total - BLOCK
+
+    @pl.when(total < BLOCK)
+    def _():
+        ca_hi[:, :] = merged_hi[:, :BLOCK]
+        ca_lo[:, :] = merged_lo[:, :BLOCK]
+        cc_ref[0] = total
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
-        cnt_ref[0] = off_ref[0]
+        # flush the carry remainder (lanes past cc_ref are garbage — rows
+        # past the returned count are unspecified by contract)
+        st_hi[:, :] = ca_hi[:, :]
+        st_lo[:, :] = ca_lo[:, :]
+        base = pl.multiple_of(off_ref[0], BLOCK)
+        cp_h = pltpu.make_async_copy(st_hi, out_hi_ref.at[:, pl.ds(base, BLOCK)], sem_h)
+        cp_l = pltpu.make_async_copy(st_lo, out_lo_ref.at[:, pl.ds(base, BLOCK)], sem_l)
+        cp_h.start()
+        cp_l.start()
+        cp_h.wait()
+        cp_l.wait()
+        cnt_ref[0] = off_ref[0] + cc_ref[0]
 
 
 def compact_xla(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -74,22 +142,42 @@ def compact_xla(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Arra
     return values[perm], jnp.sum(mask.astype(jnp.int32))
 
 
+def compact_columns_xla(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(k, n) column-stack form of :func:`compact_xla` (same layout as the
+    Pallas kernel, for like-for-like comparison)."""
+    n = values.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    _, perm = jax.lax.sort(
+        [jnp.logical_not(mask).astype(jnp.int8), iota], num_keys=1, is_stable=True
+    )
+    return values[:, perm], jnp.sum(mask.astype(jnp.int32))
+
+
 def compact_columns_pallas(
     values: jax.Array, mask: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """Compact (n, k) f64 columns by mask; returns ((n+BLOCK, k) packed, count).
-    Rows past count are garbage."""
-    n, k = values.shape
+    """Compact (k, n) f64 column stack by mask along n; returns
+    ((k, n+BLOCK) packed, count). Rows past count are garbage."""
+    k, n = values.shape
     assert n % BLOCK == 0
     hi = values.astype(jnp.float32)
     lo = (values - hi.astype(jnp.float64)).astype(jnp.float32)
-    out_hi, out_lo, cnt = pl.pallas_call(
+    # Mosaic rejects the i64 index types jax_enable_x64 introduces — trace
+    # the kernel in 32-bit mode (operands here are f32/bool only)
+    with jax.enable_x64(False):
+        out_hi, out_lo, cnt = _call_compact(mask, hi, lo, n, k)
+    packed = out_hi.astype(jnp.float64) + out_lo.astype(jnp.float64)
+    return packed, cnt[0]
+
+
+def _call_compact(mask, hi, lo, n, k):
+    return pl.pallas_call(
         _compact_kernel,
         grid=(n // BLOCK,),
         in_specs=[
             pl.BlockSpec((BLOCK,), lambda i: (i,)),
-            pl.BlockSpec((BLOCK, k), lambda i: (i, 0)),
-            pl.BlockSpec((BLOCK, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, BLOCK), lambda i: (0, i)),
+            pl.BlockSpec((k, BLOCK), lambda i: (0, i)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -97,14 +185,21 @@ def compact_columns_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n + BLOCK, k), jnp.float32),
-            jax.ShapeDtypeStruct((n + BLOCK, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, n + BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((k, n + BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),   # off (BLOCK-aligned write pos)
+            pltpu.SMEM((1,), jnp.int32),   # carry count
+            pltpu.VMEM((k, BLOCK), jnp.float32),  # DMA staging hi
+            pltpu.VMEM((k, BLOCK), jnp.float32),  # DMA staging lo
+            pltpu.VMEM((k, BLOCK), jnp.float32),  # carry hi
+            pltpu.VMEM((k, BLOCK), jnp.float32),  # carry lo
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
     )(mask, hi, lo)
-    packed = out_hi.astype(jnp.float64) + out_lo.astype(jnp.float64)
-    return packed, cnt[0]
 
 
 def compact(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -113,13 +208,13 @@ def compact(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
     DEMOTED to the XLA path on purpose (v5e, 2026-08):
     - the engine compacts at materialization with ONE stable radix argsort
       permutation amortized over every output column (executors.run_segment);
-      the Pallas kernel compacts one (n, k) f64 block per call, so per-query
+      the Pallas kernel compacts one (k, n) f64 block per call, so per-query
       it would run the mask pass once per dtype group instead of once;
     - the hi/lo f32 carry reconstructs f64 only to ~47 mantissa bits — not
       bit-exact for i64 payloads (Polars semantics), so it could serve only
       float columns, further fragmenting the pass;
     - XLA's sort-based compaction already runs at memory bandwidth here.
-    The kernel stays as a validated alternate for a future single-column
-    filter fast path (mask + one wide column, where one-hot-on-MXU wins).
+    The kernel stays as an alternate for a future single-column filter fast
+    path; BENCH detail.ops records the measured comparison (VERDICT r3 #9).
     """
     return compact_xla(values, mask)

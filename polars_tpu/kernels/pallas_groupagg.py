@@ -140,7 +140,9 @@ def groupagg_sums(
         and jax.default_backend() == "tpu"
         and n % BLOCK == 0
         and cap % 128 == 0
-        and cap <= 4096
+        # BLOCK x cap f32 one-hot must fit scoped VMEM (16MB): cap 4096
+        # measured 18.49M AOT OOM; 1024 -> 8MB
+        and cap <= 1024
     ):
         return groupagg_sums_pallas(gids, values, mask, cap)
     return groupagg_sums_xla(gids, values, mask, cap)

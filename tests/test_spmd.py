@@ -252,3 +252,65 @@ def test_dist_distinct(facts):
             got.to_pandas().reset_index(drop=True),
             exp.to_pandas().reset_index(drop=True),
         )
+
+
+def test_dist_window_scalar_aggs(facts, monkeypatch):
+    """Scalar-agg windows rewrite to group-by + m:1 join (spmd._rewrite_windows)
+    and run fully distributed: rows never move, only the per-key aggregate
+    table rides the exchange."""
+    monkeypatch.setattr(spmd, "CAPTURE_HLO", True)
+    spmd._SPMD_JIT_CACHE.clear()
+    lf = facts.lazy().with_columns(
+        t=pl.col("v").sum().over("k"),
+        m=pl.col("v").mean().over("k"),
+    )
+    _cmp(lf)
+    assert spmd.LAST_LOWERED is not None  # the SPMD engine really ran
+
+    # window nested in arithmetic, select form
+    _cmp(facts.lazy().select("k", dev=pl.col("v") - pl.col("v").mean().over("k")))
+
+    # two different partition-key sets in one node
+    _cmp(
+        facts.lazy().with_columns(
+            a=pl.col("v").sum().over("k"),
+            b=pl.col("v").max().over("s"),
+        )
+    )
+
+    # expression partition keys + len()
+    _cmp(
+        facts.lazy().with_columns(
+            c=pl.len().over(pl.col("w") % 5),
+        )
+    )
+
+
+def test_dist_window_null_keys(facts):
+    # over() groups null keys together: the rewrite join must match nulls
+    withnull = facts.with_columns(
+        kk=pl.when(pl.col("w") % 7 == 0).then(None).otherwise(pl.col("k")),
+    )
+    lf = withnull.lazy().with_columns(t=pl.col("v").sum().over("kk"))
+    _cmp(lf)
+
+
+def test_dist_window_above_groupby(facts):
+    # window over the OUTPUT of a distributed group-by: one SPMD program
+    lf = (
+        facts.lazy()
+        .group_by("k", "s")
+        .agg(t=pl.col("v").sum())
+        .with_columns(share=pl.col("t") / pl.col("t").sum().over("s"))
+        .sort("k", "s")
+    )
+    _cmp(lf)
+
+
+def test_dist_window_unsupported_falls_back(facts):
+    # rank().over is NOT a scalar agg: plan must still execute correctly
+    # (single-chip materialization of that node)
+    lf = facts.lazy().with_columns(r=pl.col("v").rank().over("k")).group_by("k").agg(
+        q=pl.col("r").max()
+    ).sort("k")
+    _cmp(lf)
