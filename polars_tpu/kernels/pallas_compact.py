@@ -33,9 +33,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# 1024: XLA lays out 1-D (mask) operands at tile T(1024); a smaller row block
-# fails Mosaic's operand-layout verification ("XLA layout {0:T(1024)} does
-# not match Mosaic layout {0:T(512)}")
+# 1024: XLA lays out the 1-D mask operand at tile T(1024); smaller blocks
+# fail Mosaic's operand-layout verification
 BLOCK = 1024
 
 try:
@@ -64,40 +63,62 @@ def _compact_kernel(
         cc_ref[0] = 0
 
     m = mask_ref[:].astype(jnp.int32)  # (BLOCK,)
-    # inclusive prefix sum via tril-ones on the MXU (exact in f32: <= BLOCK)
+    # inclusive prefix sum via tril-ones on the MXU. DEFAULT (bf16) precision
+    # is EXACT here: both operands are 0/1 (exact in bf16) and the MXU
+    # accumulates in f32 (sums <= BLOCK). Per-operand precision tuples are
+    # unsupported in Mosaic, and two-sided HIGHEST blows the 16MB scoped-vmem
+    # limit (measured 32.24M) — so every dot in this kernel runs DEFAULT with
+    # 0/1 right-hand sides and manually bf16-plane-decomposed values.
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-    tril = (cols <= rows_i).astype(jnp.float32)
+    tril = (cols <= rows_i).astype(jnp.bfloat16)
+    # minor-dim insertion is 32-bit-only in Mosaic: reshape in f32, then cast
+    mcol = m.astype(jnp.float32)[:, None].astype(jnp.bfloat16)
     incl = jax.lax.dot_general(
-        tril, m.astype(jnp.float32)[:, None],
+        tril, mcol,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )[:, 0].astype(jnp.int32)
     excl = incl - m
     n_sel = incl[BLOCK - 1]
     cc = cc_ref[0]
-    # permutation one-hot into the staging window: row i -> lane cc + excl[i]
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 2 * BLOCK), 1)
-    onehot = (((excl + cc)[:, None] == cols2) & (m[:, None] == 1)).astype(jnp.float32)
-    # stage[c, j] = sum_i values[c, i] * P[i, j]
-    stage_hi = jax.lax.dot_general(
-        hi_ref[:, :], onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    stage_lo = jax.lax.dot_general(
-        lo_ref[:, :], onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    lanes = jax.lax.broadcasted_iota(jnp.int32, stage_hi.shape, 1)
-    zpad = jnp.zeros(ca_hi.shape, jnp.float32)
-    merged_hi = jnp.where(lanes < cc, jnp.concatenate([ca_hi[:, :], zpad], 1), stage_hi)
-    merged_lo = jnp.where(lanes < cc, jnp.concatenate([ca_lo[:, :], zpad], 1), stage_lo)
+    # permutation one-hots, one per staging half (avoids a (BLOCK, 2*BLOCK)
+    # iota + one-hot): row i -> lane cc + excl[i]
+    sel = m[:, None] == 1
+    tgt = (excl + cc)[:, None]
+    oh0 = ((tgt == cols) & sel).astype(jnp.bfloat16)           # lanes [0, B)
+    oh1 = ((tgt - BLOCK == cols) & sel).astype(jnp.bfloat16)   # lanes [B, 2B)
+
+    def _sel(x, oh):
+        # exact f32 selection at DEFAULT precision: decompose the value side
+        # into 3 bf16 planes (8x3 = 24 mantissa bits = full f32); the one-hot
+        # side is exact; each output lane receives exactly one row's planes
+        p1 = x.astype(jnp.bfloat16)
+        r1 = x - p1.astype(jnp.float32)
+        p2 = r1.astype(jnp.bfloat16)
+        p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = None
+        for p in (p1, p2, p3):
+            d = jax.lax.dot_general(
+                p, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = d if out is None else out + d
+        return out
+
+    hi = hi_ref[:, :]
+    lo = lo_ref[:, :]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (hi.shape[0], BLOCK), 1)
+    merged0_hi = jnp.where(lanes < cc, ca_hi[:, :], _sel(hi, oh0))
+    merged0_lo = jnp.where(lanes < cc, ca_lo[:, :], _sel(lo, oh0))
+    merged1_hi = _sel(hi, oh1)  # lanes >= BLOCK > cc: never carry
+    merged1_lo = _sel(lo, oh1)
     total = cc + n_sel
 
     @pl.when(total >= BLOCK)
     def _():
-        st_hi[:, :] = merged_hi[:, :BLOCK]
-        st_lo[:, :] = merged_lo[:, :BLOCK]
+        st_hi[:, :] = merged0_hi
+        st_lo[:, :] = merged0_lo
         base = pl.multiple_of(off_ref[0], BLOCK)
         cp_h = pltpu.make_async_copy(st_hi, out_hi_ref.at[:, pl.ds(base, BLOCK)], sem_h)
         cp_l = pltpu.make_async_copy(st_lo, out_lo_ref.at[:, pl.ds(base, BLOCK)], sem_l)
@@ -105,15 +126,15 @@ def _compact_kernel(
         cp_l.start()
         cp_h.wait()
         cp_l.wait()
-        ca_hi[:, :] = merged_hi[:, BLOCK:]
-        ca_lo[:, :] = merged_lo[:, BLOCK:]
+        ca_hi[:, :] = merged1_hi
+        ca_lo[:, :] = merged1_lo
         off_ref[0] = off_ref[0] + BLOCK
         cc_ref[0] = total - BLOCK
 
     @pl.when(total < BLOCK)
     def _():
-        ca_hi[:, :] = merged_hi[:, :BLOCK]
-        ca_lo[:, :] = merged_lo[:, :BLOCK]
+        ca_hi[:, :] = merged0_hi
+        ca_lo[:, :] = merged0_lo
         cc_ref[0] = total
 
     @pl.when(step == pl.num_programs(0) - 1)

@@ -17,12 +17,14 @@ Grid steps are sequential on a TPU core, so the VMEM scratch accumulator needs
 no atomics (the same property the reference's per-pipeline local tables rely
 on).
 
-Validated on v5e (2026-08-17): compiles and runs via the remote compile
-service (requires the enable_x64(False) trace context below — Mosaic rejects
-x64 index types), max rel err 1.4e-5 vs the exact f64 scatter (f32 hi/lo
-carry), and NO speed advantage: XLA's native scatter-add already runs at
-memory-bandwidth roofline on this chip (8M-row 2D scatter ~0.2 ms), so the
-scatter path stays the default and this kernel is an alternate.
+Validated on v5e (re-run 2026-08-20): compiles and runs via the remote
+compile service. Requires the enable_x64(False) trace context below (Mosaic
+rejects x64 index types), cap <= 1024 (BLOCK x cap one-hot must fit the 16MB
+scoped-vmem limit; 4096 measured 18.49M AOT OOM), and Precision.HIGHEST on
+the contractions (the Mosaic default computes f32 dots through bf16 — one-hot
+sums of values showed 1.6e-3 rel err before the fix). The measured
+pallas-vs-XLA comparison lives in BENCH detail.ops (bench.py _build_ops_cmp);
+XLA's batched scatter-add remains the default engine path.
 
 """
 
@@ -55,17 +57,28 @@ def _kernel(cap: int, k: int, gids_ref, hi_ref, lo_ref, out_hi_ref, out_lo_ref,
 
     g = gids_ref[:]  # (BLOCK,)
     cap_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, cap), 1)
-    onehot = (g[:, None] == cap_ids).astype(jnp.float32)  # (BLOCK, cap)
-    hi = hi_ref[:, :]  # (BLOCK, k)
-    lo = lo_ref[:, :]
-    acc_hi[:, :] += jax.lax.dot_general(
-        onehot, hi, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_lo[:, :] += jax.lax.dot_general(
-        onehot, lo, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    onehot = (g[:, None] == cap_ids).astype(jnp.bfloat16)  # (BLOCK, cap)
+
+    def _scatter_sum(x):
+        # DEFAULT (bf16) dot precision rounds the value side (measured 1.6e-3
+        # rel err); per-operand precision tuples are unsupported in Mosaic —
+        # decompose values into 3 bf16 planes (24 mantissa bits = full f32),
+        # the 0/1 one-hot side is exact, products accumulate in f32
+        p1 = x.astype(jnp.bfloat16)
+        r1 = x - p1.astype(jnp.float32)
+        p2 = r1.astype(jnp.bfloat16)
+        p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = None
+        for p in (p1, p2, p3):
+            d = jax.lax.dot_general(
+                onehot, p, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = d if out is None else out + d
+        return out
+
+    acc_hi[:, :] += _scatter_sum(hi_ref[:, :])
+    acc_lo[:, :] += _scatter_sum(lo_ref[:, :])
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
