@@ -611,13 +611,26 @@ def _reorder_right(
     return DataFrame._from_columns(out_cols, flipped.height)
 
 
+def asof_match(lk, rk, rmask, strategy: str, tolerance: float | None):
+    """Traceable asof matcher (also inlined by the SPMD engine's distributed
+    asof, engine/spmd._dist_asof). Returns (right row index, matched mask).
+    The sentinel for masked build rows is computed inside the trace from
+    python literals — closing over an eagerly created device array would
+    poison dispatch."""
+    return _asof_match_inner(lk, rk, rmask, strategy, tolerance)
+
+
 @functools.lru_cache(maxsize=None)
 def _asof_match_jit(strategy: str, tolerance: float | None):
-    """Cached asof matcher (strategy/tolerance are statics). The sentinel for
-    masked build rows is computed inside the trace from python literals —
-    closing over an eagerly created device array would poison dispatch."""
+    """Cached jit wrapper over :func:`asof_match` (statics closed over)."""
 
     def match(lk, rk, rmask):
+        return _asof_match_inner(lk, rk, rmask, strategy, tolerance)
+
+    return jax.jit(match)
+
+
+def _asof_match_inner(lk, rk, rmask, strategy, tolerance):
         from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
         nr = rk.shape[0]
@@ -650,8 +663,6 @@ def _asof_match_jit(strategy: str, tolerance: float | None):
         if tolerance is not None:
             ok = ok & (jnp.abs(lk - sk[idxc]) <= tolerance)
         return sperm[idxc], ok
-
-    return jax.jit(match)
 
 
 def _tolerance_ticks(tol: str, key_dtype) -> int:

@@ -205,6 +205,11 @@ def _classify(node: L.LNode, leaves: list[L.LNode], counters: dict) -> None:
         counters["reductions"] += 1
         _classify(node.input, leaves, counters)
         return
+    if isinstance(node, L.LAsofJoin):
+        counters["reductions"] += 1
+        _classify(node.input_left, leaves, counters)
+        _classify(node.input_right, leaves, counters)
+        return
     if isinstance(node, L.LSort) and _is_fusable(node) and node.limit is None:
         # range-partitioned distributed sort (splitter exchange = a reduction)
         counters["reductions"] += 1
@@ -548,6 +553,106 @@ def _dist_distinct(node: L.LDistinct, tt: TTable, tc: _TraceCtx, d: int, cap_sca
     return tt_out, ofl
 
 
+def _dist_asof(node: L.LAsofJoin, tt_l: TTable, tt_r: TTable, tc: _TraceCtx, d: int):
+    """Distributed asof join: the right (build) side replicates via
+    all_gather, every shard matches its LOCAL probe rows against the full
+    right table, probe rows never move. Broadcast is both the simple and
+    the correct choice here — an asof match may need a neighbor from any
+    range partition, and build sides are the small table of the pattern
+    (quotes vs trades). Reference: polars-ops join_asof always sees the
+    whole right frame (crates/polars-ops/src/frame/join/asof/mod.rs); the
+    distribution axis there is rayon over left rows, here the mesh.
+    With ``by`` groups, the composite-key fold of join.asof_join_frames is
+    rebuilt IN-TRACE: the global time span comes from pmin/pmax collectives
+    instead of a host sync, and the span-overflow guard rides the segment's
+    deferred error flag."""
+    from polars_tpu.engine.join import _tolerance_ticks, asof_match
+    from polars_tpu.engine.join_traced import _key_word_traced
+
+    tt_rg = _gather_ttable(tt_r)
+    ctx_l = _eval_ctx(tt_l, tc.literals)
+    ctx_r = _eval_ctx(tt_rg, tc.literals)
+    lon = E.output_name(node.left_on)
+    ron = E.output_name(node.right_on)
+    lcol = ctx_l.cols[lon]
+    rcol = ctx_r.cols[ron]
+
+    tolerance = node.tolerance
+    if isinstance(tolerance, str):
+        tolerance = _tolerance_ticks(tolerance, lcol.dtype)
+    elif tolerance is not None and hasattr(tolerance, "total_seconds"):
+        us = int(round(tolerance.total_seconds() * 1e6))
+        tolerance = _tolerance_ticks(f"{us}us", lcol.dtype)
+
+    is_f = lcol.dtype.is_float()
+    lk = lcol.values if is_f else lcol.values.astype(jnp.int64)
+    rk = rcol.values if is_f else rcol.values.astype(jnp.int64)
+    lmask = tt_l.rowmask
+    if lcol.validity is not None:
+        lmask = lmask & lcol.validity
+    rmask = tt_rg.rowmask
+    if rcol.validity is not None:
+        rmask = rmask & rcol.validity
+
+    gl = gr = None
+    if node.by_left:
+        # composite key gid * K + (t - tmin), K from the GLOBAL span
+        hl = hr = None
+        for bl, br in zip(node.by_left, node.by_right):
+            vl = ctx_l.cols[E.output_name(bl)]
+            vr = ctx_r.cols[E.output_name(br)]
+            wl, okl, _ = _key_word_traced(vl, vr)
+            wr, okr, _ = _key_word_traced(vr, vl)
+            if okl is not None:
+                lmask = lmask & okl
+            if okr is not None:
+                rmask = rmask & okr
+            cl = hash_column(wl, None, 29)
+            cr = hash_column(wr, None, 29)
+            hl = cl if hl is None else combine_hashes(hl, cl)
+            hr = cr if hr is None else combine_hashes(hr, cr)
+        from polars_tpu.engine.join import _sort_i64_single
+
+        sorted_gr = _sort_i64_single(jnp.where(rmask, hr, 0x7FFFFFFFFFFFFFFF))
+        gl = jnp.searchsorted(sorted_gr, hl).astype(jnp.int64)
+        gr = jnp.searchsorted(sorted_gr, hr).astype(jnp.int64)
+        lk64 = lk.astype(jnp.int64)
+        rk64 = rk.astype(jnp.int64)
+        big = jnp.iinfo(jnp.int64).max
+        tmin_l = jax.lax.pmin(jnp.min(jnp.where(lmask, lk64, big)), AXIS)
+        tmax_l = jax.lax.pmax(jnp.max(jnp.where(lmask, lk64, -big - 1)), AXIS)
+        tmin_r = jnp.min(jnp.where(rmask, rk64, big))  # replicated: local = global
+        tmax_r = jnp.max(jnp.where(rmask, rk64, -big - 1))
+        tmin = jnp.minimum(tmin_l, tmin_r)
+        tmax = jnp.maximum(tmax_l, tmax_r)
+        span = jnp.maximum(tmax - tmin, 0)
+        tol_i = int(tolerance) if tolerance is not None else 0
+        K = span + 2 * abs(tol_i) + 4
+        # span-overflow guard -> deferred error channel (single host sync)
+        tc.flags.append(K >= jnp.int64((1 << 62) // (tt_rg.padded + 2)))
+        lk = jnp.where(lmask, gl * K + (lk64 - tmin), jnp.int64(0))
+        rk = jnp.where(rmask, gr * K + (rk64 - tmin), jnp.int64(0))
+
+    ridx, ok = asof_match(
+        lk, rk, rmask, node.strategy,
+        None if tolerance is None else float(tolerance),
+    )
+    if node.by_left:
+        ok = ok & (gr[ridx] == gl)
+    ok = ok & lmask
+
+    cols: dict[str, Val] = dict(tt_l.cols)
+    skip = {ron, *(E.output_name(e) for e in node.by_right)}
+    for name, v in tt_rg.cols.items():
+        if name in skip:
+            continue
+        out_name = name + node.suffix if name in tt_l.cols else name
+        values = v.values[ridx]
+        validity = ok if v.validity is None else (v.validity[ridx] & ok)
+        cols[out_name] = Val(values, validity, v.dtype, v.table, ROW, v.child)
+    return TTable(cols, tt_l.rowmask, tt_l.padded)
+
+
 def _join_side_hash(keys_self: list[Val], keys_other: list[Val]) -> jax.Array:
     """Side-symmetric shuffle hash: equal keys on either side hash equal."""
     from polars_tpu.engine.join_traced import _key_word_traced
@@ -678,6 +783,12 @@ def _trace_dist(node: L.LNode, tc: _TraceCtx, d: int, cap_scale: int, ofl_acc: l
         tt_r = _trace_dist(node.input_right, tc, d, cap_scale, ofl_acc)
         tt, ofl = _dist_join(node, tt_l, tt_r, tc, d, cap_scale)
         ofl_acc.append(ofl)
+        tc.leaf_tables[id(node)] = tt
+        return tt
+    if isinstance(node, L.LAsofJoin):
+        tt_l = _trace_dist(node.input_left, tc, d, cap_scale, ofl_acc)
+        tt_r = _trace_dist(node.input_right, tc, d, cap_scale, ofl_acc)
+        tt = _dist_asof(node, tt_l, tt_r, tc, d)
         tc.leaf_tables[id(node)] = tt
         return tt
     if isinstance(node, L.LGroupBy):

@@ -314,3 +314,42 @@ def test_dist_window_unsupported_falls_back(facts):
         q=pl.col("r").max()
     ).sort("k")
     _cmp(lf)
+
+
+def test_dist_asof_join(facts, rng_mod, monkeypatch):
+    """Distributed asof (VERDICT r3 missing #5 tail): right side broadcast via
+    all_gather, local probes never move; strategies + tolerance + by-groups
+    all match the single-chip engine exactly."""
+    n_r = 500
+    quotes = pl.DataFrame({
+        "t": np.sort(rng_mod.integers(0, 100_000, n_r)),
+        "px": rng_mod.normal(size=n_r),
+    })
+    trades = pl.DataFrame({
+        "t": rng_mod.integers(0, 100_000, 4000),
+        "qty": rng_mod.integers(1, 50, 4000),
+    }).sort("t")
+
+    monkeypatch.setattr(spmd, "CAPTURE_HLO", True)
+    spmd._SPMD_JIT_CACHE.clear()
+    for strategy in ("backward", "forward", "nearest"):
+        _cmp(trades.lazy().join_asof(quotes.lazy(), on="t", strategy=strategy))
+    assert "all_gather" in spmd.LAST_LOWERED
+
+    # tolerance
+    _cmp(trades.lazy().join_asof(quotes.lazy(), on="t", tolerance=100))
+
+    # by-groups (composite in-trace key via pmin/pmax span)
+    quotes_g = quotes.with_columns(sym=pl.Series((np.arange(n_r) % 3)).cast(pl.Int64))
+    trades_g = trades.with_columns(sym=pl.Series((np.arange(4000) % 3)).cast(pl.Int64))
+    _cmp(trades_g.lazy().join_asof(quotes_g.lazy(), on="t", by="sym"))
+
+    # asof feeding a distributed group-by: one SPMD program end-to-end
+    lf = (
+        trades_g.lazy()
+        .join_asof(quotes_g.lazy(), on="t", by="sym")
+        .group_by("sym")
+        .agg(v=(pl.col("px") * pl.col("qty")).sum())
+        .sort("sym")
+    )
+    _cmp(lf)
