@@ -125,3 +125,57 @@ def test_fuzz_optimizer_differential(chunk):
                 fuzz.normalize(opt[c].to_list()),
                 fuzz.normalize(raw[c].to_list()),
             )
+
+
+@pytest.mark.parametrize("chunk", range(4))
+def test_fuzz_streaming_plan_differential(chunk):
+    """Random small PLANS (not just expression selects) through the streaming
+    engine at tiny batch sizes vs in-memory — exercises batch decomposition,
+    terminal combine, the multi-stateful splice recursion, and the in-memory
+    fallbacks for non-streamable nodes."""
+    rng = np.random.default_rng(6000 + chunk)
+    df, _ = fuzz.random_frame(rng, n_rows=67)
+    for case in range(10):
+        lf = fuzz.gen_plan(rng, df.lazy())
+        mem = lf.collect()
+        st = lf.collect(engine="streaming", batch_rows=16)
+        assert st.columns == mem.columns, f"seed={6000+chunk} case={case}"
+        for c in mem.columns:
+            _assert_same(
+                f"seed={6000+chunk} case={case} col={c} [streaming vs memory]",
+                fuzz.normalize(st[c].to_list()),
+                fuzz.normalize(mem[c].to_list()),
+            )
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_fuzz_join_cross_engine(chunk):
+    """Random equi-join + aggregate plans across the three engines (the
+    join->group-by spine is the canonical analytics shape)."""
+    rng = np.random.default_rng(8000 + chunk)
+    df, _ = fuzz.random_frame(rng, n_rows=59)
+    n_dim = 13
+    dim = pl.DataFrame({
+        "g": np.arange(n_dim),
+        "w": rng.normal(size=n_dim),
+        "tag": [f"t{i % 4}" for i in range(n_dim)],
+    })
+    for case in range(6):
+        how = ["inner", "left", "semi", "anti"][int(rng.integers(0, 4))]
+        lf = df.lazy().join(dim.lazy(), on="g", how=how, validate="m:1")
+        if how in ("inner", "left") and rng.random() < 0.7:
+            lf = lf.group_by("tag" if how != "anti" else "g").agg(
+                s=pl.col("f").sum(), n=pl.len()
+            )
+        lf = lf.sort(lf.collect_schema().names()[0], nulls_last=True, maintain_order=True)
+        mem = lf.collect()
+        st = lf.collect(engine="streaming", batch_rows=16)
+        di = lf.collect(engine="distributed")
+        for eng, got in (("streaming", st), ("distributed", di)):
+            assert got.columns == mem.columns, f"seed={8000+chunk} case={case} {eng}"
+            for c in mem.columns:
+                _assert_same(
+                    f"seed={8000+chunk} case={case} col={c} [{eng} vs memory]",
+                    fuzz.normalize(got[c].to_list()),
+                    fuzz.normalize(mem[c].to_list()),
+                )
