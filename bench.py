@@ -494,6 +494,7 @@ def main() -> None:
     detail: dict = {"scale": scale, "k": k_query,
                     "methodology": "probe-chain (device_timer.DeviceTimeline)"}
     paths = _gen_parquet(scale, seed=42)
+    timeline = DeviceTimeline()
 
     # ---- phase 2: scan (parquet -> device), projection-pruned --------------
     # transfer ONLY what this child's query touches: host->device ingest rides
@@ -524,6 +525,10 @@ def main() -> None:
         "lineitem_rows": n_rows,
     }
     log(f"scan: {n_rows} lineitem rows, {scan_bytes/1e9:.2f} GB in {t_scan:.1f}s")
+    # FIFO attribution: this probe arrives once the ingest transfers + decode
+    # programs drain (its readback also pays the one-time flip penalty, so
+    # the span reads as flip + ingest; "warm" then isolates warm-up work)
+    timeline.mark("ingest")
 
     # ---- phase 3+4: warm-compile everything, then enqueue probe chains -----
     plans = {}
@@ -548,7 +553,6 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"q4 build failed: {e}")
 
-    timeline = DeviceTimeline()
     ok_queries = {}
     for name, (lf, nbytes) in plans.items():
         t0 = time.perf_counter()
@@ -577,7 +581,7 @@ def main() -> None:
             log(f"roofline build failed: {e}")
 
 
-    timeline.mark("warm")      # first readback: flip penalty + warm waits
+    timeline.mark("warm")      # query warm-up runs + roofline anchor calls
     timeline.mark("rtt")       # empty phase: per-readback round trip
     for name, (lf, nbytes) in ok_queries.items():
         anchor = None

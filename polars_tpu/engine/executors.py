@@ -956,7 +956,7 @@ def _table_sig(df: DataFrame) -> tuple:
                 _child_sig(getattr(c, "child", None)),
             )
         )
-    return (tuple(parts), padded_size(df.height) if df._columns else 128)
+    return (tuple(parts), padded_size(df.height))
 
 
 def _segment_key(node: L.LNode, leaf_ids: list[int]) -> tuple:
@@ -1007,7 +1007,7 @@ def _df_to_arrays(df: DataFrame) -> tuple[list, int]:
             args.append(np.int32(ch.buffer.length))
             ch = ch.child
     args.append(np.int32(df.height))
-    return args, padded_size(df.height) if df._columns else 128
+    return args, padded_size(df.height)
 
 
 def _args_to_ttable(df: DataFrame, args_iter, leaf_pos: int = -1) -> TTable:
@@ -1015,7 +1015,9 @@ def _args_to_ttable(df: DataFrame, args_iter, leaf_pos: int = -1) -> TTable:
     from polars_tpu.engine.common import TracedChild
 
     cols: dict[str, Val] = {}
-    padded = padded_size(df.height) if df._columns else 128
+    # NOT clamped to 128 for 0-column frames: pl.len() counts the row
+    # mask, so the mask must span the logical height even with no columns
+    padded = padded_size(df.height)
     for c in df._columns:
         values = next(args_iter)
         validity = next(args_iter) if c.buffer.validity is not None else None

@@ -206,13 +206,13 @@ class QueryOptFlags:
 
     ``collect(optimizations=...)`` / ``explain(optimizations=...)`` pass these
     to ``plan.optimizer.optimize``, which gates each pass on its toggle:
-    simplify_expression, check_order_observe (sort collapse),
+    simplify_expression, comm_subexpr_elim (cross-segment expression CSE,
+    optimizer/cse_expr.py), check_order_observe (sort collapse),
     predicate_pushdown, collapse_joins (filtered-cross-join -> equi-join,
-    optimizer/collapse_joins.py), projection_pushdown, slice_pushdown,
-    comm_subplan_elim. Toggles without a matching pass in this engine
-    (cluster_with_columns, comm_subexpr_elim, fast_projection) are accepted
-    and ignored: XLA fusion subsumes the first two, projections always
-    fuse."""
+    optimizer/collapse_joins.py), fast_projection (COUNT(*) from file
+    metadata, optimizer/count_star.py), projection_pushdown, slice_pushdown,
+    comm_subplan_elim. cluster_with_columns is accepted and ignored: XLA
+    fusion subsumes it."""
 
     def __init__(
         self,

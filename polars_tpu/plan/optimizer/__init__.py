@@ -58,6 +58,11 @@ def optimize(node: L.LNode, flags=None) -> L.LNode:
             # residual conjuncts can now sink through the new equi join
             rewritten = push_predicates(rewritten)
         node = rewritten
+    if flags is None or getattr(flags, "fast_projection", True):
+        # COUNT(*) from file metadata — no data pages read or shipped
+        from polars_tpu.plan.optimizer.count_star import count_star
+
+        node = count_star(node)
     if flags is None or getattr(flags, "projection_pushdown", True):
         node = push_projections(node)
     if flags is None or getattr(flags, "slice_pushdown", True):

@@ -324,3 +324,44 @@ def test_order_observe_drops_unobserved_sorts():
     assert sorted(q6.collect().to_dicts(), key=lambda d: d["k"]) == [
         {"k": "a", "v": 4.0}, {"k": "b", "v": 6.0}
     ]
+
+
+def test_count_star_fast_path(tmp_path):
+    """scan(...).select(pl.len()) answers from parquet metadata (reference:
+    optimizer/count_star.rs) — the plan collapses to a 1-row DataFrameScan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": np.arange(5000), "b": np.arange(5000) * 0.5}), p)
+
+    lf = pl.scan_parquet(p).select(pl.len())
+    assert "DataFrameScan [1 cols, 1 rows]" in lf.explain()
+    out = lf.collect()
+    assert out.rows() == [(5000,)]
+    assert out.schema["len"] == pl.UInt32
+
+    # alias preserved
+    assert pl.scan_parquet(p).select(pl.len().alias("n")).collect().rows() == [(5000,)]
+    # predicate blocks the fast path but stays correct
+    got = pl.scan_parquet(p).filter(pl.col("a") < 70).select(pl.len()).collect()
+    assert got.rows() == [(70,)]
+    # n_rows slice blocks it
+    got = pl.scan_parquet(p, n_rows=33).select(pl.len()).collect()
+    assert got.rows() == [(33,)]
+    # flag off: full scan path, same answer (0-column padded-mask fix)
+    got = lf.collect(optimizations=pl.QueryOptFlags.none())
+    assert got.rows() == [(5000,)]
+    # multi-file sums
+    p2 = str(tmp_path / "t2.parquet")
+    pq.write_table(pa.table({"a": np.arange(77), "b": np.arange(77) * 1.0}), p2)
+    assert pl.scan_parquet([p, p2]).select(pl.len()).collect().rows() == [(5077,)]
+
+
+def test_len_over_zero_column_frame():
+    from polars_tpu.core.frame import DataFrame
+
+    df = DataFrame._from_columns([], 1_000_000)
+    assert df.lazy().select(pl.len()).collect().rows() == [(1_000_000,)]
+    assert df.lazy().select((pl.len() * 2).alias("x")).collect().rows() == [(2_000_000,)]
