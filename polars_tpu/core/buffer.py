@@ -83,6 +83,14 @@ def _decode_jit(kind: str, out_dtype: str):
             # through the narrow (or an unsigned) dtype
             return (x.astype(jnp.int64) + p).astype(jnp.dtype(out_dtype))
 
+    elif kind == "delta":
+
+        @jax.jit
+        def f(x, p):
+            # packed[0] == 0, so cumsum + base reproduces the sequence; the
+            # padding tail decodes to the last value (padding is unspecified)
+            return (jnp.cumsum(x.astype(jnp.int64)) + p).astype(jnp.dtype(out_dtype))
+
     else:  # cast
 
         @jax.jit
@@ -128,9 +136,22 @@ def _pack_plan(values: np.ndarray):
     if d in (np.int64, np.int32, np.uint32, np.int16):
         if values.size == 0:
             return None
-        lo = values.min()
-        c = (values.astype(np.int64) - lo) if lo != 0 else values.astype(np.int64)
+        v64 = values.astype(np.int64)
+        lo, hi = v64.min(), v64.max()
+        c = v64 - lo if lo != 0 else v64
         nd = _narrow_int(c)
+        # delta encoding beats shift-narrowing on sorted-ish columns (an
+        # ordered key's deltas are tiny even when its range is not); the
+        # first slot holds 0 and the base rides as the decode param
+        ndd = None
+        if values.size > 1 and -(2**62) < lo and hi < 2**62:
+            dd = np.diff(v64)
+            ndd = _narrow_int(dd)
+        if ndd is not None and (nd is None or np.dtype(ndd).itemsize < np.dtype(nd).itemsize):
+            packed = np.empty(values.size, ndd)
+            packed[0] = 0
+            packed[1:] = dd
+            return packed, "delta", np.int64(v64[0]), str(np.dtype(d))
         if nd is None or np.dtype(nd).itemsize >= d.itemsize:
             return None
         if lo != 0:

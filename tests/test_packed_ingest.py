@@ -125,3 +125,26 @@ def test_disabled_by_env(monkeypatch):
     before = B.pack_stats()["cols"]
     _roundtrip(np.array([1.0, 2.0] * 512))
     assert B.pack_stats()["cols"] == before
+
+
+def test_i64_delta_encoding_sorted_keys():
+    # sorted key column with a huge range: deltas fit int8 where the
+    # shifted range needs int32 (the l_orderkey shape)
+    vals = np.cumsum(np.random.default_rng(3).integers(0, 5, 100_000)).astype(np.int64)
+    vals += 10**12
+    before = B.pack_stats()["packed_bytes"]
+    _roundtrip(vals)
+    assert B.pack_stats()["packed_bytes"] - before == B.padded_size(100_000)  # 1B/row
+
+
+def test_i64_delta_negative_steps():
+    rng = np.random.default_rng(4)
+    vals = (10**10 + np.cumsum(rng.integers(-40, 40, 4096))).astype(np.int64)
+    _roundtrip(vals)
+
+
+def test_i32_delta_vs_shift_chooses_smaller():
+    # unsorted small-range: shift wins; sorted big-range: delta wins
+    rng = np.random.default_rng(5)
+    _roundtrip(rng.integers(0, 200, 4096).astype(np.int32))        # shift->int8
+    _roundtrip(np.sort(rng.integers(0, 10**9, 4096)).astype(np.int32))  # delta
