@@ -422,12 +422,14 @@ def _main_isolated() -> None:
         log(f"--- isolated run: {q} ({child_budget:.0f}s budget) ---")
         env["BENCH_DEADLINE_TS"] = str(time.time() + child_budget - 30)
         try:
-            # stderr inherits (live progress in the driver tail); the hard
-            # timeout is the child's own deadline + 30s grace, so a healthy
-            # child always self-terminates first
+            # stderr inherits (live progress in the driver tail). Generous
+            # grace beyond the child's own deadline: killing a child blocked
+            # in a probe readback WEDGES the device claim server-side
+            # (observed r3 + r4) — better to lose budget than the claim.
+            grace = int(os.environ.get("BENCH_CHILD_GRACE_S", "300"))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", q],
-                stdout=subprocess.PIPE, timeout=child_budget + 30,
+                stdout=subprocess.PIPE, timeout=child_budget + grace,
                 env=env, text=True,
             )
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
