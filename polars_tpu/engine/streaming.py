@@ -32,6 +32,7 @@ Everything above the terminal runs in-memory on the (small) combined result
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any
 
 from polars_tpu import datatypes as dt
@@ -243,6 +244,35 @@ def _iter_batches(leaf: L.LNode, batch_rows: int):
                 return
 
 
+def _skip_n(it, n: int):
+    """Drop the first ``n`` items of a batch iterator (checkpoint resume:
+    those batches' partials are already durable; the scan still decodes the
+    skipped batches but no chain/device compute runs on them)."""
+    for i, item in enumerate(it):
+        if i >= n:
+            yield item
+
+
+def _partials(make_outputs, per_batch, ckpt):
+    """Per-batch partial frames, resuming from / persisting to ``ckpt``.
+
+    ``make_outputs(skip)`` -> iterator of chain outputs with the first
+    ``skip`` batches not computed; ``per_batch`` reduces one chain output to
+    its partial frame (the GroupedReduction ``update`` step). With a
+    checkpoint, stored partials stream out first, then each newly computed
+    partial is made durable BEFORE it is yielded — a crash at any point
+    re-runs at most the in-flight batch (engine/checkpoint.py)."""
+    if ckpt is None:
+        for out in make_outputs(0):
+            yield per_batch(out)
+        return
+    yield from ckpt.load_parts()
+    for out in make_outputs(ckpt.done):
+        part = per_batch(out)
+        ckpt.add_part(part)
+        yield part
+
+
 # ---------------------------------------------------------------------------
 # grace (hash-partitioned) join: both sides larger than memory
 # ---------------------------------------------------------------------------
@@ -413,9 +443,20 @@ def _freeze_build_sides(node: L.LNode, leaf: L.LNode, cache: dict) -> L.LNode:
     return L.rebuild(node, tuple(_freeze_build_sides(i, leaf, cache) for i in node.inputs()))
 
 
-def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFrame:
+def collect_streaming(
+    node: L.LNode,
+    *,
+    batch_rows: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Execute with batch-streamed scans where the plan shape allows;
-    otherwise fall back to the in-memory engine."""
+    otherwise fall back to the in-memory engine.
+
+    ``checkpoint_dir`` makes the run RESUMABLE (engine/checkpoint.py): each
+    per-batch partial is made durable before the next batch starts, and a
+    restarted process with the same plan + batch size skips every completed
+    batch. Multi-stateful spines checkpoint each splice stage under a nested
+    ``next_stage/`` directory."""
     from polars_tpu.engine.ooc import HostRunStore
     from polars_tpu.engine.run import execute_plan
     from polars_tpu.functions.eager import concat
@@ -425,11 +466,20 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         return execute_plan(node)
     leaf, terminal, chain_top, root = plan
     batch_rows = batch_rows or config().ideal_batch_size
+    ckpt = None
+    if checkpoint_dir is not None:
+        from polars_tpu.engine.checkpoint import StreamCheckpoint, plan_fingerprint
+
+        ckpt = StreamCheckpoint(
+            checkpoint_dir, plan_fingerprint(node, batch_rows), batch_rows
+        )
+        if verbose() and ckpt.done:
+            print(f"[polars_tpu] checkpoint: resuming after {ckpt.done} batches")
 
     grace_j = _find_grace_join(chain_top, leaf, batch_rows)
     if grace_j is not None:
-        def chain_outputs():
-            return _grace_outputs(chain_top, leaf, grace_j, batch_rows)
+        def chain_outputs(skip: int = 0):
+            return _skip_n(_grace_outputs(chain_top, leaf, grace_j, batch_rows), skip)
     else:
         chain = _freeze_build_sides(chain_top, leaf, {})
 
@@ -437,8 +487,8 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
             sub = _replace_input(chain, leaf, L.LDataFrameScan(df=batch_df, ident=obj_token(batch_df)))
             return execute_plan(sub)
 
-        def chain_outputs():
-            return (run_chain(b) for b in _iter_batches(leaf, batch_rows))
+        def chain_outputs(skip: int = 0):
+            return (run_chain(b) for b in _skip_n(_iter_batches(leaf, batch_rows), skip))
 
     def splice(result: DataFrame, at: L.LNode) -> DataFrame:
         """Substitute ``result`` for ``at`` in the full plan and finish the
@@ -456,18 +506,24 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         if at is root:
             return result
         rebuilt = _replace_equal(root, at, L.LDataFrameScan(df=result, ident=obj_token(result)))
-        return collect_streaming(rebuilt, batch_rows=batch_rows)
+        sub_ckpt = (
+            None if checkpoint_dir is None
+            else str(Path(checkpoint_dir) / "next_stage")
+        )
+        return collect_streaming(rebuilt, batch_rows=batch_rows, checkpoint_dir=sub_ckpt)
 
     import polars_tpu as pl  # noqa: F401
 
     # ---- ungrouped reduce terminal (Q6-style aggregate select) --------------
     if isinstance(terminal, L.LSelect):
         partial, merge, final = _decompose_aggs(terminal.expressions)
-        partials = []
-        for out in chain_outputs():
-            partials.append(execute_plan(
+
+        def per_batch_reduce(out: DataFrame) -> DataFrame:
+            return execute_plan(
                 L.LSelect(L.LDataFrameScan(df=out, ident=obj_token(out)), tuple(partial))
-            ))
+            )
+
+        partials = list(_partials(chain_outputs, per_batch_reduce, ckpt))
         if not partials:
             return execute_plan(node)
         combined = concat(partials, how="vertical_relaxed") if len(partials) > 1 else partials[0]
@@ -486,16 +542,18 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         key_names = [E.output_name(k) or "literal" for k in gb.keys]
         if dec is not None:
             partial, merge, final = dec
-            partials: list[DataFrame] = []
-            for out in chain_outputs():
+
+            def per_batch_gb(out: DataFrame) -> DataFrame:
                 sub = L.LGroupBy(
                     L.LDataFrameScan(df=out, ident=obj_token(out)),
                     gb.keys, tuple(partial), False,
                 )
-                partials.append(execute_plan(sub))
+                p = execute_plan(sub)
                 if verbose():
-                    print(f"[polars_tpu] streamed batch -> "
-                          f"{partials[-1].height} partial groups")
+                    print(f"[polars_tpu] streamed batch -> {p.height} partial groups")
+                return p
+
+            partials = list(_partials(chain_outputs, per_batch_gb, ckpt))
             if not partials:
                 return execute_plan(node)
             combined = concat(partials, how="vertical_relaxed") if len(partials) > 1 else partials[0]
@@ -516,11 +574,15 @@ def collect_streaming(node: L.LNode, *, batch_rows: int | None = None) -> DataFr
         # general aggs: narrow each batch to the needed columns, accumulate
         # through the OOC host store, one final group-by over the whole set
         needed = _expr_columns((*gb.keys, *gb.aggs))
+
+        def per_batch_narrow(out: DataFrame) -> DataFrame:
+            keep = [c for c in out.columns if c in needed] or out.columns[:1]
+            return DataFrame._from_columns([out._get(c) for c in keep], out.height)
+
         store = HostRunStore()
         try:
-            for out in chain_outputs():
-                keep = [c for c in out.columns if c in needed] or out.columns[:1]
-                store.add(DataFrame._from_columns([out._get(c) for c in keep], out.height))
+            for part in _partials(chain_outputs, per_batch_narrow, ckpt):
+                store.add(part)
             acc = store.to_frame()
         finally:
             store.close()
