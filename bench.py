@@ -388,7 +388,9 @@ def _main_isolated() -> None:
 
     signal.signal(signal.SIGTERM, _on_term)
 
-    queries = os.environ.get("BENCH_QUERIES", "q1,q3,q4,opscmp").split(",")
+    # opscmp FIRST (VERDICT r4): the cheapest child — the Pallas receipts with
+    # no SF10 dependency — must never be starved by a q1 overrun again
+    queries = os.environ.get("BENCH_QUERIES", "opscmp,q1,q3,q4").split(",")
     scale = float(os.environ.get("BENCH_SCALE", "10.0"))
 
     # datagen up-front in the orchestrator (numpy+pyarrow only, no device
@@ -585,30 +587,57 @@ def main() -> None:
 
     timeline.mark("warm")      # query warm-up runs + roofline anchor calls
     timeline.mark("rtt")       # empty phase: per-readback round trip
+    ladder_rungs: dict = {}
     for name, (lf, nbytes) in ok_queries.items():
-        # honest-phase sizing (measured 2026-08-20, SF10 q1): the device
-        # streams the whole queue continuously, so any phase that finishes
-        # before its probe is READ collapses to RTT ("suspect"). The first
-        # readback waits out the one-time ingest/flip lump (~2200s cold,
-        # ~minutes warm), during which short chains drain. Target enough
-        # chained runs that the phase is still executing when its probe
-        # comes up: bytes/819GB/s is a 1-pass lower bound on per-run time,
-        # so TARGET_S / est overshoots k (longer phase, still honest).
-        target_s = float(os.environ.get("BENCH_PHASE_TARGET_S", "180"))
+        # GEOMETRIC-LADDER phase sizing (VERDICT r4 #1: the r4 child sized
+        # ONE chain from the roofline LOWER bound on per-run time and
+        # enqueued 30,000 uncancellable runs — at any realistic multiple of
+        # roofline that alone blew the child's whole budget). Per-run time
+        # is unknowable pre-flip (no completion fence) and enqueued work is
+        # uncancellable, so the sizing must be budget-safe WITHOUT knowing
+        # the true rate. The ladder gives both properties:
+        #   - rungs k_i = 128*2^i, each with its own probe, until the
+        #     PESSIMISTIC total (BENCH_PESSIMISM x roofline estimate,
+        #     default 6x) hits the chain cap, which consults _remaining()
+        #     — the worst-case device time is bounded by construction;
+        #   - at resolve, early rungs may have drained during the flip/
+        #     ingest window (suspect), but any rung still executing when
+        #     its probe is read is honest — the LARGEST non-suspect rung
+        #     is the headline. The faster the true rate, the more rungs
+        #     drain; the slower, the earlier the honest rung — either way
+        #     the budget holds and some rung straddles the live position
+        #     unless the whole ladder fits inside the flip window.
+        pessimism = float(os.environ.get("BENCH_PESSIMISM", "6"))
         est_run_s = max(nbytes / 819e9, 1e-4)
-        k_eff = max(k_query, min(30_000, int(target_s / est_run_s)))
+        cap_s = min(float(os.environ.get("BENCH_CHAIN_CAP_S", "420")),
+                    max(60.0, _remaining() * 0.45))
         from polars_tpu.engine.run import execute_plan
         from polars_tpu.plan.optimizer import optimize
 
         opt_node = optimize(lf._node)  # optimize once; the jit cache does the rest
+        max_runs = int(os.environ.get("BENCH_MAX_RUNS", "30000"))  # host
+        # dispatch cost bound: ~0.2ms/dispatch -> 30k = ~6s host-side
+        rungs = []
+        total_k = 0
+        k_i = max(32, k_query)
+        while ((total_k + k_i) * est_run_s * pessimism <= cap_s
+               and total_k + k_i <= max_runs):
+            rungs.append(k_i)
+            total_k += k_i
+            k_i *= 2
+        if not rungs:
+            rungs = [max(32, int(cap_s / (est_run_s * pessimism)))]
+            total_k = rungs[0]
         anchor = None
-        for _ in range(k_eff):
-            out = execute_plan(opt_node, sync=False)
-            anchor = out._columns[0].buffer.values if out._columns else None
-        timeline.mark(name, k_eff, anchor=anchor)
-        log(f"{name}: enqueued {k_eff} runs (est {est_run_s*1e3:.1f}+ ms each)")
-        # once ONE long phase has absorbed the pre-flip drain, the probe
-        # reads run at live device position and every later phase is honest
+        for i, k_eff in enumerate(rungs):
+            for _ in range(k_eff):
+                out = execute_plan(opt_node, sync=False)
+                anchor = out._columns[0].buffer.values if out._columns else None
+            timeline.mark(f"{name}@{i}", k_eff, anchor=anchor)
+        ladder_rungs[name] = rungs
+        log(f"{name}: ladder {rungs} = {total_k} runs "
+            f"(est {est_run_s*1e3:.1f}+ ms each, worst case "
+            f"{total_k*est_run_s*pessimism:.0f}s <= cap {cap_s:.0f}s)")
 
     roof_bytes = {}
     if roof_ops is not None:
@@ -634,18 +663,33 @@ def main() -> None:
 
     queries = {}
     for name, (lf, nbytes) in ok_queries.items():
-        pc = per_call(name)
-        if pc is None:
+        # largest non-suspect ladder rung wins (rungs that drained during
+        # the flip/ingest window collapse to RTT and are flagged suspect)
+        rungs = ladder_rungs.get(name, [])
+        best = None  # (t, susp, rung_idx)
+        rung_ms = []
+        for i in range(len(rungs)):
+            pc = per_call(f"{name}@{i}")
+            if pc is None:
+                continue
+            t, susp = pc
+            rung_ms.append(round(t * 1e3, 3) if not susp else None)
+            if not susp or best is None:
+                best = (t, susp, i)
+        if best is None:
             continue
-        t, susp = pc
+        t, susp, i = best
         queries[name] = {
             "ms": round(t * 1e3, 3),
             "rows_per_s": round(n_rows / t, 1),
             "gbps": round(nbytes / t / 1e9, 2),
+            "rung": f"{i}:k={rungs[i]}",
+            "rung_ms": rung_ms,
             **({"suspect": True} if susp else {}),
         }
         log(f"{name} steady: {t*1e3:.2f} ms  {n_rows/t/1e6:.0f}M rows/s  "
-            f"{nbytes/t/1e9:.0f} GB/s effective{' SUSPECT' if susp else ''}")
+            f"{nbytes/t/1e9:.0f} GB/s effective  rung {i} (k={rungs[i]})"
+            f"{' SUSPECT' if susp else ''}")
 
     ops = {}
     for label, nbytes in roof_bytes.items():
@@ -702,12 +746,17 @@ def main() -> None:
 
     if best1 is None:
         print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
-                          "unit": "rows/s", "vs_baseline": 0.0}))
+                          "unit": "rows/s", "vs_baseline": 0.0,
+                          "detail": detail}))
         return
-    vs = round(pandas_s * 1e3 / best1, 3) if (pandas_s and best1 and best1 > 1e-6) else 0.0
+    # a suspect rung means the phase drained before its probe was read —
+    # the number is an RTT artifact, not a measurement: headline stays 0
+    honest = not queries.get("q1", {}).get("suspect")
+    vs = round(pandas_s * 1e3 / best1, 3) if (
+        honest and pandas_s and best1 and best1 > 1e-6) else 0.0
     print(json.dumps({
         "metric": "pdsh_q1_rows_per_s",
-        "value": queries["q1"]["rows_per_s"],
+        "value": queries["q1"]["rows_per_s"] if honest else 0.0,
         "unit": "rows/s",
         "vs_baseline": vs,
         "detail": detail,

@@ -16,18 +16,35 @@ fixed ``batch_rows`` is stable), and the combine step is associative, so a
 restarted process can load the stored partials, skip that many scan batches,
 and continue producing the rest.
 
+Terminals that checkpoint: decomposable ungrouped reduces, decomposable
+group-bys, TopK (sort with limit), and distinct with ``keep != "none"`` —
+the ones whose per-batch partial is a genuine reduction. Full sorts,
+slices, general (non-decomposable) aggregates and pure sinks accumulate raw
+rows, so persisting their "partials" would write the whole input twice;
+those plans run without checkpointing and a restart recomputes them.
+
 Layout of a checkpoint directory::
 
     manifest.json           {format, version, fingerprint, batch_rows, done}
     part_00000.parquet      partial frame of batch 0 (zstd parquet)
     part_00001.parquet      ...
 
-Every write is atomic (tmp + rename); the manifest's ``done`` count advances
-only after its part file is durable, so a crash mid-write never corrupts the
-checkpoint — at worst the last in-flight batch re-runs. The fingerprint binds
-the checkpoint to (serialized plan, batch size, engine version): resuming
-with a different query or batch size raises instead of silently mixing
-partials from two different computations.
+Every write is atomic AND durable (tmp + fsync + rename + directory fsync);
+the manifest's ``done`` count advances only after its part file is durable,
+so a crash — process OR machine — at any point re-runs at most the in-flight
+batch. The fingerprint binds the checkpoint to the full decomposition
+identity: (plan shape, batch size, grace-join decision + partition count,
+engine version). Resuming with anything different raises instead of silently
+mixing partials from two different computations (the partial sequence of a
+grace-partitioned run is per-PARTITION, not per-batch — ADVICE r4).
+
+NOTE (platform): each ``add_part`` performs a device->host readback of the
+partial frame — inherent to durability. On the axon backend the FIRST
+readback permanently flips the runtime into slow synchronous dispatch
+(CLAUDE.md §1), so enabling ``checkpoint_dir`` trades steady-state speed for
+restartability; production serving should recycle the worker process after a
+checkpointed run. The fingerprint itself performs NO readback: in-memory
+frames are identified by schema + height, never serialized.
 
 In a multi-host run each process passes its own directory (e.g.
 ``f"{root}/proc{jax.process_index()}"``) — scan-work assignment is
@@ -37,6 +54,7 @@ checkpoints compose exactly like per-host scans do.
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import json
 import os
@@ -45,26 +63,89 @@ from pathlib import Path
 from polars_tpu.errors import ComputeError
 
 _FORMAT = "polars_tpu_stream_checkpoint"
-_VERSION = 1
+_VERSION = 2
 
 
-def plan_fingerprint(node, batch_rows: int) -> str:
-    """Stable identity of (plan, batch size) for checkpoint validation.
+# ---------------------------------------------------------------------------
+# plan identity (readback-free)
+# ---------------------------------------------------------------------------
 
-    Uses the versioned plan serializer when the plan is serializable (scans,
-    expressions); plans embedding unserializable state (UDFs) fall back to
-    their repr, which is stable within a process but may not survive a
-    restart — good enough to catch accidental cross-query reuse."""
-    from polars_tpu.plan.serialize import serialize_plan
 
-    try:
-        blob = serialize_plan(node)
-    except Exception:  # noqa: BLE001 — UDFs etc.: best-effort identity
-        blob = repr(node)
+def _identity(v) -> str:
+    """Stable textual identity of a plan value WITHOUT materializing device
+    frames (plan/serialize.py's codec ships full Arrow IPC bytes for
+    LDataFrameScan — a device->host readback at query start, which on this
+    platform permanently degrades the session; ADVICE r4). In-memory frames
+    and series literals are identified by schema + length only: the batch
+    split depends on nothing else, and content verification would itself
+    require the readback this exists to avoid."""
+    from polars_tpu.plan import exprs as E
+    from polars_tpu.plan import logical as L
+
+    if isinstance(v, L.LDataFrameScan):
+        sch = ",".join(f"{n}:{d}" for n, d in v.df.schema.items())
+        return f"DFScan[{sch}|h={v.df.height}|proj={_identity(v.projection)}]"
+    if isinstance(v, E.ESeriesLit):
+        c = v.column
+        return f"SeriesLit[{c.name}:{c.dtype}|n={len(c)}]"
+    if isinstance(v, (L.LNode, E.ENode)):
+        parts = []
+        for f in dataclasses.fields(v):
+            if f.name == "ident":  # process-local tokens don't survive restart
+                continue
+            parts.append(f"{f.name}={_identity(getattr(v, f.name))}")
+        return f"{type(v).__name__}({';'.join(parts)})"
+    if isinstance(v, tuple):
+        return "(" + ",".join(_identity(x) for x in v) + ")"
+    if isinstance(v, (list, dict, set, frozenset)):
+        return repr(v)
+    if callable(v):  # UDFs: best-effort, stable within a process only
+        return getattr(v, "__qualname__", repr(v))
+    return repr(v)
+
+
+def plan_fingerprint(node, batch_rows: int, extra: dict | None = None) -> str:
+    """Stable identity of the full streaming decomposition.
+
+    ``extra`` carries every execution parameter that changes the SEQUENCE of
+    partials — the grace-join decision and its partition count, env toggles —
+    so a resume under a different decomposition is rejected instead of
+    silently mixing per-batch and per-partition partials (ADVICE r4 high)."""
     h = hashlib.sha256()
-    h.update(blob.encode())
+    h.update(_identity(node).encode())
     h.update(f"|batch_rows={batch_rows}|v={_VERSION}".encode())
+    for k in sorted(extra or ()):
+        h.update(f"|{k}={extra[k]}".encode())
     return h.hexdigest()[:32]
+
+
+# ---------------------------------------------------------------------------
+# durable writes
+# ---------------------------------------------------------------------------
+
+
+def _fsync_dir(path: Path) -> None:
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return  # e.g. platforms without directory fds
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _durable_replace(tmp: Path, dst: Path) -> None:
+    """fsync(tmp) -> rename -> fsync(dir): the rename is never durable before
+    the data it names (ADVICE r4: rename without fsync can survive a power
+    loss that the data did not)."""
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    os.replace(tmp, dst)
+    _fsync_dir(dst.parent)
 
 
 class StreamCheckpoint:
@@ -81,10 +162,10 @@ class StreamCheckpoint:
         if m is not None:
             if m.get("fingerprint") != fingerprint:
                 raise ComputeError(
-                    f"checkpoint at {self.dir} belongs to a different query "
-                    f"or batch size (stored fingerprint {m.get('fingerprint')!r}"
-                    f" != {fingerprint!r}); point at a fresh directory or "
-                    "delete the stale checkpoint"
+                    f"checkpoint at {self.dir} belongs to a different query, "
+                    "batch size, or batch decomposition (stored fingerprint "
+                    f"{m.get('fingerprint')!r} != {fingerprint!r}); point at "
+                    "a fresh directory or delete the stale checkpoint"
                 )
             self.done = int(m.get("done", 0))
         else:
@@ -119,7 +200,7 @@ class StreamCheckpoint:
         }
         tmp = self._manifest_path().with_suffix(".json.tmp")
         tmp.write_text(json.dumps(doc))
-        os.replace(tmp, self._manifest_path())
+        _durable_replace(tmp, self._manifest_path())
 
     # ---- parts --------------------------------------------------------------
 
@@ -148,6 +229,6 @@ class StreamCheckpoint:
         path = self._part_path(self.done)
         tmp = path.with_suffix(".parquet.tmp")
         pq.write_table(df.to_arrow(), tmp, compression="zstd")
-        os.replace(tmp, path)
+        _durable_replace(tmp, path)
         self.done += 1
         self._write_manifest()

@@ -170,6 +170,14 @@ def _decompose_aggs(aggs):
         base = a
         while isinstance(base, E.EAlias):
             base = base.input
+        if isinstance(base, E.ELen):
+            # pl.len(): per-batch row counts sum (count of rows per group)
+            p = f"__p{idx}"
+            partial.append(E.EAlias(E.ELen(), p))
+            merge.append(E.EAlias(E.EAgg(E.EColumn(p), "sum", ()), p))
+            final.append(pl.col(p).cast(dt.UInt32()).alias(name)._node)
+            idx += 1
+            continue
         if not isinstance(base, E.EAgg) or base.kind not in _DECOMPOSABLE:
             return None
         k = base.kind
@@ -448,6 +456,7 @@ def collect_streaming(
     *,
     batch_rows: int | None = None,
     checkpoint_dir: str | None = None,
+    _fingerprint: str | None = None,
 ) -> DataFrame:
     """Execute with batch-streamed scans where the plan shape allows;
     otherwise fall back to the in-memory engine.
@@ -455,8 +464,19 @@ def collect_streaming(
     ``checkpoint_dir`` makes the run RESUMABLE (engine/checkpoint.py): each
     per-batch partial is made durable before the next batch starts, and a
     restarted process with the same plan + batch size skips every completed
-    batch. Multi-stateful spines checkpoint each splice stage under a nested
-    ``next_stage/`` directory."""
+    batch. Only reduction terminals checkpoint (decomposable reduces /
+    group-bys, TopK, distinct with keep != "none" — see engine/checkpoint.py);
+    other plan shapes run normally and a restart recomputes them. Each
+    durable partial is a device->host readback: on the axon backend the first
+    one permanently flips the runtime into slow sync dispatch (CLAUDE.md §1)
+    — recycle the worker process after a checkpointed run.
+
+    Multi-stateful spines checkpoint each splice stage under a nested
+    ``next_stage/`` directory whose identity derives from the PARENT
+    fingerprint (``_fingerprint``), not from the spliced plan — the spliced
+    leaf is the stage-1 result frame, whose representation (dict tables,
+    relaxed dtypes after a parquet round-trip) may legally differ between the
+    original run and a resume (ADVICE r4)."""
     from polars_tpu.engine.ooc import HostRunStore
     from polars_tpu.engine.run import execute_plan
     from polars_tpu.functions.eager import concat
@@ -466,17 +486,40 @@ def collect_streaming(
         return execute_plan(node)
     leaf, terminal, chain_top, root = plan
     batch_rows = batch_rows or config().ideal_batch_size
-    ckpt = None
-    if checkpoint_dir is not None:
-        from polars_tpu.engine.checkpoint import StreamCheckpoint, plan_fingerprint
-
-        ckpt = StreamCheckpoint(
-            checkpoint_dir, plan_fingerprint(node, batch_rows), batch_rows
-        )
-        if verbose() and ckpt.done:
-            print(f"[polars_tpu] checkpoint: resuming after {ckpt.done} batches")
 
     grace_j = _find_grace_join(chain_top, leaf, batch_rows)
+    fp = None
+    if checkpoint_dir is not None:
+        import os as _osmod
+
+        from polars_tpu.engine.checkpoint import plan_fingerprint
+
+        # the fingerprint binds every knob that changes the SEQUENCE of
+        # partials: the grace decision + partition count and the env toggles
+        # feeding them (ADVICE r4 high). Nested stages inherit the parent's.
+        extra = {
+            "grace": grace_j is not None,
+            "grace_env": _osmod.environ.get("POLARS_TPU_STREAM_GRACE", "1"),
+            "grace_parts_env": _osmod.environ.get(
+                "POLARS_TPU_STREAM_JOIN_PARTITIONS", "0"
+            ),
+        }
+        if grace_j is not None:
+            extra["grace_parts"] = _grace_k(
+                _max_leaf_rows(_build_input(grace_j)), batch_rows
+            )
+        fp = _fingerprint or plan_fingerprint(node, batch_rows, extra)
+
+    def mk_ckpt():
+        """Open the checkpoint for a checkpointable terminal (or None)."""
+        if checkpoint_dir is None:
+            return None
+        from polars_tpu.engine.checkpoint import StreamCheckpoint
+
+        ck = StreamCheckpoint(checkpoint_dir, fp, batch_rows)
+        if verbose() and ck.done:
+            print(f"[polars_tpu] checkpoint: resuming after {ck.done} batches")
+        return ck
     if grace_j is not None:
         def chain_outputs(skip: int = 0):
             return _skip_n(_grace_outputs(chain_top, leaf, grace_j, batch_rows), skip)
@@ -510,7 +553,12 @@ def collect_streaming(
             None if checkpoint_dir is None
             else str(Path(checkpoint_dir) / "next_stage")
         )
-        return collect_streaming(rebuilt, batch_rows=batch_rows, checkpoint_dir=sub_ckpt)
+        return collect_streaming(
+            rebuilt,
+            batch_rows=batch_rows,
+            checkpoint_dir=sub_ckpt,
+            _fingerprint=None if fp is None else fp + ":next_stage",
+        )
 
     import polars_tpu as pl  # noqa: F401
 
@@ -523,7 +571,7 @@ def collect_streaming(
                 L.LSelect(L.LDataFrameScan(df=out, ident=obj_token(out)), tuple(partial))
             )
 
-        partials = list(_partials(chain_outputs, per_batch_reduce, ckpt))
+        partials = list(_partials(chain_outputs, per_batch_reduce, mk_ckpt()))
         if not partials:
             return execute_plan(node)
         combined = concat(partials, how="vertical_relaxed") if len(partials) > 1 else partials[0]
@@ -553,7 +601,7 @@ def collect_streaming(
                     print(f"[polars_tpu] streamed batch -> {p.height} partial groups")
                 return p
 
-            partials = list(_partials(chain_outputs, per_batch_gb, ckpt))
+            partials = list(_partials(chain_outputs, per_batch_gb, mk_ckpt()))
             if not partials:
                 return execute_plan(node)
             combined = concat(partials, how="vertical_relaxed") if len(partials) > 1 else partials[0]
@@ -579,9 +627,11 @@ def collect_streaming(
             keep = [c for c in out.columns if c in needed] or out.columns[:1]
             return DataFrame._from_columns([out._get(c) for c in keep], out.height)
 
+        # no checkpoint here: the narrowed rows ARE the input (persisting
+        # them would write the whole scan twice) — see engine/checkpoint.py
         store = HostRunStore()
         try:
-            for part in _partials(chain_outputs, per_batch_narrow, ckpt):
+            for part in _partials(chain_outputs, per_batch_narrow, None):
                 store.add(part)
             acc = store.to_frame()
         finally:
@@ -598,12 +648,17 @@ def collect_streaming(
     if isinstance(terminal, L.LSort):
         st = terminal
         if st.limit is not None:
-            # streaming TopK: per-batch device top-k, then merge
-            parts: list[DataFrame] = []
-            for out in chain_outputs():
-                parts.append(execute_plan(
+            # streaming TopK: per-batch device top-k, then merge; the
+            # per-batch top-k is a reduction, so it checkpoints
+
+            def per_batch_topk(out: DataFrame) -> DataFrame:
+                return execute_plan(
                     L.rebuild(st, (L.LDataFrameScan(df=out, ident=obj_token(out)),))
-                ))
+                )
+
+            parts: list[DataFrame] = list(
+                _partials(chain_outputs, per_batch_topk, mk_ckpt())
+            )
             if not parts:
                 return execute_plan(node)
             combined = concat(parts, how="vertical_relaxed") if len(parts) > 1 else parts[0]
@@ -628,13 +683,16 @@ def collect_streaming(
     # ---- Distinct terminal --------------------------------------------------
     if isinstance(terminal, L.LDistinct):
         di = terminal
-        parts = []
-        for out in chain_outputs():
-            if di.keep != "none":  # per-batch reduction composes
-                out = execute_plan(
+        if di.keep != "none":  # per-batch reduction composes -> checkpoints
+
+            def per_batch_distinct(out: DataFrame) -> DataFrame:
+                return execute_plan(
                     L.rebuild(di, (L.LDataFrameScan(df=out, ident=obj_token(out)),))
                 )
-            parts.append(out)
+
+            parts = list(_partials(chain_outputs, per_batch_distinct, mk_ckpt()))
+        else:
+            parts = list(chain_outputs())
         if not parts:
             return execute_plan(node)
         combined = concat(parts, how="vertical_relaxed") if len(parts) > 1 else parts[0]

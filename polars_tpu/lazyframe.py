@@ -120,7 +120,11 @@ class LazyFrame:
             if engine == "streaming":
                 from polars_tpu.engine.streaming import collect_streaming
 
-                return collect_streaming(node, batch_rows=kwargs.get("batch_rows"))
+                return collect_streaming(
+                    node,
+                    batch_rows=kwargs.get("batch_rows"),
+                    checkpoint_dir=kwargs.get("checkpoint_dir"),
+                )
             if engine == "distributed":
                 from polars_tpu.engine.distributed import collect_distributed
 

@@ -13,10 +13,61 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import sys
+
 import numpy as np
 import pytest
 
 import polars_tpu as pl
+
+# ---------------------------------------------------------------------------
+# Per-worker XLA program budget (VERDICT r4 #9): jaxlib 0.9's XLA:CPU backend
+# SIGSEGVs when a long-lived process compiles its ~500th program (observed as
+# xdist "worker crashed" on whichever test lands past the cliff). Count every
+# backend compile so the margin is MEASURED: each worker prints its total at
+# session end, and crossing the soft budget mid-run names the test that did
+# it — a later worker crash is then attributable instead of mysterious.
+# ---------------------------------------------------------------------------
+
+_COMPILE_BUDGET = 400  # soft: warn above this, the observed cliff is ~500
+_compile_count = [0]
+_current_test = [""]
+
+
+def _count_compile(event: str, **kwargs) -> None:
+    if "backend_compile" not in event:
+        return
+    _compile_count[0] += 1
+    if _compile_count[0] == _COMPILE_BUDGET:
+        wid = os.environ.get("PYTEST_XDIST_WORKER", "main")
+        sys.stderr.write(
+            f"\n[compile-budget] worker {wid} crossed {_COMPILE_BUDGET} "
+            f"compiled XLA programs during {_current_test[0]!r} — the "
+            "jaxlib-0.9 late-process compile SIGSEGV cliff is ~500; if this "
+            "worker crashes, rebalance compile-heavy files in "
+            "tests/conftest.py::pytest_collection_modifyitems\n"
+        )
+
+
+try:
+    jax.monitoring.register_event_listener(_count_compile)
+    jax.monitoring.register_event_duration_secs_listener(
+        lambda event, duration, **kw: _count_compile(event)
+    )
+except Exception:  # noqa: BLE001 - monitoring API drift: budget is advisory
+    pass
+
+
+def pytest_runtest_setup(item):
+    _current_test[0] = item.nodeid
+
+
+def pytest_sessionfinish(session, exitstatus):
+    wid = os.environ.get("PYTEST_XDIST_WORKER", "main")
+    sys.stderr.write(
+        f"[compile-budget] worker {wid}: {_compile_count[0]} XLA programs "
+        f"compiled (soft budget {_COMPILE_BUDGET}, SIGSEGV cliff ~500)\n"
+    )
 
 
 @pytest.fixture
@@ -46,7 +97,12 @@ def pytest_collection_modifyitems(session, config, items):
     involvement. Fronting the SPMD modules keeps the single-invocation suite
     deterministic until the upstream compiler bug is fixed.
     """
-    front_files = ("test_spmd.py", "test_parallel.py", "test_cross_engine.py")
+    front_files = (
+        "test_spmd.py",
+        "test_fuzz_differential.py",
+        "test_parallel.py",
+        "test_cross_engine.py",
+    )
     front = [it for it in items if it.fspath.basename in front_files]
     rest = [it for it in items if it.fspath.basename not in front_files]
     items[:] = front + rest

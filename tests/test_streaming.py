@@ -152,9 +152,9 @@ def test_streaming_two_stateful_nodes_on_spine():
     calls = []
     orig = S.collect_streaming
 
-    def spy(node, *, batch_rows=None):
+    def spy(node, *, batch_rows=None, **kwargs):
         calls.append(type(node).__name__)
-        return orig(node, batch_rows=batch_rows)
+        return orig(node, batch_rows=batch_rows, **kwargs)
 
     S.collect_streaming = spy
     try:
