@@ -56,14 +56,36 @@ def _host_fingerprint() -> str:
     return hashlib.sha1((base + "##" + cfg).encode()).hexdigest()[:12]
 
 
+def _want_persistent_cache() -> bool:
+    """The persistent cache exists for the TPU backend's slow remote compile
+    service (40s-6min/program). On the CPU backend compiles are fast and the
+    cache is actively DANGEROUS: XLA:CPU AOT entries embed the compile
+    process's machine features + tuning flags but the cache key does not, so
+    a stale/foreign entry SIGILLs/SIGSEGVs ON LOAD — measured r5: suite
+    workers each compile 1300-1500 programs and the intermittent "worker
+    crashed" moves between tests exactly like a poisoned-entry load (the
+    cpu_aot_loader feature-mismatch errors say so verbatim), not like a
+    compile-count cliff. So: cache only when the process is NOT forced to
+    CPU. Override with POLARS_TPU_CPU_COMPILE_CACHE=1."""
+    if _os.environ.get("POLARS_TPU_CPU_COMPILE_CACHE") == "1":
+        return True
+    try:
+        cfg = _jax.config.jax_platforms or ""
+    except Exception:  # noqa: BLE001
+        cfg = ""
+    env = _os.environ.get("JAX_PLATFORMS", "")
+    return not (cfg.startswith("cpu") or env.startswith("cpu"))
+
+
 _cache_dir = _os.environ.get(
     "POLARS_TPU_COMPILE_CACHE", f"/tmp/polars_tpu_xla_cache_{_host_fingerprint()}"
 )
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # noqa: BLE001
-    pass
+if _want_persistent_cache():
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001
+        pass
 
 from polars_tpu import api
 from polars_tpu import exceptions

@@ -965,17 +965,29 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         )
 
     if e.name == "rle":
+        # DEVICE path (VERDICT r4 #8): run ids via the traced rle_id (null
+        # transitions included), then ONE fused group-by segment computes
+        # (len, first) per run — no value readback (the old path pulled the
+        # whole column to the host). Reference: polars-ops series/ops rle.
+        import polars_tpu as pl
+
         col = _eval_special_expr(df, e.inputs[0], schema)
-        vals = col.to_pylist()
-        runs = []
-        for v in vals:
-            if runs and runs[-1]["value"] == v:
-                runs[-1]["len"] += 1
-            else:
-                runs.append({"len": 1, "value": v})
-        return Column.from_values(
-            col.name, runs, dt.Struct([("len", dt.UInt32()), ("value", col.dtype)])
+        key = col.name or "__v"
+        sub = DataFrame._from_columns([col.rename(key)], len(col))
+        out = (
+            sub.lazy()
+            .with_columns(pl.col(key).rle_id().alias("__rid"))
+            .group_by("__rid", maintain_order=True)
+            .agg(
+                pl.len().alias("len"),
+                pl.col(key).first().alias("value"),
+            )
+            .collect()
         )
+        ids = Buffer.from_numpy(np.arange(out.height, dtype=np.int64), None)
+        children = [out._get("len"), out._get("value")]
+        fields = dt.Struct([("len", dt.UInt32()), ("value", col.dtype)])
+        return Column(col.name, fields, ids, None, 0, children)
 
     if e.name == "as_struct":
         cols = [_eval_special_expr(df, i, schema) for i in e.inputs]
@@ -1151,23 +1163,36 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         return Column.from_values(col.name, out, None)
 
     if e.name == "value_counts":
-        from polars_tpu.core.series import Series as _Series
+        # DEVICE path (VERDICT r4 #8): value_counts IS a group-by — run it as
+        # one fused group-by segment (engine/groupby.py) instead of reading
+        # every value back to the host. The only host work left is struct
+        # metadata assembly (an id buffer over the device result columns);
+        # reference: polars-ops value_counts is ChunkedArray::value_counts =
+        # group_tuples + counts.
+        import polars_tpu as pl
 
         col = _eval_special_expr(df, e.inputs[0], schema)
-        s = _Series._from_column(col)
-        vc = s.value_counts(sort=bool(e.opt("sort", False)), name=e.opt("count_name", "count"))
         cname = e.opt("count_name", "count")
-        counts = vc[cname].to_list()
-        values = vc[col.name or ""].to_list() if (col.name or "") in vc.columns else vc[vc.columns[0]].to_list()
+        vname = col.name or ""
+        key = vname or "__v"
+        sub = DataFrame._from_columns([col.rename(key)], len(col))
+        lf = sub.lazy().group_by(key, maintain_order=True).agg(
+            pl.len().alias(cname)
+        )
         if e.opt("normalize", False):
-            total = sum(counts) or 1
-            counts = [c / total for c in counts]
+            lf = lf.with_columns(
+                (pl.col(cname) / pl.col(cname).sum()).alias(cname)
+            )
             cnt_dt = dt.Float64()
         else:
             cnt_dt = dt.UInt32()
-        rows = [{(col.name or ""): v, cname: c} for v, c in zip(values, counts)]
-        fields = dt.Struct([((col.name or ""), col.dtype), (cname, cnt_dt)])
-        return Column.from_values(col.name, rows, fields)
+        if e.opt("sort", False):
+            lf = lf.sort(cname, descending=True)
+        out = lf.collect()
+        ids = Buffer.from_numpy(np.arange(out.height, dtype=np.int64), None)
+        children = [out._get(key).rename(vname), out._get(cname)]
+        fields = dt.Struct([(vname, col.dtype), (cname, cnt_dt)])
+        return Column(col.name, fields, ids, None, 0, children)
 
     if e.name == "hist":
         import numpy as _np

@@ -179,3 +179,91 @@ def test_fuzz_join_cross_engine(chunk):
                     fuzz.normalize(got[c].to_list()),
                     fuzz.normalize(mem[c].to_list()),
                 )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_length_changing_ops(chunk):
+    """value_counts / rle / unique_counts / gather_every run through device
+    group-by segments now (VERDICT r4 #8) — differential-check them against
+    pure-python oracles over random typed columns (nulls included)."""
+    from collections import Counter
+
+    rng = np.random.default_rng(7000 + chunk)
+    for case in range(12):
+        kind = ["int", "str", "float", "bool"][int(rng.integers(0, 4))]
+        n = int(rng.integers(1, 60))
+        null = rng.random(n) < 0.15
+        if kind == "int":
+            vals = [None if m else int(v) for v, m in zip(rng.integers(0, 6, n), null)]
+            dtype = pl.Int64
+        elif kind == "str":
+            pool = ["a", "b", "c", "dd", ""]
+            vals = [None if m else pool[v] for v, m in zip(rng.integers(0, 5, n), null)]
+            dtype = pl.String
+        elif kind == "float":
+            vals = [None if m else round(float(v), 1) for v, m in zip(rng.integers(0, 5, n) * 0.5, null)]
+            dtype = pl.Float64
+        else:
+            vals = [None if m else bool(v) for v, m in zip(rng.integers(0, 2, n), null)]
+            dtype = pl.Boolean
+        label = f"seed={7000+chunk} case={case} kind={kind}"
+        s = pl.Series("a", vals, dtype=dtype)
+
+        c = Counter(vals)
+        got_vc = {(d["a"], d["count"]) for d in s.to_frame().select(
+            pl.col("a").value_counts())["a"].to_list()}
+        assert got_vc == set(c.items()), label
+
+        got_sorted = [d["count"] for d in s.to_frame().select(
+            pl.col("a").value_counts(sort=True))["a"].to_list()]
+        assert got_sorted == sorted(got_sorted, reverse=True), label
+
+        order = list(dict.fromkeys(vals))
+        want_uc = [c[v] for v in order]
+        got_uc = s.to_frame().select(pl.col("a").unique_counts())["a"].to_list()
+        assert got_uc == want_uc, label
+
+        runs = []
+        for v in vals:
+            if runs and runs[-1][1] == v:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, v])
+        got_rle = [(d["len"], d["value"]) for d in s.to_frame().select(
+            pl.col("a").rle())["a"].to_list()]
+        assert got_rle == [tuple(r) for r in runs], label
+
+        step, off = int(rng.integers(1, 4)), int(rng.integers(0, 3))
+        got_ge = s.to_frame().select(
+            pl.col("a").gather_every(step, off))["a"].to_list()
+        assert got_ge == vals[off::step], label
+
+
+def test_value_counts_rle_no_value_readback():
+    """The device paths must not read column VALUES back to the host during
+    execution (on the TPU backend the first readback permanently degrades
+    the session — CLAUDE.md §1); only the segment count sync and the final
+    materialization may touch the host."""
+    from polars_tpu.core.column import Column
+
+    df = pl.DataFrame({"a": [1, 1, 2, 2, 2, 3, None, None]})
+    calls = []
+    orig = Column.to_pylist
+
+    def spy(self):
+        calls.append(self.name)
+        return orig(self)
+
+    Column.to_pylist = spy
+    try:
+        out_vc = df.select(pl.col("a").value_counts())
+        out_rle = df.select(pl.col("a").rle())
+        assert calls == [], f"value readbacks during execution: {calls}"
+    finally:
+        Column.to_pylist = orig
+    assert {(d["a"], d["count"]) for d in out_vc["a"].to_list()} == {
+        (1, 2), (2, 3), (3, 1), (None, 2)
+    }
+    assert [(d["len"], d["value"]) for d in out_rle["a"].to_list()] == [
+        (2, 1), (3, 2), (1, 3), (2, None)
+    ]
