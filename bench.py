@@ -255,7 +255,7 @@ def _build_ops_cmp(n: int):
     ga_x, ga_x_b = ga(PG.groupagg_sums_xla, 16)
     cp_p, cp_p_b = cp(4, pallas=True)
     cp_x, cp_x_b = cp(4, pallas=False)
-    vals_t = jnp.ascontiguousarray(vals.T)
+    vals_t = jnp.asarray(vals.T)  # jnp has no ascontiguousarray (caught r5)
     ops = [
         ("groupagg_pallas_gbps", ga_p, (vals, gids, mask), ga_p_b),
         ("groupagg_xla_gbps", ga_x, (vals, gids, mask), ga_x_b),

@@ -52,6 +52,16 @@ class _GlobalConfig:
         # op touches them (reference analogue: hash_keys.rs — raw hash keys
         # for high-cardinality strings, no global sorted registry)
         self.ordinal_dict_max: int = _env_int("POLARS_TPU_ORDINAL_DICT_MAX", 1 << 16)
+        # Hashed-key strings (utils/hashstore.py): columns with at least this
+        # many rows AND a mostly-unique sample ingest as device hash64 codes
+        # + row-ordered spill file instead of building an O(uniques) host
+        # dictionary (reference: hash_keys.rs raw-hash string keys). 0
+        # disables; POLARS_TPU_HASHED_STRINGS=0 is the documented collision
+        # recovery switch.
+        self.hashed_strings_min_rows: int = _env_int(
+            "POLARS_TPU_HASHED_STRINGS",
+            _env_int("POLARS_TPU_HASHED_STRINGS_MIN_ROWS", 1 << 22),
+        )
         # Force engine: "", "xla", "interpret"
         self.engine_affinity: str = os.environ.get("POLARS_ENGINE_AFFINITY", "")
         # Number of partitions for distributed shuffle ops (0 = #devices)

@@ -210,7 +210,7 @@ class Buffer:
     care about: dense, fixed-width, tile-aligned.
     """
 
-    __slots__ = ("values", "validity", "length")
+    __slots__ = ("values", "validity", "length", "_pt_token", "__weakref__")
 
     def __init__(
         self,

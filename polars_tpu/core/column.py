@@ -121,6 +121,35 @@ class Column:
     def with_buffer(self, buffer: Buffer, *, sorted_flag: int = UNSORTED) -> Column:
         return Column(self.name, self.dtype, buffer, self.table, sorted_flag, self.child)
 
+    def densify_hashed(self) -> Column:
+        """Hashed-key string column -> ordinary dictionary column (the escape
+        hatch for order-sensitive ops; utils/hashstore.py). Untouched ingest
+        columns re-encode straight from the spill file with zero device
+        traffic; transformed columns read their hashes back (the unavoidable
+        sync an order-op on such a column implies)."""
+        store = self.table
+        if not getattr(store, "hashed", False):
+            return self
+        from polars_tpu.utils import strtable as _st
+
+        ingest = getattr(store, "_ingest_buffer", None)
+        if ingest is not None and ingest() is self.buffer:
+            parts, valids = [], []
+            for vals, ok in store.values_for_rows():
+                parts.append(np.asarray(vals, dtype=object))
+                valids.append(ok)
+            obj = np.concatenate(parts) if parts else np.empty(0, object)
+            valid = np.concatenate(valids) if valids else np.empty(0, bool)
+            obj = np.where(valid, obj, None)
+        else:
+            hashes, validity = self.buffer.to_numpy()
+            hashes = np.asarray(hashes, np.int64)
+            obj = store.take(
+                np.where(validity, hashes, -1) if validity is not None else hashes
+            )
+        codes, val2, table = _st.encode_strings(obj)
+        return Column(self.name, self.dtype, Buffer.from_numpy(codes, val2), table)
+
     # -- host conversion ---------------------------------------------------------
 
     def to_numpy(self) -> np.ndarray:

@@ -31,7 +31,11 @@ if TYPE_CHECKING:
 class DataFrame:
     """A height-aligned collection of typed device columns."""
 
-    __slots__ = ("_columns", "_height", "_pt_token")
+    # _device_count: optional device scalar holding the TRUE row count of a
+    # frame whose _height is a padded upper bound (flip-free deferred
+    # execution, engine/pending.py) — consumed as the traced height argument
+    # by downstream segments, resolved in ONE batched readback at finalize
+    __slots__ = ("_columns", "_height", "_pt_token", "_device_count")
 
     def __init__(
         self,

@@ -506,7 +506,12 @@ def _enum_remap(v: Val, etable) -> Val:
 def _scalar_one_table(v: Val) -> Val | None:
     """The Val if it is a SCALAR with a single-entry dictionary (i.e. a string
     literal whose value is host-known at trace time), else None."""
-    if v.domain == SCALAR and v.table is not None and len(v.table) == 1:
+    if (
+        v.domain == SCALAR
+        and v.table is not None
+        and not getattr(v.table, "hashed", False)
+        and len(v.table) == 1
+    ):
         return v
     return None
 
@@ -547,7 +552,33 @@ def _eval_compare(op: str, a: Val, b: Val, dom: str) -> Val:
         )
     base = {"eq_missing": "==", "ne_missing": "!="}.get(op, op)
     if a.table is not None:
-        if isinstance(a.dtype, dt.Enum) or isinstance(b.dtype, dt.Enum):
+        if getattr(a.table, "hashed", False) or getattr(b.table, "hashed", False):
+            # hashed-key column (utils/hashstore.py): equality compares in
+            # hash space; a dictionary/literal operand maps in by hashing
+            # its (small) table. Ordering needs byte order — the engine
+            # pre-pass densifies such columns before the trace, so reaching
+            # here with an ordering op is a gating bug, not a user error.
+            if base not in ("==", "!="):
+                raise InvalidOperationError(
+                    "ordering comparison on a hashed string column reached "
+                    "the trace — the densify pre-pass must cover this plan "
+                    "shape (engine/run.py _densify_hashed_leaves)"
+                )
+
+            def _hash_space(v: Val) -> jax.Array:
+                if getattr(v.table, "hashed", False):
+                    return v.values
+                from polars_tpu.utils import hashstore
+
+                harr = (
+                    hashstore.hash_values(v.table.values)
+                    if len(v.table) else np.zeros(1, np.int64)
+                )
+                lut = jnp.asarray(harr)
+                return lut[jnp.clip(v.values, 0, len(harr) - 1)]
+
+            av, bv = _hash_space(a), _hash_space(b)
+        elif isinstance(a.dtype, dt.Enum) or isinstance(b.dtype, dt.Enum):
             # align onto the enum's category-order code space; values outside
             # the categories compare as null (reference: enum vs str cmp)
             e = a if isinstance(a.dtype, dt.Enum) else b

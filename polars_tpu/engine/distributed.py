@@ -14,7 +14,24 @@ from polars_tpu.core.frame import DataFrame
 from polars_tpu.plan import logical as L
 
 
-def collect_distributed(node: L.LNode, mesh=None) -> DataFrame:
+def collect_distributed(node: L.LNode, mesh=None, *, sync: bool | None = None) -> DataFrame:
+    """Default protocol is FLIP-FREE (VERDICT r4 #6): segments enqueue
+    without reading counts back (engine/pending.py); shuffle capacities come
+    from host-side bounds (dict-key cardinality / broadcast thresholds) with
+    lossless fallback instead of an overflow-readback retry; ONE batched
+    readback at the end resolves every count and error flag — the same
+    discipline as the single-chip pipeline (CLAUDE.md §1 engine
+    consequences). ``sync=True`` (or POLARS_TPU_DIST_SYNC=1) restores the
+    per-segment readback + capacity-ladder retry protocol."""
+    import os
+
+    from polars_tpu.engine import pending
     from polars_tpu.engine.spmd import collect_spmd
 
-    return collect_spmd(node, mesh=mesh)
+    if sync is None:
+        sync = os.environ.get("POLARS_TPU_DIST_SYNC") == "1"
+    if sync:
+        return collect_spmd(node, mesh=mesh, sync=True)
+    with pending.scope():
+        out = collect_spmd(node, mesh=mesh, sync=False)
+        return pending.finalize(out)

@@ -655,6 +655,11 @@ def _trace_groupby(tt: TTable, node: L.LGroupBy, tc: _TraceCtx) -> TTable:
     dense_ok = True
     for _, kv in key_vals:
         if kv.table is not None:
+            if getattr(kv.table, "hashed", False):
+                # hashed-key strings: codes are int64 hashes, not dense
+                # dictionary indices — radix path only (utils/hashstore.py)
+                dense_ok = False
+                break
             sizes.append(max(len(kv.table), 1))
         elif isinstance(kv.dtype, dt.Boolean):
             sizes.append(2)
@@ -1006,7 +1011,11 @@ def _df_to_arrays(df: DataFrame) -> tuple[list, int]:
                 args.append(ch.buffer.validity)
             args.append(np.int32(ch.buffer.length))
             ch = ch.child
-    args.append(np.int32(df.height))
+    # deferred (flip-free) frames carry their TRUE count as a device scalar
+    # while _height is the padded upper bound — the trace consumes it as the
+    # same i32 length argument (engine/pending.py)
+    dc = getattr(df, "_device_count", None)
+    args.append(np.int32(df.height) if dc is None else dc)
     return args, padded_size(df.height)
 
 
@@ -1160,15 +1169,26 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
     # host materialization batches them in one device_get (frame._prefetch_host)
     if _timing:
         _t2 = _time.perf_counter()
+    deferred = False
     if not sync or _os.environ.get("POLARS_TPU_NO_SYNC"):
-        # execute-only mode: block until device completion WITHOUT any
-        # readback (a readback permanently flips this runtime into slow
-        # sync mode — CLAUDE.md §1). Row counts are the padded upper bound;
-        # callers (LazyFrame.execute) discard the frame.
-        jax.block_until_ready(
-            [count, *[o for o in outs if o is not None],
-             *[o for o in child_outs if o is not None]]
-        )
+        from polars_tpu.engine import pending
+
+        if pending.active():
+            # DEFERRED mode (engine/pending.py): register the raw count for
+            # the batched end-of-query readback; the frame carries its true
+            # count as a device scalar for downstream segments
+            pending.defer(count, msgs=captured_msgs,
+                          label=type(node).__name__)
+            deferred = True
+        else:
+            # execute-only mode: block until device completion WITHOUT any
+            # readback (a readback permanently flips this runtime into slow
+            # sync mode — CLAUDE.md §1). Row counts are the padded upper
+            # bound; callers (LazyFrame.execute) discard the frame.
+            jax.block_until_ready(
+                [count, *[o for o in outs if o is not None],
+                 *[o for o in child_outs if o is not None]]
+            )
         n = outs[0].shape[0] if outs else 0
     else:
         n = int(count)
@@ -1231,4 +1251,7 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
                 captured_tables.get(name), 0, child,
             )
         )
-    return DataFrame._from_columns(cols, n)
+    out_df = DataFrame._from_columns(cols, n)
+    if deferred:
+        out_df._device_count = jnp.maximum(count, 0)
+    return out_df

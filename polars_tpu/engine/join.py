@@ -42,6 +42,24 @@ def _key_word(col: Column, other: Column | None) -> tuple[jax.Array, jax.Array |
             False,
         )
     if col.table is not None:
+        c_hashed = getattr(col.table, "hashed", False)
+        o_hashed = (
+            other is not None
+            and other.table is not None
+            and getattr(other.table, "hashed", False)
+        )
+        if c_hashed:
+            # hashed-key column: hashes ARE the key word (utils/hashstore.py)
+            return buf.values.astype(jnp.int64), buf.validity, False
+        if o_hashed:
+            from polars_tpu.utils import hashstore
+
+            harr = (
+                hashstore.hash_values(col.table.values)
+                if len(col.table) else np.zeros(1, np.int64)
+            )
+            lut = jnp.asarray(harr)
+            return lut[jnp.clip(buf.values, 0, len(harr) - 1)], buf.validity, False
         if other is not None and other.table is not col.table:
             merged, lmap, _ = strtable.unify(col.table, other.table)
             if len(lmap) == 0:  # identity remap (insertion-order merge)

@@ -38,6 +38,23 @@ def _key_word_traced(v: Val, other: Val) -> tuple[jax.Array, jax.Array | None, b
     if isinstance(v.dtype, dt.Null):
         return jnp.zeros(v.values.shape, jnp.int64), jnp.zeros(v.values.shape, bool), True
     if v.table is not None:
+        v_hashed = getattr(v.table, "hashed", False)
+        o_hashed = other.table is not None and getattr(other.table, "hashed", False)
+        if v_hashed:
+            # hashed-key column: the int64 hashes ARE the join key word, and
+            # equal bytes hash equally across independent columns (fixed
+            # hash key, utils/hashstore.py) — no table unification needed.
+            # exact=False: equality is 64-bit-hash equality (collisions are
+            # detected when the keys materialize, hashstore.resolve)
+            return v.values.astype(jnp.int64), v.validity, False
+        if o_hashed:
+            # dictionary side joining a hashed side: map this side's codes
+            # into hash space by hashing the (small) dictionary
+            from polars_tpu.utils import hashstore
+
+            harr = hashstore.hash_values(v.table.values) if len(v.table) else np.zeros(1, np.int64)
+            lut = jnp.asarray(harr)
+            return lut[jnp.clip(v.values, 0, len(harr) - 1)], v.validity, False
         if other.table is not None and other.table is not v.table:
             _, lmap, _ = strtable.unify(v.table, other.table)
             if len(lmap) == 0:  # empty remap = identity (strtable convention)
@@ -141,8 +158,21 @@ def trace_join(node, tt_l, tt_r, eval_key):
     matched = (sk[cand_pos] == lk_m) & lmask & (lo < nr)
 
     if needs_verify:
-        # hash candidates verified on the ACTUAL key values, row-wise
-        for (lv, rv) in zip(lkeys, rkeys):
+        # hash candidates verified on the ACTUAL key values, row-wise; table
+        # columns verify on their unified/hash-space KEY WORDS instead (raw
+        # codes of different dictionaries — or a dictionary vs a hashed
+        # column — live in incompatible code spaces)
+        for i, (lv, rv) in enumerate(zip(lkeys, rkeys)):
+            if lv.table is not None or rv.table is not None:
+                lw, lval = lwords[i]
+                rw, rval = rwords[i]
+                lv_cmp = Val(lw, lval, dt.Int64(), None, lv.domain)
+                rv_g = rw[cand]
+                rvalid_g = None if rval is None else rval[cand]
+                matched = matched & _values_equal(
+                    lv_cmp, rv_g, rvalid_g, lval, nulls_equal
+                )
+                continue
             rv_g = rv.values[cand]
             rvalid_g = None if rv.validity is None else rv.validity[cand]
             matched = matched & _values_equal(lv, rv_g, rvalid_g, lv.validity, nulls_equal)

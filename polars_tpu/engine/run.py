@@ -69,6 +69,122 @@ def _is_special_fn(s: E.ENode, schema) -> bool:
     return False
 
 
+# --- hashed-string gating (utils/hashstore.py; VERDICT r4 #5) ---------------
+#
+# Hashed-key columns (device hash64 codes, raw bytes spilled) are exact for
+# EQUALITY semantics: group keys, join keys, ==/!= against literals, distinct,
+# first/last/count. Anything that interprets the VALUE (ordering, string
+# functions, casts, min/max) must see a real dictionary — the pre-pass below
+# densifies such columns before the segment traces. Default-unsafe: an
+# expression shape the walker doesn't recognize densifies the column, so a
+# miss costs memory, never correctness.
+
+_HASH_SAFE_AGGS = {"first", "last", "count", "n_unique", "len"}
+_HASH_SAFE_EQ = {"==", "!=", "eq_missing", "ne_missing"}
+
+
+def _hashed_unsafe_names(node: L.LNode, out: set[str]) -> None:
+    def mark_expr(e: E.ENode, safe: bool) -> None:
+        if isinstance(e, E.EColumn):
+            if not safe:
+                out.add(e.name)
+            return
+        if isinstance(e, E.EAlias):
+            mark_expr(e.input, safe)
+            return
+        if isinstance(e, E.EBinary):
+            ok = safe and e.op in _HASH_SAFE_EQ
+            mark_expr(e.left, ok)
+            mark_expr(e.right, ok)
+            return
+        if isinstance(e, E.EAgg):
+            mark_expr(e.input, safe and e.kind in _HASH_SAFE_AGGS)
+            for sub in e.children():
+                if sub is not e.input:
+                    mark_expr(sub, False)
+            return
+        if isinstance(e, E.EWindow):
+            for p in e.partition_by:
+                mark_expr(p, safe and isinstance(p, (E.EColumn, E.EAlias)))
+            for o in e.order_by:
+                mark_expr(o, False)
+            mark_expr(e.function, safe)
+            return
+        if isinstance(e, E.ETernary):
+            mark_expr(e.predicate, safe)
+            mark_expr(e.truthy, safe)
+            mark_expr(e.falsy, safe)
+            return
+        if isinstance(e, E.EFunction) and e.name in ("is_null", "is_not_null"):
+            for sub in e.children():
+                mark_expr(sub, safe)
+            return
+        for sub in e.children():
+            mark_expr(sub, False)
+
+    if isinstance(node, (L.LScan, L.LDataFrameScan)):
+        return
+    if isinstance(node, L.LGroupBy):
+        for k in node.keys:
+            mark_expr(k, isinstance(k, (E.EColumn, E.EAlias)))
+        for a in node.aggs:
+            mark_expr(a, True)
+    elif isinstance(node, L.LJoin):
+        for k in (*node.left_on, *node.right_on):
+            mark_expr(k, isinstance(k, E.EColumn))
+    elif isinstance(node, L.LSort):
+        for b in node.by:
+            mark_expr(b, False)
+    elif isinstance(node, L.LDistinct):
+        pass  # distinct-by-hash == distinct-by-value
+    elif isinstance(node, (L.LFilter, L.LSelect, L.LWithColumns)):
+        for e in node.exprs():
+            mark_expr(e, True)
+    else:
+        # unknown node kind: every expression in any field is unsafe
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, E.ENode):
+                mark_expr(v, False)
+            elif isinstance(v, tuple):
+                for x in v:
+                    if isinstance(x, E.ENode):
+                        mark_expr(x, False)
+    for i in node.inputs():
+        _hashed_unsafe_names(i, out)
+
+
+def _densify_hashed_leaves(
+    node: L.LNode, leaves: list[tuple[L.LNode, DataFrame]]
+) -> list[tuple[L.LNode, DataFrame]]:
+    """Replace hashed-key leaf columns used order-sensitively in this segment
+    with densified dictionary columns (see the module-note above)."""
+    if not any(
+        getattr(c.table, "hashed", False)
+        for _, df in leaves
+        for c in df._columns
+    ):
+        return leaves
+    unsafe: set[str] = set()
+    _hashed_unsafe_names(node, unsafe)
+    out = []
+    for ln, df in leaves:
+        if not any(
+            getattr(c.table, "hashed", False) and c.name in unsafe
+            for c in df._columns
+        ):
+            out.append((ln, df))
+            continue
+        cols = [
+            c.densify_hashed()
+            if getattr(c.table, "hashed", False) and c.name in unsafe
+            else c
+            for c in df._columns
+        ]
+        out.append((ln, DataFrame._from_columns(cols, df.height)))
+    return out
+
+
 # --- per-node profiling (NodeTimer analogue, polars-expr/src/state/node_timer.rs:19-40)
 # A sink is active during LazyFrame.profile() or when POLARS_TRACK_METRICS is
 # set; every executed plan node records a real (start, end) wall-time span,
@@ -136,7 +252,17 @@ def _with_sorted_flags(node: L.LNode, df: DataFrame) -> DataFrame:
         c.with_buffer(c.buffer, sorted_flag=flag) if c.name == name else c
         for c in df._columns
     ]
-    return DataFrame._from_columns(cols, df.height)
+    return _copy_deferred(df, DataFrame._from_columns(cols, df.height))
+
+
+def _copy_deferred(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Frame rebuilds must carry the deferred device count along (a dropped
+    count silently turns a padded upper bound into a 'real' height —
+    engine/pending.py)."""
+    dc = getattr(src, "_device_count", None)
+    if dc is not None:
+        dst._device_count = dc
+    return dst
 
 
 def execute_plan(node: L.LNode, *, sync: bool = True) -> DataFrame:
@@ -203,7 +329,9 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
             if hit is not None:
                 return hit
         out = execute_plan(node.input, sync=sync)
-        if cache is not None:
+        if cache is not None and getattr(out, "_device_count", None) is None:
+            # deferred frames don't enter the plan cache: a later consumer
+            # on a sync path would read the padded tail as data
             cache[node] = out
         return out
 
@@ -272,7 +400,7 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
         )
         out = execute_plan(inner, sync=sync)
         keep = [c for c in out._columns if c.name not in set(key_names)]
-        return DataFrame._from_columns(keep, out.height)
+        return _copy_deferred(out, DataFrame._from_columns(keep, out.height))
 
     if isinstance(node, L.LGroupBy) and any(
         isinstance(s, E.EAgg) and s.kind == "agg_groups"
@@ -319,6 +447,7 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
                         leaves.append((i, seen[id(i)]))
 
         collect(node)
+        leaves = _densify_hashed_leaves(node, leaves)
         return run_segment(node, leaves, sync=sync)
 
     if isinstance(node, L.LGroupBy):

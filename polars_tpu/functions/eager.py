@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+
 from polars_tpu import datatypes as dt
 from polars_tpu.core.buffer import concat_buffers
 from polars_tpu.core.column import Column
@@ -35,16 +37,51 @@ def _concat_columns(cols: list[Column], name: str) -> Column:
     cols = [cast_column(c, target, strict=False) if c.dtype != target else c for c in cols]
     table = None
     if cols[0].table is not None:
-        # unify dictionaries pairwise, remapping codes on device
-        from polars_tpu.engine.strings import remap_column_codes
+        if any(getattr(c.table, "hashed", False) for c in cols):
+            # hashed-key members: hash space is globally comparable (fixed
+            # hash key), so codes never remap — dictionary members map INTO
+            # hash space and the payloads union (utils/hashstore.py)
+            from polars_tpu.core.buffer import Buffer as _Buf
+            from polars_tpu.utils import hashstore
 
-        table = cols[0].table
-        new_cols = [cols[0]]
-        for c in cols[1:]:
-            table, lmap, rmap = strtable.unify(table, c.table)
-            new_cols = [remap_column_codes(x, lmap, table) for x in new_cols]
-            new_cols.append(remap_column_codes(c, rmap, table))
-        cols = new_cols
+            if all(c.table is cols[0].table for c in cols):
+                table = cols[0].table
+            else:
+                import jax.numpy as _jnp
+
+                new_cols = []
+                for c in cols:
+                    if getattr(c.table, "hashed", False):
+                        new_cols.append(c)
+                        continue
+                    harr = (
+                        hashstore.hash_values(c.table.values)
+                        if len(c.table) else np.zeros(1, np.int64)
+                    )
+                    lut = _jnp.asarray(harr)
+                    v64 = lut[_jnp.clip(c.buffer.values, 0, len(harr) - 1)]
+                    if c.buffer.validity is not None:
+                        # null rows canonicalize to hash 0 (hashed ingest
+                        # does the same) so null keys group as ONE key
+                        v64 = _jnp.where(c.buffer.validity, v64, 0)
+                    new_cols.append(Column(
+                        c.name, c.dtype,
+                        _Buf(v64, c.buffer.validity, c.buffer.length),
+                        c.table,
+                    ))
+                cols = new_cols
+                table = hashstore.UnionSpilledStrings([c.table for c in cols])
+        else:
+            # unify dictionaries pairwise, remapping codes on device
+            from polars_tpu.engine.strings import remap_column_codes
+
+            table = cols[0].table
+            new_cols = [cols[0]]
+            for c in cols[1:]:
+                table, lmap, rmap = strtable.unify(table, c.table)
+                new_cols = [remap_column_codes(x, lmap, table) for x in new_cols]
+                new_cols.append(remap_column_codes(c, rmap, table))
+            cols = new_cols
     buf = concat_buffers([c.buffer for c in cols])
     return Column(name, cols[0].dtype, buf, cols[0].table if table is None else table)
 

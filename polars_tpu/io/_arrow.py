@@ -84,6 +84,25 @@ def arrow_array_to_column(name: str, arr: Any, override: dt.DataType | None = No
     if isinstance(logical, (dt.String, dt.Binary, dt.Categorical)):
         # dictionary-encode on the host (Arrow C++), ship codes to device
         if not pa.types.is_dictionary(t):
+            if isinstance(logical, (dt.String, dt.Binary)):
+                # hashed-key mode for long mostly-unique columns: device
+                # hash64 codes + row-ordered spill, NO host dictionary
+                # (utils/hashstore.py; reference: hash_keys.rs)
+                from polars_tpu.config import config as _cfg
+                from polars_tpu.utils import hashstore
+
+                if hashstore.want_hashed(arr, _cfg().hashed_strings_min_rows):
+                    import weakref
+
+                    hashes, validity, store = hashstore.SpilledStrings.from_arrow(
+                        arr, is_binary=isinstance(logical, dt.Binary)
+                    )
+                    buf = Buffer.from_numpy(hashes, validity)
+                    # densify fast path: this exact buffer still holds the
+                    # ingest row order, so the spill file can rebuild a
+                    # dictionary column without any device readback
+                    store._ingest_buffer = weakref.ref(buf)
+                    return Column(name, logical, buf, store)
             arr = pc.dictionary_encode(arr)
         codes = arr.indices
         validity = None

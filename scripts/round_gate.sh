@@ -1,23 +1,33 @@
 #!/usr/bin/env bash
-# Round-end snapshot gate (VERDICT r3 item 1: round 3 shipped a one-line
-# NameError that broke every join because the final commit ran nothing).
-# Run BEFORE the end-of-round commit; refuses to pass with a red suite or a
-# broken multichip entry. Mirrors the reference gating every merge on the
-# full suite across engines (py-polars/Makefile:81).
+# Round-end snapshot gate (VERDICT r3 #1, r4 #2).
 #
-# Usage: bash scripts/round_gate.sh        (from the repo root)
+# Round 3 shipped a one-line NameError because the final commit ran nothing;
+# round 4 shipped 2 red tests because the gate existed but was not run on the
+# final tree. So the gate now PRODUCES the commit: pass a message and the
+# exact tree that passed all three phases is committed — if anything edits
+# the tree while the gate runs, it refuses and must be re-run.
+#
+# Usage:
+#   bash scripts/round_gate.sh                      # check only
+#   bash scripts/round_gate.sh "snapshot message"   # check, then commit the
+#                                                   # gated tree on green
 set -u
+cd "$(dirname "$0")/.."
+MSG="${1:-}"
+
+git add -A
+TREE_BEFORE=$(git write-tree)
 
 fail=0
 
 echo "=== 1/3 full test suite (CPU, 8 virtual devices) ==="
-if ! timeout 1800 python -m pytest tests/ -q; then
+if ! timeout 2400 python -m pytest tests/ -q; then
     echo "GATE FAIL: test suite red"
     fail=1
 fi
 
 echo "=== 2/3 dryrun_multichip(8) ==="
-if ! timeout 900 python -c "
+if ! timeout 1500 python -c "
 import __graft_entry__ as g
 g.dryrun_multichip(8)
 print('multichip OK')
@@ -43,4 +53,17 @@ if [ "$fail" -ne 0 ]; then
     echo "ROUND GATE: FAILED — do not snapshot"
     exit 1
 fi
+
+git add -A
+TREE_AFTER=$(git write-tree)
+if [ "$TREE_BEFORE" != "$TREE_AFTER" ]; then
+    echo "ROUND GATE: FAILED — the tree changed while the gate ran;"
+    echo "the gated result does not describe the current tree. Re-run."
+    exit 1
+fi
+
 echo "ROUND GATE: PASSED"
+if [ -n "$MSG" ]; then
+    git commit -m "$MSG"
+    echo "ROUND GATE: committed the gated tree"
+fi

@@ -88,21 +88,27 @@ def rng() -> np.random.Generator:
 
 
 def pytest_collection_modifyitems(session, config, items):
-    """Run the multi-device shard_map-compile tests FIRST.
+    """Front-load and worker-pin the compile-heavy files.
 
-    jaxlib 0.9's XLA:CPU backend intermittently SIGSEGVs when compiling large
-    8-device SPMD programs late in a long-lived process (hundreds of compiled
-    programs accumulated); the same programs compile fine early. Observed at
-    tests/test_spmd.py via jax pjit backend_compile_and_load with no Python
-    involvement. Fronting the SPMD modules keeps the single-invocation suite
-    deterministic until the upstream compiler bug is fixed.
+    jaxlib 0.9's XLA:CPU backend intermittently SIGSEGVs when compiling
+    programs late in a long-lived process (the r5 compile counters show the
+    crash landing in whichever compile-heavy test runs after a worker has
+    accumulated many hundreds of programs; every file passes on a fresh
+    process). Two defenses, both scheduling: run the heavy files FIRST, and
+    pin each to ONE xdist worker (``--dist loadgroup`` + a per-file
+    xdist_group) so its compiles happen contiguously at the start of a fresh
+    worker's life instead of after someone else's thousand programs.
     """
     front_files = (
-        "test_spmd.py",
         "test_fuzz_differential.py",
+        "test_spmd.py",
         "test_parallel.py",
         "test_cross_engine.py",
     )
+    for it in items:
+        base = it.fspath.basename
+        if base in front_files:
+            it.add_marker(pytest.mark.xdist_group(base.removesuffix(".py")))
     front = [it for it in items if it.fspath.basename in front_files]
     rest = [it for it in items if it.fspath.basename not in front_files]
     items[:] = front + rest

@@ -116,6 +116,9 @@ def test_dist_overflow_single_pow2_retry(facts, monkeypatch):
         spmd, "_shuffle_cap",
         lambda rows, d, scale: rows if scale <= 0 else 2 * max(scale, 1),
     )
+    # the overflow-readback retry ladder belongs to the SYNC protocol; the
+    # flip-free default would have chosen lossless up front instead
+    monkeypatch.setenv("POLARS_TPU_DIST_SYNC", "1")
     spmd._SPMD_JIT_CACHE.clear()
     _cmp(facts.lazy().group_by("s").agg(md=pl.col("v").median()).sort("s"))
     assert len(calls) == 2, calls           # first attempt + ONE retry
@@ -351,5 +354,120 @@ def test_dist_asof_join(facts, rng_mod, monkeypatch):
         .group_by("sym")
         .agg(v=(pl.col("px") * pl.col("qty")).sum())
         .sort("sym")
+    )
+    _cmp(lf)
+
+
+# ---------------------------------------------------------------------------
+# flip-free protocol (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_dist_flip_free_zero_readbacks(facts, monkeypatch):
+    """The default distributed protocol must perform EXACTLY ONE batched
+    readback (pending.finalize) for a multi-segment plan — no per-segment
+    device_get (on the TPU backend the first readback permanently degrades
+    the session, CLAUDE.md §1)."""
+    import jax
+
+    calls = []
+    orig = jax.device_get
+
+    def spy(x):
+        calls.append(x)
+        return orig(x)
+
+    monkeypatch.setattr(jax, "device_get", spy)
+    # rank() is not elementwise -> the leaf materializes as its own
+    # single-chip segment (deferred, device-count-chained into shard_map)
+    lf = (
+        facts.lazy()
+        .with_columns(r=pl.col("v").rank())
+        .group_by("s")
+        .agg(t=pl.col("v").sum(), hi=pl.col("r").max())
+        .sort("s")
+    )
+    got = lf.collect(engine="distributed")
+    n_gets = len(calls)
+    monkeypatch.undo()
+    assert n_gets == 1, f"expected 1 batched readback, saw {n_gets}"
+    exp = lf.collect()
+    pd.testing.assert_frame_equal(
+        got.to_pandas().reset_index(drop=True),
+        exp.to_pandas().reset_index(drop=True),
+    )
+
+
+def test_dist_flip_free_capacity_proof(facts):
+    """Dict/bool-keyed decomposable group-bys PROVE the default capacity
+    rung host-side (key cardinality <= bucket capacity) so flip-free runs
+    skip the lossless fallback; a distributed sort cannot prove it and must
+    run lossless."""
+    lf = facts.lazy().group_by("s").agg(t=pl.col("v").sum()).sort("s")
+    _cmp(lf)
+    assert spmd.LAST_CAP_SCALE == 1  # proven: |dict(s)|+1 << 128
+
+    lf2 = facts.lazy().sort("v")
+    _cmp(lf2)
+    assert spmd.LAST_CAP_SCALE == 0  # range partition: lossless in flip-free
+
+
+def test_dist_flip_free_validation_error_still_raises(facts):
+    """Deferred execution must not swallow in-trace validation failures: a
+    violated m:1 cardinality surfaces at the batched finalize readback."""
+    from polars_tpu.errors import ComputeError, InvalidOperationError
+
+    dup = pl.DataFrame({"k": [1, 1, 2], "u": [10.0, 11.0, 12.0]})
+    lf = (
+        facts.lazy()
+        .join(dup.lazy(), on="k", validate="m:1")
+        .group_by("s")
+        .agg(t=pl.col("u").sum())
+    )
+    with pytest.raises((ComputeError, InvalidOperationError)):
+        lf.collect(engine="distributed")
+
+
+# ---------------------------------------------------------------------------
+# distributed general windows (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+
+def test_dist_window_order_by(facts, monkeypatch):
+    """rank/cum_sum/row_number .over(k, order_by=o) distribute via hash
+    co-location + local eval + gid restore-sort; results must match the
+    single-chip engine ROW FOR ROW (original order restored)."""
+    monkeypatch.setattr(spmd, "CAPTURE_HLO", True)
+    spmd._SPMD_JIT_CACHE.clear()
+    # one partition key set per node (a select distributes when all its
+    # windows share the key set); chained nodes fuse into ONE SPMD program
+    lf = facts.lazy().with_columns(
+        r=pl.col("v").rank().over("k", order_by="w"),
+        c=pl.col("v").cum_sum().over("k", order_by="w"),
+    ).with_columns(n=pl.col("v").rank("dense").over("s"))
+    _cmp(lf)
+    assert spmd.LAST_LOWERED is not None and "all_to_all" in spmd.LAST_LOWERED
+
+
+def test_dist_window_cum_original_order(facts):
+    """Order-dependent windows WITHOUT order_by see the original row
+    sequence per key (the shuffle preserves global source order)."""
+    _cmp(facts.lazy().with_columns(c=pl.col("v").cum_sum().over("k")))
+    _cmp(facts.lazy().select(
+        pl.col("k"),
+        idx=pl.col("v").cum_count().over("k"),
+    ))
+
+
+def test_dist_window_feeding_groupby(facts):
+    """Window select fused INSIDE the distributed region: window -> filter
+    -> distributed group-by runs as one SPMD program."""
+    lf = (
+        facts.lazy()
+        .with_columns(r=pl.col("v").rank().over("k", order_by="w"))
+        .filter(pl.col("r") <= 3.0)
+        .group_by("s")
+        .agg(t=pl.col("v").sum(), m=pl.col("r").max())
+        .sort("s")
     )
     _cmp(lf)
