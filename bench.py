@@ -428,7 +428,11 @@ def _main_isolated() -> None:
             # grace beyond the child's own deadline: killing a child blocked
             # in a probe readback WEDGES the device claim server-side
             # (observed r3 + r4) — better to lose budget than the claim.
-            grace = int(os.environ.get("BENCH_CHILD_GRACE_S", "300"))
+            # grace must cover the COLD flip penalty (r2 measured 1317s for
+            # the one-time x64 repack compile; r5 observed >30min with a
+            # cold /tmp cache) — killing a child blocked in that readback
+            # wedges the device claim, losing far more than the budget
+            grace = int(os.environ.get("BENCH_CHILD_GRACE_S", "2100"))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", q],
                 stdout=subprocess.PIPE, timeout=child_budget + grace,
