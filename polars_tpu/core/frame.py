@@ -1182,6 +1182,12 @@ class DataFrame:
         process has done any device->host readback — see CLAUDE.md §1."""
         import jax
 
+        from polars_tpu.utils import hashstore
+
+        # hashed-string equality backstop: any literal compared in hash
+        # space must be proven collision-free before results are shown
+        hashstore.verify_pending()
+
         arrs = []
         for c in self._columns:
             arrs.append(c.buffer.values)

@@ -18,32 +18,39 @@ per-morsel.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 from typing import Any
 
-_SCOPES: list[list] = []
+# context-local (r5 review): concurrent collect calls on different threads /
+# asyncio tasks must not cross-register deferred checks into each other's
+# scope — each context sees its own stack
+_SCOPES: contextvars.ContextVar[tuple] = contextvars.ContextVar(
+    "polars_tpu_pending_scopes", default=()
+)
 
 
 def active() -> bool:
-    return bool(_SCOPES)
+    return bool(_SCOPES.get())
 
 
 @contextlib.contextmanager
 def scope():
     """Collect deferred checks for one query; flushed by :func:`finalize`."""
     pend: list = []
-    _SCOPES.append(pend)
+    token = _SCOPES.set(_SCOPES.get() + (pend,))
     try:
         yield pend
     finally:
-        _SCOPES.pop()
+        _SCOPES.reset(token)
 
 
 def defer(count: Any, *, msgs: dict | None = None, ofl: Any = None,
           label: str = "segment") -> None:
     """Register a segment's raw count (negative = encoded error) and optional
     shuffle-overflow flag for the batched end-of-query readback."""
-    if _SCOPES:
-        _SCOPES[-1].append((count, ofl, msgs or {}, label))
+    stack = _SCOPES.get()
+    if stack:
+        stack[-1].append((count, ofl, msgs or {}, label))
 
 
 def _check(n: int, ofl: int | None, msgs: dict, label: str) -> None:
@@ -75,7 +82,8 @@ def finalize(df):
 
     from polars_tpu.core.buffer import padded_size
 
-    pend = _SCOPES[-1] if _SCOPES else []
+    stack = _SCOPES.get()
+    pend = stack[-1] if stack else []
     arrays: list = []
     for count, ofl, _msgs, _label in pend:
         arrays.append(count)

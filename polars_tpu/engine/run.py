@@ -82,12 +82,28 @@ def _is_special_fn(s: E.ENode, schema) -> bool:
 _HASH_SAFE_AGGS = {"first", "last", "count", "n_unique", "len"}
 _HASH_SAFE_EQ = {"==", "!=", "eq_missing", "ne_missing"}
 
+_ALL = "__ALL_COLUMNS_UNSAFE__"  # sentinel: densify every hashed column
 
-def _hashed_unsafe_names(node: L.LNode, out: set[str]) -> None:
+
+def _leaf_unsafe_names(node: L.LNode, unsafe_out, acc: dict,
+                       stop_ids: frozenset | None = None) -> None:
+    """Descend the plan translating order-sensitive ("unsafe") usage down to
+    LEAF-frame column names. ``unsafe_out`` is the set of names unsafe in
+    this node's OUTPUT space (or _ALL); renames / aliases / join suffixes
+    translate it into each input's space so a rename never defeats the
+    densify pre-pass (r5 review). Leaves record their final set in ``acc``
+    keyed by id(leaf)."""
+
+    local: set = set()
+    local_all = unsafe_out is _ALL
+
+    def add(name: str) -> None:
+        local.add(name)
+
     def mark_expr(e: E.ENode, safe: bool) -> None:
         if isinstance(e, E.EColumn):
             if not safe:
-                out.add(e.name)
+                add(e.name)
             return
         if isinstance(e, E.EAlias):
             mark_expr(e.input, safe)
@@ -122,65 +138,123 @@ def _hashed_unsafe_names(node: L.LNode, out: set[str]) -> None:
         for sub in e.children():
             mark_expr(sub, False)
 
-    if isinstance(node, (L.LScan, L.LDataFrameScan)):
+    def out_unsafe(name) -> bool:
+        return unsafe_out is _ALL or name in unsafe_out
+
+    if isinstance(node, (L.LScan, L.LDataFrameScan)) or (
+        stop_ids is not None and id(node) in stop_ids
+    ):
+        prev = acc.get(id(node))
+        if local_all or prev is _ALL:
+            acc[id(node)] = _ALL
+        else:
+            acc[id(node)] = (prev or set()) | set(unsafe_out)
         return
+
     if isinstance(node, L.LGroupBy):
         for k in node.keys:
-            mark_expr(k, isinstance(k, (E.EColumn, E.EAlias)))
+            kn = E.output_name(k)
+            safe_shape = isinstance(k, (E.EColumn, E.EAlias))
+            mark_expr(k, safe_shape and not (kn and out_unsafe(kn)))
         for a in node.aggs:
-            mark_expr(a, True)
+            an = E.output_name(a)
+            mark_expr(a, not (an and out_unsafe(an)))
+        down = _ALL if local_all else local
     elif isinstance(node, L.LJoin):
         for k in (*node.left_on, *node.right_on):
             mark_expr(k, isinstance(k, E.EColumn))
+        if local_all:
+            down_l = down_r = _ALL
+        else:
+            sfx = getattr(node, "suffix", "_right") or "_right"
+            translated = set(unsafe_out) | local
+            down_l = set(translated)
+            down_r = set(translated) | {
+                n[: -len(sfx)] for n in translated if n.endswith(sfx)
+            }
+        _leaf_unsafe_names(node.input_left, down_l, acc, stop_ids)
+        _leaf_unsafe_names(node.input_right, down_r, acc, stop_ids)
+        return
     elif isinstance(node, L.LSort):
         for b in node.by:
             mark_expr(b, False)
+        down = _ALL if local_all else (set(unsafe_out) | local)
     elif isinstance(node, L.LDistinct):
-        pass  # distinct-by-hash == distinct-by-value
+        # distinct-by-hash == distinct-by-value: passthrough
+        down = _ALL if local_all else (set(unsafe_out) | local)
+    elif isinstance(node, L.LRename):
+        if local_all:
+            down = _ALL
+        else:
+            mapping = {}
+            for attr_new, attr_old in (("new", "old"), ("to", "from_")):
+                if hasattr(node, attr_new) and hasattr(node, attr_old):
+                    mapping = dict(
+                        zip(getattr(node, attr_new), getattr(node, attr_old))
+                    )
+                    break
+            if not mapping and hasattr(node, "mapping"):
+                mapping = {v: k for k, v in dict(node.mapping).items()}
+            src = set(unsafe_out) | local
+            down = {mapping.get(n, n) for n in src} | src
     elif isinstance(node, (L.LFilter, L.LSelect, L.LWithColumns)):
         for e in node.exprs():
-            mark_expr(e, True)
+            en = E.output_name(e)
+            # an output that is unsafe downstream taints its SOURCE columns
+            mark_expr(e, not (en and out_unsafe(en)))
+        if local_all:
+            down = _ALL
+        else:
+            down = set(local)
+            if isinstance(node, (L.LWithColumns, L.LFilter)):
+                # passthrough columns keep their downstream unsafety
+                produced = (
+                    {
+                        E.output_name(e)
+                        for e in node.exprs()
+                        if E.output_name(e)
+                    }
+                    if isinstance(node, L.LWithColumns)
+                    else set()
+                )
+                down |= {n for n in unsafe_out if n not in produced}
     else:
-        # unknown node kind: every expression in any field is unsafe
-        for f in dataclasses.fields(node):
-            v = getattr(node, f.name)
-            if isinstance(v, E.ENode):
-                mark_expr(v, False)
-            elif isinstance(v, tuple):
-                for x in v:
-                    if isinstance(x, E.ENode):
-                        mark_expr(x, False)
+        # unknown node kind: be conservative — everything below is unsafe
+        down = _ALL
+
     for i in node.inputs():
-        _hashed_unsafe_names(i, out)
+        _leaf_unsafe_names(i, down, acc, stop_ids)
 
 
 def _densify_hashed_leaves(
     node: L.LNode, leaves: list[tuple[L.LNode, DataFrame]]
 ) -> list[tuple[L.LNode, DataFrame]]:
     """Replace hashed-key leaf columns used order-sensitively in this segment
-    with densified dictionary columns (see the module-note above)."""
+    with densified dictionary columns (see the module-note above). Also used
+    by the SPMD engine with its dist-region leaves as the stop set."""
     if not any(
         getattr(c.table, "hashed", False)
         for _, df in leaves
         for c in df._columns
     ):
         return leaves
-    unsafe: set[str] = set()
-    _hashed_unsafe_names(node, unsafe)
+    acc: dict = {}
+    _leaf_unsafe_names(
+        node, set(), acc, frozenset(id(ln) for ln, _ in leaves)
+    )
     out = []
     for ln, df in leaves:
-        if not any(
-            getattr(c.table, "hashed", False) and c.name in unsafe
-            for c in df._columns
-        ):
+        unsafe = acc.get(id(ln), _ALL)  # unreached leaf: be conservative
+
+        def is_unsafe(c) -> bool:
+            return getattr(c.table, "hashed", False) and (
+                unsafe is _ALL or c.name in unsafe
+            )
+
+        if not any(is_unsafe(c) for c in df._columns):
             out.append((ln, df))
             continue
-        cols = [
-            c.densify_hashed()
-            if getattr(c.table, "hashed", False) and c.name in unsafe
-            else c
-            for c in df._columns
-        ]
+        cols = [c.densify_hashed() if is_unsafe(c) else c for c in df._columns]
         out.append((ln, DataFrame._from_columns(cols, df.height)))
     return out
 

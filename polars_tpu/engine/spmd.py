@@ -1034,9 +1034,12 @@ def _default_cap_provable(node: L.LNode, leaf_dfs, sizes, d: int) -> bool:
     from polars_tpu.engine.streaming import _decompose_aggs
 
     def fits_one_bucket(send_bound: int, at: L.LNode) -> bool:
-        return send_bound <= _shuffle_cap(
-            max(_est_padded(at, sizes), 128), d, 1
-        )
+        # proof against the GUARANTEED capacity floor only (r5 review: the
+        # traced caps are per-shard/per-partial extents the host can't see
+        # exactly; _shuffle_cap(anything) >= 128, so send_bound <= 128 is
+        # skew-proof regardless of sharding — enough for dict-keyed PDS-H
+        # shapes, lossless for the rest)
+        return send_bound <= 128
 
     if any(node is ln for ln, _ in leaf_dfs):
         return True
@@ -1331,6 +1334,12 @@ def collect_spmd(node: L.LNode, mesh=None, *, sync: bool = True) -> DataFrame:
             continue
         seen.add(id(ln))
         leaf_dfs.append((ln, execute_plan(ln, sync=sync)))
+    # hashed-string gate (r5 review): the dist trace has the same
+    # order-sensitivity constraints as the single-chip one — densify leaf
+    # columns the dist region uses order-sensitively BEFORE sharding
+    from polars_tpu.engine.run import _densify_hashed_leaves
+
+    leaf_dfs = _densify_hashed_leaves(root, leaf_dfs)
     out = run_spmd_segment(root, leaf_dfs, mesh, sync=sync)
     cur: L.LNode = L.LDataFrameScan(df=out, ident=obj_token(out))
     for nd in reversed(above):

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import weakref
 
 import numpy as np
 
@@ -43,20 +44,49 @@ _HASH_KEY = "0123456789123456"  # fixed 16-byte key: hashes stable process-wide
 
 _BATCH = 1 << 20
 
+# Stores holding equality literals not yet verified against their payload
+# (r5 review: a filter like col("s") == "x" compares 64-bit hashes and its
+# boolean mask never passes through resolve — a row whose distinct string
+# collides with hash("x") would be silently included). Registration happens
+# at trace time (find / hash_of_table); verification at the first
+# materialization choke point (DataFrame._prefetch_host -> verify_pending).
+_PENDING_VERIFY: "weakref.WeakSet" = weakref.WeakSet()
 
-def hash_values(arr: np.ndarray) -> np.ndarray:
-    """int64 hash of an object array of str/bytes (nulls -> 0)."""
+
+def verify_pending() -> None:
+    """Verify every store with unverified equality literals (no-op when
+    there are none). Called from the materialization choke points."""
+    while _PENDING_VERIFY:
+        store = next(iter(_PENDING_VERIFY))
+        _PENDING_VERIFY.discard(store)
+        store.verify_literals()
+
+
+def _hash_filled(filled: np.ndarray) -> np.ndarray:
+    """int64 hash of an object array with no nulls (caller pre-filled)."""
     import pandas as pd
 
-    obj = np.asarray(arr, dtype=object)
-    valid = np.array([v is not None and v == v for v in obj], dtype=bool)
-    filled = np.where(valid, obj, "")
     h = pd.util.hash_pandas_object(
         pd.Series(filled, dtype=object), index=False, hash_key=_HASH_KEY,
         categorize=False,
     ).to_numpy()
-    h = h.view(np.int64)  # uint64 -> two's-complement int64 (CLAUDE.md #5)
-    return np.where(valid, h, np.int64(0))
+    return h.view(np.int64)  # uint64 -> two's-complement int64 (CLAUDE.md #5)
+
+
+def hash_values(arr: np.ndarray, valid: np.ndarray | None = None) -> np.ndarray:
+    """int64 hash of an object array of str/bytes (nulls -> 0). Pass ``valid``
+    when the caller already has the null mask (e.g. from Arrow) — deriving it
+    here costs a vectorized pd.isna pass (r5 review: this used to be a
+    per-row Python loop on the exact huge columns the feature targets)."""
+    import pandas as pd
+
+    obj = np.asarray(arr, dtype=object)
+    if valid is None:
+        valid = ~pd.isna(obj)
+    if valid.all():
+        return _hash_filled(obj)
+    filled = np.where(valid, obj, "")
+    return np.where(valid, _hash_filled(filled), np.int64(0))
 
 
 class SpilledStrings:
@@ -73,7 +103,7 @@ class SpilledStrings:
 
     __slots__ = (
         "path", "length", "is_binary", "ident", "_cache", "_owned",
-        "_ingest_buffer",
+        "_ingest_buffer", "_literals", "_unverified", "__weakref__",
     )
 
     def __init__(self, path: str, length: int, is_binary: bool, *, owned: bool = True):
@@ -84,6 +114,8 @@ class SpilledStrings:
         self._cache: dict = {}
         self._owned = owned
         self._ingest_buffer = None  # weakref to the ingest-order Buffer
+        self._literals: dict = {}  # hash -> literal awaiting/passed verify
+        self._unverified = False
 
     def __del__(self):  # best-effort spill cleanup
         try:
@@ -137,9 +169,13 @@ class SpilledStrings:
                     continue
                 w.write_batch(pa.record_batch([chunk], schema=schema))
                 vals = chunk.to_numpy(zero_copy_only=False)
-                hashes[start:start + len(chunk)] = hash_values(vals)
+                # reuse Arrow's validity instead of re-deriving it per row
+                v = np.asarray(chunk.is_valid()) if chunk.null_count else None
+                hashes[start:start + len(chunk)] = hash_values(vals, v)
                 if any_null:
-                    validity[start:start + len(chunk)] = np.asarray(chunk.is_valid())
+                    validity[start:start + len(chunk)] = (
+                        v if v is not None else True
+                    )
         return hashes, validity, cls(path, n, is_binary)
 
     # -- engine interface -----------------------------------------------------
@@ -147,14 +183,70 @@ class SpilledStrings:
     def find(self, value) -> int:
         """Literal -> code space (= its hash). Unlike StringTable.find this
         never returns -1-for-absent: an absent literal's hash simply matches
-        no row, which compares the same way."""
-        return int(hash_values(np.asarray([value], object))[0])
+        no row, which compares the same way. The literal is registered for a
+        collision check at materialization (module note on _PENDING_VERIFY)."""
+        h = int(hash_values(np.asarray([value], object))[0])
+        self.register_literals(np.asarray([h], np.int64), [value])
+        return h
 
     def hash_of_table(self, table: "strtable.StringTable") -> np.ndarray:
-        """Map a dictionary table's values into this column's code space."""
+        """Map a dictionary table's values into this column's code space.
+        Registers the values for a collision check at materialization."""
         if len(table) == 0:
             return np.zeros(1, np.int64)
-        return hash_values(table.values)
+        hs = hash_values(table.values)
+        self.register_literals(hs, list(table.values))
+        return hs
+
+    def register_literals(self, hashes: np.ndarray, values: list) -> None:
+        """Record host-known values compared against this column in hash
+        space; :meth:`verify_literals` later proves no payload string
+        collides with any of them."""
+        fresh = False
+        for h, v in zip(np.asarray(hashes, np.int64).tolist(), values):
+            if v is None:
+                continue
+            prev = self._literals.get(h)
+            if prev is None:
+                self._literals[h] = v
+                fresh = True
+            elif prev != v:
+                raise ComputeError(
+                    "64-bit hash collision between comparison operands "
+                    f"{prev!r} and {v!r} — re-run with "
+                    "POLARS_TPU_HASHED_STRINGS=0"
+                )
+        if fresh:
+            self._unverified = True
+            _PENDING_VERIFY.add(self)
+
+    def verify_literals(self) -> None:
+        """Scan the payload for rows whose hash matches a registered literal
+        but whose bytes differ (the only way a hash-space equality mask can
+        be wrong); raise instead of returning silently wrong rows."""
+        if not self._unverified:
+            return
+        self._unverified = False
+        # resolve() performs exactly the needed scan: any payload value whose
+        # hash matches a cached/registered entry but differs raises. Seed the
+        # cache with the literals so the cross-check covers them, then make
+        # resolve scan those hashes by asking for them as "needed".
+        need = np.fromiter(self._literals, np.int64, len(self._literals))
+        saved = {h: self._cache.pop(h) for h in list(self._cache)
+                 if h in self._literals}
+        try:
+            got = dict(self.resolve(need))
+        finally:
+            for h, v in saved.items():
+                self._cache.setdefault(h, v)
+        for h, lit in self._literals.items():
+            found = got.get(h)
+            if found is not None and found != lit:
+                raise ComputeError(
+                    "64-bit hash collision between string key "
+                    f"{found!r} and comparison literal {lit!r} — re-run "
+                    "with POLARS_TPU_HASHED_STRINGS=0"
+                )
 
     def resolve(self, needed: np.ndarray) -> dict:
         """hash -> value for the needed set, streaming the spill file.
@@ -168,29 +260,38 @@ class SpilledStrings:
             return self._cache
         import pyarrow.ipc as ipc
 
+        want_arr = np.fromiter(want, np.int64, len(want))
+        want_arr.sort()
         with ipc.open_file(self.path) as r:
             for bi in range(r.num_record_batches):
                 batch = r.get_batch(bi)
-                vals = batch.column(0).to_numpy(zero_copy_only=False)
-                hs = hash_values(vals)
-                valid = np.asarray(batch.column(0).is_valid())
-                for h, v, ok in zip(hs.tolist(), vals.tolist(), valid.tolist()):
-                    if not ok or h not in want:
-                        continue
-                    prev = self._cache.get(h, v)
-                    if prev is not v and prev != v:
+                col = batch.column(0)
+                vals = col.to_numpy(zero_copy_only=False)
+                v = np.asarray(col.is_valid()) if col.null_count else None
+                hs = hash_values(vals, v)
+                # vectorized membership; the Python loop below only walks
+                # MATCHED rows (r5 review: this was a per-row zip over the
+                # whole file on every materialization)
+                hit = np.isin(hs, want_arr, assume_unique=False)
+                if v is not None:
+                    hit &= v
+                for i in np.flatnonzero(hit).tolist():
+                    h, val = int(hs[i]), vals[i]
+                    prev = self._cache.get(h, val)
+                    if prev is not val and prev != val:
                         raise ComputeError(
                             "64-bit hash collision between string keys "
-                            f"{prev!r} and {v!r} — re-run with "
+                            f"{prev!r} and {val!r} — re-run with "
                             "POLARS_TPU_HASHED_STRINGS=0 (dictionary "
                             "encoding) for this dataset"
                         )
-                    self._cache[h] = v
+                    self._cache[h] = val
         return self._cache
 
     def take(self, codes: np.ndarray) -> np.ndarray:
         """Materialize hash codes -> values (None for code rows < 0, which
         callers use for invalid entries)."""
+        self.verify_literals()
         codes = np.asarray(codes, np.int64)
         lut = self.resolve(codes[codes != -1] if codes.size else codes)
         out = np.empty(len(codes), dtype=object)
@@ -221,7 +322,10 @@ class UnionSpilledStrings:
     hashed = True
     sorted_order = False
 
-    __slots__ = ("members", "length", "ident", "_cache", "_ingest_buffer")
+    __slots__ = (
+        "members", "length", "ident", "_cache", "_ingest_buffer",
+        "__weakref__",
+    )
 
     def __init__(self, members):
         flat = []
@@ -255,12 +359,46 @@ class UnionSpilledStrings:
         return f"UnionSpilledStrings({len(self.members)} members, rows={self.length})"
 
     def find(self, value) -> int:
-        return int(hash_values(np.asarray([value], object))[0])
+        h = int(hash_values(np.asarray([value], object))[0])
+        self.register_literals(np.asarray([h], np.int64), [value])
+        return h
 
     def hash_of_table(self, table) -> np.ndarray:
         if len(table) == 0:
             return np.zeros(1, np.int64)
-        return hash_values(table.values)
+        hs = hash_values(table.values)
+        self.register_literals(hs, list(table.values))
+        return hs
+
+    def register_literals(self, hashes: np.ndarray, values: list) -> None:
+        """Fan literal registration out to members. Dictionary members are
+        verified immediately (their values are host-resident); spilled
+        members defer to their own materialization-time scan."""
+        hs = np.asarray(hashes, np.int64)
+        for m in self.members:
+            if isinstance(m, (SpilledStrings, UnionSpilledStrings)):
+                m.register_literals(hs, values)
+            else:  # StringTable: cheap host-side check right now
+                mv = np.asarray(m.values, object)
+                if not len(mv):
+                    continue
+                mh = hash_values(mv)
+                hit = np.isin(mh, hs)
+                lut = {h: v for h, v in zip(hs.tolist(), values)
+                       if v is not None}
+                for i in np.flatnonzero(hit).tolist():
+                    lit = lut.get(int(mh[i]))
+                    if lit is not None and lit != mv[i]:
+                        raise ComputeError(
+                            "64-bit hash collision between string key "
+                            f"{mv[i]!r} and comparison literal {lit!r} — "
+                            "re-run with POLARS_TPU_HASHED_STRINGS=0"
+                        )
+
+    def verify_literals(self) -> None:
+        for m in self.members:
+            if isinstance(m, (SpilledStrings, UnionSpilledStrings)):
+                m.verify_literals()
 
     def resolve(self, needed: np.ndarray) -> dict:
         need = np.asarray(needed, np.int64)
@@ -282,6 +420,7 @@ class UnionSpilledStrings:
         return self._cache
 
     def take(self, codes: np.ndarray) -> np.ndarray:
+        self.verify_literals()
         codes = np.asarray(codes, np.int64)
         lut = self.resolve(codes[codes != -1] if codes.size else codes)
         out = np.empty(len(codes), dtype=object)

@@ -15,8 +15,15 @@ set -u
 cd "$(dirname "$0")/.."
 MSG="${1:-}"
 
-git add -A
-TREE_BEFORE=$(git write-tree)
+# check-only mode leaves the git index alone; commit mode snapshots the tree
+# hash up front so a mid-gate edit is detected (r5 review: unconditional
+# `git add -A` staged scratch files even when just checking)
+TREE_BEFORE=""
+if [ -n "$MSG" ]; then
+    git add -A
+    git status --short
+    TREE_BEFORE=$(git write-tree)
+fi
 
 fail=0
 
@@ -54,12 +61,14 @@ if [ "$fail" -ne 0 ]; then
     exit 1
 fi
 
-git add -A
-TREE_AFTER=$(git write-tree)
-if [ "$TREE_BEFORE" != "$TREE_AFTER" ]; then
-    echo "ROUND GATE: FAILED — the tree changed while the gate ran;"
-    echo "the gated result does not describe the current tree. Re-run."
-    exit 1
+if [ -n "$MSG" ]; then
+    git add -A
+    TREE_AFTER=$(git write-tree)
+    if [ "$TREE_BEFORE" != "$TREE_AFTER" ]; then
+        echo "ROUND GATE: FAILED — the tree changed while the gate ran;"
+        echo "the gated result does not describe the current tree. Re-run."
+        exit 1
+    fi
 fi
 
 echo "ROUND GATE: PASSED"

@@ -35,7 +35,10 @@ _current_test = [""]
 
 
 def _count_compile(event: str, **kwargs) -> None:
-    if "backend_compile" not in event:
+    # exactly one of these fires per compiled XLA program (measured r5;
+    # counting every 'backend_compile'-matching event from both listener
+    # kinds inflated the totals ~3x — r5 review finding)
+    if event != "/jax/core/compile/backend_compile_duration":
         return
     _compile_count[0] += 1
     if _compile_count[0] == _COMPILE_BUDGET:
@@ -50,7 +53,6 @@ def _count_compile(event: str, **kwargs) -> None:
 
 
 try:
-    jax.monitoring.register_event_listener(_count_compile)
     jax.monitoring.register_event_duration_secs_listener(
         lambda event, duration, **kw: _count_compile(event)
     )

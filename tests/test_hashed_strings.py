@@ -130,7 +130,7 @@ def test_collision_detected_not_silent(monkeypatch):
     materializing them must RAISE, never return merged groups."""
     from polars_tpu.errors import ComputeError
 
-    def weak_hash(arr):
+    def weak_hash(arr, valid=None):
         obj = np.asarray(arr, dtype=object)
         out = np.empty(len(obj), np.int64)
         for i, v in enumerate(obj.tolist()):
@@ -166,3 +166,63 @@ def test_auto_threshold_respects_cardinality(monkeypatch):
     vals = [f"cat_{i % 20}" for i in range(n)]
     df = arrow_to_df(pa.table({"s": pa.array(vals, pa.string())}))
     assert not getattr(df._get("s").table, "hashed", False)
+
+
+def test_filter_literal_collision_backstop():
+    """r5 review: col("s") == literal compares hashes and its mask never
+    materializes the key — the registered-literal verify must still catch a
+    payload string colliding with the literal."""
+    from polars_tpu.errors import ComputeError
+
+    df, vals = _mk(n=400, null_every=0)
+    store = df._get("s").table
+    assert getattr(store, "hashed", False)
+    payload = vals[7]
+    h = store.find(payload)  # registers the true literal: consistent, fine
+    # now register a DIFFERENT literal at a payload value's hash (what a
+    # 64-bit collision between a filter literal and a row would look like)
+    store._literals.pop(h)
+    store.register_literals(np.asarray([h], np.int64), ["not-" + payload])
+    with pytest.raises(ComputeError, match="collision"):
+        hashstore.verify_pending()
+    # verification is one-shot: the pending set drained even on failure
+    assert store not in hashstore._PENDING_VERIFY
+
+
+def test_filter_literal_verify_clean_path():
+    """The common case: filtering on a real value verifies cleanly at
+    materialization and returns exactly the matching rows."""
+    df, vals = _mk(n=400, null_every=0)
+    lit = vals[11]
+    out = df.lazy().filter(pl.col("s") == lit).collect()
+    assert out.height == 1
+    assert out["v"].to_list()[0] == df["v"].to_list()[11]
+
+
+def test_pending_scopes_are_thread_local():
+    """r5 review: concurrent collects must not cross-register deferred
+    checks into each other's scope."""
+    import threading
+
+    from polars_tpu.engine import pending
+
+    errs: list = []
+    inner_saw: list = []
+
+    def other_thread():
+        try:
+            assert not pending.active()
+            with pending.scope() as p:
+                pending.defer(np.int64(3), label="other")
+                inner_saw.append(len(p))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    with pending.scope() as mine:
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        pending.defer(np.int64(5), label="mine")
+        assert len(mine) == 1  # the other thread's defer landed in ITS scope
+    assert not errs
+    assert inner_saw == [1]

@@ -471,3 +471,29 @@ def test_dist_window_feeding_groupby(facts):
         .sort("s")
     )
     _cmp(lf)
+
+
+def test_dist_window_scalar_agg_all_null_group(rng_mod):
+    """VERDICT r4 weak #8: the scalar-agg window rewrite accepts
+    EBinary(EAgg, EAgg) trees — sum(x)/count(x) over a group whose x is
+    ALL NULL must match the single-chip broadcast path (null mean, not NaN
+    or 0), and mixed-null groups must agree to the ulp."""
+    n = 4000
+    k = rng_mod.integers(0, 8, n)
+    x = rng_mod.normal(size=n)
+    x_null = np.where(k == 3, np.nan, x)  # group 3: all null
+    x_mixed = np.where((k == 5) & (np.arange(n) % 2 == 0), np.nan, x)
+    df = pl.DataFrame({
+        "k": k,
+        "x": x_null,
+        "y": x_mixed,
+    }).with_columns(
+        x=pl.when(pl.col("x").is_nan()).then(None).otherwise(pl.col("x")),
+        y=pl.when(pl.col("y").is_nan()).then(None).otherwise(pl.col("y")),
+    )
+    lf = df.lazy().with_columns(
+        m=(pl.col("x").sum() / pl.col("x").count()).over("k"),
+        r=(pl.col("y").sum() / pl.col("y").count()).over("k"),
+        s=pl.col("x").sum().over("k"),
+    )
+    _cmp(lf)
