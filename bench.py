@@ -310,9 +310,9 @@ def _main_opscmp() -> None:
         log("pallas-vs-xla cmp ops compiled")
     except Exception as e:  # noqa: BLE001
         log(f"ops-cmp build failed: {e}")
-        print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
-                          "unit": "rows/s", "vs_baseline": 0.0,
-                          "detail": {"ops": {"cmp_error": str(e)[:200]}}}))
+        _print_json({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
+                     "unit": "rows/s", "vs_baseline": 0.0,
+                     "detail": {"ops": {"cmp_error": str(e)[:200]}}})
         return
     timeline = DeviceTimeline()
     timeline.mark("warm")
@@ -332,9 +332,9 @@ def _main_opscmp() -> None:
         if sp["s"] < 3 * rtt:
             out_ops[label + "_suspect"] = True
     log(f"pallas-vs-xla (GB/s): {out_ops}")
-    print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
-                      "unit": "rows/s", "vs_baseline": 0.0,
-                      "detail": {"ops": out_ops}}))
+    _print_json({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
+                 "unit": "rows/s", "vs_baseline": 0.0,
+                 "detail": {"ops": out_ops}})
 
 
 def _device_preflight(timeout_s: int) -> bool:
@@ -355,17 +355,60 @@ def _device_preflight(timeout_s: int) -> bool:
         return False
 
 
+def _print_json(obj: dict) -> None:
+    """Emit the headline JSON line. Survives a closed stdout (r5: the
+    validation run died with BrokenPipeError ON the final print, losing the
+    line) — the line is also mirrored to a file for post-mortems."""
+    line = json.dumps(obj)
+    try:
+        (BENCH_DIR / "last_emit.json").write_text(line)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        print(line, flush=True)
+    except (BrokenPipeError, OSError):
+        try:
+            sys.stderr.write(line + "\n")
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def _calib_path(query: str, scale: float) -> Path:
+    return BENCH_DIR / f"calib_{query}_sf{scale}.json"
+
+
+def _calib_load(query: str, scale: float) -> float | None:
+    """Measured per-run seconds from a previous honest run at this scale
+    (same host /tmp). Turns the pessimistic roofline ladder into exact
+    sizing on the driver's end-of-round run."""
+    try:
+        d = json.loads(_calib_path(query, scale).read_text())
+        v = float(d["run_s"])
+        return v if v > 0 else None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _calib_store(query: str, scale: float, run_s: float) -> None:
+    try:
+        _calib_path(query, scale).write_text(
+            json.dumps({"run_s": run_s, "ts": time.time()})
+        )
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _emit(head: dict | None, merged: dict, q_detail: dict) -> None:
     merged["queries"] = q_detail
     merged["budget_s"] = round(BUDGET_S)
     merged["elapsed_s"] = round(time.time() - _T0)
-    print(json.dumps({
+    _print_json({
         "metric": "pdsh_q1_rows_per_s",
         "value": (head or {}).get("value", 0.0),
         "unit": "rows/s",
         "vs_baseline": (head or {}).get("vs_baseline", 0.0),
         "detail": merged,
-    }), flush=True)
+    })
 
 
 def _main_isolated() -> None:
@@ -479,10 +522,10 @@ def main() -> None:
         preflight_s = int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "240"))
         if not _device_preflight(preflight_s):
             log(f"device preflight failed after {preflight_s}s (claim wedged?)")
-            print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
-                              "unit": "rows/s", "vs_baseline": 0.0,
-                              "detail": {"error": "TPU backend unavailable: device "
-                                         "claim not acquired within preflight timeout"}}))
+            _print_json({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
+                         "unit": "rows/s", "vs_baseline": 0.0,
+                         "detail": {"error": "TPU backend unavailable: device "
+                                    "claim not acquired within preflight timeout"}})
             return
 
     import polars_tpu as pl
@@ -613,6 +656,14 @@ def main() -> None:
         #     unless the whole ladder fits inside the flip window.
         pessimism = float(os.environ.get("BENCH_PESSIMISM", "6"))
         est_run_s = max(nbytes / 819e9, 1e-4)
+        calib = _calib_load(name, scale)
+        if calib is not None and calib > est_run_s:
+            # a previous honest run at this scale measured the TRUE rate
+            # (this host's /tmp): size exactly, with a small safety margin
+            est_run_s = calib
+            pessimism = min(pessimism, 1.5)
+            log(f"{name}: calibrated per-run {calib*1e3:.1f} ms "
+                f"(pessimism -> {pessimism})")
         cap_s = min(float(os.environ.get("BENCH_CHAIN_CAP_S", "420")),
                     max(60.0, _remaining() * 0.45))
         from polars_tpu.engine.run import execute_plan
@@ -683,6 +734,8 @@ def main() -> None:
         if best is None:
             continue
         t, susp, i = best
+        if not susp:
+            _calib_store(name, scale, t)  # exact sizing for the next run
         queries[name] = {
             "ms": round(t * 1e3, 3),
             "rows_per_s": round(n_rows / t, 1),
@@ -749,22 +802,22 @@ def main() -> None:
         log(f"validation/pandas phase failed: {e}")
 
     if best1 is None:
-        print(json.dumps({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
-                          "unit": "rows/s", "vs_baseline": 0.0,
-                          "detail": detail}))
+        _print_json({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
+                     "unit": "rows/s", "vs_baseline": 0.0,
+                     "detail": detail})
         return
     # a suspect rung means the phase drained before its probe was read —
     # the number is an RTT artifact, not a measurement: headline stays 0
     honest = not queries.get("q1", {}).get("suspect")
     vs = round(pandas_s * 1e3 / best1, 3) if (
         honest and pandas_s and best1 and best1 > 1e-6) else 0.0
-    print(json.dumps({
+    _print_json({
         "metric": "pdsh_q1_rows_per_s",
         "value": queries["q1"]["rows_per_s"] if honest else 0.0,
         "unit": "rows/s",
         "vs_baseline": vs,
         "detail": detail,
-    }))
+    })
 
 
 if __name__ == "__main__":

@@ -13,6 +13,15 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise RuntimeError(
+                    f"make_mesh({n_devices}) but only {len(devices)} "
+                    f"device(s) visible ({devices[0].platform}); for a "
+                    "virtual CPU mesh set XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=N and "
+                    "jax.config.update('jax_platforms', 'cpu') — a silent "
+                    "truncation here validates nothing (r5)"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))
 

@@ -34,7 +34,13 @@ if ! timeout 2400 python -m pytest tests/ -q; then
 fi
 
 echo "=== 2/3 dryrun_multichip(8) ==="
-if ! timeout 1500 python -c "
+# force the 8-device virtual CPU mesh: without this the axon plugin loads,
+# make_mesh silently truncates to 1 real device, and the phase validates
+# nothing (r5; JAX_PLATFORMS env alone is overridden by the axon site, so
+# the jax.config.update call is required)
+if ! XLA_FLAGS="--xla_force_host_platform_device_count=8" timeout 1500 python -c "
+import jax
+jax.config.update('jax_platforms', 'cpu')
 import __graft_entry__ as g
 g.dryrun_multichip(8)
 print('multichip OK')
