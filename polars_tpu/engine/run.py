@@ -453,6 +453,9 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
         return _exec_explode(node)  # Array/Struct columns: host layout rebuild
 
     if isinstance(node, (L.LSelect, L.LWithColumns)) and _needs_special(node):
+        lowered = _lower_select_explode(node)
+        if lowered is not None:
+            return execute_plan(lowered)
         return _exec_special_select(node)
 
     if isinstance(node, L.LSort) and not _is_fusable(node):
@@ -814,6 +817,44 @@ def _fmt_scalar(v: Any) -> str:
 
 def _chrono_to_py(fmt: str) -> str:
     return fmt  # chrono strftime specifiers largely match python's
+
+
+def _lower_select_explode(node: L.LNode) -> L.LNode | None:
+    """``select(col("a").explode(), ...)`` where EVERY output is an explode
+    of a plain List column lowers onto the traced LExplode plan node — the
+    fused, readback-free device path (executors._trace_explode) — instead of
+    the host barrier (which reads the packed offsets back and flips the
+    runtime on axon). Reference: the reference lowers expression-level
+    explode to the same physical node as DataFrame.explode
+    (crates/polars-plan/src/plans/conversion/expr_expansion.rs)."""
+    if not isinstance(node, L.LSelect):
+        return None
+    try:
+        schema = node_schema(node.input)
+        exprs = expand_exprs(node.expressions, schema)
+    except Exception:  # noqa: BLE001
+        return None
+    sels: list[E.ENode] = []
+    names: list[str] = []
+    for e in exprs:
+        base = e.input if isinstance(e, E.EAlias) else e
+        name = E.output_name(e)
+        if not (isinstance(base, E.EFunction) and base.name == "explode"
+                and len(base.inputs) == 1
+                and isinstance(base.inputs[0], E.EColumn)):
+            return None
+        src = base.inputs[0].name
+        d = schema.get(src)
+        if not isinstance(d, dt.List) or isinstance(d.inner, dt.Struct):
+            return None  # host layout rebuild path (matches _is_fusable)
+        if name is None:
+            name = src
+        sels.append(E.EAlias(E.EColumn(src), name)
+                    if name != src else E.EColumn(src))
+        names.append(name)
+    if not names or len(set(names)) != len(names):
+        return None
+    return L.LExplode(L.LSelect(node.input, tuple(sels)), tuple(names))
 
 
 def _exec_special_select(node: L.LSelect | L.LWithColumns) -> DataFrame:

@@ -295,3 +295,24 @@ def test_list_sort_then_explode_one_segment(monkeypatch):
     )
     assert len(calls) == 1, calls
     assert out["s"].to_list() == [1, 3, 2]
+
+
+def test_select_explode_lowers_to_traced_plan(monkeypatch):
+    """select(col.explode()) must run through the traced LExplode plan node
+    (readback-free device path), not the host special-select barrier (r5:
+    the host path reads packed offsets back = the axon flip)."""
+    import polars_tpu as pl
+    from polars_tpu.engine import run as R
+
+    def boom(node):  # noqa: ARG001
+        raise AssertionError("host special-select barrier used for explode")
+
+    monkeypatch.setattr(R, "_exec_special_select", boom)
+    df = pl.DataFrame({"a": [[1, 2], [], None, [5]], "b": [[9], [8], [7], [6]]})
+    out = df.lazy().select(pl.col("a").explode()).collect()
+    assert out["a"].to_list() == [1, 2, None, None, 5]
+    out2 = df.lazy().select(
+        pl.col("a").explode().alias("x"),
+    ).collect()
+    assert out2.columns == ["x"]
+    assert out2["x"].to_list() == [1, 2, None, None, 5]
