@@ -42,6 +42,11 @@ class TracedChild:
     length: Any  # traced int32 scalar — flat child element count
     src: tuple  # (leaf_pos, col_name) host provenance
     child: "TracedChild | None" = None  # nested lists
+    # static host-known bound on any single list's length, when the producer
+    # knows one (dictionary-derived lists: str.split over uniques). Explode
+    # sizes its output as n * max_list_len for SHARED child ranges (rows
+    # re-using dictionary ranges fan out past the n + child_len bound).
+    max_list_len: int | None = None
 
 
 @dataclass

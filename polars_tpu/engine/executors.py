@@ -96,7 +96,7 @@ def _join_fusable(node: L.LJoin) -> bool:
 HOST_FNS = {
     "concat_str", "dt.to_string", "cat.get_categories",
     "list.join",
-    "explode", "str.split", "as_struct", "struct.field", "struct.rename_fields",
+    "explode", "as_struct", "struct.field", "struct.rename_fields",
     "sample", "shuffle", "arg_where_self", "rle",
     "int_ranges", "date_ranges", "datetime_ranges", "linear_spaces", "time_ranges",
 }
@@ -611,6 +611,12 @@ def _trace_explode(tt: TTable, node: L.LExplode, tc: _TraceCtx) -> TTable:
     total = offs[-1]
     ch_max = max(e[2].values.shape[0] for e in exploded.values())
     out_n = padded_size(n + ch_max)  # static bound: every list + placeholders
+    # dictionary-derived lists (str.split): rows SHARE child ranges, so the
+    # n + child_len bound undercounts by the fan-out — the producer's static
+    # per-list bound gives the exact one
+    mll = [e[2].max_list_len for e in exploded.values()]
+    if all(m is not None for m in mll):
+        out_n = padded_size(n * max(1, *mll, 1))
     # duplicated parents sharing child ranges (post-join fan-out) can exceed
     # the bound — flag it (rides the count channel) instead of truncating
     tc.flags.append(total > jnp.int32(out_n))

@@ -494,16 +494,62 @@ def _decode(ctx, args, opts):
     raise InvalidOperationError(f"unknown encoding {enc!r}")
 
 
+def _list_of_strings_lut(v: Val, parts_per_unique: list) -> Val:
+    """Traced List(String) from a host per-UNIQUE decomposition.
+
+    The child layout depends only on the dictionary (host-known at trace
+    time), never on row data: flat parts in code order become a new parts
+    table + int32 child codes; each row's packed (start<<32|len) word is one
+    LUT gather on its code. Rows SHARE child ranges (fan-out), which is why
+    the TracedChild carries max_list_len — explode sizes by it.
+    Reference: polars-ops strings split.rs builds per-value lists; here the
+    dictionary makes that an O(uniques) trace-time constant."""
+    from polars_tpu.engine.common import TracedChild
+    from polars_tpu.utils import strtable
+
+    nu = max(len(parts_per_unique), 1)
+    starts = np.zeros(nu, np.int64)
+    lens = np.zeros(nu, np.int64)
+    flat: list = []
+    for i, ps in enumerate(parts_per_unique):
+        starts[i] = len(flat)
+        lens[i] = len(ps)
+        flat.extend(ps)
+    codes_np, _val, table = strtable.encode_strings(
+        np.asarray(flat if flat else [], object)
+    )
+    codes = jnp.clip(v.values, 0, nu - 1)
+    packed = (jnp.asarray(starts)[codes] << 32) | jnp.asarray(lens)[codes]
+    child = TracedChild(
+        jnp.asarray(codes_np.astype(np.int32)), None, dt.String(), table,
+        jnp.int32(len(flat)), None, None,
+        max_list_len=int(lens.max()) if len(parts_per_unique) else 1,
+    )
+    return Val(packed, v.validity, dt.List(dt.String()), None, v.domain, child)
+
+
 @register("str.split", lambda dts, opts: dt.List(dt.String()), elementwise=False)
 def _split(ctx, args, opts):
-    # handled on the host path (engine/run._eval_generator); lists cannot be
-    # BUILT inside a trace (data-dependent child length)
-    raise InvalidOperationError("str.split is a host op (routed via special select)")
+    v = _require_str(args[0])
+    by = opts.get("by", " ")
+    inclusive = bool(opts.get("inclusive", False))
+
+    def one(u: str) -> list:
+        ps = u.split(by)
+        if inclusive and len(ps) > 1:
+            return [p + by for p in ps[:-1]] + [ps[-1]]
+        return ps
+
+    return _list_of_strings_lut(v, [one(u) for u in v.table.values])
 
 
 @register("str.extract_all", lambda dts, opts: dt.List(dt.String()), elementwise=False)
 def _extract_all(ctx, args, opts):
-    raise InvalidOperationError("str.extract_all is a host op (routed via special select)")
+    v = _require_str(args[0])
+    rx = re.compile(opts.get("pattern", ""))
+    return _list_of_strings_lut(
+        v, [[m.group(0) for m in rx.finditer(u)] for u in v.table.values]
+    )
 
 
 @register("str.extract_many", lambda dts, opts: dt.List(dt.String()), elementwise=False)

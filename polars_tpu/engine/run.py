@@ -30,7 +30,7 @@ _SPECIAL_FNS = {
     "int_ranges", "date_ranges", "datetime_ranges", "linear_spaces", "time_ranges",
     "gather_every", "unique", "unique_counts", "cat.get_categories",
     "list.join",
-    "explode", "str.split", "str.extract_all", "str.split_exact", "str.splitn",
+    "explode", "str.split_exact", "str.splitn",
     "str.extract_many", "str.find_many", "str.extract_groups", "str.json_decode",
     "hist", "reshape", "rolling_median_by", "rolling_quantile_by",
     "rolling_rank_by", "rolling_map",
