@@ -302,7 +302,18 @@ def pandas_q1(line_pd):
 
 def _main_opscmp() -> None:
     """Fault-isolated Pallas-vs-XLA kernel comparison (own child: a Mosaic
-    runtime fault must not poison the query children's probe timelines)."""
+    runtime fault must not poison the query children's probe timelines).
+
+    r5 protocol fix: the flip-penalty window at the first probe readback
+    eats every phase that drains inside it (the r5 opscmp run lost 3 of 4
+    phases to a 643 s cold flip). A triad ABSORBER phase sized from the
+    stored flip measurement soaks that window so the compare phases resolve
+    as real fences; each op runs a 2-rung ladder (the larger rung is the
+    receipt if the smaller drained), sized from stored per-op calibration
+    when available (measured rates here run up to ~300x below roofline, so
+    roofline-based sizing is unusable — the r4 lesson)."""
+    import jax.numpy as jnp
+
     from polars_tpu.utils.device_timer import DeviceTimeline
 
     try:
@@ -314,23 +325,80 @@ def _main_opscmp() -> None:
                      "unit": "rows/s", "vs_baseline": 0.0,
                      "detail": {"ops": {"cmp_error": str(e)[:200]}}})
         return
+
+    # triad absorber: known near-roofline rate, sized to outlast the flip
+    import jax
+
+    n_abs = 1 << 23
+    reps_abs = 8
+    barrier = jax.lax.optimization_barrier
+
+    @jax.jit
+    def _absorb(a, b):
+        for _ in range(reps_abs):
+            a = barrier(b + 0.5 * a)
+        return a
+
+    av = jnp.arange(n_abs, dtype=jnp.float64) * 0.5
+    bv = av + 1.0
+    x = _absorb(av, bv)  # compile + warm
+    flip_est = _calib_load("flip", 0.0) or 180.0
+    absorb_s = min(max(1.25 * flip_est, 120.0), max(_remaining() * 0.3, 120.0))
+    t_call = (24 * n_abs * reps_abs) / 600e9  # ~assumed GB/s (measured 511-866)
+    k_abs = int(absorb_s / t_call)
     timeline = DeviceTimeline()
     timeline.mark("warm")
     timeline.mark("rtt")
-    bytes_per = _enqueue_roofline(timeline, ops, anchors, k=48)
+    for _ in range(k_abs):
+        x = _absorb(x, bv)
+    timeline.mark("absorb", k_abs, anchor=x)
+    log(f"absorber: {k_abs} triad calls (~{absorb_s:.0f}s @600GB/s; "
+        f"stored flip estimate {flip_est:.0f}s)")
+
+    bytes_per: dict = {}
+    rungs_of: dict = {}
+    for label, fn, args, nbytes in ops:
+        cal = _calib_load(f"op_{label}", 0.0)
+        if cal:
+            k0 = max(4, int(10.0 / cal))  # ~10s per rung at the measured rate
+        else:
+            k0 = 16
+        rungs = [k0, 2 * k0]
+        xx = anchors[label]
+        rest = args[1:]
+        for i, k in enumerate(rungs):
+            for _ in range(k):
+                xx = fn(xx, *rest) if rest else fn(xx)
+            timeline.mark(f"{label}@{i}", k, anchor=xx)
+        bytes_per[label] = nbytes
+        rungs_of[label] = rungs
     log("resolving ops-cmp timeline...")
     spans = timeline.resolve()
     log(f"timeline: { {k: round(v['s'], 4) for k, v in spans.items()} }")
     rtt = spans.get("rtt", {}).get("s", 0.0)
-    out_ops: dict = {}
+    flip_s = spans.get("warm", {}).get("s", 0.0)
+    if flip_s > 1.0:
+        _calib_store("flip", 0.0, flip_s)
+    out_ops: dict = {"absorb_s": round(spans.get("absorb", {}).get("s", 0.0), 1),
+                     "flip_s": round(flip_s, 1)}
     for label, nbytes in bytes_per.items():
-        sp = spans.get(label)
-        if not sp or sp.get("error"):
+        best = None
+        for i in range(len(rungs_of[label])):
+            sp = spans.get(f"{label}@{i}")
+            if not sp or sp.get("error"):
+                continue
+            t = max(sp["s"] - rtt, 1e-9) / sp["n"]
+            susp = sp["s"] < 3 * rtt
+            if not susp or best is None:
+                best = (t, susp)
+        if best is None:
             continue
-        t = max(sp["s"] - rtt, 1e-9) / sp["n"]
+        t, susp = best
         out_ops[label] = round(nbytes / t / 1e9, 2)
-        if sp["s"] < 3 * rtt:
+        if susp:
             out_ops[label + "_suspect"] = True
+        else:
+            _calib_store(f"op_{label}", 0.0, t)
     log(f"pallas-vs-xla (GB/s): {out_ops}")
     _print_json({"metric": "pdsh_q1_rows_per_s", "value": 0.0,
                  "unit": "rows/s", "vs_baseline": 0.0,
@@ -705,7 +773,13 @@ def main() -> None:
     spans = timeline.resolve()
     log(f"timeline: { {k: round(v['s'], 4) for k, v in spans.items()} }")
     rtt = spans.get("rtt", {}).get("s", 0.0)
-    detail["flip_penalty_s"] = round(spans.get("warm", {}).get("s", 0.0), 1)
+    # the FIRST probe readback pays the flip: that's the "ingest" span here
+    # (upper bound: it also contains the real transfer+decode drain). Store
+    # it so the opscmp absorber can size against this host's measured flip.
+    first_span = spans.get("ingest", {}).get("s", 0.0)
+    detail["flip_penalty_s"] = round(first_span, 1)
+    if first_span > 1.0:
+        _calib_store("flip", 0.0, first_span)
     detail["rtt_ms"] = round(rtt * 1e3, 1)
 
     def per_call(label):

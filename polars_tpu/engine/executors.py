@@ -115,6 +115,21 @@ def _is_column_ref(e: E.ENode) -> bool:
     return isinstance(e, E.EColumn)
 
 
+def _has_traced_child(e: E.ENode) -> bool:
+    """Column refs AND in-trace list producers (str.split/extract_all build
+    a TracedChild from the dictionary, r5) bind a child chain in the trace —
+    range-reading list ops (len/sum/get/contains) work on them. Child-
+    REBUILDING ops (sort/reverse/unique) stay column-ref-only: split children
+    are SHARED ranges whose contiguization can overflow the child extent."""
+    while isinstance(e, (E.EAlias, E.EKeepName)):
+        e = e.input
+    if isinstance(e, E.EColumn):
+        return True
+    return isinstance(e, E.EFunction) and e.name in (
+        "str.split", "str.extract_all"
+    )
+
+
 def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
     """Fns that trace only for some input shapes/dtypes."""
     from polars_tpu.plan.schema_resolve import expr_dtype
@@ -123,7 +138,7 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
     if n.name in (
         "list.sum", "list.mean", "list.min", "list.max",
         "list.get", "list.contains",
-    ) and not _is_column_ref(n.inputs[0]):
+    ) and not _has_traced_child(n.inputs[0]):
         return True
     if n.name == "list.contains":
         # string children need dict-code translation of the needle; per-row
