@@ -26,7 +26,7 @@ from polars_tpu.engine.common import Val
 from polars_tpu.errors import InvalidOperationError
 from polars_tpu.kernels.fastmath import floordiv_const, mod_const
 from polars_tpu.kernels.hashing import combine_hashes, hash_column
-from polars_tpu.kernels.rowencode import total_order_key
+from polars_tpu.kernels.rowencode import pack_keys_64, total_order_key
 from polars_tpu.utils import strtable
 
 
@@ -83,6 +83,26 @@ def _key_word(col: Column, other: Column | None) -> tuple[jax.Array, jax.Array |
     raise InvalidOperationError(f"cannot join on dtype {col.dtype!r}")
 
 
+def _pair_bit_width(c: Column, o: Column | None) -> int | None:
+    """Bit width of one key pair's common word domain, or None if it needs
+    the full 64 bits. MUST be symmetric in (c, o): _side_keys is called once
+    per side with the columns swapped and both sides must pack identically."""
+    if c.table is not None:
+        if getattr(c.table, "hashed", False) or (
+            o is not None and o.table is not None
+            and getattr(o.table, "hashed", False)
+        ):
+            return None  # hash space IS the 64-bit word
+        osize = len(o.table) if (o is not None and o.table is not None) else 0
+        size = len(c.table) + osize  # >= merged-table size, symmetric
+        return max(int(size + 1).bit_length(), 1) + 1
+    if o is not None and type(o.dtype).__name__ != type(c.dtype).__name__:
+        return None  # mixed-width primitive pair: widths would differ per side
+    from polars_tpu.kernels.rowencode import key_bit_width
+
+    return key_bit_width(c.dtype)
+
+
 def _side_keys(
     cols: list[Column], other_cols: list[Column], nulls_equal: bool
 ) -> tuple[jax.Array, jax.Array, bool]:
@@ -99,11 +119,40 @@ def _side_keys(
             h = hash_column(word, validity, 7)
             return h.astype(jnp.int64), rmask, True
         return word, rmask & validity, False
-    # multi-key: 64-bit hash + verification
+    # multi-key: EXACT single-word pack when the encoded keys fit 63 bits
+    # (polars-row fixed-width row encoding analogue,
+    # /root/reference/crates/polars-row/src/fixed/: no hash, no candidate
+    # verification — PDS-H-style small-dict/narrow-int key tuples all fit).
+    # Widths must come out identical on both sides: dict pairs use the
+    # symmetric merged-size bound, primitives require matching dtypes.
+    words, valids, widths = [], [], []
+    packable = True
+    for c, o in zip(cols, other_cols):
+        word, validity, nv = _key_word(c, o)
+        words.append(word)
+        valids.append(validity)
+        if nv:
+            packable = False
+            widths.append(None)
+            continue
+        widths.append(_pair_bit_width(c, o))
+    if (packable and all(w is not None for w in widths)
+            and sum(w + 1 for w in widths) <= 63):
+        packed = pack_keys_64(words, valids, widths)
+        all_valid = None
+        for v in valids:
+            if v is not None:
+                all_valid = v if all_valid is None else (all_valid & v)
+        mask = rmask
+        if not nulls_equal and all_valid is not None:
+            mask = mask & all_valid
+        # nulls_equal: the pack's null sentinel (slot 0) is itself exact
+        return packed, mask, False
+
+    # fallback: 64-bit hash + verification
     h = None
     all_valid = None
-    for c, o in zip(cols, other_cols):
-        word, validity, _ = _key_word(c, o)
+    for word, validity in zip(words, valids):
         hc = hash_column(word, validity, 7)
         h = hc if h is None else combine_hashes(h, hc)
         if validity is not None:

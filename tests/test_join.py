@@ -274,3 +274,38 @@ def test_fused_join_propagates_list_and_struct_children():
     l3 = pl.DataFrame({"k": [1, 9]})
     out4 = l3.lazy().join(r2.lazy(), on="k", how="left", validate="m:1").collect()
     assert out4["v"].to_list() == [[1, 2], None]
+
+
+def test_multikey_pack_exact_no_verify():
+    """r5 (SURVEY 2.5 polars-row): small fixed-width multi-key joins pack
+    into ONE exact int64 word (polars-row fixed encoding analogue) — no
+    hash, no candidate verification; wide tuples keep the hash+verify path."""
+    import numpy as np
+
+    import polars_tpu as pl
+    from polars_tpu.core.frame import DataFrame
+    from polars_tpu.engine.join import _side_keys
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    df = pl.DataFrame({
+        "i": rng.integers(-50, 50, n).astype(np.int32),
+        "s": [f"g{v}" for v in rng.integers(0, 10, n)],
+        "b": rng.integers(0, 2, n).astype(bool),
+        "big": rng.integers(0, 1 << 40, n),  # int64: no width bound
+    })
+    cols = [df._get("i"), df._get("s"), df._get("b")]
+    _k, _m, verify = _side_keys(cols, cols, False)
+    assert verify is False  # int32(33) + dict10(6) + bool(2) + seps fits 63
+
+    wide = [df._get("i"), df._get("big")]
+    _k2, _m2, verify2 = _side_keys(wide, wide, False)
+    assert verify2 is True  # int64 key: falls back to hash + verify
+
+    # end-to-end: packed join matches the single-key decomposition
+    left = df.lazy().group_by("i", "s", "b").agg(v=pl.len())
+    out = (
+        left.join(left, on=["i", "s", "b"], how="inner", validate="1:1")
+        .collect()
+    )
+    assert out.height == left.collect().height
