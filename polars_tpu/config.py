@@ -69,6 +69,12 @@ class _GlobalConfig:
         # SPMD joins: build sides at or below this many padded global rows are
         # broadcast (all_gather) instead of hash-shuffled
         self.broadcast_join_rows: int = _env_int("POLARS_TPU_BROADCAST_JOIN_ROWS", 1 << 21)
+        # engine="auto" memory router (SURVEY 2.12): plans whose estimated
+        # working set exceeds this many bytes route through the streaming
+        # engine (OOC spill) instead of the in-memory engine. 0 = route by
+        # device: 12 GB on a real accelerator (v5e HBM 16 GB minus fusion
+        # headroom), disabled on CPU (tests pin engines explicitly).
+        self.memory_budget: int = _env_int("POLARS_TPU_MEMORY_BUDGET", 0)
         # Formatting
         self.fmt_max_rows: int = _env_int("POLARS_FMT_MAX_ROWS", 10)
         self.fmt_max_cols: int = _env_int("POLARS_FMT_MAX_COLS", 8)

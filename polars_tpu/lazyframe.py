@@ -115,6 +115,12 @@ class LazyFrame:
         if not isinstance(engine, str):
             # a GPUEngine config object routes to the default TPU engine
             engine = "auto"
+        if engine == "auto":
+            # memory router (SURVEY 2.12): over-budget plans stream + spill
+            from polars_tpu.engine.memory_router import route
+
+            if route(node) == "streaming":
+                engine = "streaming"
         with cancel_scope(token), cancel_scope(deadline), plan_cache_scope():
             # common subplans (LCache) run once per collect
             if engine == "streaming":
