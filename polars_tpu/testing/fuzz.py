@@ -206,11 +206,22 @@ def gen_engine_expr(rng: np.random.Generator, depth: int = 3):
         return a.cum_sum()
     if op < 0.7:
         return pl.col(["i", "f"][rng.integers(0, 2)]).rank("ordinal")
-    if op < 0.85:
+    if op < 0.8:
         a, _, ka = gen_oracle_expr(rng, depth - 1)
         if ka in ("bool", "str"):
             a = pl.col("i")
         return a.sum().over("g")
+    if op < 0.92:
+        # newly traced string-list paths (r5): split/extract_all through the
+        # dictionary LUT + range-reading list ops over their shared children
+        pick = rng.integers(0, 4)
+        if pick == 0:
+            return pl.col("s").str.split("a").list.len()
+        if pick == 1:
+            return pl.col("s").str.split(" ").list.get(0)
+        if pick == 2:
+            return pl.col("s").str.extract_all(r"[a-z]+").list.len()
+        return pl.col("s").str.split("e", inclusive=True).list.get(-1)
     return pl.col("f").shift(int(rng.integers(-2, 3)))
 
 
