@@ -85,6 +85,58 @@ def assign_files(files: list[str], num_processes: int, process_id: int) -> list[
     return [f for i, f in enumerate(ordered) if i % num_processes == process_id]
 
 
+def checked_barrier(tag: str = "polars_tpu", timeout_s: float = 120.0) -> None:
+    """All-host barrier with failure DETECTION (SURVEY §5 aux).
+
+    SPMD collectives are lockstep: when one host dies mid-query, every other
+    host blocks forever inside its next collective — there is no NCCL-style
+    abort on this runtime. The detection primitive is therefore a watchdog
+    around the coordinator's global sync: if any host fails to arrive within
+    ``timeout_s``, raise a ComputeError naming the recovery procedure
+    (restart the job; streamed queries resume completed batches from
+    ``checkpoint_dir`` — engine/checkpoint.py manifests are keyed by plan
+    fingerprint, so every host re-derives the same skip set).
+
+    Single-process runtimes return immediately. The timed-out waiter thread
+    is daemonic: the caller is expected to terminate (the only sound state
+    after a lost peer — partial collectives cannot be cancelled).
+
+    Reference analogue: the reference is single-process; its distributed
+    offering health-checks via the closed Polars Cloud control plane
+    (polars-plan/src/client/mod.rs submits plans, the service owns retries).
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    import threading
+
+    done = threading.Event()
+    err: list = []
+
+    def wait():
+        try:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+        except Exception as e:  # noqa: BLE001
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=wait, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        raise ComputeError(
+            f"multihost barrier {tag!r} timed out after {timeout_s:.0f}s — "
+            "a host is unreachable or wedged. Restart the job; streaming "
+            "queries with checkpoint_dir= resume completed batches "
+            "(engine/checkpoint.py), in-memory queries recompute."
+        )
+    if err:
+        raise ComputeError(f"multihost barrier {tag!r} failed: {err[0]}")
+
+
 def local_shard_bounds(n_rows: int, num_processes: int, process_id: int) -> tuple[int, int]:
     """[start, stop) row range this host ingests of an n_rows table that is
     row-sharded contiguously across processes (remainder rows go to the

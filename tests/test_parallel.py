@@ -155,3 +155,37 @@ def test_multihost_assignment():
     assert max(b - a for a, b in spans) - min(b - a for a, b in spans) <= 1
 
     assert init_multihost() is False  # no coordinator configured: no-op
+
+
+def test_checked_barrier_single_process_noop():
+    from polars_tpu.parallel import multihost as MH
+
+    MH.checked_barrier("t", timeout_s=0.1)  # single process: returns at once
+
+
+def test_checked_barrier_detects_straggler(monkeypatch):
+    """Failure detection (SURVEY §5): a peer that never arrives turns the
+    would-be-infinite collective hang into a ComputeError naming the
+    checkpoint-resume recovery path."""
+    import time
+
+    import jax
+    import pytest
+
+    from polars_tpu.errors import ComputeError
+    from polars_tpu.parallel import multihost as MH
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    class _FakeMHU:
+        @staticmethod
+        def sync_global_devices(tag):
+            time.sleep(30)  # the lost-peer hang
+
+    import jax.experimental
+
+    monkeypatch.setattr(jax.experimental, "multihost_utils", _FakeMHU, raising=False)
+    t0 = time.perf_counter()
+    with pytest.raises(ComputeError, match="timed out.*checkpoint_dir"):
+        MH.checked_barrier("t", timeout_s=0.3)
+    assert time.perf_counter() - t0 < 5.0
