@@ -134,6 +134,11 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
     """Fns that trace only for some input shapes/dtypes."""
     from polars_tpu.plan.schema_resolve import expr_dtype
 
+    if n.name.startswith("list.") and _os.environ.get("POLARS_TPU_FORCE_HOST_LISTOPS"):
+        # differential-test hook: route every conditional list op to the host
+        # oracle (tests/test_fuzz_differential.py traced-vs-host sweep)
+        return True
+
     # list.len only reads the packed words (no child) — traces for ANY input
     if n.name in (
         "list.sum", "list.mean", "list.min", "list.max",
@@ -160,7 +165,34 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
             return True  # Array etc. stay on the host path
         if n.name == "list.get" and isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
             return True  # nested gather keeps host semantics
-    if n.name in ("list.sort", "list.reverse", "list.unique"):
+    if n.name in ("list.any", "list.all", "list.count_matches"):
+        # range queries over the original packed ranges: safe for shared /
+        # split-derived children, so the lighter traced-child gate applies
+        if not _has_traced_child(n.inputs[0]):
+            return True
+        try:
+            d = expr_dtype(n.inputs[0], schema)
+        except Exception:
+            return True
+        if not isinstance(d, dt.List):
+            return True
+        if n.name in ("list.any", "list.all"):
+            return not isinstance(d.inner, dt.Boolean)
+        # count_matches: non-null literal needle, numeric/bool inner (string
+        # needles need dict-code translation — host, like list.contains)
+        item = n.inputs[1] if len(n.inputs) > 1 else None
+        if not isinstance(item, E.ELiteral) or item.value is None:
+            return True
+        return not (d.inner.is_numeric() or isinstance(d.inner, dt.Boolean))
+    if n.name in (
+        "list.sort", "list.reverse", "list.unique",
+        # round-5 long tail: contiguizing rank/moment/shape ops share the
+        # same capacity constraint (fn_nested._contiguize / _rebuild)
+        "list.var", "list.std", "list.median", "list.n_unique",
+        "list.arg_min", "list.arg_max", "list.drop_nulls",
+        "list.slice", "list.head", "list.tail", "list.shift",
+        "list.gather_every", "list.diff",
+    ):
         # traced child rebuild needs: a bound child (column ref), a flat List
         # (no nested inner), and a contiguization that fits the child's padded
         # extent — packed words of distinct parents may SHARE child ranges
@@ -174,6 +206,17 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
             return True
         if not isinstance(d, dt.List) or isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
             return True
+        if n.name in ("list.var", "list.std", "list.median", "list.diff"):
+            # numeric math on the inner values; temporal diff (-> Duration)
+            # and string moments keep host semantics
+            if not (d.inner.is_numeric() and not d.inner.is_temporal()):
+                return True
+        # opts must be plain host ints (the expr layer passes literals; an
+        # Expr-valued n/offset/periods keeps the host path)
+        for key in ("n", "offset", "length"):
+            val = n.opt(key) if hasattr(n, "opt") else None
+            if val is not None and not isinstance(val, int):
+                return True
     return False
 
 

@@ -409,6 +409,383 @@ def _list_unique(ctx, args, opts):
     return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
+def _uint32(dts, opts):
+    return dt.UInt32()
+
+
+def _f64(dts, opts):
+    return dt.Float64()
+
+
+def _bool(dts, opts):
+    return dt.Boolean()
+
+
+def _diff_dt(dts, opts):
+    d = dts[0]
+    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+    if isinstance(inner, dt.Date):
+        return dt.List(dt.Duration("ms"))
+    if isinstance(inner, dt.Datetime):
+        return dt.List(dt.Duration(inner.time_unit))
+    return dt.List(inner) if not isinstance(d, dt.Unknown) else d
+
+
+# --- TRACED list long tail (round-5, verdict r4 #8) --------------------------
+# Range-query ops (any/all/count_matches) read the ORIGINAL packed ranges —
+# safe for shared/fan-out ranges and split-derived children. Moment/rank ops
+# (var/std/median/n_unique/arg_min/arg_max) and shape rewrites (slice/head/
+# tail/shift/diff/drop_nulls/gather_every) contiguize first, so they carry
+# the same column-ref gate as sort/reverse/unique.
+# Reference semantics: polars-ops/src/chunked_array/list/namespace.rs
+# (lst_slice :299, lst_shift :255, lst_diff :250, lst_arg_min :235,
+# lst_drop_nulls :538, dispersion.rs for var/std/median).
+
+
+def _list_any_all(kind):
+    @register(f"list.{kind}", _bool, elementwise=False)
+    def _(ctx, args, opts):
+        import jax.numpy as jnp
+
+        from polars_tpu.engine.common import Val
+
+        v = args[0]
+        ch, ok = _traced_child(v, f"list.{kind}")
+        n_child = ch.values.shape[0]
+        x = ch.values.astype(bool)
+        if kind == "any":
+            cnt = _range_sum(v.values, (x & ok).astype(jnp.int32), n_child)
+            out = cnt > 0
+        else:
+            cnt = _range_sum(v.values, ((~x) & ok).astype(jnp.int32), n_child)
+            out = cnt == 0
+        return Val(out, v.validity, dt.Boolean(), None, v.domain)
+
+
+_list_any_all("any")
+_list_any_all("all")
+
+
+@register("list.count_matches", _uint32, elementwise=False)
+def _list_count_matches(ctx, args, opts):
+    import jax.numpy as jnp
+
+    from polars_tpu.engine.common import Val
+
+    v = args[0]
+    item = args[1]
+    ch, ok = _traced_child(v, "list.count_matches")
+    hit = (ch.values == item.values.astype(ch.values.dtype)) & ok
+    cnt = _range_sum(v.values, hit.astype(jnp.int32), ch.values.shape[0])
+    return Val(cnt.astype(jnp.uint32), v.validity, dt.UInt32(), None, v.domain)
+
+
+def _list_moment(kind):
+    @register(f"list.{kind}", _f64, elementwise=False)
+    def _(ctx, args, opts):
+        import jax.numpy as jnp
+
+        from polars_tpu.engine.common import Val
+
+        v = args[0]
+        n_parent = v.values.shape[0]
+        if kind == "median":
+            # rank query: sort within segments (nulls last), read the middle
+            ch, new_packed, g0, gok0, seg0, perm, _w, _ind, lens = _sorted_gather(
+                ctx, v, "list.median", False, nulls_last=True
+            )
+            n_child = ch.values.shape[0]
+            starts2, _l2 = _unpack(new_packed)
+            cnt = jnp.zeros((n_parent,), jnp.int32).at[seg0].add(
+                gok0.astype(jnp.int32), mode="drop"
+            )
+            vals = g0[perm].astype(jnp.float64)
+            a = jnp.clip(starts2 + jnp.maximum(cnt - 1, 0) // 2, 0, n_child - 1)
+            b = jnp.clip(starts2 + cnt // 2, 0, n_child - 1)
+            out = (vals[a] + vals[b]) * 0.5
+            validity = cnt > 0
+            if v.validity is not None:
+                validity = validity & v.validity
+            return Val(out, validity, dt.Float64(), None, v.domain)
+        # var/std: exact two-pass (host oracle computes sum of squared
+        # deviations; a one-pass s2-s1^2/n loses precision at large means)
+        ddof = int(opts.get("ddof", 1))
+        ch, ok, _np_, pc, _wi, src, in_data, _lens = _contiguize(ctx, v, f"list.{kind}")
+        g = ch.values[src].astype(jnp.float64)
+        gok = ok[src] & in_data
+        xm = jnp.where(gok, g, 0.0)
+        cnt = jnp.zeros((n_parent,), jnp.float64).at[pc].add(
+            gok.astype(jnp.float64), mode="drop"
+        )
+        s1 = jnp.zeros((n_parent,), jnp.float64).at[pc].add(xm, mode="drop")
+        mean = s1 / jnp.maximum(cnt, 1.0)
+        dev = jnp.where(gok, g - mean[pc], 0.0)
+        ss = jnp.zeros((n_parent,), jnp.float64).at[pc].add(dev * dev, mode="drop")
+        out = ss / jnp.maximum(cnt - ddof, 1.0)
+        if kind == "std":
+            out = jnp.sqrt(out)
+        validity = cnt > jnp.float64(ddof)
+        if v.validity is not None:
+            validity = validity & v.validity
+        return Val(out, validity, dt.Float64(), None, v.domain)
+
+
+_list_moment("var")
+_list_moment("std")
+_list_moment("median")
+
+
+@register("list.n_unique", _uint32, elementwise=False)
+def _list_n_unique(ctx, args, opts):
+    import jax.numpy as jnp
+
+    from polars_tpu.engine.common import Val
+
+    v = args[0]
+    n_parent = v.values.shape[0]
+    ch, _packed, _g0, _gok0, seg0, perm, words0, in_data, _lens = _sorted_gather(
+        ctx, v, "list.n_unique", False
+    )
+    seg = seg0[perm]
+    same_seg = jnp.concatenate([jnp.zeros((1,), bool), seg[1:] == seg[:-1]])
+    weq = same_seg
+    for w0 in words0:
+        w = w0[perm]
+        weq = weq & jnp.concatenate([jnp.zeros((1,), bool), w[1:] == w[:-1]])
+    keep = in_data[perm] & ~weq  # run heads; a null run counts once (null is
+    # a distinct value, host oracle list_n_unique)
+    out = jnp.zeros((n_parent,), jnp.uint32).at[seg].add(
+        keep.astype(jnp.uint32), mode="drop"
+    )
+    return Val(out, v.validity, dt.UInt32(), None, v.domain)
+
+
+def _list_arg_minmax(kind):
+    @register(f"list.arg_{kind}", _uint32, elementwise=False)
+    def _(ctx, args, opts):
+        import jax.numpy as jnp
+
+        from polars_tpu.engine.common import Val
+
+        v = args[0]
+        n_parent = v.values.shape[0]
+        # nulls sort LAST; the stable sort makes rank 0 of each segment the
+        # FIRST occurrence of the extreme (host oracle keeps the first)
+        ch, new_packed, _g0, gok0, seg0, perm, _w, _ind, _lens = _sorted_gather(
+            ctx, v, f"list.arg_{kind}", kind == "max", nulls_last=True
+        )
+        n_child = ch.values.shape[0]
+        starts2, _l2 = _unpack(new_packed)
+        first_pos = perm[jnp.clip(starts2, 0, n_child - 1)]
+        within = (first_pos - starts2).astype(jnp.uint32)
+        valid_cnt = jnp.zeros((n_parent,), jnp.int32).at[seg0].add(
+            gok0.astype(jnp.int32), mode="drop"
+        )
+        validity = valid_cnt > 0
+        if v.validity is not None:
+            validity = validity & v.validity
+        return Val(within, validity, dt.UInt32(), None, v.domain)
+
+
+_list_arg_minmax("min")
+_list_arg_minmax("max")
+
+
+def _rebuild(ctx, v, name, new_lens, src_of):
+    """Shape-rewrite skeleton: output row r has ``new_lens[r]`` elements,
+    element (r, i) gathered from the ORIGINAL child at ``src_of(pc, i)``
+    (which returns (src index, extra-validity)). Capacity bound = the child's
+    padded extent, flagged like _contiguize."""
+    import jax
+    import jax.numpy as jnp
+
+    ch, ok = _traced_child(v, name)
+    _starts, _lens = _unpack(v.values)
+    pm = ctx.rowmask
+    if v.validity is not None:
+        pm = pm & v.validity
+    nl = jnp.where(pm, jnp.maximum(new_lens, 0), 0).astype(jnp.int32)
+    offs2 = jnp.cumsum(nl)
+    n_child = ch.values.shape[0]
+    n_parent = v.values.shape[0]
+    if getattr(ctx, "flags", None) is not None:
+        ctx.flags.append(offs2[-1] > jnp.int32(n_child))
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_child, 1), 0).squeeze(-1)
+    in_data = j < offs2[-1]
+    pc = jnp.clip(
+        jnp.searchsorted(offs2, j, side="right").astype(jnp.int32), 0, n_parent - 1
+    )
+    within = j - (offs2[pc] - nl[pc])
+    src, sok = src_of(pc, within)
+    src = jnp.clip(src, 0, n_child - 1)
+    g = ch.values[src]
+    gok = ok[src] & sok & in_data
+    new_packed = ((offs2 - nl).astype(jnp.int64) << 32) | nl.astype(jnp.int64)
+    return _list_out(v, ch, new_packed, g, gok, jnp.sum(nl))
+
+
+def _list_slice_impl(ctx, v, name, off_of, len_of):
+    """Shared head/tail/slice: per-parent (offset, new_len) over the original
+    ranges; subranges stay contiguous so src = start + off + within."""
+    import jax.numpy as jnp
+
+    starts, lens = _unpack(v.values)
+    o = off_of(lens)
+    nl = len_of(lens, o)
+
+    def src_of(pc, within):
+        return starts[pc] + o[pc] + within, jnp.bool_(True)
+
+    return _rebuild(ctx, v, name, nl, src_of)
+
+
+@register("list.head", _same, elementwise=False)
+def _list_head(ctx, args, opts):
+    import jax.numpy as jnp
+
+    n = int(opts.get("n", 5))
+    return _list_slice_impl(
+        ctx, args[0], "list.head",
+        lambda lens: jnp.zeros_like(lens),
+        lambda lens, o: jnp.minimum(jnp.int32(max(n, 0)), lens),
+    )
+
+
+@register("list.tail", _same, elementwise=False)
+def _list_tail(ctx, args, opts):
+    import jax.numpy as jnp
+
+    n = int(opts.get("n", 5))
+    return _list_slice_impl(
+        ctx, args[0], "list.tail",
+        lambda lens: lens - jnp.minimum(jnp.int32(max(n, 0)), lens),
+        lambda lens, o: lens - o,
+    )
+
+
+@register("list.slice", _same, elementwise=False)
+def _list_slice(ctx, args, opts):
+    import jax.numpy as jnp
+
+    offset = int(opts.get("offset", 0))
+    length = opts.get("length")
+
+    def off_of(lens):
+        if offset >= 0:
+            return jnp.minimum(jnp.int32(offset), lens)
+        return jnp.maximum(lens + jnp.int32(offset), 0)
+
+    def len_of(lens, o):
+        avail = lens - o
+        if length is None:
+            return avail
+        return jnp.minimum(jnp.int32(max(int(length), 0)), avail)
+
+    return _list_slice_impl(ctx, args[0], "list.slice", off_of, len_of)
+
+
+@register("list.gather_every", _same, elementwise=False)
+def _list_gather_every(ctx, args, opts):
+    import jax.numpy as jnp
+
+    v = args[0]
+    n = max(int(opts.get("n", 1)), 1)
+    offset = max(int(opts.get("offset", 0)), 0)
+    starts, lens = _unpack(v.values)
+    avail = jnp.maximum(lens - jnp.int32(offset), 0)
+    nl = (avail + jnp.int32(n - 1)) // jnp.int32(n)
+
+    def src_of(pc, within):
+        return starts[pc] + jnp.int32(offset) + within * jnp.int32(n), jnp.bool_(True)
+
+    return _rebuild(ctx, v, "list.gather_every", nl, src_of)
+
+
+@register("list.shift", _same, elementwise=False)
+def _list_shift(ctx, args, opts):
+    import jax.numpy as jnp
+
+    v = args[0]
+    n = int(opts.get("n", 1))
+    starts, lens = _unpack(v.values)
+
+    def src_of(pc, within):
+        k = within - jnp.int32(n)
+        return starts[pc] + k, (k >= 0) & (k < lens[pc])
+
+    return _rebuild(ctx, v, "list.shift", lens, src_of)
+
+
+@register("list.diff", _diff_dt, elementwise=False)
+def _list_diff(ctx, args, opts):
+    import jax.numpy as jnp
+
+    from polars_tpu.engine.common import TracedChild, Val
+
+    v = args[0]
+    n = int(opts.get("n", 1))
+    drop = opts.get("null_behavior", "ignore") == "drop"
+    ch, ok = _traced_child(v, "list.diff")
+    starts, lens = _unpack(v.values)
+    if drop:
+        nl = jnp.maximum(lens - jnp.int32(abs(n)), 0)
+        base = jnp.int32(n if n > 0 else 0)
+    else:
+        nl = lens
+        base = jnp.int32(0)
+    pm = ctx.rowmask
+    if v.validity is not None:
+        pm = pm & v.validity
+    nl = jnp.where(pm, nl, 0)
+    offs2 = jnp.cumsum(nl)
+    n_child = ch.values.shape[0]
+    n_parent = v.values.shape[0]
+    if getattr(ctx, "flags", None) is not None:
+        ctx.flags.append(offs2[-1] > jnp.int32(n_child))
+    import jax
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_child, 1), 0).squeeze(-1)
+    in_data = j < offs2[-1]
+    pc = jnp.clip(
+        jnp.searchsorted(offs2, j, side="right").astype(jnp.int32), 0, n_parent - 1
+    )
+    within = j - (offs2[pc] - nl[pc])
+    a = within + base  # index into the ORIGINAL list
+    b = a - jnp.int32(n)
+    sa = jnp.clip(starts[pc] + a, 0, n_child - 1)
+    sb = jnp.clip(starts[pc] + b, 0, n_child - 1)
+    pair_ok = (
+        (a >= 0) & (a < lens[pc]) & (b >= 0) & (b < lens[pc]) & ok[sa] & ok[sb]
+    )
+    g = ch.values[sa] - ch.values[sb]
+    gok = pair_ok & in_data
+    new_packed = ((offs2 - nl).astype(jnp.int64) << 32) | nl.astype(jnp.int64)
+    child = TracedChild(g, gok, v.dtype.inner, None, jnp.sum(nl), None, None)
+    return Val(new_packed, v.validity, dt.List(v.dtype.inner), None, v.domain, child)
+
+
+@register("list.drop_nulls", _same, elementwise=False)
+def _list_drop_nulls(ctx, args, opts):
+    import jax.numpy as jnp
+
+    v = args[0]
+    ch, ok, _np_, pc, _wi, src, in_data, _lens = _contiguize(ctx, v, "list.drop_nulls")
+    n_child = ch.values.shape[0]
+    n_parent = v.values.shape[0]
+    g0 = ch.values[src]
+    keep = ok[src] & in_data
+    lens2 = jnp.zeros((n_parent,), jnp.int32).at[
+        jnp.where(keep, pc, n_parent)
+    ].add(1, mode="drop")
+    offs2 = jnp.cumsum(lens2)
+    new_packed2 = ((offs2 - lens2).astype(jnp.int64) << 32) | lens2.astype(jnp.int64)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, n_child)
+    out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop")
+    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(keep, mode="drop")
+    return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
+
+
 # --- TRACED list constructors: concat_list / concat_arr ----------------------
 # Every row's list has the same length k, so the child layout is STATIC:
 # child[i*k + j] = inputs[j][i]; packed word = (i*k)<<32 | k. Emitted via the
@@ -575,28 +952,6 @@ register("rle", _rle_dt, elementwise=False)(_host("rle"))
 # py-polars expr/list.py, plans/aexpr/function_expr/list.rs.
 
 
-def _uint32(dts, opts):
-    return dt.UInt32()
-
-
-def _f64(dts, opts):
-    return dt.Float64()
-
-
-def _bool(dts, opts):
-    return dt.Boolean()
-
-
-def _diff_dt(dts, opts):
-    d = dts[0]
-    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
-    if isinstance(inner, dt.Date):
-        return dt.List(dt.Duration("ms"))
-    if isinstance(inner, dt.Datetime):
-        return dt.List(dt.Duration(inner.time_unit))
-    return dt.List(inner) if not isinstance(d, dt.Unknown) else d
-
-
 def _to_struct_dt(dts, opts):
     d = dts[0]
     inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
@@ -638,17 +993,10 @@ def _filter_dt(dts, opts):
 
 
 for _name, _rule in (
-    ("list.slice", _same), ("list.head", _same), ("list.tail", _same),
-    ("list.shift", _same), ("list.drop_nulls", _same),
-    ("list.gather", _same), ("list.gather_every", _same),
+    ("list.gather", _same),
     ("list.sample", _same), ("list.concat", _same),
     ("list.set_union", _same), ("list.set_intersection", _same),
     ("list.set_difference", _same), ("list.set_symmetric_difference", _same),
-    ("list.diff", _diff_dt),
-    ("list.arg_min", _uint32), ("list.arg_max", _uint32),
-    ("list.n_unique", _uint32), ("list.count_matches", _uint32),
-    ("list.any", _bool), ("list.all", _bool),
-    ("list.var", _f64), ("list.std", _f64), ("list.median", _f64),
     ("list.to_struct", _to_struct_dt),
     ("list.to_array", _to_array_dt),
     ("list.eval", _eval_dt), ("list.filter", _filter_dt),

@@ -37,13 +37,11 @@ _SPECIAL_FNS = {
     "as_struct", "struct.field", "struct.rename_fields", "struct.map_field_names",
     "unnest", "sample", "shuffle", "arg_where_self", "rle", "value_counts",
     "shrink_dtype", "cumulative_eval",
-    # round-3 list long tail (host ops; traced fast paths may supersede later)
-    "list.slice", "list.head", "list.tail", "list.shift", "list.diff",
-    "list.drop_nulls", "list.arg_min", "list.arg_max", "list.any", "list.all",
-    "list.n_unique", "list.count_matches", "list.var", "list.std",
-    "list.median", "list.set_union", "list.set_intersection",
+    # list long tail still on the host: set ops (pairwise two-column
+    # sort-merge), per-row-index gather, nested reshapes, expr-over-child
+    "list.set_union", "list.set_intersection",
     "list.set_difference", "list.set_symmetric_difference", "list.gather",
-    "list.gather_every", "list.concat", "list.to_struct", "list.to_array",
+    "list.concat", "list.to_struct", "list.to_array",
     "list.sample", "list.eval", "list.filter",
     "struct.with_fields", "struct.json_encode", "struct.drop", "list.item",
     "repeat_by", "extend_constant",
@@ -54,6 +52,12 @@ _SPECIAL_FNS = {
 _COND_FNS = {
     "list.sum", "list.mean", "list.min", "list.max", "list.get", "list.contains",
     "list.sort", "list.reverse", "list.unique",
+    # round-5 traced long tail (host fallback for shapes the gates reject)
+    "list.any", "list.all", "list.count_matches",
+    "list.var", "list.std", "list.median", "list.n_unique",
+    "list.arg_min", "list.arg_max", "list.drop_nulls",
+    "list.slice", "list.head", "list.tail", "list.shift",
+    "list.gather_every", "list.diff",
 }
 
 

@@ -286,7 +286,9 @@ def list_diff(col: Column, n: int = 1, null_behavior: str = "ignore") -> Column:
             else:
                 out.append(None)
         if null_behavior == "drop":
-            return out[n:] if n >= 0 else out[: len(out) + n]
+            # clamp at empty: len(out)+n < 0 must not wrap around as a
+            # python negative slice (r5 fuzz finding)
+            return out[n:] if n >= 0 else out[: max(len(out) + n, 0)]
         return out
 
     out = _host_rebuild(col, df)

@@ -267,3 +267,97 @@ def test_value_counts_rle_no_value_readback():
     assert [(d["len"], d["value"]) for d in out_rle["a"].to_list()] == [
         (2, 1), (3, 2), (1, 3), (2, None)
     ]
+
+
+def _cmp_lists(label, got, want):
+    assert len(got) == len(want), label
+    for i, (g, w) in enumerate(zip(got, want)):
+        gl = g if isinstance(g, list) else [g]
+        wl = w if isinstance(w, list) else [w]
+        if not isinstance(g, list):
+            gl, wl = [g], [w]
+        assert len(gl) == len(wl), f"{label} row {i}: {g} != {w}"
+        for a, b in zip(gl, wl):
+            if isinstance(a, float) and isinstance(b, float):
+                if a != a and b != b:
+                    continue
+                assert a == pytest.approx(b, rel=1e-9, abs=1e-12), (
+                    f"{label} row {i}: {g} != {w}"
+                )
+            else:
+                assert a == b, f"{label} row {i}: {g} != {w}"
+
+
+@pytest.mark.parametrize("chunk", CHUNKS)
+def test_fuzz_list_longtail_traced_vs_host(chunk, monkeypatch):
+    """round-5: every newly traced list op (fn_nested long tail) against the
+    host oracle (ops/list_ops.py) over random list columns — same exprs,
+    gate flipped via POLARS_TPU_FORCE_HOST_LISTOPS."""
+    rng = np.random.default_rng(9100 + chunk)
+    x = pl.col("x")
+
+    def rand_args():
+        return int(rng.integers(-3, 4)), int(rng.integers(0, 4))
+
+    for case in range(6):
+        kind = ["int", "float", "str", "bool"][int(rng.integers(0, 4))]
+        n_rows = int(rng.integers(1, 24))
+
+        def rand_list():
+            if rng.random() < 0.12:
+                return None
+            k = int(rng.integers(0, 6))
+            out = []
+            for _ in range(k):
+                if rng.random() < 0.15:
+                    out.append(None)
+                elif kind == "int":
+                    out.append(int(rng.integers(-9, 10)))
+                elif kind == "float":
+                    out.append(round(float(rng.normal(0, 100)), 2))
+                elif kind == "str":
+                    out.append(["a", "b", "cc", ""][int(rng.integers(0, 4))])
+                else:
+                    out.append(bool(rng.integers(0, 2)))
+            return out
+
+        inner = {"int": pl.Int64, "float": pl.Float64, "str": pl.String,
+                 "bool": pl.Boolean}[kind]
+        df = pl.DataFrame(
+            {"x": pl.Series("x", [rand_list() for _ in range(n_rows)],
+                            dtype=pl.List(inner))}
+        )
+        nv, ov = rand_args()
+        exprs = [
+            x.list.head(nv).alias("h"),
+            x.list.tail(nv).alias("t"),
+            x.list.slice(nv, ov).alias("sl"),
+            x.list.slice(nv).alias("slo"),
+            x.list.shift(nv).alias("sh"),
+            x.list.drop_nulls().alias("dn"),
+            x.list.gather_every(max(ov, 1), max(nv, 0)).alias("ge"),
+            x.list.n_unique().alias("nu"),
+            x.list.arg_min().alias("amin"),
+            x.list.arg_max().alias("amax"),
+        ]
+        if kind in ("int", "float"):
+            exprs += [
+                x.list.diff(n=nv or 1).alias("d"),
+                x.list.diff(n=nv or 1, null_behavior="drop").alias("dd"),
+                x.list.var().alias("v"),
+                x.list.std().alias("sd"),
+                x.list.median().alias("md"),
+                x.list.count_matches(1 if kind == "int" else 1.0).alias("cm"),
+            ]
+        if kind == "bool":
+            exprs += [x.list.any().alias("any"), x.list.all().alias("all")]
+        label = f"seed={9100+chunk} case={case} kind={kind} n={nv} o={ov}"
+        traced = df.lazy().select(exprs).collect()
+        monkeypatch.setenv("POLARS_TPU_FORCE_HOST_LISTOPS", "1")
+        try:
+            host = df.lazy().select(exprs).collect()
+        finally:
+            monkeypatch.delenv("POLARS_TPU_FORCE_HOST_LISTOPS")
+        for cname in traced.columns:
+            _cmp_lists(f"{label} col={cname}", traced[cname].to_list(),
+                       host[cname].to_list())
