@@ -458,6 +458,8 @@ def _execute_node(node: L.LNode, *, sync: bool = True) -> DataFrame:
 
     if isinstance(node, (L.LSelect, L.LWithColumns)) and _needs_special(node):
         lowered = _lower_select_explode(node)
+        if lowered is None:
+            lowered = _lower_select_arg_where(node)
         if lowered is not None:
             return execute_plan(lowered)
         return _exec_special_select(node)
@@ -861,6 +863,57 @@ def _lower_select_explode(node: L.LNode) -> L.LNode | None:
     return L.LExplode(L.LSelect(node.input, tuple(sels)), tuple(names))
 
 
+def _lower_select_arg_where(node: L.LNode) -> L.LNode | None:
+    """``select(arg_where(cond))`` (and ``Expr.arg_true``) lowers onto
+    with_row_index -> filter -> select(index): the condition and the index
+    stay inside fused segments and the filter rides the row-mask machinery —
+    no host readback of the mask (the host path np.nonzero's it, which on
+    axon is the permanent flip). Single-expression selects only: distinct
+    conditions cannot share one filter. Reference: arg_where is a
+    materialized filter over a row-count in the reference too
+    (crates/polars-plan/src/dsl/functions/index.rs arg_where)."""
+    if not isinstance(node, L.LSelect):
+        return None
+    try:
+        schema = node_schema(node.input)
+        exprs = expand_exprs(node.expressions, schema)
+    except Exception:  # noqa: BLE001
+        return None
+    if len(exprs) != 1:
+        return None
+    e = exprs[0]
+    base = e.input if isinstance(e, E.EAlias) else e
+    if not (isinstance(base, E.EFunction)
+            and base.name in ("arg_where", "arg_where_self")
+            and len(base.inputs) == 1):
+        return None
+    cond = base.inputs[0]
+    name = E.output_name(e) or ("literal" if base.name == "arg_where" else None)
+    if name is None:
+        return None
+    try:
+        if not isinstance(expr_dtype_of(cond, schema), dt.Boolean):
+            return None
+    except Exception:  # noqa: BLE001
+        return None
+    # the condition itself must be traceable (no host fns inside)
+    if _expr_needs_host(cond, schema) or _is_special_fn(cond, schema):
+        return None
+    idx = "__pl_arg_where_idx"
+    while idx in schema:
+        idx += "_"
+    return L.LSelect(
+        L.LFilter(L.LWithRowIndex(node.input, idx, 0), cond),
+        (E.EAlias(E.EColumn(idx), name),),
+    )
+
+
+def expr_dtype_of(e, schema):
+    from polars_tpu.plan.schema_resolve import expr_dtype
+
+    return expr_dtype(e, schema)
+
+
 def _exec_special_select(node: L.LSelect | L.LWithColumns) -> DataFrame:
     df = execute_plan(node.input)
     schema = df.schema
@@ -1208,6 +1261,14 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         value = e.inputs[1]
         v = value.value if isinstance(value, E.ELiteral) else value
         n = int(e.opt("n", 0))
+        if n >= 0 and not isinstance(col.dtype, (dt.List, dt.Array, dt.Struct)):
+            # DEVICE path (r5): build only the n-row constant tail on the
+            # host and concatenate on device — the existing column's values
+            # are never read back (CLAUDE.md §1)
+            tail = Column.from_values(col.name, [v] * n, col.dtype)
+            a = DataFrame._from_columns([col], len(col))
+            b = DataFrame._from_columns([tail], n)
+            return a.vstack(b)._columns[0]
         return Column.from_values(
             col.name, col.to_pylist() + [v] * n, col.dtype
         )

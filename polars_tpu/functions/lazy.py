@@ -479,10 +479,29 @@ def struct(*exprs: Any, **named_exprs: Any) -> Expr:
 
 
 def arg_where(condition: Any, *, eager: bool = False):
-    e = Expr(E.EFunction("arg_where", (parse_into_expr(condition),)))
+    """Indices where ``condition`` is true.
+
+    Reference: py-polars functions/lazy.py arg_where; the lazy form lowers
+    onto with_row_index -> filter (engine/run._lower_select_arg_where)."""
     if eager:
-        raise NotImplementedError
-    return e
+        from polars_tpu.core.series import Series
+
+        if not isinstance(condition, Series):
+            raise TypeError(
+                "expected Series in `arg_where` with eager=True, got "
+                f"{type(condition).__name__}"
+            )
+        name = condition.name
+        df = condition.alias("__aw_cond").to_frame()
+        out = df.lazy().select(arg_where(_col_of("__aw_cond"))).collect()
+        return out[out.columns[0]].alias(name)
+    return Expr(E.EFunction("arg_where", (parse_into_expr(condition),)))
+
+
+def _col_of(name: str):
+    from polars_tpu.functions import col
+
+    return col(name)
 
 
 def arg_sort_by(exprs: Any, *more_exprs: Any, descending: Any = False) -> Expr:

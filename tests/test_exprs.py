@@ -358,3 +358,47 @@ def test_drop_nulls_expr():
     df = pl.DataFrame({"a": [1, None, 3]})
     out = df.select(pl.col("a").drop_nulls().sum())
     assert out.item() == 4
+
+
+def test_arg_where_lowers_to_fused_filter(monkeypatch):
+    """round-5: select(arg_where(cond)) lowers onto with_row_index -> filter
+    -> select (readback-free device path), not the host special-select
+    barrier (which np.nonzero's the mask = the axon flip)."""
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({"a": [1, 5, 2, None, 9, 0], "b": [True, None, True, False, True, False]})
+    out = df.lazy().select(pl.arg_where(pl.col("a") > 1).alias("i")).collect()
+    assert out["i"].to_list() == [1, 2, 4]
+    assert str(out["i"].dtype) == "UInt32"
+    out2 = df.lazy().select(pl.col("b").arg_true()).collect()
+    assert out2["b"].to_list() == [0, 2, 4]
+    # eager route
+    assert pl.arg_where(pl.Series([False, True, True]), eager=True).to_list() == [1, 2]
+
+
+def test_extend_constant_no_value_readback():
+    from polars_tpu.core.column import Column
+
+    df = pl.DataFrame({"a": [1, 2, None], "s": ["x", None, "y"]})
+    calls = []
+    orig = Column.to_pylist
+
+    def spy(self):
+        calls.append(self.name)
+        return orig(self)
+
+    Column.to_pylist = spy
+    try:
+        out = df.lazy().select(
+            pl.col("a").extend_constant(9, 2),
+            pl.col("s").extend_constant("zz", 2),
+        ).collect()
+        assert calls == [], f"value readbacks during execution: {calls}"
+    finally:
+        Column.to_pylist = orig
+    assert out["a"].to_list() == [1, 2, None, 9, 9]
+    assert out["s"].to_list() == ["x", None, "y", "zz", "zz"]
