@@ -115,19 +115,49 @@ def _is_column_ref(e: E.ENode) -> bool:
     return isinstance(e, E.EColumn)
 
 
+# traced list ops that REBUILD a freshly contiguized child (fn_nested
+# _contiguize/_rebuild): their outputs never share ranges, so chained
+# rebuild ops are safe on them
+_TRACED_LIST_PRODUCERS = {
+    "list.sort", "list.reverse", "list.unique", "list.drop_nulls",
+    "list.slice", "list.head", "list.tail", "list.shift", "list.diff",
+    "list.gather_every", "list.filter",
+}
+
+
 def _has_traced_child(e: E.ENode) -> bool:
     """Column refs AND in-trace list producers (str.split/extract_all build
-    a TracedChild from the dictionary, r5) bind a child chain in the trace —
-    range-reading list ops (len/sum/get/contains) work on them. Child-
-    REBUILDING ops (sort/reverse/unique) stay column-ref-only: split children
-    are SHARED ranges whose contiguization can overflow the child extent."""
+    a TracedChild from the dictionary; the traced list rebuilds and list.eval
+    emit one, r5) bind a child chain in the trace — range-reading list ops
+    (len/sum/get/contains/any/all/...) work on them. If a producer's own gate
+    routes it host, the whole expression routes host anyway (_expr_needs_host
+    walks every node), so claiming traceability here is safe."""
     while isinstance(e, (E.EAlias, E.EKeepName)):
         e = e.input
     if isinstance(e, E.EColumn):
         return True
-    return isinstance(e, E.EFunction) and e.name in (
-        "str.split", "str.extract_all"
+    return isinstance(e, E.EFunction) and (
+        e.name in ("str.split", "str.extract_all", "list.eval")
+        or e.name in _TRACED_LIST_PRODUCERS
     )
+
+
+def _rebuild_safe_input(e: E.ENode) -> bool:
+    """Inputs whose traced child can be contiguized within the child's padded
+    extent: bare columns (ranges may share only after join fan-out — those
+    flag at runtime), traced rebuilds (freshly contiguized by construction),
+    and list.eval over such inputs (packing pass-through). Split-derived
+    children stay excluded: their SHARED ranges can overflow the extent."""
+    while isinstance(e, (E.EAlias, E.EKeepName)):
+        e = e.input
+    if isinstance(e, E.EColumn):
+        return True
+    if isinstance(e, E.EFunction):
+        if e.name in _TRACED_LIST_PRODUCERS:
+            return True
+        if e.name == "list.eval":
+            return _rebuild_safe_input(e.inputs[0])
+    return False
 
 
 def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
@@ -165,6 +195,46 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
             return True  # Array etc. stay on the host path
         if n.name == "list.get" and isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
             return True  # nested gather keeps host semantics
+    if n.name in ("list.eval", "list.filter"):
+        # traced only for ELEMENTWISE inner exprs over pl.element() (the
+        # reference's streamable-expr classification, lower_expr.rs:39-53);
+        # aggregating / length-changing inner exprs keep the host group path
+        sub = n.opt("expr")
+        if sub is None or not E.is_elementwise(sub):
+            return True
+        gate = _rebuild_safe_input if n.name == "list.filter" else _has_traced_child
+        if not gate(n.inputs[0]):
+            return True
+        try:
+            d = expr_dtype(n.inputs[0], schema)
+        except Exception:
+            return True
+        if not isinstance(d, dt.List) or isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
+            return True
+        saw_element = False
+        for c in E.walk(sub):
+            if isinstance(c, E.EColumn):
+                if c.name != "":
+                    return True
+                saw_element = True
+        if not saw_element:
+            # input-independent exprs (lit(5)) have per-empty-list broadcast
+            # semantics only the host group path reproduces
+            return True
+        from polars_tpu.core.schema import Schema as _Schema
+
+        elem_schema = _Schema({"": d.inner})
+        if _expr_needs_host(sub, elem_schema):
+            return True
+        try:
+            out_d = expr_dtype(sub, elem_schema)
+        except Exception:
+            return True
+        if n.name == "list.filter" and not isinstance(out_d, dt.Boolean):
+            return True
+        if isinstance(out_d, (dt.List, dt.Array, dt.Struct, dt.Unknown)):
+            return True
+        return False
     if n.name in ("list.any", "list.all", "list.count_matches"):
         # range queries over the original packed ranges: safe for shared /
         # split-derived children, so the lighter traced-child gate applies
@@ -196,9 +266,9 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
         # traced child rebuild needs: a bound child (column ref), a flat List
         # (no nested inner), and a contiguization that fits the child's padded
         # extent — packed words of distinct parents may SHARE child ranges
-        # after join fan-out, which could overflow; conservative: only inputs
-        # whose trace is a leaf-bound column qualify, others rebuild on host
-        if not _is_column_ref(n.inputs[0]):
+        # after join fan-out, which could overflow; conservative: only
+        # rebuild-safe inputs qualify, others rebuild on host
+        if not _rebuild_safe_input(n.inputs[0]):
             return True
         try:
             d = expr_dtype(n.inputs[0], schema)

@@ -786,6 +786,113 @@ def _list_drop_nulls(ctx, args, opts):
     return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
+def _eval_dt(dts, opts):
+    from polars_tpu.core.schema import Schema
+    from polars_tpu.plan.schema_resolve import expr_dtype
+
+    d = dts[0]
+    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+    node = opts.get("expr")
+    if node is None:
+        return dt.List(inner)
+    try:
+        out = expr_dtype(node, Schema({"": inner}))
+    except Exception:  # noqa: BLE001 — unresolvable exprs stay Unknown
+        return dt.List(dt.Unknown())
+    if isinstance(out, dt.List):
+        out = out.inner  # aggregation implode: eval flattens one level
+    return dt.List(out)
+
+
+def _filter_dt(dts, opts):
+    return dts[0]
+
+
+def _child_eval(ctx, v, ch, ok, node):
+    """Evaluate an elementwise expr (over pl.element() == col("")) across the
+    flat child as its own ROW-domain EvalCtx. Literals bake from host values
+    (fine inside the trace); memo is fresh (different domain than the
+    parent's)."""
+    import jax.numpy as jnp
+
+    from polars_tpu.core.buffer import row_mask
+    from polars_tpu.core.schema import Schema
+    from polars_tpu.engine.common import ROW, EvalCtx, Val
+    from polars_tpu.engine.compiler import eval_expr
+
+    n_child = ch.values.shape[0]
+    inner = v.dtype.inner
+    elem = Val(ch.values, ch.validity, inner, ch.table, ROW, ch.child)
+    cctx = EvalCtx(
+        cols={"": elem},
+        rowmask=row_mask(n_child, ch.length),
+        length=ch.length,
+        padded=n_child,
+        schema=Schema({"": inner}),
+        literals=ctx.literals,
+        groups=None,
+        precomputed=None,
+        memo={},
+        flags=ctx.flags,
+        flag_msgs=ctx.flag_msgs,
+    )
+    out = eval_expr(node, cctx)
+    vals = out.values
+    if vals.ndim == 0 or vals.shape[0] != n_child:
+        vals = jnp.broadcast_to(vals.reshape(-1)[:1], (n_child,))
+    validity = out.validity
+    if validity is not None and (validity.ndim == 0 or validity.shape[0] != n_child):
+        validity = jnp.broadcast_to(validity.reshape(-1)[:1], (n_child,))
+    return vals, validity, out.dtype, out.table
+
+
+@register("list.eval", _eval_dt, elementwise=False)
+def _list_eval(ctx, args, opts):
+    from polars_tpu.engine.common import TracedChild, Val
+
+    v = args[0]
+    node = opts.get("expr")
+    ch, ok = _traced_child(v, "list.eval")
+    vals, validity, out_dt, out_table = _child_eval(ctx, v, ch, ok, node)
+    # packed words are unchanged (elementwise = length-preserving); only the
+    # child payload is rewritten
+    child = TracedChild(vals, validity, out_dt, out_table, ch.length, None, None)
+    return Val(v.values, v.validity, dt.List(out_dt), None, v.domain, child)
+
+
+@register("list.filter", _filter_dt, elementwise=False)
+def _list_filter(ctx, args, opts):
+    import jax.numpy as jnp
+
+    v = args[0]
+    node = opts.get("expr")
+    ch, ok = _traced_child(v, "list.filter")
+    kvals, kvalidity, _kdt, _kt = _child_eval(ctx, v, ch, ok, node)
+    keep_elem = kvals.astype(bool)
+    if kvalidity is not None:
+        keep_elem = keep_elem & kvalidity  # null predicate drops the element
+    # compact within lists (the drop_nulls skeleton, keep = predicate)
+    _ch, okc, _np_, pc, _wi, src, in_data, _lens = _contiguize(ctx, v, "list.filter")
+    n_child = ch.values.shape[0]
+    n_parent = v.values.shape[0]
+    g0 = ch.values[src]
+    gok0 = okc[src]
+    # an element is kept iff the predicate is TRUE for it (null predicate
+    # drops); kept elements retain their own validity, so an is_null-style
+    # predicate keeps nulls as nulls (host oracle zip semantics)
+    row_alive = keep_elem[src] & in_data
+    lens2 = jnp.zeros((n_parent,), jnp.int32).at[
+        jnp.where(row_alive, pc, n_parent)
+    ].add(1, mode="drop")
+    offs2 = jnp.cumsum(lens2)
+    new_packed2 = ((offs2 - lens2).astype(jnp.int64) << 32) | lens2.astype(jnp.int64)
+    pos = jnp.cumsum(row_alive.astype(jnp.int32)) - 1
+    tgt = jnp.where(row_alive, pos, n_child)
+    out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop")
+    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(gok0, mode="drop")
+    return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
+
+
 # --- TRACED list constructors: concat_list / concat_arr ----------------------
 # Every row's list has the same length k, so the child layout is STATIC:
 # child[i*k + j] = inputs[j][i]; packed word = (i*k)<<32 | k. Emitted via the
@@ -970,28 +1077,6 @@ def _to_array_dt(dts, opts):
     return dt.Array(inner, int(opts.get("width", 0)))
 
 
-def _eval_dt(dts, opts):
-    from polars_tpu.core.schema import Schema
-    from polars_tpu.plan.schema_resolve import expr_dtype
-
-    d = dts[0]
-    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
-    node = opts.get("expr")
-    if node is None:
-        return dt.List(inner)
-    try:
-        out = expr_dtype(node, Schema({"": inner}))
-    except Exception:  # noqa: BLE001 — unresolvable exprs stay Unknown
-        return dt.List(dt.Unknown())
-    if isinstance(out, dt.List):
-        out = out.inner  # aggregation implode: eval flattens one level
-    return dt.List(out)
-
-
-def _filter_dt(dts, opts):
-    return dts[0]
-
-
 for _name, _rule in (
     ("list.gather", _same),
     ("list.sample", _same), ("list.concat", _same),
@@ -999,7 +1084,6 @@ for _name, _rule in (
     ("list.set_difference", _same), ("list.set_symmetric_difference", _same),
     ("list.to_struct", _to_struct_dt),
     ("list.to_array", _to_array_dt),
-    ("list.eval", _eval_dt), ("list.filter", _filter_dt),
 ):
     register(_name, _rule, elementwise=False)(_host(_name))
 

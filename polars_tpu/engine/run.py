@@ -42,7 +42,7 @@ _SPECIAL_FNS = {
     "list.set_union", "list.set_intersection",
     "list.set_difference", "list.set_symmetric_difference", "list.gather",
     "list.concat", "list.to_struct", "list.to_array",
-    "list.sample", "list.eval", "list.filter",
+    "list.sample",
     "struct.with_fields", "struct.json_encode", "struct.drop", "list.item",
     "repeat_by", "extend_constant",
 }
@@ -57,7 +57,7 @@ _COND_FNS = {
     "list.var", "list.std", "list.median", "list.n_unique",
     "list.arg_min", "list.arg_max", "list.drop_nulls",
     "list.slice", "list.head", "list.tail", "list.shift",
-    "list.gather_every", "list.diff",
+    "list.gather_every", "list.diff", "list.eval", "list.filter",
 }
 
 

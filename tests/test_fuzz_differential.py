@@ -351,6 +351,16 @@ def test_fuzz_list_longtail_traced_vs_host(chunk, monkeypatch):
             ]
         if kind == "bool":
             exprs += [x.list.any().alias("any"), x.list.all().alias("all")]
+        # elementwise eval/filter (r5 traced) — numeric math on numerics,
+        # null-shape predicates everywhere
+        exprs += [x.list.eval(pl.element().is_null()).alias("evn"),
+                  x.list.filter(pl.element().is_not_null()).alias("fnn")]
+        if kind in ("int", "float"):
+            exprs += [
+                x.list.eval(pl.element() * 2 + 1).alias("ev2"),
+                x.list.filter(pl.element() > 0).alias("fgt"),
+                x.list.eval(pl.element().abs()).alias("eab"),
+            ]
         label = f"seed={9100+chunk} case={case} kind={kind} n={nv} o={ov}"
         traced = df.lazy().select(exprs).collect()
         monkeypatch.setenv("POLARS_TPU_FORCE_HOST_LISTOPS", "1")

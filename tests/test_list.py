@@ -415,3 +415,46 @@ def test_list_longtail_host_fallback_shapes():
     ).collect()
     assert out["h"].to_list() == [[None], [], None, [5]]
     assert out["am"].to_list() == [1, None, None, 0]
+
+
+def test_list_eval_filter_traced_in_segment(monkeypatch):
+    """round-5: list.eval / list.filter with ELEMENTWISE inner exprs trace
+    into fused segments (child payload rewrite / within-list compaction)."""
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({"x": [[3, 1, None, 2], [], [5, 5, 4], None],
+                       "s": [["a", "bb", None], [], ["c"], None]})
+    out = df.lazy().select(
+        pl.col("x").list.eval(pl.element() * 2 + 1).alias("ev"),
+        pl.col("x").list.eval(pl.element().is_null()).alias("en"),
+        pl.col("x").list.eval(pl.element().fill_null(0)).alias("ef"),
+        pl.col("x").list.filter(pl.element() > 2).alias("f"),
+        pl.col("x").list.filter(pl.element().is_null()).alias("fn"),
+        pl.col("s").list.eval(pl.element().str.len_chars()).alias("sl"),
+        # chains: eval output feeds traced aggregations
+        pl.col("x").list.eval(pl.element() * 2).list.sum().alias("evs"),
+        pl.col("x").list.filter(pl.element() >= 4).list.len().alias("fl"),
+    ).collect()
+    assert out["ev"].to_list() == [[7, 3, None, 5], [], [11, 11, 9], None]
+    assert out["en"].to_list() == [[False, False, True, False], [], [False, False, False], None]
+    assert out["ef"].to_list() == [[3, 1, 0, 2], [], [5, 5, 4], None]
+    assert out["f"].to_list() == [[3], [], [5, 5, 4], None]
+    assert out["fn"].to_list() == [[None], [], [], None]
+    assert out["sl"].to_list() == [[1, 2, None], [], [1], None]
+    assert out["evs"].to_list() == [12, 0, 28, None]
+    assert out["fl"].to_list() == [0, 0, 3, None]
+
+
+def test_list_eval_host_fallback_semantics():
+    """Aggregating / input-independent inner exprs keep host semantics."""
+    df = pl.DataFrame({"x": [[3, 1, None], [], [5, 4]]})
+    out = df.lazy().select(
+        pl.col("x").list.eval(pl.element().sum()).alias("agg"),
+        pl.col("x").list.eval(pl.element().rank()).alias("rk"),
+    ).collect()
+    assert out["agg"].to_list() == [[4], [0], [9]]
+    assert out["rk"].to_list() == [[2.0, 1.0, None], [], [2.0, 1.0]]
