@@ -195,6 +195,19 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
             return True  # Array etc. stay on the host path
         if n.name == "list.get" and isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
             return True  # nested gather keeps host semantics
+    if n.name == "cumulative_eval":
+        # traced only for prefix-agg shapes (element().sum/min/max/mean) over
+        # numeric/bool inputs — one segmented scan instead of the O(n^2) host
+        # prefix loop (fn_position._cumulative_eval)
+        from polars_tpu.engine.fn_position import cum_eval_kind
+
+        if cum_eval_kind(n.opt("expr")) is None:
+            return True
+        try:
+            d = expr_dtype(n.inputs[0], schema)
+        except Exception:
+            return True
+        return not (d.is_numeric() or isinstance(d, dt.Boolean))
     if n.name in ("list.eval", "list.filter"):
         # traced only for ELEMENTWISE inner exprs over pl.element() (the
         # reference's streamable-expr classification, lower_expr.rs:39-53);

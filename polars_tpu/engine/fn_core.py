@@ -823,7 +823,8 @@ def _set_sorted(ctx, args, opts):
 
 
 register("shrink_dtype", SAME, elementwise=False)(_host_only("shrink_dtype"))
-register("cumulative_eval", SAME, elementwise=False)(_host_only("cumulative_eval"))
+# cumulative_eval: traced for element().sum/min/max/mean shapes
+# (fn_position.py); the host loop handles arbitrary inner exprs
 
 
 @register("to_physical", lambda dts, opts: _physical_dtype(dts[0]))

@@ -1131,3 +1131,97 @@ def _ewm_var(ctx, args, opts):
 @register("arg_unique", dt.UInt32(), elementwise=False)
 def _arg_unique(ctx, args, opts):
     raise InvalidOperationError("arg_unique changes length; handled by the executor")
+
+
+# --- cumulative_eval (round-5): prefix aggregations as segmented scans -------
+# ``x.cumulative_eval(pl.element().sum())`` evaluates the inner expr over the
+# expanding prefix — O(n^2) on the host, ONE segmented scan in the trace for
+# the recognized agg shapes. The gate (executors._fn_conditionally_host)
+# routes unrecognized inner exprs to the host loop.
+# Reference: polars-ops/src/series/ops/cum_agg.rs + cumulative_eval
+# (py-polars expr/expr.py cumulative_eval).
+
+
+def cum_eval_kind(sub) -> str | None:
+    """sum|min|max|mean when ``sub`` is that aggregation of pl.element()."""
+    from polars_tpu.plan import exprs as E
+
+    e = sub
+    while isinstance(e, (E.EAlias, E.EKeepName)):
+        e = e.input
+    if isinstance(e, E.EAgg) and e.kind in ("sum", "min", "max", "mean"):
+        i = e.input
+        while isinstance(i, (E.EAlias, E.EKeepName)):
+            i = i.input
+        if isinstance(i, E.EColumn) and i.name == "":
+            return e.kind
+    return None
+
+
+def _cum_eval_dt(dts, opts):
+    kind = cum_eval_kind(opts.get("expr"))
+    d = dts[0]
+    if kind == "mean":
+        return dt.Float64()
+    if kind == "sum":
+        return _cum_dtype_sum(dts, opts)
+    return d
+
+
+@register("cumulative_eval", _cum_eval_dt, elementwise=False)
+def _cumulative_eval(ctx, args, opts):
+    kind = cum_eval_kind(opts.get("expr"))
+    if kind is None:
+        raise InvalidOperationError(
+            "cumulative_eval with a non-prefix-agg expr is a host op"
+        )
+    minp = int(opts.get("min_samples", 1) or 1)
+    v = _row_domain(ctx, args[0])
+    out_dt = _cum_eval_dt([v.dtype], opts)
+    np_out = jnp.dtype(dt.dtype_to_numpy(out_dt))
+    is_float = jnp.dtype(v.values.dtype).kind == "f"
+
+    def fn(vals, valid, seg, mask):
+        n = vals.shape[0]
+        valid_arr = mask if valid is None else (valid & mask)
+        cnt = _segmented_scan(valid_arr.astype(jnp.int32), seg, "sum")
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        pos = _segmented_scan(jnp.ones((n,), jnp.int32), seg, "sum")  # 1-based
+        if kind in ("sum", "mean"):
+            acc_t = jnp.float64 if (kind == "mean" or is_float) else np_out
+            x = jnp.where(valid_arr, vals.astype(acc_t), jnp.zeros((), acc_t))
+            s = _segmented_scan(x, seg, "sum")
+            if kind == "mean":
+                out = s / jnp.maximum(cnt, 1).astype(jnp.float64)
+                ok_out = cnt > 0
+            else:
+                out = s.astype(np_out)
+                ok_out = jnp.ones((n,), bool)  # prefix sum is never null
+        else:
+            work = vals
+            if is_float:
+                work = vals.astype(jnp.float64)
+                fill = jnp.float64(jnp.inf if kind == "min" else -jnp.inf)
+                nan = jnp.isnan(work)
+                work = jnp.where(nan, fill, work)  # NaN is skipped (greatest
+                # in the engine's total order); all-NaN prefixes restore below
+                non_nan = _segmented_scan(
+                    (valid_arr & ~nan).astype(jnp.int32), seg, "sum"
+                )
+            else:
+                fill = _pos_inf(vals.dtype) if kind == "min" else _neg_inf(vals.dtype)
+            x = jnp.where(valid_arr, work, fill)
+            out = _segmented_scan(x, seg, kind)
+            if is_float:
+                # all-NaN valid prefix: the total-order extreme is NaN
+                out = jnp.where((cnt > 0) & (non_nan == 0), jnp.float64(jnp.nan), out)
+            out = out.astype(np_out)
+            ok_out = cnt > 0
+        if minp > 1:
+            ok_out = ok_out & (pos >= jnp.int32(minp))
+        return out, ok_out
+
+    res = _apply_in_group_order(ctx, v, fn)
+    if res.dtype != out_dt:
+        res = Val(res.values, res.validity, out_dt, None, res.domain)
+    return res

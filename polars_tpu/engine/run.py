@@ -36,7 +36,7 @@ _SPECIAL_FNS = {
     "rolling_rank_by", "rolling_map",
     "as_struct", "struct.field", "struct.rename_fields", "struct.map_field_names",
     "unnest", "sample", "shuffle", "arg_where_self", "rle", "value_counts",
-    "shrink_dtype", "cumulative_eval",
+    "shrink_dtype",
     # list long tail still on the host: set ops (pairwise two-column
     # sort-merge), per-row-index gather, nested reshapes, expr-over-child
     "list.set_union", "list.set_intersection",
@@ -58,6 +58,7 @@ _COND_FNS = {
     "list.arg_min", "list.arg_max", "list.drop_nulls",
     "list.slice", "list.head", "list.tail", "list.shift",
     "list.gather_every", "list.diff", "list.eval", "list.filter",
+    "cumulative_eval",
 }
 
 

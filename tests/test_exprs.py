@@ -402,3 +402,40 @@ def test_extend_constant_no_value_readback():
         Column.to_pylist = orig
     assert out["a"].to_list() == [1, 2, None, 9, 9]
     assert out["s"].to_list() == ["x", None, "y", "zz", "zz"]
+
+
+def test_cumulative_eval_traced_scans(monkeypatch):
+    """round-5: element().sum/min/max/mean prefix-agg shapes trace as ONE
+    segmented scan (host loop is O(n^2)); min_samples nulls the head;
+    works per-group under .over()."""
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({"x": [1, None, 3, 2, None], "g": [0, 0, 1, 1, 1]})
+    out = df.lazy().select(
+        pl.col("x").cumulative_eval(pl.element().sum()).alias("cs"),
+        pl.col("x").cumulative_eval(pl.element().min()).alias("cmin"),
+        pl.col("x").cumulative_eval(pl.element().mean()).alias("cmean"),
+        pl.col("x").cumulative_eval(pl.element().max(), min_samples=3).alias("cm3"),
+        pl.col("x").cumulative_eval(pl.element().sum()).over("g").alias("gs"),
+    ).collect()
+    assert out["cs"].to_list() == [1, 1, 4, 6, 6]
+    assert out["cmin"].to_list() == [1, 1, 1, 1, 1]
+    assert out["cmean"].to_list() == [1.0, 1.0, 2.0, 2.0, 2.0]
+    assert out["cm3"].to_list() == [None, None, 3, 3, 3]
+    assert out["gs"].to_list() == [1, 1, 3, 5, 5]
+
+
+def test_cumulative_eval_host_fallback_matches():
+    """Unrecognized inner exprs keep the host prefix loop — same results for
+    an agg the scan path also covers (differential)."""
+    df = pl.DataFrame({"x": [4, 1, None, 3]})
+    fast = df.lazy().select(
+        pl.col("x").cumulative_eval(pl.element().min()).alias("m")).collect()
+    slow = df.lazy().select(
+        pl.col("x").cumulative_eval(pl.element().filter(pl.element().is_not_null()).min()).alias("m")
+    ).collect()
+    assert fast["m"].to_list() == slow["m"].to_list() == [4, 1, 1, 1]
