@@ -1505,50 +1505,81 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         return Column(col.name, fields, ids, None, 0, children)
 
     if e.name == "hist":
+        # DEVICE binning (r5): searchsorted + scatter-add over the device
+        # buffer — values never leave the device. Host work is limited to
+        # edge metadata: zero readbacks with explicit ``bins``; a 2-scalar
+        # (lo, hi) readback only for bin_count + breakpoint/category labels
+        # (the old path to_pylist'd the entire column either way).
+        # Reference: polars-ops/src/chunked_array/hist.rs.
+        import jax.numpy as _jnp
         import numpy as _np
 
+        from polars_tpu.core.buffer import pad_to as _pad_to
+        from polars_tpu.core.buffer import padded_size as _padded_size
+        from polars_tpu.core.buffer import row_mask as _row_mask
+
         col = _eval_special_expr(df, e.inputs[0], schema)
-        xs = _np.asarray(
-            [v for v in col.to_pylist() if v is not None], dtype=_np.float64
-        )
+        n = len(col)
+        mask = _row_mask(col.buffer.values.shape[0], n)
+        if col.buffer.validity is not None:
+            mask = mask & col.buffer.validity
+        xf = col.buffer.values.astype(_jnp.float64)
         bins = e.opt("bins")
-        if bins is not None:
-            edges = _np.asarray(list(bins), _np.float64)
-        else:
-            bc = int(e.opt("bin_count") or 10)
-            lo = float(xs.min()) if len(xs) else 0.0
-            hi = float(xs.max()) if len(xs) else 1.0
-            if lo == hi:
-                lo, hi = lo - 0.5, hi + 0.5
-            edges = _np.linspace(lo, hi, bc + 1)
-        nb = max(len(edges) - 1, 0)
-        counts = _np.zeros(nb, _np.uint32)
-        if nb and len(xs):
-            idx = _np.searchsorted(edges, xs, side="left") - 1
-            idx = _np.where((xs == edges[0]), 0, idx)  # first bin closed both sides
-            sel = (idx >= 0) & (idx < nb) & (xs <= edges[-1]) & (xs >= edges[0])
-            _np.add.at(counts, idx[sel], 1)
         include_bp = bool(e.opt("include_breakpoint", False))
         include_cat = bool(e.opt("include_category", False))
+        host_edges = None
+        if bins is not None:
+            host_edges = _np.asarray(list(bins), _np.float64)
+            nb = max(len(host_edges) - 1, 0)
+            edges = _jnp.asarray(host_edges)
+        else:
+            bc = int(e.opt("bin_count") or 10)
+            nb = bc
+            cnt_valid = _jnp.sum(mask.astype(_jnp.int32))
+            lo = _jnp.min(_jnp.where(mask, xf, _jnp.inf))
+            hi = _jnp.max(_jnp.where(mask, xf, -_jnp.inf))
+            lo = _jnp.where(cnt_valid > 0, lo, 0.0)
+            hi = _jnp.where(cnt_valid > 0, hi, 1.0)
+            same = lo == hi
+            lo = _jnp.where(same, lo - 0.5, lo)
+            hi = _jnp.where(same, hi + 0.5, hi)
+            w = _jnp.linspace(0.0, 1.0, bc + 1)
+            edges = lo + (hi - lo) * w
+        counts32 = _jnp.zeros((max(nb, 1),), _jnp.uint32)
+        if nb:
+            idx = _jnp.searchsorted(edges, xf, side="left").astype(_jnp.int32) - 1
+            idx = _jnp.where(xf == edges[0], 0, idx)  # first bin closed both sides
+            sel = mask & (idx >= 0) & (idx < nb) & (xf >= edges[0]) & (xf <= edges[-1])
+            counts32 = counts32.at[_jnp.where(sel, idx, nb)].add(
+                _jnp.uint32(1), mode="drop"
+            )
         cname = col.name or "count"
+        cbuf = Buffer(_pad_to(counts32, _padded_size(max(nb, 1))), None, nb)
+        count_col = Column(cname, dt.UInt32(), cbuf)
         if not (include_bp or include_cat):
-            return Column.from_values(cname, counts.tolist(), dt.UInt32())
-        rows = []
-        for i in range(nb):
-            r = {}
-            if include_bp:
-                r["breakpoint"] = float(edges[i + 1])
-            if include_cat:
-                r["category"] = f"({edges[i]:g}, {edges[i + 1]:g}]"
-            r["count"] = int(counts[i])
-            rows.append(r)
+            return count_col
+        if host_edges is None:
+            import jax as _jax
+
+            lo_h, hi_h = (float(x) for x in _jax.device_get([edges[0], edges[-1]]))
+            host_edges = _np.linspace(lo_h, hi_h, nb + 1)
+        children = []
         fields = []
         if include_bp:
+            children.append(
+                Column.from_values("breakpoint", host_edges[1:].tolist(), dt.Float64())
+            )
             fields.append(("breakpoint", dt.Float64()))
         if include_cat:
+            cats = [
+                f"({host_edges[i]:g}, {host_edges[i + 1]:g}]" for i in range(nb)
+            ]
+            children.append(Column.from_values("category", cats, dt.Categorical()))
             fields.append(("category", dt.Categorical()))
+        children.append(count_col.rename("count"))
         fields.append(("count", dt.UInt32()))
-        return Column.from_values(cname, rows, dt.Struct(fields))
+        ids = Buffer.from_numpy(_np.arange(nb, dtype=np.int64), None)
+        return Column(cname, dt.Struct(fields), ids, None, 0, children)
 
     if e.name == "reshape":
         col = _eval_special_expr(df, e.inputs[0], schema)
@@ -1565,9 +1596,15 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
             r = n // c
         if r * c != n:
             raise ShapeError(f"cannot reshape {n} elements into {r}x{c}")
-        vals = col.to_pylist()
-        rows = [vals[i * c : (i + 1) * c] for i in range(r)]
-        return Column.from_values(col.name, rows, dt.Array(col.dtype, c))
+        # DEVICE path (r5): the packed layout is STATIC — (i*c)<<32 | c over
+        # the existing flat column as child; element values never leave the
+        # device (the old path to_pylist'd the whole column)
+        starts = np.arange(r, dtype=np.int64) * c
+        packed = (starts << 32) | np.int64(c)
+        return Column(
+            col.name, dt.Array(col.dtype, c),
+            Buffer.from_numpy(packed, None), None, 0, col.rename(""),
+        )
 
     if e.name in ("rolling_median_by", "rolling_quantile_by", "rolling_rank_by"):
         import numpy as _np
