@@ -737,19 +737,10 @@ class DataFrame:
 
                 if not isinstance(c.dtype, dtypes.Struct):
                     raise InvalidOperationError(f"unnest needs Struct columns, got {c.dtype!r}")
-                ids, validity = c.buffer.to_numpy()
+                from polars_tpu.engine.gather import gather_struct_field
+
                 for f in c.child or []:
-                    g = gather_column(f, ids)
-                    if validity is not None:
-                        import jax.numpy as jnp
-
-                        from polars_tpu.core.buffer import Buffer, pad_to, padded_size
-
-                        m = pad_to(jnp.asarray(validity), padded_size(len(ids)))
-                        v = g.buffer.validity
-                        v = m if v is None else (v & m)
-                        g = type(g)(g.name, g.dtype, Buffer(g.buffer.values, v, g.buffer.length), g.table, 0, getattr(g, "child", None))
-                    cols.append(g)
+                    cols.append(gather_struct_field(c, f))
             else:
                 cols.append(c)
         return DataFrame._from_columns(cols, self._height)

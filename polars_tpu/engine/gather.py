@@ -72,3 +72,22 @@ def gather_frame(cols: list[Column], indices: np.ndarray) -> list[Column]:
     from polars_tpu.engine.join import _gather_side
 
     return _gather_side(cols, didx, extra, m)
+
+
+def gather_struct_field(col, field):
+    """Device gather of a struct ``field`` by the struct's id buffer — the
+    ids are engine-managed (permuted by row ops like any column), so no
+    host readback is needed (r5; the old path to_numpy'd the ids).
+    Struct-level nulls AND the field's own nulls both mask the output."""
+    nf = max(field.buffer.values.shape[0], 1)
+    didx = jnp.clip(col.buffer.values.astype(jnp.int64), 0, nf - 1)
+    vals = field.buffer.values[didx]
+    valid = None if field.buffer.validity is None else field.buffer.validity[didx]
+    if col.buffer.validity is not None:
+        valid = col.buffer.validity if valid is None else (valid & col.buffer.validity)
+    from polars_tpu.core.buffer import Buffer
+
+    return type(field)(
+        field.name, field.dtype, Buffer(vals, valid, len(col)), field.table, 0,
+        getattr(field, "child", None),
+    )

@@ -1314,20 +1314,9 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         field = next((c for c in (col.child or []) if c.name == want), None)
         if field is None:
             raise ComputeError(f"struct has no field {want!r}")
-        from polars_tpu.engine.gather import gather_column
+        from polars_tpu.engine.gather import gather_struct_field
 
-        ids, validity = col.buffer.to_numpy()
-        out = gather_column(field, ids).rename(want)
-        if validity is not None:
-            import jax.numpy as _jnp
-
-            from polars_tpu.core.buffer import pad_to, padded_size
-
-            v = out.buffer.validity
-            m = pad_to(_jnp.asarray(validity), padded_size(len(ids)))
-            v = m if v is None else (v & m)
-            out = Column(out.name, out.dtype, Buffer(out.buffer.values, v, out.buffer.length), out.table, 0, getattr(out, "child", None))
-        return out
+        return gather_struct_field(col, field).rename(want)
 
     if e.name == "struct.drop":
         col = _eval_special_expr(df, e.inputs[0], schema)
