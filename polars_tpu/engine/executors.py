@@ -121,7 +121,7 @@ def _is_column_ref(e: E.ENode) -> bool:
 _TRACED_LIST_PRODUCERS = {
     "list.sort", "list.reverse", "list.unique", "list.drop_nulls",
     "list.slice", "list.head", "list.tail", "list.shift", "list.diff",
-    "list.gather_every", "list.filter",
+    "list.gather_every", "list.filter", "list.concat", "list.set_union",
 }
 
 
@@ -248,6 +248,36 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
         if isinstance(out_d, (dt.List, dt.Array, dt.Struct, dt.Unknown)):
             return True
         return False
+    if n.name in ("list.concat", "list.set_union"):
+        # traced row-wise concat (+ first-occurrence dedup for union): every
+        # input needs a traced child and the SAME flat inner dtype (mixed
+        # inners keep host supertype semantics)
+        inners = []
+        for arg in n.inputs:
+            if not _has_traced_child(arg):
+                return True
+            try:
+                d = expr_dtype(arg, schema)
+            except Exception:
+                return True
+            if not isinstance(d, dt.List) or isinstance(
+                d.inner, (dt.List, dt.Array, dt.Struct)
+            ):
+                return True
+            inners.append(d.inner)
+        if any(i != inners[0] for i in inners[1:]):
+            return True
+        return False
+    if n.name == "list.item":
+        if not _has_traced_child(n.inputs[0]):
+            return True
+        try:
+            d = expr_dtype(n.inputs[0], schema)
+        except Exception:
+            return True
+        return not isinstance(d, dt.List) or isinstance(
+            d.inner, (dt.List, dt.Array, dt.Struct)
+        )
     if n.name in ("list.any", "list.all", "list.count_matches"):
         # range queries over the original packed ranges: safe for shared /
         # split-derived children, so the lighter traced-child gate applies

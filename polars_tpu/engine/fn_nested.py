@@ -893,6 +893,138 @@ def _list_filter(ctx, args, opts):
     return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
+def _unify_child_codes(parts_ch):
+    """Fold the children's dictionaries into one table and remap codes (the
+    trace-time analogue of _concat_list_impl's scalar-column unification)."""
+    import jax.numpy as jnp
+
+    from polars_tpu.utils import strtable
+
+    if all(ch.table is None for ch in parts_ch):
+        return [ch.values for ch in parts_ch], None
+    merged = None
+    for ch in parts_ch:
+        t = ch.table or strtable.empty_table()
+        merged = t if merged is None else strtable.unify(merged, t)[0]
+    outs = []
+    for ch in parts_ch:
+        src = ch.table or strtable.empty_table()
+        if src is merged:
+            outs.append(ch.values)
+            continue
+        _, m, _ = strtable.unify(src, merged)
+        if len(m) == 0:
+            outs.append(ch.values)
+            continue
+        lut = jnp.asarray(m)
+        outs.append(lut[jnp.clip(ch.values, 0, len(m) - 1)])
+    return outs, merged
+
+
+def _list_concat_val(ctx, args, name):
+    """Row-wise concat of k List vals -> one Val with a fresh contiguous
+    child (the traced analogue of ops/list_ops.list_concat_cols: any null
+    part nulls the row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from polars_tpu.engine.common import TracedChild, Val
+
+    parts = []
+    for p in args:
+        ch, ok = _traced_child(p, name)
+        parts.append((p, ch, ok))
+    codes, table = _unify_child_codes([ch for _, ch, _ in parts])
+    inner = parts[0][0].dtype.inner
+    validity = None
+    for p, _, _ in parts:
+        if p.validity is not None:
+            validity = p.validity if validity is None else (validity & p.validity)
+    n_parent = parts[0][0].values.shape[0]
+    pm = ctx.rowmask
+    if validity is not None:
+        pm = pm & validity
+    starts_k, lens_k = zip(*[_unpack(p.values) for p, _, _ in parts])
+    nl = jnp.zeros((n_parent,), jnp.int32)
+    for lk in lens_k:
+        nl = nl + lk
+    nl = jnp.where(pm, nl, 0)
+    offs2 = jnp.cumsum(nl)
+    N = sum(ch.values.shape[0] for _, ch, _ in parts)
+    if getattr(ctx, "flags", None) is not None:
+        ctx.flags.append(offs2[-1] > jnp.int32(N))
+    j = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    in_data = j < offs2[-1]
+    pc = jnp.clip(
+        jnp.searchsorted(offs2, j, side="right").astype(jnp.int32), 0, n_parent - 1
+    )
+    within = j - (offs2[pc] - nl[pc])
+    out_dt = jnp.result_type(*[c.dtype for c in codes])
+    g = jnp.zeros((N,), out_dt)
+    gok = jnp.zeros((N,), bool)
+    acc = jnp.zeros((n_parent,), jnp.int32)
+    for (p, ch, ok), codes_k, st_k, ln_k in zip(parts, codes, starts_k, lens_k):
+        local = within - acc[pc]
+        sel = (local >= 0) & (local < ln_k[pc])
+        src = jnp.clip(st_k[pc] + local, 0, ch.values.shape[0] - 1)
+        g = jnp.where(sel, codes_k.astype(out_dt)[src], g)
+        gok = jnp.where(sel, ok[src], gok)
+        acc = acc + ln_k
+    gok = gok & in_data
+    child = TracedChild(g, gok, inner, table, jnp.sum(nl), None, None)
+    return Val(
+        ((offs2 - nl).astype(jnp.int64) << 32) | nl.astype(jnp.int64),
+        validity, dt.List(inner), None, parts[0][0].domain, child,
+    )
+
+
+@register("list.concat", _same, elementwise=False)
+def _list_concat_ns(ctx, args, opts):
+    return _list_concat_val(ctx, args, "list.concat")
+
+
+@register("list.set_union", _same, elementwise=False)
+def _list_set_union(ctx, args, opts):
+    # union = first-occurrence dedup of the row-wise concat (host oracle
+    # dedup_where semantics, null counted as a value) — compose the traced
+    # concat with the traced unique(maintain_order)
+    cat = _list_concat_val(ctx, args, "list.set_union")
+    return _list_unique(ctx, [cat], {"maintain_order": True})
+
+
+def _item_dt(dts, opts):
+    d = dts[0]
+    return d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+
+
+@register("list.item", _item_dt, elementwise=False)
+def _list_item(ctx, args, opts):
+    import jax.numpy as jnp
+
+    from polars_tpu.engine.common import Val
+
+    v = args[0]
+    allow_empty = bool(opts.get("allow_empty", False))
+    ch, ok = _traced_child(v, "list.item")
+    starts, lens = _unpack(v.values)
+    pm = ctx.rowmask
+    if v.validity is not None:
+        pm = pm & v.validity
+    bad = lens > 1
+    if not allow_empty:
+        bad = bad | (lens == 0)
+    ctx.add_flag(
+        jnp.any(bad & pm),
+        "can only call `.list.item()` on lists of length 1",
+    )
+    idx = jnp.clip(starts, 0, ch.values.shape[0] - 1)
+    out = ch.values[idx]
+    validity = ok[idx] & (lens > 0)
+    if v.validity is not None:
+        validity = validity & v.validity
+    return Val(out, validity, v.dtype.inner, ch.table, v.domain, ch.child)
+
+
 # --- TRACED list constructors: concat_list / concat_arr ----------------------
 # Every row's list has the same length k, so the child layout is STATIC:
 # child[i*k + j] = inputs[j][i]; packed word = (i*k)<<32 | k. Emitted via the
@@ -1027,7 +1159,6 @@ def _map_field_names_dt(dts, opts):
     return dt.Struct([(ren(f.name), f.dtype) for f in d.fields])
 
 
-register("list.item", _list_inner_dt, elementwise=False)(_host("list.item"))
 register("struct.drop", _struct_drop_dt, elementwise=False)(_host("struct.drop"))
 register("as_struct", _struct_dt, elementwise=False)(_host("as_struct"))
 register("struct.field", _field_dt, elementwise=False)(_host("struct.field"))
@@ -1079,8 +1210,8 @@ def _to_array_dt(dts, opts):
 
 for _name, _rule in (
     ("list.gather", _same),
-    ("list.sample", _same), ("list.concat", _same),
-    ("list.set_union", _same), ("list.set_intersection", _same),
+    ("list.sample", _same),
+    ("list.set_intersection", _same),
     ("list.set_difference", _same), ("list.set_symmetric_difference", _same),
     ("list.to_struct", _to_struct_dt),
     ("list.to_array", _to_array_dt),

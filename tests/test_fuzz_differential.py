@@ -354,7 +354,9 @@ def test_fuzz_list_longtail_traced_vs_host(chunk, monkeypatch):
         # elementwise eval/filter (r5 traced) — numeric math on numerics,
         # null-shape predicates everywhere
         exprs += [x.list.eval(pl.element().is_null()).alias("evn"),
-                  x.list.filter(pl.element().is_not_null()).alias("fnn")]
+                  x.list.filter(pl.element().is_not_null()).alias("fnn"),
+                  x.list.concat(x.list.reverse()).alias("cc"),
+                  x.list.set_union(x.list.head(2)).alias("un")]
         if kind in ("int", "float"):
             exprs += [
                 x.list.eval(pl.element() * 2 + 1).alias("ev2"),

@@ -458,3 +458,45 @@ def test_list_eval_host_fallback_semantics():
     ).collect()
     assert out["agg"].to_list() == [[4], [0], [9]]
     assert out["rk"].to_list() == [[2.0, 1.0, None], [], [2.0, 1.0]]
+
+
+def test_list_concat_union_item_traced(monkeypatch):
+    """round-5: row-wise list.concat, set_union (concat + first-occurrence
+    dedup), and strict list.item trace into segments."""
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({
+        "a": [[1, 2, 2], [], None, [5]], "b": [[2, 3], [4], [1], None],
+        "s": [["x"], ["y", "x"], [], ["z"]], "t": [["x", "q"], ["y"], ["w"], []],
+    })
+    out = df.lazy().select(
+        pl.col("a").list.concat(pl.col("b")).alias("cat"),
+        pl.col("a").list.set_union(pl.col("b")).alias("un"),
+        pl.col("s").list.set_union(pl.col("t")).alias("su"),
+        pl.col("a").list.concat(pl.col("b")).list.sum().alias("cs"),
+    ).collect()
+    assert out["cat"].to_list() == [[1, 2, 2, 2, 3], [4], None, None]
+    assert out["un"].to_list() == [[1, 2, 3], [4], None, None]
+    assert out["su"].to_list() == [["x", "q"], ["y", "x"], ["w"], ["z"]]
+    assert out["cs"].to_list() == [10, 4, None, None]
+    df2 = pl.DataFrame({"x": [[7], [9], None]})
+    o2 = df2.lazy().select(pl.col("x").list.item()).collect()
+    assert o2["x"].to_list() == [7, 9, None]
+    o3 = df2.lazy().select(pl.col("x").list.item(allow_empty=True)).collect()
+    assert o3["x"].to_list() == [7, 9, None]
+
+
+def test_list_item_strictness():
+    df = pl.DataFrame({"a": [[1, 2], [5]]})
+    with pytest.raises(Exception, match="length 1"):
+        df.lazy().select(pl.col("a").list.item()).collect()
+    with pytest.raises(Exception, match="length 1"):
+        pl.DataFrame({"a": [[], [5]]}).lazy().select(
+            pl.col("a").list.item()).collect()
+    out = pl.DataFrame({"a": [[], [5]]}).lazy().select(
+        pl.col("a").list.item(allow_empty=True)).collect()
+    assert out["a"].to_list() == [None, 5]
