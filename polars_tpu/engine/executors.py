@@ -248,7 +248,10 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
         if isinstance(out_d, (dt.List, dt.Array, dt.Struct, dt.Unknown)):
             return True
         return False
-    if n.name in ("list.concat", "list.set_union"):
+    if n.name in (
+        "list.concat", "list.set_union", "list.set_intersection",
+        "list.set_difference", "list.set_symmetric_difference",
+    ):
         # traced row-wise concat (+ first-occurrence dedup for union): every
         # input needs a traced child and the SAME flat inner dtype (mixed
         # inners keep host supertype semantics)

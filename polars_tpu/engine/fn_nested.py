@@ -921,10 +921,11 @@ def _unify_child_codes(parts_ch):
     return outs, merged
 
 
-def _list_concat_val(ctx, args, name):
+def _list_concat_val(ctx, args, name, want_side=False):
     """Row-wise concat of k List vals -> one Val with a fresh contiguous
     child (the traced analogue of ops/list_ops.list_concat_cols: any null
-    part nulls the row)."""
+    part nulls the row). ``want_side`` additionally returns the part index
+    per output child slot (the set ops need a/b provenance)."""
     import jax
     import jax.numpy as jnp
 
@@ -962,20 +963,27 @@ def _list_concat_val(ctx, args, name):
     out_dt = jnp.result_type(*[c.dtype for c in codes])
     g = jnp.zeros((N,), out_dt)
     gok = jnp.zeros((N,), bool)
+    side = jnp.zeros((N,), jnp.int32)
     acc = jnp.zeros((n_parent,), jnp.int32)
-    for (p, ch, ok), codes_k, st_k, ln_k in zip(parts, codes, starts_k, lens_k):
+    for k_idx, ((p, ch, ok), codes_k, st_k, ln_k) in enumerate(
+        zip(parts, codes, starts_k, lens_k)
+    ):
         local = within - acc[pc]
         sel = (local >= 0) & (local < ln_k[pc])
         src = jnp.clip(st_k[pc] + local, 0, ch.values.shape[0] - 1)
         g = jnp.where(sel, codes_k.astype(out_dt)[src], g)
         gok = jnp.where(sel, ok[src], gok)
+        side = jnp.where(sel, jnp.int32(k_idx), side)
         acc = acc + ln_k
     gok = gok & in_data
     child = TracedChild(g, gok, inner, table, jnp.sum(nl), None, None)
-    return Val(
+    out = Val(
         ((offs2 - nl).astype(jnp.int64) << 32) | nl.astype(jnp.int64),
         validity, dt.List(inner), None, parts[0][0].domain, child,
     )
+    if want_side:
+        return out, side
+    return out
 
 
 @register("list.concat", _same, elementwise=False)
@@ -990,6 +998,66 @@ def _list_set_union(ctx, args, opts):
     # concat with the traced unique(maintain_order)
     cat = _list_concat_val(ctx, args, "list.set_union")
     return _list_unique(ctx, [cat], {"maintain_order": True})
+
+
+def _list_set_op(kind):
+    @register(f"list.set_{kind}", _same, elementwise=False)
+    def _(ctx, args, opts):
+        import jax.numpy as jnp
+
+        # concat with a/b provenance, sort by (segment, value), mark each
+        # value-run with which sides contributed, keep run heads passing the
+        # side predicate, compact in first-occurrence order (host oracle
+        # dedup_where semantics; kept values of intersection/difference all
+        # come from ``a``, whose elements sort first within equal keys, so
+        # order matches the host's "first occurrence in a")
+        cat, side = _list_concat_val(ctx, args, f"list.set_{kind}", want_side=True)
+        n_parent = cat.values.shape[0]
+        ch, _np2, g0, gok0, seg0, perm, words0, in_data, _lens = _sorted_gather(
+            ctx, cat, f"list.set_{kind}", False
+        )
+        N = ch.values.shape[0]
+        seg = seg0[perm]
+        ind_s = in_data[perm]
+        side_s = side[perm]  # cat's child IS contiguous, so positions align
+        same_seg = jnp.concatenate([jnp.zeros((1,), bool), seg[1:] == seg[:-1]])
+        weq = same_seg
+        for w0 in words0:
+            w = w0[perm]
+            weq = weq & jnp.concatenate([jnp.zeros((1,), bool), w[1:] == w[:-1]])
+        head = ind_s & ~weq
+        rid = jnp.cumsum(head.astype(jnp.int32)) - 1
+        rid = jnp.where(ind_s, rid, N)
+        cnt0 = jnp.zeros((N,), jnp.int32).at[rid].add(
+            (side_s == 0).astype(jnp.int32), mode="drop"
+        )
+        cnt1 = jnp.zeros((N,), jnp.int32).at[rid].add(
+            (side_s > 0).astype(jnp.int32), mode="drop"
+        )
+        has0 = cnt0 > 0
+        has1 = cnt1 > 0
+        pred = {
+            "intersection": has0 & has1,
+            "difference": has0 & ~has1,
+            "symmetric_difference": has0 ^ has1,
+        }[kind]
+        keep_sorted = head & pred[jnp.clip(rid, 0, N - 1)]
+        keep = jnp.zeros((N,), bool).at[perm].set(keep_sorted)
+        lens2 = jnp.zeros((n_parent,), jnp.int32).at[
+            jnp.where(keep, seg0, n_parent)
+        ].add(1, mode="drop")
+        offs2 = jnp.cumsum(lens2)
+        new_packed2 = ((offs2 - lens2).astype(jnp.int64) << 32) | lens2.astype(jnp.int64)
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        tgt = jnp.where(keep, pos, N)
+        out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop")
+        out_ok = jnp.zeros((N,), bool).at[tgt].set(gok0, mode="drop")
+        return _list_out(cat, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
+
+
+_list_set_op("intersection")
+_list_set_op("difference")
+_list_set_op("symmetric_difference")
 
 
 def _item_dt(dts, opts):
@@ -1211,8 +1279,6 @@ def _to_array_dt(dts, opts):
 for _name, _rule in (
     ("list.gather", _same),
     ("list.sample", _same),
-    ("list.set_intersection", _same),
-    ("list.set_difference", _same), ("list.set_symmetric_difference", _same),
     ("list.to_struct", _to_struct_dt),
     ("list.to_array", _to_array_dt),
 ):

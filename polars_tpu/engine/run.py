@@ -39,8 +39,7 @@ _SPECIAL_FNS = {
     "shrink_dtype",
     # list long tail still on the host: set ops (pairwise two-column
     # sort-merge), per-row-index gather, nested reshapes, expr-over-child
-    "list.set_intersection",
-    "list.set_difference", "list.set_symmetric_difference", "list.gather",
+    "list.gather",
     "list.to_struct", "list.to_array",
     "list.sample",
     "struct.with_fields", "struct.json_encode", "struct.drop",
@@ -58,7 +57,8 @@ _COND_FNS = {
     "list.arg_min", "list.arg_max", "list.drop_nulls",
     "list.slice", "list.head", "list.tail", "list.shift",
     "list.gather_every", "list.diff", "list.eval", "list.filter",
-    "list.concat", "list.set_union", "list.item",
+    "list.concat", "list.set_union", "list.set_intersection",
+    "list.set_difference", "list.set_symmetric_difference", "list.item",
     "cumulative_eval",
 }
 

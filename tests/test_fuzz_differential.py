@@ -356,7 +356,10 @@ def test_fuzz_list_longtail_traced_vs_host(chunk, monkeypatch):
         exprs += [x.list.eval(pl.element().is_null()).alias("evn"),
                   x.list.filter(pl.element().is_not_null()).alias("fnn"),
                   x.list.concat(x.list.reverse()).alias("cc"),
-                  x.list.set_union(x.list.head(2)).alias("un")]
+                  x.list.set_union(x.list.head(2)).alias("un"),
+                  x.list.set_intersection(x.list.tail(3)).alias("ix"),
+                  x.list.set_difference(x.list.head(1)).alias("df"),
+                  x.list.set_symmetric_difference(x.list.gather_every(2)).alias("sx")]
         if kind in ("int", "float"):
             exprs += [
                 x.list.eval(pl.element() * 2 + 1).alias("ev2"),

@@ -500,3 +500,24 @@ def test_list_item_strictness():
     out = pl.DataFrame({"a": [[], [5]]}).lazy().select(
         pl.col("a").list.item(allow_empty=True)).collect()
     assert out["a"].to_list() == [None, 5]
+
+
+def test_list_set_ops_traced(monkeypatch):
+    """round-5: intersection/difference/symmetric_difference trace via the
+    side-tagged concat + value-run marking; null is a set member."""
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({"a": [[1, 2, 2, None], [], None, [5, 7]],
+                       "b": [[2, 3, None], [4], [1], None]})
+    out = df.lazy().select(
+        pl.col("a").list.set_intersection(pl.col("b")).alias("i"),
+        pl.col("a").list.set_difference(pl.col("b")).alias("d"),
+        pl.col("a").list.set_symmetric_difference(pl.col("b")).alias("sd"),
+    ).collect()
+    assert out["i"].to_list() == [[2, None], [], None, None]
+    assert out["d"].to_list() == [[1], [], None, None]
+    assert out["sd"].to_list() == [[1, 3], [4], None, None]
