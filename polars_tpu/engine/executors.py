@@ -271,6 +271,29 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
         if any(i != inners[0] for i in inners[1:]):
             return True
         return False
+    if n.name in ("list.gather", "list.to_array"):
+        if not (_rebuild_safe_input(n.inputs[0]) if n.name == "list.gather"
+                else _has_traced_child(n.inputs[0])):
+            return True
+        try:
+            d = expr_dtype(n.inputs[0], schema)
+        except Exception:
+            return True
+        if not isinstance(d, dt.List) or isinstance(
+            d.inner, (dt.List, dt.Array, dt.Struct)
+        ):
+            return True
+        if n.name == "list.gather" and n.opt("indices") is None:
+            # per-row index column: needs its own traced child of int lists
+            if len(n.inputs) < 2 or not _has_traced_child(n.inputs[1]):
+                return True
+            try:
+                di = expr_dtype(n.inputs[1], schema)
+            except Exception:
+                return True
+            if not isinstance(di, dt.List) or not di.inner.is_integer():
+                return True
+        return False
     if n.name == "list.item":
         if not _has_traced_child(n.inputs[0]):
             return True

@@ -1093,6 +1093,99 @@ def _list_item(ctx, args, opts):
     return Val(out, validity, v.dtype.inner, ch.table, v.domain, ch.child)
 
 
+@register("list.gather", _same, elementwise=False)
+def _list_gather(ctx, args, opts):
+    import jax
+    import jax.numpy as jnp
+
+    v = args[0]
+    ch, ok = _traced_child(v, "list.gather")
+    null_on_oob = bool(opts.get("null_on_oob", False))
+    starts_v, lens_v = _unpack(v.values)
+    fixed = opts.get("indices")
+    pm = ctx.rowmask
+    if v.validity is not None:
+        pm = pm & v.validity
+    n_parent = v.values.shape[0]
+    n_child = ch.values.shape[0]
+    if fixed is not None:
+        # literal index list: static output width per row
+        import numpy as np
+
+        fix = np.asarray(list(fixed), np.int32)
+        k = len(fix)
+        nl = jnp.where(pm, jnp.int32(k), 0)
+        idx_of = lambda pc, within: jnp.asarray(fix)[jnp.clip(within, 0, max(k - 1, 0))]
+        idx_ok = lambda pc, within: jnp.ones_like(within, bool)
+    else:
+        iv = args[1]
+        ich, iok = _traced_child(iv, "list.gather")
+        starts_i, lens_i = _unpack(iv.values)
+        if iv.validity is not None:
+            pm = pm & iv.validity
+        nl = jnp.where(pm, lens_i, 0)
+
+        def idx_of(pc, within):
+            src = jnp.clip(starts_i[pc] + within, 0, ich.values.shape[0] - 1)
+            return ich.values[src].astype(jnp.int32)
+
+        def idx_ok(pc, within):
+            src = jnp.clip(starts_i[pc] + within, 0, ich.values.shape[0] - 1)
+            return iok[src]
+
+    offs2 = jnp.cumsum(nl)
+    if getattr(ctx, "flags", None) is not None:
+        ctx.flags.append(offs2[-1] > jnp.int32(n_child))
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_child, 1), 0).squeeze(-1)
+    in_data = j < offs2[-1]
+    pc = jnp.clip(
+        jnp.searchsorted(offs2, j, side="right").astype(jnp.int32), 0, n_parent - 1
+    )
+    within = j - (offs2[pc] - nl[pc])
+    i = idx_of(pc, within)
+    jj = jnp.where(i >= 0, i, lens_v[pc] + i)
+    in_range = (jj >= 0) & (jj < lens_v[pc])
+    src = jnp.clip(starts_v[pc] + jj, 0, n_child - 1)
+    g = ch.values[src]
+    iok_here = idx_ok(pc, within)
+    gok = ok[src] & in_range & iok_here & in_data
+    if not null_on_oob:
+        ctx.add_flag(
+            jnp.any(~in_range & iok_here & in_data),
+            "gather index out of bounds for list",
+        )
+    new_packed = ((offs2 - nl).astype(jnp.int64) << 32) | nl.astype(jnp.int64)
+    return _list_out(v, ch, new_packed, g, gok, jnp.sum(nl))
+
+
+def _to_array_dt_early(dts, opts):
+    d = dts[0]
+    inner = d.inner if isinstance(d, (dt.List, dt.Array)) else dt.Unknown()
+    return dt.Array(inner, int(opts.get("width", 0)))
+
+
+@register("list.to_array", _to_array_dt_early, elementwise=False)
+def _list_to_array(ctx, args, opts):
+    import jax.numpy as jnp
+
+    from polars_tpu.engine.common import Val
+
+    v = args[0]
+    width = int(opts.get("width", 0))
+    _ch, _ok = _traced_child(v, "list.to_array")
+    _starts, lens = _unpack(v.values)
+    pm = ctx.rowmask
+    if v.validity is not None:
+        pm = pm & v.validity
+    ctx.add_flag(
+        jnp.any((lens != width) & pm),
+        f"cannot convert list to array of width {width} (length mismatch)",
+    )
+    return Val(
+        v.values, v.validity, dt.Array(v.dtype.inner, width), None, v.domain, v.child
+    )
+
+
 # --- TRACED list constructors: concat_list / concat_arr ----------------------
 # Every row's list has the same length k, so the child layout is STATIC:
 # child[i*k + j] = inputs[j][i]; packed word = (i*k)<<32 | k. Emitted via the
@@ -1277,10 +1370,8 @@ def _to_array_dt(dts, opts):
 
 
 for _name, _rule in (
-    ("list.gather", _same),
     ("list.sample", _same),
     ("list.to_struct", _to_struct_dt),
-    ("list.to_array", _to_array_dt),
 ):
     register(_name, _rule, elementwise=False)(_host(_name))
 

@@ -39,8 +39,7 @@ _SPECIAL_FNS = {
     "shrink_dtype",
     # list long tail still on the host: set ops (pairwise two-column
     # sort-merge), per-row-index gather, nested reshapes, expr-over-child
-    "list.gather",
-    "list.to_struct", "list.to_array",
+    "list.to_struct",
     "list.sample",
     "struct.with_fields", "struct.json_encode", "struct.drop",
     "repeat_by", "extend_constant",
@@ -59,6 +58,7 @@ _COND_FNS = {
     "list.gather_every", "list.diff", "list.eval", "list.filter",
     "list.concat", "list.set_union", "list.set_intersection",
     "list.set_difference", "list.set_symmetric_difference", "list.item",
+    "list.gather", "list.to_array",
     "cumulative_eval",
 }
 

@@ -521,3 +521,31 @@ def test_list_set_ops_traced(monkeypatch):
     assert out["i"].to_list() == [[2, None], [], None, None]
     assert out["d"].to_list() == [[1], [], None, None]
     assert out["sd"].to_list() == [[1, 3], [4], None, None]
+
+
+def test_list_gather_to_array_traced(monkeypatch):
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({"a": [[10, 20, 30], [7], None, [1, 2]],
+                       "ix": [[2, 0, -1], [0], [0], []]})
+    out = df.lazy().select(
+        pl.col("a").list.gather(pl.col("ix")).alias("g"),
+        pl.col("a").list.gather([0], null_on_oob=True).alias("g0"),
+        pl.col("a").list.gather([5], null_on_oob=True).alias("oob"),
+    ).collect()
+    assert out["g"].to_list() == [[30, 10, 30], [7], None, []]
+    assert out["g0"].to_list() == [[10], [7], None, [1]]
+    assert out["oob"].to_list() == [[None], [None], None, [None]]
+    with pytest.raises(Exception, match="out of bounds"):
+        df.lazy().select(pl.col("a").list.gather([5])).collect()
+    o2 = pl.DataFrame({"x": [[1, 2], [3, 4], None]}).lazy().select(
+        pl.col("x").list.to_array(2)).collect()
+    assert o2["x"].to_list() == [[1, 2], [3, 4], None]
+    assert "Array" in str(o2["x"].dtype)
+    with pytest.raises(Exception, match="width"):
+        pl.DataFrame({"x": [[1], [3, 4]]}).lazy().select(
+            pl.col("x").list.to_array(2)).collect()
