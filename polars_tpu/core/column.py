@@ -28,6 +28,7 @@ SORTED_ASC = 1
 SORTED_DESC = 2
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
 # time-unit multipliers to convert python datetime/timedelta to integers
 _TU_PER_SECOND = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
@@ -607,7 +608,12 @@ def _to_epoch_ts(v: Any, mult: int) -> int:
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
-        return int(v.timestamp() * mult)
+        # exact integer arithmetic: float .timestamp() loses the microsecond
+        # for |t| beyond ~2^52/1e6 s (hypothesis-found: 1833-01-01 00:00:00
+        # .000135 came back .000136)
+        delta = v - _EPOCH_DT_UTC
+        micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return micros * mult // 1_000_000
     if isinstance(v, _dt.date):
         return (v - _EPOCH_DATE).days * 86_400 * mult
     return int(v)

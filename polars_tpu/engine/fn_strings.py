@@ -388,7 +388,11 @@ def _to_datetime(ctx, args, opts):
             import datetime as _dt
 
             d = _dt.datetime.strptime(str(s), fmt).replace(tzinfo=_dt.timezone.utc)
-            return int(d.timestamp() * mult)
+            # exact integer path (float .timestamp() drops the microsecond
+            # far from the epoch — see core/column._to_epoch_ts)
+            delta = d - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return micros * mult // 1_000_000
         except (ValueError, TypeError):
             return None
 
