@@ -195,6 +195,10 @@ def _fn_conditionally_host(n: E.EFunction, schema: Schema) -> bool:
             return True  # Array etc. stay on the host path
         if n.name == "list.get" and isinstance(d.inner, (dt.List, dt.Array, dt.Struct)):
             return True  # nested gather keeps host semantics
+    if n.name in ("str.extract_many", "str.find_many"):
+        # literal patterns trace via the dictionary LUT (fn_strings); a
+        # per-row pattern COLUMN needs row data on the host
+        return len(n.inputs) > 1
     if n.name == "cumulative_eval":
         # traced only for prefix-agg shapes (element().sum/min/max/mean) over
         # numeric/bool inputs — one segmented scan instead of the O(n^2) host

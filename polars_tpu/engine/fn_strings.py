@@ -556,14 +556,63 @@ def _extract_all(ctx, args, opts):
     )
 
 
+def _list_of_ints_lut(v: Val, ints_per_unique: list, inner) -> Val:
+    """Traced List(int) from a host per-UNIQUE decomposition (the int-child
+    sibling of _list_of_strings_lut — find_many offsets etc.)."""
+    from polars_tpu.engine.common import TracedChild
+
+    nu = max(len(ints_per_unique), 1)
+    starts = np.zeros(nu, np.int64)
+    lens = np.zeros(nu, np.int64)
+    flat: list = []
+    for i, ps in enumerate(ints_per_unique):
+        starts[i] = len(flat)
+        lens[i] = len(ps)
+        flat.extend(int(x) for x in ps)
+    vals = np.asarray(flat if flat else [0], dtype=dt.dtype_to_numpy(inner))
+    codes = jnp.clip(v.values, 0, nu - 1)
+    packed = (jnp.asarray(starts)[codes] << 32) | jnp.asarray(lens)[codes]
+    child = TracedChild(
+        jnp.asarray(vals), None, inner, None, jnp.int32(len(flat)), None, None,
+        max_list_len=int(lens.max()) if len(ints_per_unique) else 1,
+    )
+    return Val(packed, v.validity, dt.List(inner), None, v.domain, child)
+
+
+def _many_occ(opts, values):
+    pats = list(opts.get("patterns", ()))
+    ci = bool(opts.get("ascii_case_insensitive", False))
+    overlapping = bool(opts.get("overlapping", False))
+    leftmost = bool(opts.get("leftmost", False))
+    return [
+        ac_occurrences(u, pats, overlapping=overlapping, leftmost=leftmost, ascii_ci=ci)
+        for u in values
+    ]
+
+
 @register("str.extract_many", lambda dts, opts: dt.List(dt.String()), elementwise=False)
 def _extract_many(ctx, args, opts):
-    raise InvalidOperationError("str.extract_many is a host op (routed via special select)")
+    # literal-pattern path: Aho-Corasick over the DICTIONARY (host, trace
+    # time), child from the per-unique matches — one LUT gather per row.
+    # Per-row pattern columns keep the host path (executors gate).
+    v = _require_str(args[0])
+    occs = _many_occ(opts, v.table.values)
+    return _list_of_strings_lut(
+        v, [[u[s:en] for s, en, _ in occ] for u, occ in zip(v.table.values, occs)]
+    )
 
 
 @register("str.find_many", lambda dts, opts: dt.List(dt.UInt32()), elementwise=False)
 def _find_many(ctx, args, opts):
-    raise InvalidOperationError("str.find_many is a host op (routed via special select)")
+    v = _require_str(args[0])
+    occs = _many_occ(opts, v.table.values)
+    # utf8 BYTE offsets, like the reference's find_many
+    return _list_of_ints_lut(
+        v,
+        [[len(u[:s].encode()) for s, _en, _ in occ]
+         for u, occ in zip(v.table.values, occs)],
+        dt.UInt32(),
+    )
 
 
 @register(

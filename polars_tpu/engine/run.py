@@ -31,7 +31,7 @@ _SPECIAL_FNS = {
     "gather_every", "unique", "unique_counts", "cat.get_categories",
     "list.join",
     "explode", "str.split_exact", "str.splitn",
-    "str.extract_many", "str.find_many", "str.extract_groups", "str.json_decode",
+    "str.extract_groups", "str.json_decode",
     "hist", "reshape", "rolling_median_by", "rolling_quantile_by",
     "rolling_rank_by", "rolling_map",
     "as_struct", "struct.field", "struct.rename_fields", "struct.map_field_names",
@@ -59,7 +59,7 @@ _COND_FNS = {
     "list.concat", "list.set_union", "list.set_intersection",
     "list.set_difference", "list.set_symmetric_difference", "list.item",
     "list.gather", "list.to_array",
-    "cumulative_eval",
+    "cumulative_eval", "str.extract_many", "str.find_many",
 }
 
 

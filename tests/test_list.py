@@ -549,3 +549,27 @@ def test_list_gather_to_array_traced(monkeypatch):
     with pytest.raises(Exception, match="width"):
         pl.DataFrame({"x": [[1], [3, 4]]}).lazy().select(
             pl.col("x").list.to_array(2)).collect()
+
+
+def test_str_extract_find_many_traced(monkeypatch):
+    """round-5: literal-pattern extract_many/find_many trace through the
+    dictionary LUT (per-unique Aho-Corasick at trace time)."""
+    from polars_tpu.engine import run
+
+    def boom(df, e, schema):
+        raise AssertionError(f"host generator hit for {getattr(e, 'name', e)}")
+
+    monkeypatch.setattr(run, "_eval_generator", boom)
+    df = pl.DataFrame({"s": ["foobar baz", "barbar", None, "qux"]})
+    out = df.lazy().select(
+        pl.col("s").str.extract_many(["bar", "baz"]).alias("em"),
+        pl.col("s").str.find_many(["bar", "baz"]).alias("fm"),
+        pl.col("s").str.extract_many(["bar", "baz"]).list.len().alias("n"),
+    ).collect()
+    assert out["em"].to_list() == [["bar", "baz"], ["bar", "bar"], None, []]
+    assert out["fm"].to_list() == [[3, 7], [0, 3], None, []]
+    assert out["n"].to_list() == [2, 2, None, 0]
+    # per-row pattern columns keep the host path
+    df2 = pl.DataFrame({"s": ["ab cd", "xy"], "p": [["ab"], ["zz"]]})
+    o2 = df2.lazy().select(pl.col("s").str.extract_many(pl.col("p"))).collect()
+    assert o2["s"].to_list() == [["ab"], []]
