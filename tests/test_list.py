@@ -569,7 +569,8 @@ def test_str_extract_find_many_traced(monkeypatch):
     assert out["em"].to_list() == [["bar", "baz"], ["bar", "bar"], None, []]
     assert out["fm"].to_list() == [[3, 7], [0, 3], None, []]
     assert out["n"].to_list() == [2, 2, None, 0]
-    # per-row pattern columns keep the host path
+    # per-row pattern columns keep the host path (guard must be lifted)
+    monkeypatch.undo()
     df2 = pl.DataFrame({"s": ["ab cd", "xy"], "p": [["ab"], ["zz"]]})
     o2 = df2.lazy().select(pl.col("s").str.extract_many(pl.col("p"))).collect()
     assert o2["s"].to_list() == [["ab"], []]
