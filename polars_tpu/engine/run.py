@@ -916,6 +916,37 @@ def expr_dtype_of(e, schema):
     return expr_dtype(e, schema)
 
 
+def _struct_from_unique_fields(col: Column, field_names, field_vals_per_unique) -> Column:
+    """Struct column whose String fields are defined PER UNIQUE of ``col``'s
+    dictionary: each field is one device LUT gather over the codes — row
+    values never leave the device (r5; extract_groups/split_exact use this)."""
+    import jax.numpy as _jnp
+
+    from polars_tpu.utils import strtable as _st
+
+    n = len(col)
+    nu = max(len(col.table.values), 1)
+    codes = _jnp.clip(col.buffer.values.astype(_jnp.int32), 0, nu - 1)
+    children = []
+    for fname, uvals in zip(field_names, field_vals_per_unique):
+        arr = np.asarray(uvals if uvals else [None], object)
+        ucodes, uval, ftab = _st.encode_strings(arr)
+        fcodes = _jnp.asarray(ucodes.astype(np.int32))[codes]
+        fval = None if uval is None else _jnp.asarray(uval)[codes]
+        if col.buffer.validity is not None:
+            fval = (
+                col.buffer.validity if fval is None
+                else (fval & col.buffer.validity)
+            )
+        children.append(
+            Column(fname, dt.String(), Buffer(fcodes, fval, n), ftab)
+        )
+    fields_dt = dt.Struct([(c.name, dt.String()) for c in children])
+    base = Buffer.from_numpy(np.arange(n, dtype=np.int64), None)
+    ids = Buffer(base.values, col.buffer.validity, n)
+    return Column(col.name, fields_dt, ids, None, 0, children)
+
+
 def _exec_special_select(node: L.LSelect | L.LWithColumns) -> DataFrame:
     df = execute_plan(node.input)
     schema = df.schema
@@ -1759,6 +1790,17 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         pattern = e.opt("pattern", "")
         rx = _re.compile(translate_group_syntax(pattern))
         fields = group_field_names(pattern)
+        tbl = col.table
+        if tbl is not None and not getattr(tbl, "hashed", False):
+            # DICTIONARY path (r5): regex over the uniques (host, O(uniques)),
+            # fields become LUT gathers over the DEVICE codes — row values
+            # never leave the device
+            per_field: list[list] = [[] for _ in fields]
+            for u in tbl.values:
+                m = rx.search(u)
+                for i in range(len(fields)):
+                    per_field[i].append(None if m is None else m.group(i + 1))
+            return _struct_from_unique_fields(col, fields, per_field)
         vals = col.to_pylist()
         out = []
         for v in vals:
@@ -1778,13 +1820,26 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         # split_exact/splitn; crates/polars-ops src/chunked_array/strings/split.rs)
         col = _eval_special_expr(df, e.inputs[0], schema)
         by = e.opt("by", " ")
-        vals = col.to_pylist()
         if e.name == "str.split_exact":
             nf = int(e.opt("n", 0)) + 1
             inclusive = e.opt("inclusive", False)
         else:
             nf = max(int(e.opt("n", 1)), 1)
             inclusive = False
+        tbl = col.table
+        if tbl is not None and not getattr(tbl, "hashed", False):
+            # DICTIONARY path (r5): split the uniques once, LUT-gather fields
+            per_field: list[list] = [[] for _ in range(nf)]
+            for u in tbl.values:
+                parts = u.split(by, nf - 1)
+                if inclusive and len(parts) > 1:
+                    parts = [p + by for p in parts[:-1]] + [parts[-1]]
+                for i in range(nf):
+                    per_field[i].append(parts[i] if i < len(parts) else None)
+            return _struct_from_unique_fields(
+                col, [f"field_{i}" for i in range(nf)], per_field
+            ).rename(col.name)
+        vals = col.to_pylist()
         fields_vals = [[] for _ in range(nf)]
         validity = []
         for v in vals:

@@ -574,3 +574,39 @@ def test_str_extract_find_many_traced(monkeypatch):
     df2 = pl.DataFrame({"s": ["ab cd", "xy"], "p": [["ab"], ["zz"]]})
     o2 = df2.lazy().select(pl.col("s").str.extract_many(pl.col("p"))).collect()
     assert o2["s"].to_list() == [["ab"], []]
+
+
+def test_struct_splits_no_row_readback():
+    """round-5: extract_groups / split_exact / splitn compute per UNIQUE and
+    LUT-gather device codes — no row-value readback."""
+    from polars_tpu.core.column import Column
+
+    df = pl.DataFrame({"s": ["a-1", "b-2", None, "c"]})
+    calls = []
+    orig = Column.to_pylist
+
+    def spy(self):
+        calls.append(self.name)
+        return orig(self)
+
+    Column.to_pylist = spy
+    try:
+        out = df.lazy().select(
+            pl.col("s").str.extract_groups(r"(\w)-(\d)").alias("g"),
+            pl.col("s").str.split_exact("-", 1).alias("se"),
+            pl.col("s").str.splitn("-", 2).alias("sn"),
+        ).collect()
+        assert calls == [], f"row readbacks: {calls}"
+    finally:
+        Column.to_pylist = orig
+    assert out["g"].to_list() == [
+        {"1": "a", "2": "1"}, {"1": "b", "2": "2"}, None, {"1": None, "2": None}
+    ]
+    assert out["se"].to_list() == [
+        {"field_0": "a", "field_1": "1"}, {"field_0": "b", "field_1": "2"},
+        None, {"field_0": "c", "field_1": None},
+    ]
+    assert out["sn"].to_list() == out["se"].to_list()
+    o2 = df.lazy().select(
+        pl.col("s").str.split_exact("-", 1).struct.field("field_1")).collect()
+    assert o2["field_1"].to_list() == ["1", "2", None, None]
