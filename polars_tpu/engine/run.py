@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import os as _os
 from typing import Any
 
 import numpy as np
@@ -67,6 +68,12 @@ def _is_special_fn(s: E.ENode, schema) -> bool:
     if not isinstance(s, E.EFunction):
         return False
     if s.name in _SPECIAL_FNS:
+        return True
+    if s.name.startswith("list.") and _os.environ.get("POLARS_TPU_FORCE_HOST_LISTOPS"):
+        # test hook: must agree with executors._fn_conditionally_host's
+        # override for EVERY list op (incl. list.len, which is otherwise
+        # unconditionally traced) — a needs-host/not-special disagreement
+        # recurses forever between _eval_subexpr and the special select
         return True
     if s.name in _COND_FNS:
         from polars_tpu.engine.executors import _fn_conditionally_host
