@@ -1395,12 +1395,12 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         # fields (pl.field == pl.col there), then add/overwrite
         # (reference: py-polars expr/struct.py with_fields)
         import polars_tpu as pl
-        from polars_tpu.engine.gather import gather_column
+        from polars_tpu.engine.gather import gather_struct_field
 
         col = _eval_special_expr(df, e.inputs[0], schema)
-        ids, validity = col.buffer.to_numpy()
         n = len(col)
-        aligned = [gather_column(f, ids[:n]).rename(f.name) for f in (col.child or [])]
+        # device field alignment (r5): the id gather stays on device
+        aligned = [gather_struct_field(col, f) for f in (col.child or [])]
         fdf = DataFrame._from_columns(aligned, n)
         new_fields = {c.name: c for c in aligned}
         for sub_node in e.opt("exprs", ()):
@@ -1410,13 +1410,8 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         fields_dt = dt.Struct([(c.name, c.dtype) for c in kids])
         import numpy as _np
 
-        ids2 = Buffer.from_numpy(_np.arange(n, dtype=_np.int64), None)
-        if validity is not None:
-            from polars_tpu.core.buffer import pad_to, padded_size
-            import jax.numpy as _jnp
-
-            v = pad_to(_jnp.asarray(validity[:n]), padded_size(n))
-            ids2 = Buffer(ids2.values, v, n)
+        base = Buffer.from_numpy(_np.arange(n, dtype=_np.int64), None)
+        ids2 = Buffer(base.values, col.buffer.validity, n)
         return Column(col.name, fields_dt, ids2, None, 0, kids)
 
     if e.name == "struct.json_encode":
