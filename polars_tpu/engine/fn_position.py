@@ -592,6 +592,61 @@ def _rolling(kind: str, dtype_rule):
         vs = jnp.stack([c[0] for c in cols])
         ms = jnp.stack([c[1] for c in cols])
         cnt = jnp.sum(ms, axis=0)
+        wts = opts.get("weights")
+        if wts is not None:
+            # weighted rolling (reference: rolling_apply_weights,
+            # polars-compute/src/rolling/no_nulls/mod.rs:82 — stack index i
+            # maps to weights[i]; truncated start windows naturally use the
+            # weights tail). Nulls are unsupported, like the reference's
+            # nulls-path panic — flagged in-trace.
+            if len(wts) != w:
+                raise InvalidOperationError(
+                    f"rolling_{kind}: weights length {len(wts)} must equal "
+                    f"window_size {w}"
+                )
+            if v.validity is not None:
+                ctx.add_flag(
+                    jnp.any(ctx.rowmask & ~v.validity),
+                    f"rolling_{kind}: weights are not supported on columns "
+                    "with null values",
+                )
+            wvec = jnp.asarray([float(x) for x in wts], acc_t)[:, None]
+            vsw = vs * wvec
+            if kind == "sum":
+                out = jnp.sum(jnp.where(ms, vsw, 0.0), axis=0)
+            elif kind == "mean":
+                wsum = jnp.sum(
+                    jnp.where(ms, jnp.broadcast_to(wvec, ms.shape), 0.0), axis=0
+                )
+                out = div_any(
+                    jnp.sum(jnp.where(ms, vsw, 0.0), axis=0),
+                    jnp.where(wsum == 0.0, 1.0, wsum),
+                )
+            elif kind == "min":
+                out = jnp.min(jnp.where(ms, vsw, jnp.inf), axis=0)
+            elif kind == "max":
+                out = jnp.max(jnp.where(ms, vsw, -jnp.inf), axis=0)
+            elif kind in ("std", "var"):
+                # reference compute_var_weights: single pass, ddof IGNORED
+                wsum = jnp.sum(
+                    jnp.where(ms, jnp.broadcast_to(wvec, ms.shape), 0.0), axis=0
+                )
+                safe = jnp.where(wsum == 0.0, 1.0, wsum)
+                wssq = jnp.sum(jnp.where(ms, vs * vsw, 0.0), axis=0)
+                wmean = div_any(jnp.sum(jnp.where(ms, vsw, 0.0), axis=0), safe)
+                out = div_any(wssq, safe) - wmean * wmean
+                if kind == "std":
+                    out = jnp.sqrt(jnp.maximum(out, 0.0))
+            else:
+                raise InvalidOperationError(
+                    f"rolling_{kind} does not support weights"
+                )
+            ok = cnt >= min_samples
+            if order is not None:
+                out = jnp.zeros_like(out).at[perm].set(out)
+                ok = jnp.zeros(ok.shape, bool).at[perm].set(ok)
+            out_dt = dt.Float32() if acc_t == jnp.float32 else dt.Float64()
+            return Val(out, ok, out_dt, None, ROW)
         if kind == "sum":
             out = jnp.sum(jnp.where(ms, vs, 0.0), axis=0)
         elif kind == "mean":
@@ -1060,9 +1115,77 @@ def _rolling_order(kind: str):
         cnt = jnp.sum(mm, axis=0)
         big = jnp.inf
         masked = jnp.where(mm, vs, big)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        wts = opts.get("weights")
+        if wts is not None and kind in ("median", "quantile"):
+            # weighted quantile (reference compute_wq, no_nulls/quantile.rs:
+            # 194-235 — the Julia StatsBase definition): sort (value, weight)
+            # pairs, walk cumulative weight to h = p*(wsum - w_first) +
+            # w_first. median == quantile(0.5, linear).
+            if len(wts) != w:
+                raise InvalidOperationError(
+                    f"rolling_{kind}: weights length {len(wts)} must equal "
+                    f"window_size {w}"
+                )
+            wsum_h = float(sum(float(x) for x in wts))
+            if wsum_h == 0.0:
+                raise InvalidOperationError(
+                    "Weighted quantile is undefined if weights sum to 0"
+                )
+            if v.validity is not None:
+                ctx.add_flag(
+                    jnp.any(ctx.rowmask & ~v.validity),
+                    f"rolling_{kind}: weights are not supported on columns "
+                    "with null values",
+                )
+            q = 0.5 if kind == "median" else float(opts.get("quantile", 0.5))
+            method = (
+                "linear" if kind == "median"
+                else opts.get("interpolation", "nearest")
+            )
+            wvec = jnp.asarray([float(x) for x in wts], jnp.float64)[:, None]
+            wfull = jnp.where(mm, jnp.broadcast_to(wvec, mm.shape), 0.0)
+            order_idx = jnp.argsort(masked, axis=0)
+            sv = jnp.take_along_axis(masked, order_idx, axis=0)
+            sw = jnp.take_along_axis(wfull, order_idx, axis=0)
+            S = jnp.cumsum(sw, axis=0)
+            h = q * (wsum_h - sw[0]) + sw[0]
+            over = S > h[None, :]
+            K = jnp.where(
+                jnp.any(over, axis=0),
+                jnp.argmax(over, axis=0).astype(jnp.int32),
+                jnp.int32(w - 1),
+            )
+            vk = sv[K, rows]
+            km1 = jnp.maximum(K - 1, 0)
+            v_old = jnp.where(K > 0, sv[km1, rows], 0.0)
+            s_old = jnp.where(K > 0, S[km1, rows], 0.0)
+            s = S[K, rows]
+            if method == "lower":
+                out = v_old
+            elif method == "higher":
+                out = vk
+            elif method == "midpoint":
+                out = (vk + v_old) * 0.5
+            elif method == "linear":
+                denom = s - s_old
+                frac = jnp.where(denom > 0.0, (h - s_old) / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+                out = v_old + frac * (vk - v_old)
+            elif method == "equiprobable":
+                threshold = jnp.ceil(wsum_h * q) - 1.0
+                out = jnp.where(s > threshold, vk, v_old)
+            else:  # nearest
+                out = jnp.where((s - h) > (h - s_old), v_old, vk)
+            out = jnp.where(h == s_old, v_old, out)
+            ok = cnt >= min_samples
+            if order is not None:
+                out = jnp.zeros_like(out).at[perm].set(out)
+                ok = jnp.zeros(ok.shape, bool).at[perm].set(ok)
+            return Val(out, ok, dt.Float64(), None, ROW)
+        if wts is not None:
+            raise InvalidOperationError(f"rolling_{kind} does not support weights")
         svals = jnp.sort(masked, axis=0)
         k = jnp.maximum(cnt - 1, 0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         if kind == "median":
             lo_i = floordiv_const(jnp.maximum(cnt - 1, 0), 2)
             hi_i = floordiv_const(cnt, 2)

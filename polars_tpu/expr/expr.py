@@ -70,6 +70,14 @@ def parse_into_expr_list(
     return out
 
 
+def _weights_list(weights: Any) -> tuple | None:
+    """Normalize rolling weights to a hashable tuple of floats (they are part
+    of the jit cache key via the expr options)."""
+    if weights is None:
+        return None
+    return tuple(float(w) for w in weights)
+
+
 def _opts(**kwargs: Any) -> tuple[tuple[str, Any], ...]:
     return tuple(sorted(kwargs.items()))
 
@@ -627,22 +635,22 @@ class Expr:
         return self._fn("cumulative_eval", expr=expr._node, min_samples=min_samples)
 
     def rolling_sum(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_sum", window_size=window_size, min_samples=min_samples, center=center)
+        return self._fn("rolling_sum", window_size=window_size, min_samples=min_samples, center=center, weights=_weights_list(weights))
 
     def rolling_mean(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_mean", window_size=window_size, min_samples=min_samples, center=center)
+        return self._fn("rolling_mean", window_size=window_size, min_samples=min_samples, center=center, weights=_weights_list(weights))
 
     def rolling_min(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_min", window_size=window_size, min_samples=min_samples, center=center)
+        return self._fn("rolling_min", window_size=window_size, min_samples=min_samples, center=center, weights=_weights_list(weights))
 
     def rolling_max(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_max", window_size=window_size, min_samples=min_samples, center=center)
+        return self._fn("rolling_max", window_size=window_size, min_samples=min_samples, center=center, weights=_weights_list(weights))
 
-    def rolling_std(self, window_size: int, *, ddof: int = 1, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_std", window_size=window_size, ddof=ddof, min_samples=min_samples, center=center)
+    def rolling_std(self, window_size: int, *, weights: Any = None, ddof: int = 1, min_samples: int | None = None, center: bool = False) -> Expr:
+        return self._fn("rolling_std", window_size=window_size, ddof=ddof, min_samples=min_samples, center=center, weights=_weights_list(weights))
 
-    def rolling_var(self, window_size: int, *, ddof: int = 1, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_var", window_size=window_size, ddof=ddof, min_samples=min_samples, center=center)
+    def rolling_var(self, window_size: int, *, weights: Any = None, ddof: int = 1, min_samples: int | None = None, center: bool = False) -> Expr:
+        return self._fn("rolling_var", window_size=window_size, ddof=ddof, min_samples=min_samples, center=center, weights=_weights_list(weights))
 
     def ewm_mean(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False) -> Expr:
         return self._fn("ewm_mean", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
@@ -749,7 +757,7 @@ class Expr:
         return self._fn("peak_max")
 
     def rolling_median(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_median", window_size=window_size, min_samples=min_samples)
+        return self._fn("rolling_median", window_size=window_size, min_samples=min_samples, weights=_weights_list(weights))
 
     def _rolling_by(self, kind: str, by: Any, window_size: str, min_samples: int, closed: str, ddof: int = 1) -> Expr:
         by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
@@ -777,7 +785,7 @@ class Expr:
         return self._rolling_by("var", by, window_size, min_samples, closed, ddof)
 
     def rolling_quantile(self, quantile: float, interpolation: str = "nearest", window_size: int = 2, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_quantile", window_size=window_size, quantile=quantile, interpolation=interpolation, min_samples=min_samples)
+        return self._fn("rolling_quantile", window_size=window_size, quantile=quantile, interpolation=interpolation, min_samples=min_samples, weights=_weights_list(weights))
 
     def rolling_rank(self, window_size: int, *, method: str = "average", descending: bool = False, seed: int | None = None, min_samples: int | None = None) -> Expr:
         return self._fn("rolling_rank", window_size=window_size, method=method, min_samples=min_samples)

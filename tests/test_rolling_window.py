@@ -2,6 +2,8 @@
 
 import datetime as dtm
 
+import pytest
+
 import polars_tpu as pl
 
 
@@ -166,3 +168,67 @@ def test_rolling_by_closed_variants_oracle():
         exp = pd.Series(v, index=pd.DatetimeIndex(t)).rolling("5s", closed=pd_closed, min_periods=1).sum()
         got = np.array([np.nan if x is None else x for x in out])
         assert np.allclose(got, exp.to_numpy(), equal_nan=True, rtol=1e-9), closed
+
+
+def test_weighted_rolling_matches_reference_formulas():
+    """round-5: weights were previously ACCEPTED AND IGNORED. Semantics now
+    follow the reference: sum = dot(v, w); mean = dot/sum(w); min/max over
+    v*w; var/std single-pass weighted (ddof ignored); quantile/median via
+    compute_wq (no_nulls/quantile.rs:194 — Julia StatsBase definition).
+    Truncated start windows align to the weights TAIL."""
+    x = [3.0, 1.0, 4.0, 1.5, 9.0, 2.0]
+    w = [0.5, 1.0, 2.0]
+    df = pl.DataFrame({"x": x})
+    out = df.lazy().select(
+        pl.col("x").rolling_sum(3, weights=w, min_samples=1).alias("ws"),
+        pl.col("x").rolling_mean(3, weights=w, min_samples=1).alias("wm"),
+        pl.col("x").rolling_min(3, weights=w).alias("wmin"),
+        pl.col("x").rolling_max(3, weights=w).alias("wmax"),
+        pl.col("x").rolling_var(3, weights=w).alias("wv"),
+        pl.col("x").rolling_median(3, weights=w).alias("wmed"),
+        pl.col("x").rolling_quantile(0.4, "linear", 3, weights=w).alias("wq"),
+    ).collect()
+
+    def win(i, n=3):
+        lo = max(i - n + 1, 0)
+        vals = x[lo:i + 1]
+        return vals, w[len(w) - len(vals):]
+
+    def wq_oracle(vals, wts, p):
+        buf = sorted(zip(vals, wts))
+        wsum = sum(w)
+        s = s_old = 0.0
+        vk = v_old = 0.0
+        h = p * (wsum - buf[0][1]) + buf[0][1]
+        for v_, w_ in buf:
+            if s > h:
+                break
+            s_old, v_old, vk = s, vk, v_
+            s += w_
+        if h == s_old:
+            return v_old
+        return v_old + (h - s_old) / (s - s_old) * (vk - v_old)
+
+    for i in range(len(x)):
+        vals, wts = win(i)
+        assert out["wm"].to_list()[i] == pytest.approx(
+            sum(a * b for a, b in zip(vals, wts)) / sum(wts))
+        if i >= 2:
+            assert out["ws"].to_list()[i] == pytest.approx(
+                sum(a * b for a, b in zip(vals, wts)))
+            assert out["wmin"].to_list()[i] == pytest.approx(
+                min(a * b for a, b in zip(vals, wts)))
+            assert out["wmax"].to_list()[i] == pytest.approx(
+                max(a * b for a, b in zip(vals, wts)))
+            wtot = sum(wts)
+            mean = sum(a * b for a, b in zip(vals, wts)) / wtot
+            var = sum(a * a * b for a, b in zip(vals, wts)) / wtot - mean * mean
+            assert out["wv"].to_list()[i] == pytest.approx(var)
+            assert out["wmed"].to_list()[i] == pytest.approx(
+                wq_oracle(vals, wts, 0.5))
+            assert out["wq"].to_list()[i] == pytest.approx(
+                wq_oracle(vals, wts, 0.4))
+    # nulls + weights: loud error, like the reference's nulls-path panic
+    dfn = pl.DataFrame({"x": [1.0, None, 3.0]})
+    with pytest.raises(Exception, match="null"):
+        dfn.lazy().select(pl.col("x").rolling_sum(2, weights=[1.0, 2.0])).collect()
