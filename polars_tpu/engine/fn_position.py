@@ -792,34 +792,110 @@ def _lin_scan(contrib, factor):
     return y
 
 
-@register("ewm_mean", FLOAT, elementwise=False)
-def _ewm_mean(ctx, args, opts):
+def _ewm_impl(ctx, args, opts, want):
+    """EWM mean/var as the reference's EXACT state recurrences
+    (polars-compute/src/ewm/{mean,cov}.rs) vectorized into linear scans:
+    every update is y' = f_t*y + b_t with position-dependent coefficients,
+    so the whole column is one associative scan per state variable. For
+    adjust=False the weight resets to 1 and weight_sum renormalizes by
+    new_weight each valid step — NOT a fixed-weights model (the pandas
+    adjust=False identity breaks across null gaps)."""
     v = _row_domain(ctx, args[0])
-    a = _ewm_alpha(opts, "ewm_mean")
-    adjust = opts.get("adjust", True)
+    a = _ewm_alpha(opts, f"ewm_{want}")
+    adjust = bool(opts.get("adjust", True))
+    bias = bool(opts.get("bias", False))
+    ignore_nulls = bool(opts.get("ignore_nulls", False))
+    minp = max(int(opts.get("min_samples", 1) or 1), 1)
+    ow = 1.0 if adjust else a
 
     def fn(vals, valid, seg, mask):
         x = vals.astype(jnp.float64)
         valid_arr = mask if valid is None else (valid & mask)
         bnd = _seg_boundary(seg)
+        cnt = _segmented_scan(valid_arr.astype(jnp.int32), seg, "sum")
+        first = valid_arr & (cnt == 1)
+        upd = valid_arr & ~first
+        # a position decays the running weights when it holds a value, or
+        # unconditionally unless ignore_nulls (mean.rs:67) — but never the
+        # INITIALIZING position (the init branch skips the decay)
+        dec_pos = (valid_arr if ignore_nulls else mask) & ~first
+        dec = jnp.where(dec_pos, 1.0 - a, 1.0)
+        xc = jnp.where(valid_arr, x, 0.0)
+
+        def scan(bias_t, factor_t):
+            return _lin_scan(bias_t, jnp.where(bnd, 0.0, factor_t))
+
+        # raw weight accumulator: += ow per valid (adjust) / reset to 1
+        # (not adjust); decays at dec positions. Seeded with 1 at the first.
         if adjust:
-            # y_t = sum_{i<=t} (1-a)^(t-i) x_i / sum (1-a)^(t-i) over valid
-            decay = jnp.where(valid_arr, 1.0 - a, 1.0)
-            decay = jnp.where(bnd, 0.0, decay)  # reset per segment
-            num = _lin_scan(jnp.where(valid_arr, x, 0.0), decay)
-            wsum = _lin_scan(valid_arr.astype(jnp.float64), decay)
+            w_acc = scan(
+                jnp.where(first, 1.0, jnp.where(upd, ow, 0.0)), dec
+            )
         else:
-            factor = jnp.where(valid_arr, 1.0 - a, 1.0)
-            factor = jnp.where(bnd, 0.0, factor)
-            num = _lin_scan(jnp.where(valid_arr, a * x, 0.0), factor)
-            # first valid value seeds with full weight: renormalize
-            wsum = _lin_scan(jnp.where(valid_arr, a, 0.0), factor)
-        out = div_any(num, jnp.maximum(wsum, 1e-300))
-        ok = (wsum > 0) & (valid_arr if valid is not None else jnp.ones_like(wsum, bool))
+            w_acc = scan(
+                jnp.where(valid_arr, 1.0, 0.0),
+                jnp.where(valid_arr, 0.0, dec),
+            )
+        w_prev = jnp.where(bnd, 0.0, jnp.roll(w_acc, 1))
+        w_pre = jnp.where(upd, w_prev * (1.0 - a), 0.0)
+        nw = w_pre + ow
+        c = jnp.where(valid_arr, div_any(jnp.full_like(nw, ow), nw), 0.0)
+        c = jnp.where(first, 1.0, c)
+        mean = scan(
+            jnp.where(valid_arr, c * xc, 0.0),
+            jnp.where(valid_arr, 1.0 - c, 1.0),
+        )
+        ok = valid_arr & (cnt >= minp)
+        if want == "mean":
+            return mean, ok
+        # previous valid position's mean (forward-fill shifted by one)
+        ff = scan(
+            jnp.where(valid_arr, mean, 0.0), jnp.where(valid_arr, 0.0, 1.0)
+        )
+        ffprev = jnp.where(bnd, 0.0, jnp.roll(ff, 1))
+        delta = xc - ffprev
+        cov_bias = jnp.where(
+            upd,
+            div_any((w_pre * c * c + ow * (1.0 - c) * (1.0 - c)) * delta * delta, nw),
+            0.0,
+        )
+        cov_factor = jnp.where(upd, div_any(w_pre, nw), 1.0)
+        cov_factor = jnp.where(first, 0.0, cov_factor)
+        cov = scan(cov_bias, cov_factor)
+        out = jnp.maximum(cov, 0.0)
+        if not bias:
+            # weight_sum / weight_square_sum recurrences (cov.rs:74-107):
+            # decay per dec position, += ow at valid, and for adjust=False a
+            # division by new_weight (new_weight^2) after each valid update
+            nwdiv = jnp.where(upd & ~jnp.bool_(adjust), nw, 1.0)
+            ws_bias = jnp.where(first, 1.0, jnp.where(upd, div_any(jnp.full_like(nwdiv, ow), nwdiv), 0.0))
+            ws_factor = jnp.where(upd, div_any(dec, nwdiv), dec)
+            ws_factor = jnp.where(first, 0.0, ws_factor)
+            W = scan(ws_bias, ws_factor)
+            w2_bias = jnp.where(
+                first, 1.0,
+                jnp.where(upd, div_any(jnp.full_like(nwdiv, ow * ow), nwdiv * nwdiv), 0.0),
+            )
+            w2_factor = jnp.where(upd, div_any(dec * dec, nwdiv * nwdiv), dec * dec)
+            w2_factor = jnp.where(first, 0.0, w2_factor)
+            W2 = scan(w2_bias, w2_factor)
+            numer = W * W
+            denom = numer - W2
+            out = jnp.where(
+                denom > 0.0, div_any(numer, jnp.maximum(denom, 1e-300)) * out, 0.0
+            )
+            ok = ok & (denom > 0.0)
         return out, ok
 
-    res = _apply_in_group_order(ctx, v.with_(values=v.values.astype(jnp.float64), dtype=dt.Float64()), fn)
+    res = _apply_in_group_order(
+        ctx, v.with_(values=v.values.astype(jnp.float64), dtype=dt.Float64()), fn
+    )
     return Val(res.values, res.validity, dt.Float64(), None, ROW)
+
+
+@register("ewm_mean", FLOAT, elementwise=False)
+def _ewm_mean(ctx, args, opts):
+    return _ewm_impl(ctx, args, opts, "mean")
 
 
 @register("arg_sort_by", lambda dts, opts: dt.UInt32(), elementwise=False)
@@ -1236,19 +1312,13 @@ _rolling_order("rank")
 
 @register("ewm_std", FLOAT, elementwise=False)
 def _ewm_std(ctx, args, opts):
-    var = _ewm_var(ctx, args, opts)
+    var = _ewm_impl(ctx, args, opts, "var")
     return var.with_(values=jnp.sqrt(var.values))
 
 
 @register("ewm_var", FLOAT, elementwise=False)
 def _ewm_var(ctx, args, opts):
-    # EWM variance via EWM of x and x^2 with the same weights
-    v = _row_domain(ctx, args[0])
-    m1 = _ewm_mean(ctx, [v], opts)
-    v2 = v.with_(values=v.values.astype(jnp.float64) ** 2, dtype=dt.Float64())
-    m2 = _ewm_mean(ctx, [v2], opts)
-    out = jnp.maximum(m2.values - m1.values**2, 0.0)
-    return Val(out, m1.validity, dt.Float64(), None, ROW)
+    return _ewm_impl(ctx, args, opts, "var")
 
 
 @register("arg_unique", dt.UInt32(), elementwise=False)

@@ -653,7 +653,7 @@ class Expr:
         return self._fn("rolling_var", window_size=window_size, ddof=ddof, min_samples=min_samples, center=center, weights=_weights_list(weights))
 
     def ewm_mean(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False) -> Expr:
-        return self._fn("ewm_mean", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
+        return self._fn("ewm_mean", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls, min_samples=min_samples)
 
     def ewm_sum(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, min_samples: int = 1, ignore_nulls: bool = False) -> Expr:
         return self._fn("ewm_sum", com=com, span=span, half_life=half_life, alpha=alpha, min_samples=min_samples, ignore_nulls=ignore_nulls)
@@ -797,10 +797,10 @@ class Expr:
         return self._fn("rolling_kurtosis", window_size=window_size, fisher=fisher, bias=bias, min_samples=min_samples, center=center)
 
     def ewm_std(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False, bias: bool = False) -> Expr:
-        return self._fn("ewm_std", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
+        return self._fn("ewm_std", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls, min_samples=min_samples, bias=bias)
 
     def ewm_var(self, *, com: float | None = None, span: float | None = None, half_life: float | None = None, alpha: float | None = None, adjust: bool = True, min_samples: int = 1, ignore_nulls: bool = False, bias: bool = False) -> Expr:
-        return self._fn("ewm_var", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls)
+        return self._fn("ewm_var", com=com, span=span, half_life=half_life, alpha=alpha, adjust=adjust, ignore_nulls=ignore_nulls, min_samples=min_samples, bias=bias)
 
     def cut(self, breaks: Any, *, labels: Any = None, left_closed: bool = False, include_breaks: bool = False) -> Expr:
         cat = self._fn("cut", breaks=tuple(breaks), labels=tuple(labels) if labels is not None else None, left_closed=left_closed)

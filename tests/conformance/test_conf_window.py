@@ -231,3 +231,92 @@ def test_peak_max_reference_semantics():
     assert df.select(
         pl.col("x").peak_max().over("g")
     ).to_series().to_list() == [False, True, False, True, False]
+
+
+def _ref_ewm(vals, alpha, adjust, min_periods, ignore_nulls, want, bias=False):
+    """Direct python port of the reference EWM state machines
+    (polars-compute/src/ewm/{mean,cov}.rs)."""
+    ow = 1.0 if adjust else alpha
+    mean = 0.0
+    weight = 0.0
+    cov = 0.0
+    ws = 0.0
+    w2 = 0.0
+    nn = 0
+    out = []
+    for v in vals:
+        if nn == 0 and v is not None:
+            nn = 1
+            mean = v
+            weight = 1.0
+            ws = 1.0
+            w2 = 1.0
+        else:
+            if v is not None or not ignore_nulls:
+                ws *= 1 - alpha
+                w2 *= (1 - alpha) ** 2
+                weight *= 1 - alpha
+            if v is not None:
+                nn += 1
+                nw = weight + ow
+                c = ow / nw
+                newm = mean + (v - mean) * c
+                cov = (weight * (cov + (mean - newm) ** 2) + ow * (v - newm) ** 2) / nw
+                mean = newm
+                weight = nw
+                ws += ow
+                w2 += ow * ow
+                if not adjust:
+                    ws /= nw
+                    w2 /= nw * nw
+                    weight = 1.0
+        if v is None or nn < min_periods:
+            out.append(None)
+        elif want == "mean":
+            out.append(mean)
+        elif bias:
+            out.append(cov)
+        else:
+            numer = ws * ws
+            denom = numer - w2
+            out.append(numer / denom * cov if denom > 0 else None)
+    return out
+
+
+def test_ewm_exact_reference_recurrences():
+    """round-5: ewm_mean/var/std previously dropped min_samples and bias and
+    always behaved as ignore_nulls=True. Now every (adjust, ignore_nulls,
+    min_samples, bias) combination matches the reference state machine."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=40)
+    null_at = rng.random(40) < 0.25
+    vals = [None if m else float(v) for v, m in zip(x, null_at)]
+    df = pl.DataFrame({"x": vals})
+    for adjust in (True, False):
+        for ignore_nulls in (True, False):
+            for minp in (1, 3):
+                got = df.lazy().select(pl.col("x").ewm_mean(
+                    alpha=0.3, adjust=adjust, ignore_nulls=ignore_nulls,
+                    min_samples=minp)).collect()["x"].to_list()
+                ref = _ref_ewm(vals, 0.3, adjust, minp, ignore_nulls, "mean")
+                label = f"mean adj={adjust} ign={ignore_nulls} minp={minp}"
+                for g, e in zip(got, ref):
+                    assert (g is None) == (e is None), label
+                    if g is not None:
+                        assert abs(g - e) < 1e-10, label
+                for bias in (True, False):
+                    gv = df.lazy().select(pl.col("x").ewm_var(
+                        alpha=0.3, adjust=adjust, ignore_nulls=ignore_nulls,
+                        min_samples=minp, bias=bias)).collect()["x"].to_list()
+                    gs = df.lazy().select(pl.col("x").ewm_std(
+                        alpha=0.3, adjust=adjust, ignore_nulls=ignore_nulls,
+                        min_samples=minp, bias=bias)).collect()["x"].to_list()
+                    rv = _ref_ewm(vals, 0.3, adjust, minp, ignore_nulls, "var", bias)
+                    label = f"var adj={adjust} ign={ignore_nulls} minp={minp} bias={bias}"
+                    for g, s_, e in zip(gv, gs, rv):
+                        assert (g is None) == (e is None), label
+                        if g is not None:
+                            assert abs(g - e) < 1e-8, label
+                            assert abs(s_ - e ** 0.5) < 1e-8, label
