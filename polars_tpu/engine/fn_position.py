@@ -1165,6 +1165,7 @@ def _rolling_order(kind: str):
         v = _row_domain(ctx, args[0])
         w = opts["window_size"]
         min_samples = opts.get("min_samples") or w
+        offs = (w - 1) // 2 if opts.get("center", False) else 0
         n = v.values.shape[0]
         valid = ctx.rowmask if v.validity is None else (ctx.rowmask & v.validity)
         vals = v.values
@@ -1178,7 +1179,7 @@ def _rolling_order(kind: str):
         cols = []
         ms = []
         for i in range(w):
-            sh = i - (w - 1)
+            sh = i - (w - 1) + offs
             cols.append(jnp.roll(acc, -sh))
             iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
             inb = iota >= -sh if sh <= 0 else iota < n - sh
@@ -1290,12 +1291,48 @@ def _rolling_order(kind: str):
             else:  # nearest
                 out = svals[jnp.clip(jnp.round(posf).astype(jnp.int32), 0, w - 1), rows]
         elif kind == "rank":
-            # rank of the CURRENT value within its trailing window (1-based,
-            # method="average" over ties, matching polars rolling_rank default)
+            # rank of the CURRENT value within its trailing window (1-based;
+            # reference: polars-compute/src/rolling/rank.rs). ``descending``
+            # flips the comparison; method="random" (seeded tie shuffles)
+            # stays unsupported — loudly.
+            method = opts.get("method", "average")
+            desc = bool(opts.get("descending", False))
             cur = acc
-            less = jnp.sum(jnp.where(mm, (vs < cur[None, :]), False), axis=0)
+            cmp_less = (vs > cur[None, :]) if desc else (vs < cur[None, :])
+            less = jnp.sum(jnp.where(mm, cmp_less, False), axis=0)
             eq = jnp.sum(jnp.where(mm, (vs == cur[None, :]), False), axis=0)
-            out = less.astype(jnp.float64) + (eq.astype(jnp.float64) + 1.0) * 0.5
+            lf = less.astype(jnp.float64)
+            ef = eq.astype(jnp.float64)
+            if method == "average":
+                out = lf + (ef + 1.0) * 0.5
+            elif method == "min":
+                out = lf + 1.0
+            elif method == "max":
+                out = lf + ef
+            elif method == "ordinal":
+                # ties broken by window position: count equals at EARLIER
+                # positions (stack indices before the current row's w-1 slot)
+                eq_before = jnp.sum(
+                    jnp.where(mm[: w - 1], (vs[: w - 1] == cur[None, :]), False),
+                    axis=0,
+                )
+                out = lf + eq_before.astype(jnp.float64) + 1.0
+            elif method == "dense":
+                # distinct values below cur + 1: run heads among the sorted
+                # window that compare below
+                sw = jnp.sort(jnp.where(mm, vs, jnp.inf), axis=0)
+                rh = jnp.concatenate(
+                    [jnp.ones((1, n), bool), sw[1:] != sw[:-1]], axis=0
+                )
+                below = (sw > cur[None, :]) if desc else (sw < cur[None, :])
+                finite = jnp.isfinite(sw)
+                out = jnp.sum(
+                    jnp.where(rh & below & finite, 1.0, 0.0), axis=0
+                ) + 1.0
+            else:
+                raise InvalidOperationError(
+                    f"rolling_rank method {method!r} is not supported"
+                )
         ok = cnt >= min_samples
         if order is not None:
             out = jnp.zeros_like(out).at[perm].set(out)

@@ -757,7 +757,7 @@ class Expr:
         return self._fn("peak_max")
 
     def rolling_median(self, window_size: int, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_median", window_size=window_size, min_samples=min_samples, weights=_weights_list(weights))
+        return self._fn("rolling_median", window_size=window_size, min_samples=min_samples, weights=_weights_list(weights), center=center)
 
     def _rolling_by(self, kind: str, by: Any, window_size: str, min_samples: int, closed: str, ddof: int = 1) -> Expr:
         by_e = by if isinstance(by, Expr) else Expr(parse_into_expr(by))
@@ -785,10 +785,10 @@ class Expr:
         return self._rolling_by("var", by, window_size, min_samples, closed, ddof)
 
     def rolling_quantile(self, quantile: float, interpolation: str = "nearest", window_size: int = 2, *, weights: Any = None, min_samples: int | None = None, center: bool = False) -> Expr:
-        return self._fn("rolling_quantile", window_size=window_size, quantile=quantile, interpolation=interpolation, min_samples=min_samples, weights=_weights_list(weights))
+        return self._fn("rolling_quantile", window_size=window_size, quantile=quantile, interpolation=interpolation, min_samples=min_samples, weights=_weights_list(weights), center=center)
 
     def rolling_rank(self, window_size: int, *, method: str = "average", descending: bool = False, seed: int | None = None, min_samples: int | None = None) -> Expr:
-        return self._fn("rolling_rank", window_size=window_size, method=method, min_samples=min_samples)
+        return self._fn("rolling_rank", window_size=window_size, method=method, min_samples=min_samples, descending=descending, seed=seed)
 
     def rolling_skew(self, window_size: int, *, bias: bool = True, min_samples: int | None = None, center: bool = False) -> Expr:
         return self._fn("rolling_skew", window_size=window_size, bias=bias, min_samples=min_samples, center=center)
@@ -974,7 +974,16 @@ class Expr:
     # -- misc -----------------------------------------------------------------------------------------
 
     def hash(self, seed: int = 0, *more_seeds: int) -> Expr:
-        return self._fn("hash", seed=seed)
+        # fold the k1/k2/k3 seeds into one 64-bit mix (this engine's hash
+        # values are engine-specific anyway; the reference feeds all four
+        # seeds to xxhash — what matters is that DIFFERENT seeds produce
+        # DIFFERENT hashes, which a fold preserves)
+        s = seed & 0xFFFFFFFFFFFFFFFF
+        for i, m in enumerate(more_seeds):
+            s ^= (int(m) * (0x9E3779B97F4A7C15 + 2 * i + 1)) & 0xFFFFFFFFFFFFFFFF
+        if s >= 1 << 63:  # signed two's-complement form (CLAUDE.md: uint64-
+            s -= 1 << 64  # domain constants overflow JAX weak-int parsing)
+        return self._fn("hash", seed=s)
 
     @staticmethod
     def _replace_pairs(old: Any, new: Any) -> tuple[tuple, tuple]:

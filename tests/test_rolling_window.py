@@ -232,3 +232,37 @@ def test_weighted_rolling_matches_reference_formulas():
     dfn = pl.DataFrame({"x": [1.0, None, 3.0]})
     with pytest.raises(Exception, match="null"):
         dfn.lazy().select(pl.col("x").rolling_sum(2, weights=[1.0, 2.0])).collect()
+
+
+def test_rolling_rank_methods_and_center_quantile():
+    """round-5: rolling_rank method/descending were dropped (always average);
+    rolling_median/quantile ignored center."""
+    x = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    df = pl.DataFrame({"x": x})
+    out = df.lazy().select(
+        pl.col("x").rolling_median(3, min_samples=1, center=True).alias("cm"),
+        pl.col("x").rolling_rank(3, method="min", min_samples=1).alias("rmin"),
+        pl.col("x").rolling_rank(3, method="max", min_samples=1).alias("rmax"),
+        pl.col("x").rolling_rank(3, method="ordinal", min_samples=1).alias("rord"),
+        pl.col("x").rolling_rank(3, method="dense", min_samples=1).alias("rd"),
+        pl.col("x").rolling_rank(3, descending=True, min_samples=1).alias("rdesc"),
+    ).collect()
+    # centered windows: [3,1] [3,1,4] [1,4,1] [4,1,5] [1,5,9] [5,9]
+    assert out["cm"].to_list() == [2.0, 3.0, 1.0, 4.0, 5.0, 7.0]
+    # i=3 window [4,1,1]: cur=1 -> less=0, eq=2
+    assert out["rmin"].to_list()[3] == 1.0
+    assert out["rmax"].to_list()[3] == 2.0
+    assert out["rord"].to_list()[3] == 2.0
+    assert out["rd"].to_list()[3] == 1.0
+    assert out["rdesc"].to_list()[5] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="random"):
+        df.lazy().select(pl.col("x").rolling_rank(3, method="random")).collect()
+
+
+def test_hash_more_seeds_change_output():
+    df = pl.DataFrame({"x": [3.0, 1.0, 4.0]})
+    h1 = df.select(pl.col("x").hash(1))["x"].to_list()
+    h2 = df.select(pl.col("x").hash(1, 2, 3, 4))["x"].to_list()
+    assert h1 != h2 and len(set(h1)) == 3
