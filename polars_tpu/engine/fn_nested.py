@@ -197,6 +197,14 @@ def _list_get(ctx, args, opts):
     index = int(opts.get("index", 0))
     i = jnp.where(index >= 0, jnp.int32(index), lens + index)
     in_range = (i >= 0) & (i < lens)
+    if not opts.get("null_on_oob", True):
+        pm = ctx.rowmask
+        if v.validity is not None:
+            pm = pm & v.validity
+        ctx.add_flag(
+            jnp.any(pm & ~in_range),
+            f"get index {index} is out of bounds",
+        )
     idx = jnp.clip(starts + i, 0, ch.values.shape[0] - 1)
     out = ch.values[idx]
     validity = in_range & ok[idx]

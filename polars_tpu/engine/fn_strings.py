@@ -53,13 +53,33 @@ def _str_map(v: Val, fn) -> Val:
     return map_over_table(v, lambda u: np.asarray([fn(x) for x in u] or [""], object), out_is_string=True)
 
 
+def _compile_or_null(ctx, v, pat, opts, out_dtype):
+    """re.compile honoring ``strict``: an invalid pattern raises when strict
+    (reference behavior), else the whole output is null."""
+    try:
+        return re.compile(pat), None
+    except re.error as exc:
+        if opts.get("strict", True):
+            from polars_tpu.errors import ComputeError
+
+            raise ComputeError(f"invalid regex pattern {pat!r}: {exc}") from None
+        n = v.values.shape[0]
+        return None, Val(
+            jnp.zeros((n,), jnp.dtype(dt.dtype_to_numpy(out_dtype))
+                      if not isinstance(out_dtype, dt.Boolean) else bool),
+            jnp.zeros((n,), bool), out_dtype, None, v.domain,
+        )
+
+
 @register("str.contains", BOOL)
 def _contains(ctx, args, opts):
     v = _require_str(args[0])
     pat, literal = opts["pattern"], opts.get("literal", False)
     if literal:
         return _lut_op(v, lambda s: pat in s, dt.Boolean())
-    rx = re.compile(pat)
+    rx, bail = _compile_or_null(ctx, v, pat, opts, dt.Boolean())
+    if bail is not None:
+        return bail
     return _lut_op(v, lambda s: rx.search(s) is not None, dt.Boolean())
 
 
@@ -230,7 +250,9 @@ def _find(ctx, args, opts):
     pat, literal = opts["pattern"], opts.get("literal", False)
     if literal:
         return _lut_op(v, lambda s: (s.find(pat) if s.find(pat) >= 0 else None), dt.UInt32(), with_validity=True)
-    rx = re.compile(pat)
+    rx, bail = _compile_or_null(ctx, v, pat, opts, dt.UInt32())
+    if bail is not None:
+        return bail
 
     def f(s):
         m = rx.search(s)
@@ -349,21 +371,57 @@ def _strict_parse_flag(ctx, v, out, opts, what):
     return out
 
 
+_FMT_RX = {
+    "%Y": r"\d{4}", "%y": r"\d{2}", "%m": r"\d{1,2}", "%d": r"\d{1,2}",
+    "%H": r"\d{1,2}", "%M": r"\d{1,2}", "%S": r"\d{1,2}", "%j": r"\d{1,3}",
+    "%f": r"\d+", "%b": r"[A-Za-z]{3}", "%B": r"[A-Za-z]+",
+    "%a": r"[A-Za-z]{3}", "%A": r"[A-Za-z]+", "%p": r"[APap][Mm]",
+    "%%": r"%",
+}
+
+
+def _fmt_search_regex(fmt: str):
+    """chrono-style non-exact parsing: a regex matching the format's shape,
+    used to locate the date substring (reference: strptime exact=false
+    searches within the string)."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            spec = fmt[i:i + 2]
+            out.append(_FMT_RX.get(spec, re.escape(spec[1])))
+            i += 2
+        else:
+            out.append(re.escape(fmt[i]))
+            i += 1
+    return re.compile("".join(out))
+
+
 @register("str.to_date", dt.Date())
 def _to_date(ctx, args, opts):
     v = _require_str(args[0])
     fmt = opts.get("format")
+    exact = opts.get("exact", True)
+    srx = None
+    if not exact:
+        srx = _fmt_search_regex(fmt) if fmt is not None else re.compile(r"\d{4}-\d{2}-\d{2}")
 
     def f(s):
         try:
+            s = str(s)
+            if srx is not None:
+                m = srx.search(s)
+                if m is None:
+                    return None
+                s = m.group(0)
             if fmt is None:
-                d64 = np.datetime64(str(s), "D")
+                d64 = np.datetime64(s, "D")
                 if np.isnat(d64):  # "" parses to NaT without raising
                     return None
                 return int(d64.astype(np.int64))
             import datetime as _dt
 
-            return (_dt.datetime.strptime(str(s), fmt).date() - _dt.date(1970, 1, 1)).days
+            return (_dt.datetime.strptime(s, fmt).date() - _dt.date(1970, 1, 1)).days
         except (ValueError, TypeError):
             return None
 
@@ -377,17 +435,28 @@ def _to_datetime(ctx, args, opts):
     fmt = opts.get("format")
     tu = opts.get("time_unit", "us")
     mult = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[tu]
+    srx = None
+    if not opts.get("exact", True):
+        srx = _fmt_search_regex(fmt) if fmt is not None else re.compile(
+            r"\d{4}-\d{2}-\d{2}[T ]?(\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?"
+        )
 
     def f(s):
         try:
+            s = str(s)
+            if srx is not None:
+                m = srx.search(s)
+                if m is None:
+                    return None
+                s = m.group(0)
             if fmt is None:
-                d64 = np.datetime64(str(s), tu)
+                d64 = np.datetime64(s, tu)
                 if np.isnat(d64):
                     return None
                 return int(d64.astype(np.int64))
             import datetime as _dt
 
-            d = _dt.datetime.strptime(str(s), fmt).replace(tzinfo=_dt.timezone.utc)
+            d = _dt.datetime.strptime(s, fmt).replace(tzinfo=_dt.timezone.utc)
             # exact integer path (float .timestamp() drops the microsecond
             # far from the epoch — see core/column._to_epoch_ts)
             delta = d - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
@@ -486,15 +555,38 @@ def _encode(ctx, args, opts):
 @register("str.decode", dt.Binary())
 def _decode(ctx, args, opts):
     # reference returns Binary (py-polars expr/string.py decode) — raw bytes,
-    # not re-interpreted UTF-8
+    # not re-interpreted UTF-8. strict raises on invalid input; non-strict
+    # nulls it (reference: chunked_array/strings/decode.rs).
     v = _require_str(args[0])
     enc = opts["encoding"]
+    strict = opts.get("strict", True)
+
+    def wrap(f):
+        def g(s):
+            try:
+                return f(s)
+            except Exception:
+                if strict:
+                    from polars_tpu.errors import ComputeError
+
+                    raise ComputeError(
+                        f"invalid value while {enc}-decoding {s!r}"
+                    ) from None
+                return None
+
+        return g
+
     if enc == "base64":
         import base64
 
-        return _table_transform(v, lambda s: base64.b64decode(s), dt.Binary())
+        return _table_transform(
+            v, wrap(lambda s: base64.b64decode(s, validate=True)), dt.Binary(),
+            with_validity=not strict,
+        )
     if enc == "hex":
-        return _table_transform(v, lambda s: bytes.fromhex(s), dt.Binary())
+        return _table_transform(
+            v, wrap(bytes.fromhex), dt.Binary(), with_validity=not strict
+        )
     raise InvalidOperationError(f"unknown encoding {enc!r}")
 
 
@@ -686,15 +778,21 @@ def _bin_size(ctx, args, opts):
     return _lut_op(v, lambda s: len(_as_bytes(s)), dt.UInt32())
 
 
-def _table_transform(v: Val, fn, out_dtype):
-    """Host transform over table uniques -> NEW dictionary column."""
+def _table_transform(v: Val, fn, out_dtype, *, with_validity=False):
+    """Host transform over table uniques -> NEW dictionary column. With
+    ``with_validity``, a None result from ``fn`` nulls the row."""
     from polars_tpu.utils import strtable
 
     uniques = [fn(u) for u in v.table.values]
-    codes_np, _, table = strtable.encode_strings(np.asarray(uniques, object))
+    codes_np, uval, table = strtable.encode_strings(np.asarray(uniques, object))
     lut = jnp.asarray(codes_np if len(codes_np) else np.zeros(1, np.int32))
-    out = lut[jnp.clip(v.values, 0, max(len(uniques) - 1, 0))]
-    return Val(out, v.validity, out_dtype, table, v.domain)
+    clipped = jnp.clip(v.values, 0, max(len(uniques) - 1, 0))
+    out = lut[clipped]
+    validity = v.validity
+    if with_validity and uval is not None:
+        okv = jnp.asarray(uval)[clipped]
+        validity = okv if validity is None else (validity & okv)
+    return Val(out, validity, out_dtype, table, v.domain)
 
 
 @register("bin.slice", SAME, elementwise=False)
@@ -778,11 +876,25 @@ def _bin_decode(ctx, args, opts):
 
     v = _require_str(args[0])
     enc = opts["encoding"]
+    strict = opts.get("strict", True)
     if enc == "hex":
-        fn = lambda s: binascii.unhexlify(str(s))  # noqa: E731
+        base_fn = lambda s: binascii.unhexlify(str(s))  # noqa: E731
     elif enc == "base64":
-        fn = lambda s: base64.b64decode(str(s))  # noqa: E731
+        base_fn = lambda s: base64.b64decode(str(s), validate=True)  # noqa: E731
     else:
         raise InvalidOperationError(f"unknown encoding {enc!r}")
-    return _table_transform(v, fn, dt.Binary())
+
+    def fn(s):
+        try:
+            return base_fn(s)
+        except Exception:
+            if strict:
+                from polars_tpu.errors import ComputeError
+
+                raise ComputeError(
+                    f"invalid value while {enc}-decoding {s!r}"
+                ) from None
+            return None
+
+    return _table_transform(v, fn, dt.Binary(), with_validity=not strict)
 

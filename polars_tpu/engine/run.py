@@ -1886,7 +1886,9 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         if kind in ("sum", "mean", "min", "max"):
             return LO.list_agg(col, kind)
         if kind == "get":
-            return LO.list_get(col, int(e.opt("index", 0)))
+            return LO.list_get(
+                col, int(e.opt("index", 0)), e.opt("null_on_oob", True)
+            )
         if kind == "contains":
             item = e.inputs[1]
             if isinstance(item, E.ELiteral):

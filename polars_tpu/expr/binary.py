@@ -33,7 +33,7 @@ class ExprBinaryNamespace:
         return self._fn("encode", encoding=encoding)
 
     def decode(self, encoding: str, *, strict: bool = True) -> Expr:
-        return self._fn("decode", encoding=encoding)
+        return self._fn("decode", encoding=encoding, strict=strict)
 
     def slice(self, offset: int, length: int | None = None) -> Expr:
         return self._fn("slice", offset=offset, length=length)

@@ -37,13 +37,15 @@ class ExprListNamespace:
         return self._fn("max")
 
     def first(self) -> Expr:
-        return self._fn("get", index=0)
+        return self._fn("get", index=0, null_on_oob=True)
 
     def last(self) -> Expr:
-        return self._fn("get", index=-1)
+        return self._fn("get", index=-1, null_on_oob=True)
 
-    def get(self, index: int, *, null_on_oob: bool = True) -> Expr:
-        return self._fn("get", index=index)
+    def get(self, index: int, *, null_on_oob: bool = False) -> Expr:
+        # reference default RAISES on out-of-bounds (py-polars expr/list.py
+        # get, null_on_oob=False)
+        return self._fn("get", index=index, null_on_oob=null_on_oob)
 
     def reverse(self) -> Expr:
         return self._fn("reverse")

@@ -31,7 +31,7 @@ class ExprStringNamespace:
         return self._expr._fn(f"str.{name}", *inputs, **options)
 
     def contains(self, pattern: str, *, literal: bool = False, strict: bool = True) -> Expr:
-        return self._fn("contains", pattern=pattern, literal=literal)
+        return self._fn("contains", pattern=pattern, literal=literal, strict=strict)
 
     def contains_any(self, patterns: list[str], *, ascii_case_insensitive: bool = False) -> Expr:
         return self._fn("contains_any", patterns=tuple(patterns), ascii_case_insensitive=ascii_case_insensitive)
@@ -198,7 +198,7 @@ class ExprStringNamespace:
         return self._fn("count_matches", pattern=pattern, literal=literal)
 
     def find(self, pattern: str, *, literal: bool = False, strict: bool = True) -> Expr:
-        return self._fn("find", pattern=pattern, literal=literal)
+        return self._fn("find", pattern=pattern, literal=literal, strict=strict)
 
     def to_integer(self, *, base: int = 10, strict: bool = True) -> Expr:
         return self._fn("to_integer", base=base, strict=strict)
@@ -207,7 +207,7 @@ class ExprStringNamespace:
         return self._expr.cast(dt.Decimal(38, 2), strict=False)
 
     def to_date(self, format: str | None = None, *, strict: bool = True, exact: bool = True, cache: bool = True) -> Expr:
-        return self._fn("to_date", format=format, strict=strict)
+        return self._fn("to_date", format=format, strict=strict, exact=exact)
 
     def to_datetime(
         self,
@@ -220,7 +220,7 @@ class ExprStringNamespace:
         cache: bool = True,
         ambiguous: str = "raise",
     ) -> Expr:
-        return self._fn("to_datetime", format=format, time_unit=time_unit or "us", strict=strict)
+        return self._fn("to_datetime", format=format, time_unit=time_unit or "us", strict=strict, exact=exact)
 
     def to_time(self, format: str | None = None, *, strict: bool = True, cache: bool = True) -> Expr:
         return self._fn("to_time", format=format, strict=strict)
@@ -228,9 +228,9 @@ class ExprStringNamespace:
     def strptime(self, dtype: Any, format: str | None = None, *, strict: bool = True, exact: bool = True, cache: bool = True, ambiguous: str = "raise") -> Expr:
         dtype = dt.parse_into_dtype(dtype)
         if isinstance(dtype, dt.Date):
-            return self.to_date(format, strict=strict)
+            return self.to_date(format, strict=strict, exact=exact)
         if isinstance(dtype, dt.Datetime):
-            return self.to_datetime(format, time_unit=dtype.time_unit, strict=strict)
+            return self.to_datetime(format, time_unit=dtype.time_unit, strict=strict, exact=exact)
         if isinstance(dtype, dt.Time):
             return self.to_time(format, strict=strict)
         from polars_tpu.errors import InvalidOperationError
@@ -258,4 +258,4 @@ class ExprStringNamespace:
         return self._fn("encode", encoding=encoding)
 
     def decode(self, encoding: str, *, strict: bool = True) -> Expr:
-        return self._fn("decode", encoding=encoding)
+        return self._fn("decode", encoding=encoding, strict=strict)

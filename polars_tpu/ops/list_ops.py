@@ -18,7 +18,7 @@ import numpy as np
 from polars_tpu import datatypes as dt
 from polars_tpu.core.buffer import Buffer, row_mask
 from polars_tpu.core.column import Column
-from polars_tpu.errors import InvalidOperationError
+from polars_tpu.errors import ComputeError, InvalidOperationError
 
 
 def _unpack(packed):
@@ -130,7 +130,18 @@ def list_agg(col: Column, kind: str) -> Column:
     return Column(col.name, out_dt, Buffer(conv, validity, col.buffer.length))
 
 
-def list_get(col: Column, index: int) -> Column:
+def list_get(col: Column, index: int, null_on_oob: bool = True) -> Column:
+    if not null_on_oob:
+        import numpy as np
+
+        packed, pvalid = col.buffer.to_numpy()
+        n = col.buffer.length
+        lens = (np.asarray(packed[:n]).astype(np.int64) & 0xFFFFFFFF)
+        i = index if index >= 0 else lens + index
+        in_range = (i >= 0) & (i < lens)
+        alive = np.ones(n, bool) if pvalid is None else np.asarray(pvalid[:n], bool)
+        if bool((alive & ~in_range).any()):
+            raise ComputeError(f"get index {index} is out of bounds")
     ch, cv, ok = _child_arrays(col)
     v, valid = _seg_get(col.buffer.values, cv, ok, jnp.int32(index))
     if col.buffer.validity is not None:

@@ -439,3 +439,29 @@ def test_cumulative_eval_host_fallback_matches():
         pl.col("x").cumulative_eval(pl.element().filter(pl.element().is_not_null()).min()).alias("m")
     ).collect()
     assert fast["m"].to_list() == slow["m"].to_list() == [4, 1, 1, 1]
+
+
+def test_strict_exact_flags_honored():
+    """round-5 audit: strict/exact params were accepted and dropped in
+    str.contains/find/decode, bin.decode, to_date/to_datetime."""
+    import datetime as dtm
+
+    df = pl.DataFrame({"s": ["on 2021-03-04 it", "none here", None],
+                       "b": ["616263", "zz", None]})
+    out = df.lazy().select(
+        pl.col("s").str.to_date(exact=False, strict=False).alias("d"),
+        pl.col("b").str.decode("hex", strict=False).alias("hx"),
+        pl.col("s").str.contains(r"([0-9", strict=False).alias("bad_rx"),
+        pl.col("s").str.find(r"([0-9", strict=False).alias("bad_find"),
+    ).collect()
+    assert out["d"].to_list() == [dtm.date(2021, 3, 4), None, None]
+    assert out["hx"].to_list() == [b"abc", None, None]
+    assert out["bad_rx"].to_list() == [None, None, None]
+    assert out["bad_find"].to_list() == [None, None, None]
+    with pytest.raises(Exception, match="decoding"):
+        df.lazy().select(pl.col("b").str.decode("hex")).collect()
+    with pytest.raises(Exception, match="regex"):
+        df.lazy().select(pl.col("s").str.contains(r"([0-9")).collect()
+    o2 = pl.DataFrame({"s": ["ts=2021-03-04 05:06:07 end"]}).lazy().select(
+        pl.col("s").str.to_datetime("%Y-%m-%d %H:%M:%S", exact=False)).collect()
+    assert o2["s"].to_list() == [dtm.datetime(2021, 3, 4, 5, 6, 7)]

@@ -124,7 +124,7 @@ def test_list_aggs_traced_in_segment(monkeypatch):
         pl.col("x").list.mean().alias("mean"),
         pl.col("x").list.min().alias("mn"),
         pl.col("x").list.max().alias("mx"),
-        pl.col("x").list.get(0).alias("g0"),
+        pl.col("x").list.get(0, null_on_oob=True).alias("g0"),
         pl.col("x").list.contains(2).alias("c2"),
     ).collect()
     assert out["len"].to_list() == [3, 0, 2, None, 1]
@@ -151,7 +151,7 @@ def test_list_string_min_max_get_traced():
         pl.col("s").list.min().alias("mn"),
         pl.col("s").list.max().alias("mx"),
         pl.col("s").list.contains("z").alias("hz"),
-        pl.col("s").list.get(0).alias("g0"),
+        pl.col("s").list.get(0, null_on_oob=True).alias("g0"),
     ).collect()
     assert o["mn"].to_list() == ["a", "z", None]
     assert o["mx"].to_list() == ["b", "z", None]
@@ -610,3 +610,15 @@ def test_struct_splits_no_row_readback():
     o2 = df.lazy().select(
         pl.col("s").str.split_exact("-", 1).struct.field("field_1")).collect()
     assert o2["field_1"].to_list() == ["1", "2", None, None]
+
+
+def test_list_get_oob_raises_by_default():
+    """reference default null_on_oob=False RAISES on out-of-bounds
+    (py-polars expr/list.py get) — both the traced and host paths."""
+    df = pl.DataFrame({"x": [[1, 2], []]})
+    with pytest.raises(Exception, match="out of bounds"):
+        df.lazy().select(pl.col("x").list.get(0)).collect()
+    out = df.lazy().select(pl.col("x").list.get(0, null_on_oob=True)).collect()
+    assert out["x"].to_list() == [1, None]
+    # first()/last() keep their null-on-empty convenience semantics
+    assert df.lazy().select(pl.col("x").list.first()).collect()["x"].to_list() == [1, None]
