@@ -1457,14 +1457,28 @@ def _eval_generator(df: DataFrame, e: E.EFunction, schema) -> Column:
         d = col.dtype
         if not d.is_numeric() or isinstance(d, dt.Decimal):
             return col
-        vals = [v for v in col.to_pylist() if v is not None]
         from polars_tpu.ops.cast import cast_column
 
         if d.is_float():
             return cast_column(col, dt.Float32(), strict=False) if type(d).__name__ == "Float64" else col
-        if not vals:
+        # 2-scalar device reduce instead of reading the whole column back
+        # (the dtype DECISION is inherently host — the schema depends on it)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from polars_tpu.core.buffer import row_mask as _row_mask
+
+        mask = _row_mask(col.buffer.values.shape[0], len(col))
+        if col.buffer.validity is not None:
+            mask = mask & col.buffer.validity
+        iv = col.buffer.values.astype(_jnp.int64)
+        info = _jnp.iinfo(_jnp.int64)
+        lo_d = _jnp.min(_jnp.where(mask, iv, info.max))
+        hi_d = _jnp.max(_jnp.where(mask, iv, info.min))
+        cnt_d = _jnp.sum(mask.astype(_jnp.int32))
+        cnt, lo, hi = (int(x) for x in _jax.device_get([cnt_d, lo_d, hi_d]))
+        if cnt == 0:
             return cast_column(col, dt.Int8(), strict=False)
-        lo, hi = min(vals), max(vals)
         if d.is_unsigned_integer():
             for cand in (dt.UInt8(), dt.UInt16(), dt.UInt32(), dt.UInt64()):
                 if hi <= 2 ** (8 * jnp_itemsize(cand)) - 1:
