@@ -135,6 +135,30 @@ class LazyFrame:
                 from polars_tpu.engine.distributed import collect_distributed
 
                 return collect_distributed(node, mesh=kwargs.get("mesh"))
+            if engine == "auto":
+                # last line of defense when the router's footprint estimate
+                # was wrong (SURVEY 2.12 spill): a device OOM falls back to
+                # the streaming engine's batched + out-of-core path
+                try:
+                    return execute_plan(node)
+                except Exception as exc:  # noqa: BLE001
+                    msg = str(exc)
+                    if ("RESOURCE_EXHAUSTED" not in msg
+                            and "Out of memory" not in msg
+                            and "out of memory" not in msg):
+                        raise
+                    import sys
+
+                    print(
+                        "[polars_tpu] in-memory collect hit device OOM; "
+                        "retrying via the streaming engine",
+                        file=sys.stderr,
+                    )
+                    from polars_tpu.engine.streaming import collect_streaming
+
+                    return collect_streaming(
+                        node, batch_rows=kwargs.get("batch_rows")
+                    )
             return execute_plan(node)
 
     def execute(self) -> DataFrame:

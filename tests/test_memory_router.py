@@ -60,3 +60,35 @@ def test_budget_routes_to_streaming(frame, monkeypatch):
 def test_cpu_default_disabled(frame):
     assert MR.effective_budget() == 0  # forced-CPU test process
     assert MR.route(frame.lazy()._node) == "in-memory"
+
+
+def test_oom_falls_back_to_streaming(monkeypatch):
+    """round-5 (SURVEY 2.12): when the router's estimate was wrong and the
+    in-memory engine hits a device OOM, collect(engine='auto') retries
+    through the streaming engine instead of failing."""
+    import polars_tpu.engine.run as rr
+
+    df = pl.DataFrame({"k": [1, 1, 2, 2], "v": [1.0, 2.0, 3.0, 4.0]})
+    lf = df.lazy().group_by("k").agg(s=pl.col("v").sum()).sort("k")
+
+    calls = {"n": 0}
+    orig = rr.execute_plan
+
+    def boom(node, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory allocating 1 bytes")
+        return orig(node, **kw)
+
+    # collect() does `from ...run import execute_plan` at CALL time, so the
+    # module attribute patch is seen; the streaming engine calls it too (via
+    # its own imports), hence the pass-through after the first failure
+    monkeypatch.setattr(rr, "execute_plan", boom)
+    out = lf.collect(engine="auto")
+    assert out["s"].to_list() == [3.0, 7.0]
+    # non-OOM errors surface unchanged
+    def boom2(node, **kw):
+        raise RuntimeError("something else broke")
+    monkeypatch.setattr(rr, "execute_plan", boom2)
+    with pytest.raises(RuntimeError, match="something else"):
+        lf.collect(engine="auto")
