@@ -1014,7 +1014,8 @@ def _func(e: P.SFunc):
     if name == "split_part":
         sep = e.args[1].value
         idx = int(e.args[2].value) - 1
-        return a0.str.split(sep).list.get(idx)
+        # SQL split_part: a missing part is NULL, not an error
+        return a0.str.split(sep).list.get(idx, null_on_oob=True)
     if name in ("strpos", "position", "instr"):
         return a0.str.find(e.args[1].value, literal=True) + 1
     if name == "starts_with":
