@@ -255,8 +255,37 @@ def _build_ops_cmp(n: int):
     ga_x, ga_x_b = ga(PG.groupagg_sums_xla, 16)
     cp_p, cp_p_b = cp(4, pallas=True)
     cp_x, cp_x_b = cp(4, pallas=False)
+
+    # r5: scatter-add vs chunked one-hot MXU matmul segment-sum (the q1
+    # aggregation primitive; engine/groupby.seg_sum). Decides the
+    # POLARS_TPU_ONEHOT_AGG default — XLA scatter with colliding indices
+    # serializes on TPU, but f64 dot is emulated and unverified here.
+    from polars_tpu.engine import groupby as GB
+
+    q1cap = 8  # the actual PDS-H Q1 dense capacity scale
+    gids8 = (key % q1cap).astype(jnp.int32)
+    x1 = vals[:, 0]
+
+    def ss(impl, reps):
+        @jax.jit
+        def f(x, g, m):
+            for _ in range(reps):
+                acc = impl(x, g, m)
+                x = barrier(x + acc[0])
+            return x
+
+        return f, (8 + 4 + 1) * n * reps
+
+    ss_sc, ss_sc_b = ss(
+        lambda x, g, m: jnp.zeros((q1cap,), x.dtype).at[g].add(
+            jnp.where(m, x, 0.0), mode="drop"), 4)
+    ss_oh, ss_oh_b = ss(
+        lambda x, g, m: GB._onehot_seg_sum(jnp.where(m, x, 0.0), g, q1cap), 4)
+
     vals_t = jnp.asarray(vals.T)  # jnp has no ascontiguousarray (caught r5)
     ops = [
+        ("segsum_scatter_gbps", ss_sc, (x1, gids8, mask), ss_sc_b),
+        ("segsum_onehot_gbps", ss_oh, (x1, gids8, mask), ss_oh_b),
         ("groupagg_pallas_gbps", ga_p, (vals, gids, mask), ga_p_b),
         ("groupagg_xla_gbps", ga_x, (vals, gids, mask), ga_x_b),
         ("compact_pallas_gbps", cp_p, (vals_t, mask), cp_p_b),

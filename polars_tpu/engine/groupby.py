@@ -151,12 +151,67 @@ def reorder_by_first_occurrence(ctx: GroupCtx, rowmask: jax.Array) -> GroupCtx:
 # ---------------------------------------------------------------------------
 
 
+# capacity bound for the one-hot matmul path: chunk(64Ki) x cap x 8B stays
+# well under VMEM-friendly sizes, and beyond a few thousand groups the
+# scatter's collision rate drops enough that it stops being the bottleneck
+_ONEHOT_CAP = 4096
+_ONEHOT_CHUNK = 1 << 16
+
+
+def _onehot_seg_sum(x: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    """Segment sum as a chunked one-hot contraction — scatter-add with
+    colliding indices SERIALIZES on TPU (XLA lowers it to a sequential
+    loop), while a (chunk x cap) 0/1 matmul rides the MXU. The 0/1 matrix
+    is exact in any matmul precision; the VALUE operand gets
+    Precision.HIGHEST (f32 dot defaults to bf16 inputs on TPU).
+    Accumulation order is blockwise — like the reference's pairwise sums,
+    not elementwise-identical to the scatter order."""
+    n = x.shape[0]
+    c = min(_ONEHOT_CHUNK, n)
+    if n % c:
+        pad = c - n % c
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        gids = jnp.concatenate([gids, jnp.full((pad,), cap, gids.dtype)])
+        n = x.shape[0]
+    nb = n // c
+    xb = x.reshape(nb, c)
+    gb = gids.reshape(nb, c)
+    iota_cap = jnp.arange(cap, dtype=gids.dtype)
+
+    def body(carry, inp):
+        xc, gc = inp
+        oh = (gc[:, None] == iota_cap[None, :]).astype(x.dtype)
+        ps = jax.lax.dot_general(
+            xc[None, :], oh, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return carry + ps[0], None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((cap,), x.dtype), (xb, gb))
+    return out
+
+
+def _use_onehot(cap: int) -> bool:
+    # OPT-IN until measured on the real chip (bench.py opscmp `segsum`
+    # receipt): f64 emulation on TPU may not route dot_general onto the MXU,
+    # and an unverified compile failure in the driver's bench would cost the
+    # whole headline. POLARS_TPU_ONEHOT_AGG=1 enables.
+    import os as _os
+
+    return cap <= _ONEHOT_CAP and _os.environ.get("POLARS_TPU_ONEHOT_AGG", "0") == "1"
+
+
 def seg_sum(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
     x = jnp.where(mask, values, jnp.zeros((), values.dtype))
+    if jnp.dtype(values.dtype).kind == "f" and _use_onehot(cap):
+        return _onehot_seg_sum(x, gids, cap)
     return jnp.zeros((cap,), values.dtype).at[gids].add(x, mode="drop")
 
 
 def seg_count(mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    if _use_onehot(cap):
+        # counts <= 2^53 are exact in the f64 contraction
+        return _onehot_seg_sum(mask.astype(jnp.float64), gids, cap).astype(jnp.int64)
     return jnp.zeros((cap,), jnp.int64).at[gids].add(mask.astype(jnp.int64), mode="drop")
 
 
