@@ -281,11 +281,14 @@ def _build_ops_cmp(n: int):
             jnp.where(m, x, 0.0), mode="drop"), 4)
     ss_oh, ss_oh_b = ss(
         lambda x, g, m: GB._onehot_seg_sum(jnp.where(m, x, 0.0), g, q1cap), 4)
+    ss_st, ss_st_b = ss(
+        lambda x, g, m: GB._stack_seg_sum(jnp.where(m, x, 0.0), g, q1cap), 4)
 
     vals_t = jnp.asarray(vals.T)  # jnp has no ascontiguousarray (caught r5)
     ops = [
         ("segsum_scatter_gbps", ss_sc, (x1, gids8, mask), ss_sc_b),
         ("segsum_onehot_gbps", ss_oh, (x1, gids8, mask), ss_oh_b),
+        ("segsum_stack_gbps", ss_st, (x1, gids8, mask), ss_st_b),
         ("groupagg_pallas_gbps", ga_p, (vals, gids, mask), ga_p_b),
         ("groupagg_xla_gbps", ga_x, (vals, gids, mask), ga_x_b),
         ("compact_pallas_gbps", cp_p, (vals_t, mask), cp_p_b),

@@ -201,18 +201,47 @@ def _use_onehot(cap: int) -> bool:
     return cap <= _ONEHOT_CAP and _os.environ.get("POLARS_TPU_ONEHOT_AGG", "0") == "1"
 
 
+# tiny capacities (the PDS-H Q1 class: a handful of dict-key groups): cap
+# sibling masked reductions over the same operand — XLA multi-output-fuses
+# them into one input pass, sidestepping the serialized TPU scatter with
+# zero exotic ops. POLARS_TPU_STACK_AGG=0 restores the scatter.
+_STACK_CAP = 32
+
+
+def _use_stack(cap: int) -> bool:
+    import os as _os
+
+    return cap <= _STACK_CAP and _os.environ.get("POLARS_TPU_STACK_AGG", "1") != "0"
+
+
+def _stack_seg_sum(x: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    return jnp.stack(
+        [jnp.sum(jnp.where(gids == g, x, jnp.zeros((), x.dtype))) for g in range(cap)]
+    )
+
+
 def seg_sum(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
     x = jnp.where(mask, values, jnp.zeros((), values.dtype))
+    if _use_stack(cap):
+        return _stack_seg_sum(x, gids, cap)
     if jnp.dtype(values.dtype).kind == "f" and _use_onehot(cap):
         return _onehot_seg_sum(x, gids, cap)
     return jnp.zeros((cap,), values.dtype).at[gids].add(x, mode="drop")
 
 
 def seg_count(mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    if _use_stack(cap):
+        return _stack_seg_sum(mask.astype(jnp.int64), gids, cap)
     if _use_onehot(cap):
         # counts <= 2^53 are exact in the f64 contraction
         return _onehot_seg_sum(mask.astype(jnp.float64), gids, cap).astype(jnp.int64)
     return jnp.zeros((cap,), jnp.int64).at[gids].add(mask.astype(jnp.int64), mode="drop")
+
+
+def _stack_seg_red(x: jax.Array, gids: jax.Array, cap: int, red, ident) -> jax.Array:
+    return jnp.stack(
+        [red(jnp.where(gids == g, x, ident)) for g in range(cap)]
+    )
 
 
 def seg_min(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
@@ -220,6 +249,8 @@ def seg_min(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> ja
     if jnp.dtype(values.dtype).kind == "f":
         # NaN is greatest (total order): never the min unless the group is all-NaN
         x = jnp.where(jnp.isnan(x), _big(values.dtype), x)
+    if _use_stack(cap):
+        return _stack_seg_red(x, gids, cap, jnp.min, _big(values.dtype))
     return jnp.full((cap,), _big(values.dtype), values.dtype).at[gids].min(x, mode="drop")
 
 
@@ -227,20 +258,33 @@ def seg_max(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> ja
     x = jnp.where(mask, values, _small(values.dtype))
     if jnp.dtype(values.dtype).kind == "f":
         # NaN is greatest: a group containing NaN has max NaN
-        has_nan = jnp.zeros((cap,), bool).at[gids].max(mask & jnp.isnan(values), mode="drop")
+        nan_in = mask & jnp.isnan(values)
+        if _use_stack(cap):
+            has_nan = _stack_seg_red(nan_in, gids, cap, jnp.max, False)
+        else:
+            has_nan = jnp.zeros((cap,), bool).at[gids].max(nan_in, mode="drop")
         x = jnp.where(jnp.isnan(x), _small(values.dtype), x)
-        out = jnp.full((cap,), _small(values.dtype), values.dtype).at[gids].max(x, mode="drop")
+        if _use_stack(cap):
+            out = _stack_seg_red(x, gids, cap, jnp.max, _small(values.dtype))
+        else:
+            out = jnp.full((cap,), _small(values.dtype), values.dtype).at[gids].max(x, mode="drop")
         return jnp.where(has_nan, jnp.asarray(jnp.nan, values.dtype), out)
+    if _use_stack(cap):
+        return _stack_seg_red(x, gids, cap, jnp.max, _small(values.dtype))
     return jnp.full((cap,), _small(values.dtype), values.dtype).at[gids].max(x, mode="drop")
 
 
 def seg_any(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
     x = jnp.where(mask, values, False)
+    if _use_stack(cap):
+        return _stack_seg_red(x, gids, cap, jnp.max, False)
     return jnp.zeros((cap,), bool).at[gids].max(x, mode="drop")
 
 
 def seg_all(values: jax.Array, mask: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
     x = jnp.where(mask, values, True)
+    if _use_stack(cap):
+        return _stack_seg_red(x, gids, cap, jnp.min, True)
     return jnp.ones((cap,), bool).at[gids].min(x, mode="drop")
 
 
@@ -249,11 +293,15 @@ def seg_first_idx(mask: jax.Array, gids: jax.Array, cap: int) -> tuple[jax.Array
     n = gids.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     big = 2**31 - 1
-    idx = (
-        jnp.full((cap,), big, jnp.int32)
-        .at[gids]
-        .min(jnp.where(mask, iota, big), mode="drop")
-    )
+    masked = jnp.where(mask, iota, big)
+    if _use_stack(cap):
+        idx = _stack_seg_red(masked, gids, cap, jnp.min, jnp.int32(big))
+    else:
+        idx = (
+            jnp.full((cap,), big, jnp.int32)
+            .at[gids]
+            .min(masked, mode="drop")
+        )
     has = idx != big
     return jnp.where(has, idx, 0), has
 
@@ -261,11 +309,15 @@ def seg_first_idx(mask: jax.Array, gids: jax.Array, cap: int) -> tuple[jax.Array
 def seg_last_idx(mask: jax.Array, gids: jax.Array, cap: int) -> tuple[jax.Array, jax.Array]:
     n = gids.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    idx = (
-        jnp.full((cap,), -1, jnp.int32)
-        .at[gids]
-        .max(jnp.where(mask, iota, -1), mode="drop")
-    )
+    masked = jnp.where(mask, iota, -1)
+    if _use_stack(cap):
+        idx = _stack_seg_red(masked, gids, cap, jnp.max, jnp.int32(-1))
+    else:
+        idx = (
+            jnp.full((cap,), -1, jnp.int32)
+            .at[gids]
+            .max(masked, mode="drop")
+        )
     has = idx >= 0
     return jnp.where(has, idx, 0), has
 
