@@ -1277,6 +1277,12 @@ def run_segment(node: L.LNode, leaf_dfs: list[tuple[L.LNode, DataFrame]], *, syn
     key = (
         _segment_key(node, leaf_ids),
         tuple(_table_sig(df) for _, df in leaf_dfs),
+        # env toggles that change the TRACED program (stale-program hazard
+        # if flipped mid-process with a structurally equal plan)
+        _os.environ.get("POLARS_TPU_STACK_AGG", "1"),
+        _os.environ.get("POLARS_TPU_ONEHOT_AGG", "0"),
+        _os.environ.get("POLARS_TPU_SOFT_DIV", ""),
+        _os.environ.get("POLARS_TPU_RADIX_SORT", ""),
     )
     captured_children: dict[str, Any] = {}
     captured_msgs: dict[int, str] = {}
