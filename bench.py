@@ -256,6 +256,27 @@ def _build_ops_cmp(n: int):
     cp_p, cp_p_b = cp(4, pallas=True)
     cp_x, cp_x_b = cp(4, pallas=False)
 
+    # r5: compaction via UNIQUE-index scatter (prefix-sum positions; dropped
+    # rows target distinct out-of-range slots so unique_indices is honest) —
+    # the sort-based compress measured ~3 GB/s, gather-bound
+    def cp_scatter(reps):
+        @jax.jit
+        def f(xt, m):
+            nn = xt.shape[1]
+            iota = jnp.arange(nn, dtype=jnp.int32)
+            for _ in range(reps):
+                pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+                tgt = jnp.where(m, pos, nn + iota)
+                v = jnp.zeros_like(xt).at[:, tgt].set(
+                    xt, mode="drop", unique_indices=True
+                )
+                xt = barrier(v + 0.5)
+            return xt
+
+        return f, (2 * 4 * 8 + 1) * n * reps
+
+    cp_s, cp_s_b = cp_scatter(4)
+
     # r5: scatter-add vs chunked one-hot MXU matmul segment-sum (the q1
     # aggregation primitive; engine/groupby.seg_sum). Decides the
     # POLARS_TPU_ONEHOT_AGG default — XLA scatter with colliding indices
@@ -293,6 +314,7 @@ def _build_ops_cmp(n: int):
         ("groupagg_xla_gbps", ga_x, (vals, gids, mask), ga_x_b),
         ("compact_pallas_gbps", cp_p, (vals_t, mask), cp_p_b),
         ("compact_xla_gbps", cp_x, (vals_t, mask), cp_x_b),
+        ("compact_scatter_gbps", cp_s, (vals_t, mask), cp_s_b),
     ]
     anchors = {label: fn(*args) for label, fn, args, _ in ops}
     return ops, anchors
