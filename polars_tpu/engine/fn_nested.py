@@ -411,9 +411,12 @@ def _list_unique(ctx, args, opts):
     offs2 = jnp.cumsum(lens2)
     new_packed2 = ((offs2 - lens2).astype(jnp.int64) << 32) | lens2.astype(jnp.int64)
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep, pos, n_child)
-    out_g = jnp.zeros_like(g).at[tgt].set(g, mode="drop")
-    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(gok, mode="drop")
+    _iota = jnp.arange(n_child, dtype=jnp.int32)
+    # dropped rows target DISTINCT out-of-range slots so unique_indices is
+    # honest (TPU scatter with possibly-colliding indices serializes)
+    tgt = jnp.where(keep, pos, n_child + _iota)
+    out_g = jnp.zeros_like(g).at[tgt].set(g, mode="drop", unique_indices=True)
+    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(gok, mode="drop", unique_indices=True)
     return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
@@ -788,9 +791,10 @@ def _list_drop_nulls(ctx, args, opts):
     offs2 = jnp.cumsum(lens2)
     new_packed2 = ((offs2 - lens2).astype(jnp.int64) << 32) | lens2.astype(jnp.int64)
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep, pos, n_child)
-    out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop")
-    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(keep, mode="drop")
+    _iota = jnp.arange(n_child, dtype=jnp.int32)
+    tgt = jnp.where(keep, pos, n_child + _iota)
+    out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop", unique_indices=True)
+    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(keep, mode="drop", unique_indices=True)
     return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
@@ -895,9 +899,10 @@ def _list_filter(ctx, args, opts):
     offs2 = jnp.cumsum(lens2)
     new_packed2 = ((offs2 - lens2).astype(jnp.int64) << 32) | lens2.astype(jnp.int64)
     pos = jnp.cumsum(row_alive.astype(jnp.int32)) - 1
-    tgt = jnp.where(row_alive, pos, n_child)
-    out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop")
-    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(gok0, mode="drop")
+    _iota = jnp.arange(n_child, dtype=jnp.int32)
+    tgt = jnp.where(row_alive, pos, n_child + _iota)
+    out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop", unique_indices=True)
+    out_ok = jnp.zeros((n_child,), bool).at[tgt].set(gok0, mode="drop", unique_indices=True)
     return _list_out(v, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
@@ -1057,9 +1062,10 @@ def _list_set_op(kind):
         offs2 = jnp.cumsum(lens2)
         new_packed2 = ((offs2 - lens2).astype(jnp.int64) << 32) | lens2.astype(jnp.int64)
         pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        tgt = jnp.where(keep, pos, N)
-        out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop")
-        out_ok = jnp.zeros((N,), bool).at[tgt].set(gok0, mode="drop")
+        _iota = jnp.arange(N, dtype=jnp.int32)
+        tgt = jnp.where(keep, pos, N + _iota)
+        out_g = jnp.zeros_like(g0).at[tgt].set(g0, mode="drop", unique_indices=True)
+        out_ok = jnp.zeros((N,), bool).at[tgt].set(gok0, mode="drop", unique_indices=True)
         return _list_out(cat, ch, new_packed2, out_g, out_ok, jnp.sum(lens2))
 
 
