@@ -774,7 +774,7 @@ def _seg_avg_rank(values, vdtype, m, gids) -> jax.Array:
         + (rlen.astype(jnp.float64) - 1.0) / 2.0
         + 1.0
     )
-    return jnp.zeros((n,), jnp.float64).at[perm].set(avg)
+    return jnp.zeros((n,), jnp.float64).at[perm].set(avg, unique_indices=True)
 
 
 def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
@@ -942,7 +942,7 @@ def _eval_agg(node: E.EAgg, ctx: EvalCtx) -> Val:
             gkey = jnp.where(rowmask, gids, jnp.int32(2**31 - 1))
             operm = stable_argsort_words([gkey] + list(g.order_words))
             iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-            pos = jnp.zeros((n,), jnp.int32).at[operm].set(iota)
+            pos = jnp.zeros((n,), jnp.int32).at[operm].set(iota, unique_indices=True)
             score = pos if kind == "first" else (jnp.int32(n - 1) - pos)
             score = jnp.where(rowmask, score, jnp.int32(n))
             best = jnp.full((cap,), n, jnp.int32).at[gids].min(score, mode="drop")
@@ -1281,7 +1281,7 @@ def _grouped_reorder(
     gkey = jnp.where(ctx.rowmask, g.gids, jnp.int32(2**31 - 1))
     perm_vals = stable_argsort_words([gkey] + key_words_list)
     perm_slots = stable_argsort_words([gkey])
-    out_vals = jnp.zeros_like(v.values).at[perm_slots].set(v.values[perm_vals])
+    out_vals = jnp.zeros_like(v.values).at[perm_slots].set(v.values[perm_vals], unique_indices=True)
     if v.validity is not None:
         out_valid = (
             jnp.zeros(v.validity.shape, bool)

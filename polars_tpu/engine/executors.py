@@ -718,7 +718,7 @@ def _distinct_rowmask(keys: list[Val], rowmask: jax.Array, keep: str) -> jax.Arr
         flag = ~same_next
     else:  # none
         flag = ~(same_prev | same_next)
-    return jnp.zeros((n,), bool).at[perm].set(flag)
+    return jnp.zeros((n,), bool).at[perm].set(flag, unique_indices=True)
 
 
 def _trace_select(

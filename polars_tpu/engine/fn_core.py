@@ -367,7 +367,7 @@ def _distinct_flags(ctx, v: Val, kind: str) -> Val:
         flag = same_prev | same_next
     else:  # is_unique
         flag = ~(same_prev | same_next)
-    out = jnp.zeros((n,), bool).at[perm].set(flag)
+    out = jnp.zeros((n,), bool).at[perm].set(flag, unique_indices=True)
     return Val(out, None, dt.Boolean(), None, ROW)
 
 

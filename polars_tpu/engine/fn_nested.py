@@ -401,7 +401,7 @@ def _list_unique(ctx, args, opts):
         # scatter run-head flags back to original contiguous positions (the
         # stable sort makes each run's head the FIRST occurrence), compact in
         # appearance order
-        keep = jnp.zeros((n_child,), bool).at[perm].set(keep_sorted)
+        keep = jnp.zeros((n_child,), bool).at[perm].set(keep_sorted, unique_indices=True)
         g, gok, segc = g0, gok0, seg0
     else:
         keep, g, gok, segc = keep_sorted, g0[perm], gok0[perm], seg
@@ -1055,7 +1055,7 @@ def _list_set_op(kind):
             "symmetric_difference": has0 ^ has1,
         }[kind]
         keep_sorted = head & pred[jnp.clip(rid, 0, N - 1)]
-        keep = jnp.zeros((N,), bool).at[perm].set(keep_sorted)
+        keep = jnp.zeros((N,), bool).at[perm].set(keep_sorted, unique_indices=True)
         lens2 = jnp.zeros((n_parent,), jnp.int32).at[
             jnp.where(keep, seg0, n_parent)
         ].add(1, mode="drop")

@@ -63,10 +63,10 @@ def _apply_in_group_order(ctx, v: Val, fn):
     valid = None if v.validity is None else v.validity[perm]
     mask = ctx.rowmask[perm]
     out_vals, out_valid = fn(vals, valid, gs, mask)
-    inv_vals = jnp.zeros_like(out_vals).at[perm].set(out_vals)
+    inv_vals = jnp.zeros_like(out_vals).at[perm].set(out_vals, unique_indices=True)
     inv_valid = None
     if out_valid is not None:
-        inv_valid = jnp.zeros(out_valid.shape, bool).at[perm].set(out_valid)
+        inv_valid = jnp.zeros(out_valid.shape, bool).at[perm].set(out_valid, unique_indices=True)
     return Val(inv_vals, inv_valid, v.dtype, v.table, ROW)
 
 
@@ -328,11 +328,11 @@ def _reverse(ctx, args, opts):
     src_slot = jnp.clip(seg_end - (iota - seg_start), 0, n - 1)
     src_row = perm[src_slot]
     out_compact = vals[src_row]
-    out = jnp.zeros_like(vals).at[perm].set(out_compact)
+    out = jnp.zeros_like(vals).at[perm].set(out_compact, unique_indices=True)
     out_valid = None
     if valid is not None:
         ov = valid[src_row]
-        out_valid = jnp.zeros((n,), bool).at[perm].set(ov)
+        out_valid = jnp.zeros((n,), bool).at[perm].set(ov, unique_indices=True)
     return Val(out, out_valid, v.dtype, v.table, ROW)
 
 
@@ -528,7 +528,7 @@ def _rank(ctx, args, opts):
                     rank_sorted = dense.astype(jnp.float64)
             else:  # average
                 rank_sorted = (local(run_start) + local(run_end)) * 0.5
-    out = jnp.zeros((n,), jnp.float64).at[perm].set(rank_sorted)
+    out = jnp.zeros((n,), jnp.float64).at[perm].set(rank_sorted, unique_indices=True)
     validity = v.validity
     if method == "average":
         return Val(out, validity, dt.Float64(), None, ROW)
@@ -643,8 +643,8 @@ def _rolling(kind: str, dtype_rule):
                 )
             ok = cnt >= min_samples
             if order is not None:
-                out = jnp.zeros_like(out).at[perm].set(out)
-                ok = jnp.zeros(ok.shape, bool).at[perm].set(ok)
+                out = jnp.zeros_like(out).at[perm].set(out, unique_indices=True)
+                ok = jnp.zeros(ok.shape, bool).at[perm].set(ok, unique_indices=True)
             out_dt = dt.Float32() if acc_t == jnp.float32 else dt.Float64()
             return Val(out, ok, out_dt, None, ROW)
         if kind == "sum":
@@ -680,8 +680,8 @@ def _rolling(kind: str, dtype_rule):
         ok = cnt >= min_samples
         if order is not None:
             # scatter back from group order to row order
-            out = jnp.zeros_like(out).at[perm].set(out)
-            ok = jnp.zeros(ok.shape, bool).at[perm].set(ok)
+            out = jnp.zeros_like(out).at[perm].set(out, unique_indices=True)
+            ok = jnp.zeros(ok.shape, bool).at[perm].set(ok, unique_indices=True)
         if kind in ("sum",) and v.dtype.is_integer():
             return Val(out.astype(v.values.dtype), ok, v.dtype, None, ROW)
         if kind in ("min", "max") and not v.dtype.is_float():
@@ -1005,8 +1005,8 @@ def _ewm_by_core(ctx, args, opts, *, normalize):
     factor = jnp.where(bnd, 0.0, factor)
     y = _lin_scan(contrib, factor)
     # scatter back to original order
-    out = jnp.zeros((n,), jnp.float64).at[perm].set(y)
-    ok = jnp.zeros((n,), bool).at[perm].set(vs)
+    out = jnp.zeros((n,), jnp.float64).at[perm].set(y, unique_indices=True)
+    ok = jnp.zeros((n,), bool).at[perm].set(vs, unique_indices=True)
     return Val(out, ok, dt.Float64(), None, ROW)
 
 
@@ -1256,8 +1256,8 @@ def _rolling_order(kind: str):
             out = jnp.where(h == s_old, v_old, out)
             ok = cnt >= min_samples
             if order is not None:
-                out = jnp.zeros_like(out).at[perm].set(out)
-                ok = jnp.zeros(ok.shape, bool).at[perm].set(ok)
+                out = jnp.zeros_like(out).at[perm].set(out, unique_indices=True)
+                ok = jnp.zeros(ok.shape, bool).at[perm].set(ok, unique_indices=True)
             return Val(out, ok, dt.Float64(), None, ROW)
         if wts is not None:
             raise InvalidOperationError(f"rolling_{kind} does not support weights")
@@ -1335,8 +1335,8 @@ def _rolling_order(kind: str):
                 )
         ok = cnt >= min_samples
         if order is not None:
-            out = jnp.zeros_like(out).at[perm].set(out)
-            ok = jnp.zeros(ok.shape, bool).at[perm].set(ok)
+            out = jnp.zeros_like(out).at[perm].set(out, unique_indices=True)
+            ok = jnp.zeros(ok.shape, bool).at[perm].set(ok, unique_indices=True)
         return Val(out, ok, dt.Float64(), None, ROW)
 
     return _
