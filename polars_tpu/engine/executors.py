@@ -1029,11 +1029,16 @@ def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
     # pads k -> 128 (a 34GB allocation at SF10). 1-D scatters fuse cleanly and
     # run at bandwidth roofline; all of them live in the same XLA program, so
     # there is no dispatch-count cost.
+    # tiny capacities: masked-reduction stacks instead of the serialized TPU
+    # scatter (engine/groupby._use_stack; XLA multi-output-fuses siblings)
     if f_cols:
-        table = [
-            jnp.zeros((cap,), jnp.float64).at[gctx.gids].add(c, mode="drop")
-            for c in f_cols
-        ]
+        if G._use_stack(cap):
+            table = [G._stack_seg_sum(c, gctx.gids, cap) for c in f_cols]
+        else:
+            table = [
+                jnp.zeros((cap,), jnp.float64).at[gctx.gids].add(c, mode="drop")
+                for c in f_cols
+            ]
         for meta in f_meta:
             node_a = meta[0]
             v = next(v for n_, v, _ in sum_jobs if n_ is node_a)
@@ -1045,10 +1050,13 @@ def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
             else:
                 out[node_a] = _finish_sum(node_a, table[meta[2]], v.dtype)
     if i_cols:
-        table = [
-            jnp.zeros((cap,), jnp.int64).at[gctx.gids].add(c, mode="drop")
-            for c in i_cols
-        ]
+        if G._use_stack(cap):
+            table = [G._stack_seg_sum(c, gctx.gids, cap) for c in i_cols]
+        else:
+            table = [
+                jnp.zeros((cap,), jnp.int64).at[gctx.gids].add(c, mode="drop")
+                for c in i_cols
+            ]
         for meta in i_meta:
             node_a = meta[0]
             if meta[1] == "count":
@@ -1075,19 +1083,31 @@ def _batch_aggs(aggs, ctx: EvalCtx) -> dict:
                 # NaN-total-order semantics, mirroring seg_min/seg_max: NaN is
                 # greatest, so min skips NaN; max returns NaN iff any present
                 if not want_min:
-                    has_nan = jnp.zeros((cap,), bool).at[gctx.gids].max(
-                        m & jnp.isnan(v.values), mode="drop"
-                    )
+                    nan_in = m & jnp.isnan(v.values)
+                    if G._use_stack(cap):
+                        has_nan = G._stack_seg_red(nan_in, gctx.gids, cap, jnp.max, False)
+                    else:
+                        has_nan = jnp.zeros((cap,), bool).at[gctx.gids].max(
+                            nan_in, mode="drop"
+                        )
                 x = jnp.where(jnp.isnan(x), ident, x)
-            init = jnp.full((cap,), ident, x.dtype)
-            tbl = (
-                init.at[gctx.gids].min(x, mode="drop")
-                if want_min
-                else init.at[gctx.gids].max(x, mode="drop")
-            )
+            if G._use_stack(cap):
+                tbl = G._stack_seg_red(
+                    x, gctx.gids, cap, jnp.min if want_min else jnp.max, ident
+                )
+            else:
+                init = jnp.full((cap,), ident, x.dtype)
+                tbl = (
+                    init.at[gctx.gids].min(x, mode="drop")
+                    if want_min
+                    else init.at[gctx.gids].max(x, mode="drop")
+                )
             if has_nan is not None:
                 tbl = jnp.where(has_nan, jnp.asarray(jnp.nan, x.dtype), tbl)
-            has = jnp.zeros((cap,), bool).at[gctx.gids].max(m, mode="drop")
+            if G._use_stack(cap):
+                has = G._stack_seg_red(m, gctx.gids, cap, jnp.max, False)
+            else:
+                has = jnp.zeros((cap,), bool).at[gctx.gids].max(m, mode="drop")
             out[node_a] = Val(tbl, has, v.dtype, v.table, GROUP)
     return out
 
