@@ -67,7 +67,10 @@ def dense_group_ctx(keys: list[Val], rowmask: jax.Array, sizes: list[int]) -> Gr
         gid = gid * (size + 1) + jnp.clip(code, 0, size)
         cap *= size + 1
     # mark which dense slots are occupied, then rank them to dense gids
-    occupied = jnp.zeros((cap,), bool).at[gid].max(rowmask, mode="drop")
+    if _use_stack(cap):
+        occupied = _stack_seg_red(rowmask, gid, cap, jnp.max, False)
+    else:
+        occupied = jnp.zeros((cap,), bool).at[gid].max(rowmask, mode="drop")
     rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
     num_groups = rank[-1] + 1
     dense_gid = rank[gid]
@@ -126,11 +129,15 @@ def reorder_by_first_occurrence(ctx: GroupCtx, rowmask: jax.Array) -> GroupCtx:
     n = ctx.gids.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     big = 2**31 - 1
-    first_row = (
-        jnp.full((ctx.capacity,), big, jnp.int32)
-        .at[ctx.gids]
-        .min(jnp.where(rowmask, iota, big), mode="drop")
-    )
+    masked_iota = jnp.where(rowmask, iota, big)
+    if _use_stack(ctx.capacity):
+        first_row = _stack_seg_red(masked_iota, ctx.gids, ctx.capacity, jnp.min, jnp.int32(big))
+    else:
+        first_row = (
+            jnp.full((ctx.capacity,), big, jnp.int32)
+            .at[ctx.gids]
+            .min(masked_iota, mode="drop")
+        )
     from polars_tpu.kernels.argsort import key_words, stable_argsort_words
 
     order = stable_argsort_words(key_words(first_row, dt.Int32()))  # empty slots (big) last
