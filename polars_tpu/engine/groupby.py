@@ -222,8 +222,13 @@ def _use_stack(cap: int) -> bool:
 
 
 def _stack_seg_sum(x: jax.Array, gids: jax.Array, cap: int) -> jax.Array:
+    # dtype=x.dtype: jnp.sum otherwise widens narrow ints to 64-bit, unlike
+    # the scatter path this replaces (caught by the SPMD q4 count merge)
     return jnp.stack(
-        [jnp.sum(jnp.where(gids == g, x, jnp.zeros((), x.dtype))) for g in range(cap)]
+        [
+            jnp.sum(jnp.where(gids == g, x, jnp.zeros((), x.dtype)), dtype=x.dtype)
+            for g in range(cap)
+        ]
     )
 
 
